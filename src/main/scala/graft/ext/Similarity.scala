@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table
+  * (`embedding: Array[Float]`, dim 64).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - brute-force cosine top-k — the exact baseline. One scan of the
+  *    corpus per query batch; the query vectors are broadcast, the
+  *    dot product is a codegen'd zip_with/aggregate expression, and
+  *    top-k is TakeOrderedAndProject (no global sort).
+  *  - LSH-bucketed (random-hyperplane signs) — the scale path: the
+  *    corpus is hashed once into buckets; a query probes only its
+  *    bucket, turning O(N) scans into O(N/2^bits) with recall traded
+  *    against `bits`. At 100 TB the bucketed table is written
+  *    partitioned by bucket so probes are partition-pruned scans.
+  *
+  * All arithmetic is cast to double before summation so results are
+  * reproducible against the DuckDB oracle (float accumulation order
+  * would otherwise differ).
+  */
+object Similarity {
+
+  /** dot(a, b) over array<float> columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k nearest neighbours (cosine) of one query vector,
+    * identified by `queryId`, over the whole corpus. */
+  def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .join(broadcast(query))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Batch k-NN: top-k neighbours for each of a set of query ids in
+    * one pass — broadcast the query set, one corpus scan, window
+    * top-k per query. This is the shape that survives scale: cost is
+    * O(corpus × queries) work but only ONE read of the corpus. */
+  def knnBatch(spark: SparkSession, dir: String, queryIds: Seq[Long] = Seq(0, 1, 2),
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rn"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products with
+    * `bits` pseudo-random hyperplanes. The hyperplanes are derived
+    * deterministically from xxhash64(dim, plane) so executors need no
+    * shared state and re-runs are reproducible. */
+  def lshBucket(emb: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)),
+          // hyperplane component h[d] ∈ [-0.5, 0.5): hash-derived
+          (x, d) => x.cast("double") *
+            (pmod(xxhash64(d, lit(p)), lit(1000L)).cast("double") / 1000.0 - 0.5)),
+        lit(0.0), (s, v) => s + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via LSH buckets: group corpus by bucket; report bucket
+    * occupancy (the index-build step; probing = filter on bucket). */
+  def lshIndexStats(spark: SparkSession, dir: String, bits: Int = 8): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), lshBucket(col("embedding"), 64, bits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+
+  /** ANN probe: approximate top-k for a query — only vectors in the
+    * query's LSH bucket are scored (partition-pruned at scale). */
+  def annProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      bits: Int = 6, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        lshBucket(col("embedding"), 64, bits).as("bucket"))
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    emb.join(broadcast(query),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, bucketed
+    * by LSH so the pair join is within-bucket only (sub-quadratic). */
+  def embeddingNearDup(spark: SparkSession, dir: String, bits: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), 64, bits).as("bucket"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token stats, term frequencies, quality scoring,
+  * language ID, document fingerprinting. All pure `functions._`
+  * column expressions — whole-stage-codegen friendly, no UDFs, so a
+  * 100 TB corpus scans once and never leaves Tungsten rows.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer; drops empty tokens so leading/trailing
+    * spaces can't skew counts. */
+  def tokens(c: Column): Column = filter(split(c, " "), t => length(t) > 0)
+
+  /** Per-document token statistics. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).as("n_tokens"),
+        col("n_chars"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"))
+
+  /** Corpus term frequency: explode tokens → count → top 20.
+    * Map-side partial agg shrinks the shuffle to |vocab| per
+    * partition; deterministic via (count desc, word) ordering. */
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  /** Quality scoring: length, type-token ratio, stopword ratio —
+    * the classic cheap heuristics for corpus filtering. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = array(lit("the"), lit("a"), lit("and"), lit("of"), lit("to"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        round(size(array_distinct(tokens(col("text")))).cast("double") /
+          size(tokens(col("text"))), 4).as("ttr"),
+        round(size(filter(tokens(col("text")), t => array_contains(stop, t)))
+          .cast("double") / size(tokens(col("text"))), 4).as("stopword_ratio"),
+        round(col("n_chars").cast("double") / size(tokens(col("text"))), 4)
+          .as("avg_token_len"))
+  }
+
+  /** Language ID: deterministic n-gram/stopword-profile heuristic.
+    * Scores each candidate language by hits of its marker tokens and
+    * takes the argmax (ties → language order). On real corpora the
+    * marker lists would be per-language character n-gram profiles;
+    * the mechanism (score columns + greatest/argmax, single scan) is
+    * the scale path. Synthetic testdata text shares one vocabulary,
+    * so this validates the operator's determinism, not accuracy. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of"),
+      "es" -> Seq("el", "la", "los", "de"),
+      "fr" -> Seq("le", "la", "les", "des"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "zh" -> Seq("zh0", "zh1", "zh2", "zh3"))
+    val toks = tokens(col("text"))
+    val scored = profiles.map { case (langName, markers) =>
+      val markerArr = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(markerArr, t))).as("score"),
+        lit(langName).as("lang"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("label_lang"),
+        greatest(scored: _*).getField("lang").as("pred_lang"),
+        greatest(scored: _*).getField("score").as("pred_score"))
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash
+    * over tokens, mod a 1e9-scale prime so the accumulator never
+    * overflows ANSI-mode long arithmetic. Two docs with identical
+    * token sequences collide. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1000000007L
+    val rolling = aggregate(col("toks"), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(m)), lit(m)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), rolling.as("fingerprint"),
+        pmod(rolling, lit(1024)).as("fp_bucket"))
+  }
+
+  /** Token histogram by language: per-lang total/avg token counts. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("total_tokens"),
+        round(avg(size(tokens(col("text")))), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+}

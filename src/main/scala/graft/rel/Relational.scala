@@ -1,0 +1,313 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator catalog (SURVEY.md §2B): projection, filter,
+  * joins (broadcast / semi / anti / outer), aggregation (incl.
+  * distinct, rollup, cube), window functions, sort/limit/top-k, set
+  * operations, scalar string/date functions, and subquery patterns —
+  * each a named, composable query over the driver testdata,
+  * oracle-checked against DuckDB by `graft.Verify`.
+  *
+  * Scale notes (100 TB posture):
+  *  - Dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast explicitly — a 1000-executor cluster must never
+  *    shuffle `lineitem` to join a 25-row `nation`.
+  *  - Aggregates run partial→final (HashAggregateExec); no
+  *    driver-side collection anywhere; top-k is
+  *    TakeOrderedAndProject, never a global sort.
+  *  - Sums over double columns go through DECIMAL(28,6): decimal
+  *    addition is associative, so results are independent of
+  *    partitioning / shuffle order — the only sane equality contract
+  *    for a distributed engine checked against a single-node oracle.
+  */
+object Relational {
+
+  /** Order-independent sum of a double expression: exact decimal
+    * accumulation, surfaced back as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
+  private def davg(c: Column): Column = dsum(c) / count(c)
+
+  private def revenue: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1-style pricing summary: filter → groupBy → multi-agg.
+    * Predicate pushdown: the shipdate filter reaches the parquet scan. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(revenue).as("sum_disc_price"),
+        dsum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Projection + filter: column pruning down to 3 of 5 customer
+    * columns must reach the scan (ReadSchema), predicate pushed. */
+  def projectFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 100.0 && col("c_mktsegment") =!= "MACHINERY")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** Compound predicates incl. IN-list, BETWEEN, conjunctions. */
+  def predicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_returnflag") === "R" &&
+        col("l_quantity").between(10, 40) &&
+        col("l_discount").isin(0.0, 0.05, 0.1) &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice").as("price"))
+
+  /** Flagship: revenue by nation — lineitem ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region with explicit broadcast of every dimension.
+    * The only shuffles left are lineitem⋈orders (both large at
+    * scale; AQE picks the strategy) and the tiny final aggregate. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** Semi join (EXISTS): customers having at least one 'F' order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Anti join (NOT EXISTS): customers with no pending ('P') orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Outer join with null-producing side: every nation with its
+    * customer count (nations without customers keep count 0). */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"),
+        coalesce(dsum(col("c_acctbal")), lit(0.0)).as("total_bal"))
+  }
+
+  /** Window top-N per group: 3 most expensive orders per customer.
+    * Single shuffle on o_custkey; deterministic via orderkey tiebreak. */
+  def topNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("totalprice"), col("rn"))
+  }
+
+  /** Running aggregate window: cumulative spend per customer ordered
+    * by orderdate (orderkey tiebreak ⇒ deterministic prefix sums;
+    * decimal accumulation ⇒ order-of-addition independent). */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
+          .cast("double").as("running_spend"))
+  }
+
+  /** lag: per customer, days between consecutive orders. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject, never a full sort at scale.
+    * Fully deterministic via unique (orderkey, linenumber) tiebreak. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** Set ops: UNION (distinct) / INTERSECT / EXCEPT over custkey sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val building  = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    val bigSpend  = o.filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    building.union(machinery).distinct()
+      .intersect(bigSpend)
+      .except(c.filter(col("c_acctbal") < 0).select(col("c_custkey")))
+  }
+
+  /** Distinct aggregation: grouped exact count-distinct. */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        davg(col("o_totalprice")).as("avg_price"))
+
+  /** ROLLUP grouping sets over returnflag × linestatus. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** CUBE grouping sets. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+
+  /** String scalar functions: lower/upper/length/substring/split/
+    * concat/regexp — codegen'd `functions._`, no UDFs. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lc"),
+        upper(col("p_brand")).as("brand_uc"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        element_at(split(col("p_type"), " "), 1).as("type_first"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+
+  /** Date/time functions + grouped time rollup by year/month. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+
+  /** Tumbling 1-hour window over events (batch form of a streaming
+    * windowed aggregate; SURVEY.md §2B streaming note). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Sessionization (gap > 30 min) — batch analog of
+    * mapGroupsWithState session windows: lag → boundary flag →
+    * prefix-sum session id → per-user session stats. One shuffle on
+    * user_id shared by the windows and the first groupBy. Gap math
+    * in integer microseconds so the oracle (ns-precision DuckDB)
+    * and Spark (µs timestamps) agree exactly. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        dsum(col("session_value")).as("total_value"))
+  }
+
+  /** JSON extraction from the events.props payload column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .filter(col("prop_k") > 50)
+
+  /** Scalar-subquery pattern: orders above the global average price.
+    * Rewritten multiplicative (price·n > Σprice, decimal-exact) so
+    * the cutoff is identical across engines; the 1-row aggregate is
+    * broadcast — no shuffle of `orders`. */
+  def aboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val tot = o.agg(sum(col("o_totalprice").cast("decimal(28,6)")).as("total_dec"),
+      count(lit(1)).as("n_ord"))
+    o.join(broadcast(tot),
+        col("o_totalprice").cast("decimal(28,6)") * col("n_ord") > col("total_dec"))
+      .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
+  }
+
+  /** Correlated-subquery pattern (per-group threshold): lineitems with
+    * quantity > 1.5× their part's average, via broadcast of the
+    * per-part aggregate. Quantities are integral doubles so the
+    * per-part mean is exact in both engines. */
+  def abovePartAvg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("decimal(28,6)")).as("qty_sum"),
+        count(lit(1)).as("qty_n"))
+    li.join(broadcast(perPart),
+        li("l_partkey") === col("pk") &&
+        col("l_quantity").cast("decimal(28,6)") * col("qty_n") * 2 >
+          col("qty_sum") * 3)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_above"), max(col("l_quantity")).as("max_qty"))
+  }
+
+  /** Conditional aggregation (pivot-style): per-user event-type
+    * counts as columns — one pass, no PIVOT operator needed. */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+        sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"))
+
+  /** Multi-way star join + HAVING: order counts per region/priority
+    * keeping only groups with ≥ 20 orders. */
+  def havingFilter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 20)
+  }
+}
