@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
 object DevTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",").toSeq
+    val names =
+      if (args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder()
       .master("local[4]")

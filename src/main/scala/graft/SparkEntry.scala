@@ -76,6 +76,9 @@ object SparkEntry {
     "q52_lsh_index"       -> ((s, d) => Similarity.lshIndexStats(s, d)), // rows-only
     "q53_ann_probe"       -> ((s, d) => Similarity.annProbe(s, d)),      // rows-only
     "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(s, d)), // rows-only
+    // instructions-MR pipeline (reference core; stub LLM → rows-only)
+    "q70_mr_pipeline"     -> (graft.exec.Demo.mrPipeline _),
+    "q71_self_verify"     -> (graft.exec.Demo.selfVerify _),
     // multimodal [ext]
     "q60_media_meta"      -> (Multimodal.mediaMeta _),
     "q61_decode_features" -> (Multimodal.decodeFeatures _),       // mapPartitions → rows-only

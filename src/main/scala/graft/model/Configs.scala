@@ -1,0 +1,139 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Pipeline IR: the engine's logical-plan nodes for the instructions-
+  * MapReduce surface (SURVEY.md §1.1, §2C).
+  *
+  * An [[Instruction]] is a config-driven operator instance: one output
+  * field, a prompt recipe, and a `scope` (input projection; None ⇒ all
+  * fields — /root/reference/src/python/instructionspipe/instructions.py:10-18,
+  * instructions_runners.py:38-39). A [[Stage]] is one map or reduce
+  * wave; a [[PipelineConf]] is the ordered stage list plus LLM params
+  * (/root/reference/bin/text_mr_pipe.json).
+  */
+final case class Instruction(
+    name: String,
+    role: Option[String] = None,
+    content: Option[String] = None,
+    inputDesc: Option[String] = None,
+    outputDesc: Option[String] = None,
+    scope: Option[Seq[String]] = None)
+
+/** One stage = a list of instructions evaluated concurrently; `role`
+  * is the stage-level default the POC hoists
+  * (self_verification_mr.json:30,95), overridable per instruction. */
+final case class Stage(
+    instructions: Seq[Instruction],
+    role: Option[String] = None) {
+  def resolved: Seq[Instruction] =
+    instructions.map(i => if (i.role.isEmpty) i.copy(role = role) else i)
+}
+
+final case class LlmParams(
+    apiType: String = "openai",
+    apiUrl: String = "",
+    apiKey: String = "",
+    apiVersion: Option[String] = None,
+    model: String = "stub",
+    temperature: Double = 0.0,
+    topP: Double = 0.0001,
+    seed: Long = 2,
+    maxTokens: Int = 4096)
+
+final case class PipelineConf(
+    inDataPath: Option[String],
+    outDataPath: Option[String],
+    outputCol: String,
+    llm: LlmParams,
+    pipe: Seq[Stage])
+
+/** JSON config reader mirroring the reference's surface (§2C):
+  * snake_case keys, nullable prompt sections, 2..N stages. Unlike the
+  * reference (which silently overwrites duplicate names,
+  * instructions.py:55-57), duplicate instruction names within a stage
+  * are a plan-time error. */
+object Configs {
+
+  def parse(json: String): PipelineConf = fromJValue(JsonMethods.parse(json))
+
+  def fromJValue(jv: JValue): PipelineConf = {
+    val llm = jv \ "llm" match {
+      case JObject(_) => llmParams(jv \ "llm")
+      case _          => LlmParams()
+    }
+    val stages = (jv \ "pipe") match {
+      case JArray(xs) => xs.map(stage)
+      case JNothing   => Nil
+      case other => throw new IllegalArgumentException(s"'pipe' must be a list, got $other")
+    }
+    stages.foreach(validate)
+    PipelineConf(
+      inDataPath = str(jv \ "in_data_path"),
+      outDataPath = str(jv \ "out_data_path"),
+      outputCol = str(jv \ "output_col").getOrElse("results"),
+      llm = llm,
+      pipe = stages)
+  }
+
+  private def validate(s: Stage): Unit = {
+    val dups = s.instructions.groupBy(_.name).collect { case (n, is) if is.size > 1 => n }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate instruction names in stage: ${dups.mkString(", ")}")
+  }
+
+  /** A stage is either a bare list of instructions (generic pipe) or
+    * an object {role, instructions} (POC stage-level role). */
+  private def stage(jv: JValue): Stage = jv match {
+    case JArray(xs) => Stage(xs.map(instruction))
+    case o: JObject =>
+      val role = str(o \ "role")
+      (o \ "instructions") match {
+        case JArray(xs) => Stage(xs.map(instruction), role)
+        case _ => throw new IllegalArgumentException("stage object needs 'instructions'")
+      }
+    case other => throw new IllegalArgumentException(s"bad stage: $other")
+  }
+
+  private def instruction(jv: JValue): Instruction = Instruction(
+    name = str(jv \ "name").getOrElse(
+      throw new IllegalArgumentException("instruction needs 'name'")),
+    role = str(jv \ "role"),
+    content = str(jv \ "content"),
+    inputDesc = str(jv \ "input_desc"),
+    outputDesc = str(jv \ "output_desc"),
+    scope = (jv \ "scope") match {
+      case JArray(xs) => Some(xs.collect { case JString(s) => s })
+      case _          => None
+    })
+
+  private def llmParams(jv: JValue): LlmParams = LlmParams(
+    apiType = str(jv \ "api_type").getOrElse("openai"),
+    apiUrl = str(jv \ "api_url").getOrElse(""),
+    apiKey = str(jv \ "api_key").getOrElse(""),
+    apiVersion = str(jv \ "api_version"),
+    model = str(jv \ "model").getOrElse("stub"),
+    temperature = dbl(jv \ "temperature").getOrElse(0.0),
+    topP = dbl(jv \ "top_p").getOrElse(0.0001),
+    seed = lng(jv \ "seed").getOrElse(2L),
+    maxTokens = lng(jv \ "max_tokens").map(_.toInt).getOrElse(4096))
+
+  private def str(jv: JValue): Option[String] = jv match {
+    case JString(s) => Some(s)
+    case _          => None
+  }
+  private def dbl(jv: JValue): Option[Double] = jv match {
+    case JDouble(d)  => Some(d)
+    case JInt(i)     => Some(i.toDouble)
+    case JDecimal(d) => Some(d.toDouble)
+    case _           => None
+  }
+  private def lng(jv: JValue): Option[Long] = jv match {
+    case JInt(i)    => Some(i.toLong)
+    case JLong(l)   => Some(l)
+    case JDouble(d) => Some(d.toLong)
+    case _          => None
+  }
+}

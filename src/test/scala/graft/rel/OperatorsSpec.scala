@@ -1,0 +1,74 @@
+package graft.rel
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Light sanity specs over sf0.001 (the DuckDB oracle in Verify is
+  * the authoritative correctness gate; these catch regressions fast
+  * in `sbt test`). */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.init()
+  val sf = TestSpark.sf
+
+  test("pricing summary: 6 flag/status groups, counts add up") {
+    val rows = Relational.pricingSummary(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("count_order")).sum <= 6000L)
+  }
+
+  test("revenue by nation covers all 25 nations with positive revenue") {
+    val rows = Relational.revenueByNation(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("top-k is ordered desc and bounded") {
+    val prices = Relational.topK(spark, sf).collect().map(_.getAs[Double]("price"))
+    assert(prices.length == 10)
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("semi ∪ anti partitions customers") {
+    val semi = Relational.semiJoin(spark, sf).count()
+    val anti = Relational.antiJoin(spark, sf).count()
+    assert(semi > 0 && anti > 0)
+  }
+
+  test("sessionize: every user has ≥1 session, events conserved") {
+    val rows = Relational.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_sessions") >= 1))
+  }
+
+  test("exact dedup conserves documents") {
+    val rows = Dedup.exactDedup(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cluster_size")).sum == 500L)
+  }
+
+  test("minhash LSH candidates verify to high jaccard on this corpus") {
+    val verified = Dedup.jaccardVerify(spark, sf, k = 3, threshold = 0.7).collect()
+    assert(verified.nonEmpty)
+    assert(verified.forall(_.getAs[Double]("jaccard") >= 0.7))
+  }
+
+  test("cosine top-k: similarities within [-1,1], sorted desc") {
+    val sims = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
+    assert(sims.length == 10)
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("ann probe results are a subset of brute-force ranking universe") {
+    val probe = Similarity.annProbe(spark, sf).collect()
+    assert(probe.forall(r => r.getAs[Double]("cos_sim") <= 1.0))
+  }
+
+  test("language id is deterministic and total") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => Set("en", "es", "fr", "de", "zh")(r.getAs[String]("pred_lang"))))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.exec.PipeDoc
+import graft.llm.StubLlm
+import graft.model.Configs
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.init()
+
+  test("windowed aggregation with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(
+      Ev(Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      Ev(Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0))
+    val q = StreamOps.eventsHourlyStream(src.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+      .map(r => (r.getAs[Timestamp]("hour").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).sorted
+    q.stop()
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("instructions pipeline runs on an unbounded document stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = Configs.parse(
+      """{"pipe": [[{"name": "summary", "content": "Summarize.", "scope": ["text"]}]]}""")
+    val src = MemoryStream[PipeDoc]
+    src.addData(PipeDoc(1, Map("text" -> "hello stream")),
+      PipeDoc(2, Map("text" -> "second doc")))
+    val out = StreamOps.pipelineStream(src.toDS(), conf, StubLlm)
+    val q = out.writeStream.format("memory").queryName("pipe_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val rows = spark.table("pipe_stream").as[PipeDoc].collect().sortBy(_.id)
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.forall(_.fields.keys.toSeq == Seq("summary")))
+    // streaming result == batch result for the same input (purity)
+    val batch = new graft.exec.InstructionsPipeline(conf, StubLlm)
+      .run(Seq(PipeDoc(1, Map("text" -> "hello stream"))).toDS()).collect().head
+    assert(rows.head.fields == batch.fields)
+  }
+
+  test("foreachBatch writer drains a stream through a batch transform") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(Ev(Timestamp.valueOf("2024-01-01 09:00:00"), "click", 5.0))
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = StreamOps.foreachBatchWriter(src.toDS()) { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }.start()
+    q.awaitTermination(30000)
+    assert(seen.get() == 1L)
+  }
+}
