@@ -57,6 +57,10 @@ object SparkEntry {
     "q22_above_part_avg"  -> (Relational.abovePartAvg _),
     "q23_conditional_agg" -> (Relational.conditionalAgg _),
     "q24_having"          -> (Relational.havingFilter _),
+    "q25_asof_join"       -> (Relational.asofJoin _),
+    "q26_range_join"      -> (Relational.rangeJoin _),
+    "q27_stats_agg"       -> (Relational.statsAgg _),
+    "q28_array_ops"       -> (Relational.arrayOps _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -254,6 +258,33 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, o_orderpriority
         |HAVING COUNT(*) >= 20""".stripMargin,
+    "q25_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(s.ts) AS signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND epoch_us(p.ts) >= epoch_us(s.ts)""".stripMargin,
+    "q26_range_join" ->
+      s"""SELECT band_id, COUNT(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS band_revenue
+         |FROM lineitem
+         |JOIN (SELECT range AS band_id, range * 10000.0 AS lo,
+         |             (range + 1) * 10000.0 AS hi FROM range(0, 10)) bands
+         |  ON l_extendedprice >= lo AND l_extendedprice < hi
+         |GROUP BY band_id""".stripMargin,
+    "q27_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q28_array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS first_val,
+        |  list_max(embedding) AS max_val,
+        |  list_min(embedding) AS min_val
+        |FROM embeddings""".stripMargin,
     "q30_token_stats" ->
       s"""SELECT doc_id, lang,
          |  CAST(len($toks) AS INTEGER) AS n_tokens,

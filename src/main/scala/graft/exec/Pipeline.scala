@@ -85,11 +85,19 @@ final class InstructionsPipeline(conf: PipelineConf, llm: LlmClient)
 
 object InstructionsPipeline {
 
+  /** Python-json.dumps(indent=2)-compatible re-render of a compact
+    * JSON string (the reference's stringify formatting). */
+  private val prettyJson = udf { s: String =>
+    if (s == null) null else graft.model.JsonUtil.pretty(graft.model.JsonUtil.parse(s))
+  }
+
   /** Lift a DataFrame into the canonical Dataset[PipeDoc]: every
     * column stringified via the reference's json2str_kv rules
-    * (strings as-is, everything else pretty JSON — utils.py:10-17).
-    * `to_json` handles structs/arrays/maps; scalars render plainly. */
-  def toDocs(df: DataFrame, idCol: String): Dataset[PipeDoc] = {
+    * (strings as-is, everything else JSON — utils.py:10-17).
+    * `pretty = true` matches the reference's indent=2 formatting
+    * byte-for-byte (JsonUtil); false keeps `to_json`'s compact form
+    * (cheaper; fine when prompts need not be byte-faithful). */
+  def toDocs(df: DataFrame, idCol: String, pretty: Boolean = false): Dataset[PipeDoc] = {
     import df.sparkSession.implicits._
     val others = df.schema.fields.filter(_.name != idCol)
     val kvs = others.flatMap { f =>
@@ -97,7 +105,8 @@ object InstructionsPipeline {
         case org.apache.spark.sql.types.StringType => col(f.name)
         case _: org.apache.spark.sql.types.StructType |
              _: org.apache.spark.sql.types.ArrayType |
-             _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+             _: org.apache.spark.sql.types.MapType =>
+          if (pretty) prettyJson(to_json(col(f.name))) else to_json(col(f.name))
         case _ => col(f.name).cast("string")
       }
       Seq(lit(f.name), coalesce(stringified, lit("null")))

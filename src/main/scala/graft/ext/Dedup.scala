@@ -50,11 +50,12 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
 
   /** MinHash signature from a pre-materialized shingle column: for
-    * each seed, min over xxhash64(shingle, seed) — an
-    * independent-enough hash family with no UDF. */
+    * each seed p, min over XXH64(shingle, seed=p). Native expression
+    * (graft.functions.MinHashSig): the whole signature in one pass
+    * per row vs perms × |shingles| interpreted lambda calls for the
+    * equivalent transform/array_min composition. */
   def minhashFromShingles(sh: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)),
-      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+    graft.functions.exprs.minhash_sig(sh, perms)
 
   /** doc_id → shingle set, MATERIALIZED (persist). The cache is the
     * barrier that stops `CollapseProject` from inlining the shingle

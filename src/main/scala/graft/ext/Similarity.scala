@@ -25,7 +25,10 @@ import graft.Tables
   */
 object Similarity {
 
-  /** dot(a, b) over array<float> columns, accumulated in double. */
+  /** dot(a, b) over array<float> columns, accumulated in double —
+    * the composed-builtin form (kept as the reference semantics the
+    * native expression must reproduce bit-for-bit; see
+    * SimilaritySpec). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -33,7 +36,13 @@ object Similarity {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Composed-builtin cosine (interpreted lambdas; breaks codegen). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Fused native cosine (graft.functions.CosineSim): one codegen'd
+    * loop, same left-to-right double accumulation ⇒ bit-identical to
+    * cosineHof and the DuckDB oracle. */
+  def cosine(a: Column, b: Column): Column = graft.functions.exprs.cosine_sim(a, b)
 
   /** Exact top-k nearest neighbours (cosine) of one query vector,
     * identified by `queryId`, over the whole corpus. */

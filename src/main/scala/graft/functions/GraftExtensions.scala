@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{CosineSim, MinHashSig}
+import org.apache.spark.sql.types.IntegerType
+
+/** SparkSessionExtensions wiring: exposes the native expressions to
+  * SQL users (`SELECT cosine_sim(a, b)`, `SELECT minhash_sig(sh, 32)`).
+  *
+  * Register with:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)           // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  * The Column API (graft.functions.exprs) works without registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim(arrayA, arrayB)")
+        CosineSim(children.head, children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "minhash_sig(shingles, perms)")
+        val perms = children(1) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig perms must be an int literal, got $other")
+        }
+        MinHashSig(children.head, perms)
+      }))
+  }
+}

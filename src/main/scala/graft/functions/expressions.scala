@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{bridge, CosineSim, MinHashSig}
+
+/** Public Column API over the native expressions (implementation in
+  * org.apache.spark.sql.graft — see that file's scaladoc). */
+object exprs {
+
+  /** cosine(a, b) over array<float> columns (fused, codegen'd). */
+  def cosine_sim(a: Column, b: Column): Column =
+    bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+
+  /** MinHash signature: array<long> of length `perms`, one pass. */
+  def minhash_sig(shingles: Column, perms: Int): Column =
+    bridge.column(MinHashSig(bridge.expression(shingles), perms))
+}

@@ -296,6 +296,66 @@ object Relational {
         sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
         sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"))
 
+  /** As-of join: each purchase event matched to the most recent
+    * signup of the same user at-or-before its time. Implemented with
+    * the scalable union+window pattern (ONE shuffle on user_id, no
+    * join at all): tag rows, carry the last signup time forward with
+    * an ignoreNulls window, keep purchases. At equal microseconds the
+    * sort key orders signups first, matching the oracle's `>=` ASOF
+    * semantics. The oracle is DuckDB's native ASOF LEFT JOIN — two
+    * completely different algorithms, same answer. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .filter(col("event_type").isin("purchase", "signup"))
+      .withColumn("k", when(col("event_type") === "signup", 0).otherwise(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("k"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("signup_us",
+        last(when(col("event_type") === "signup", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("signup_us"))
+  }
+
+  /** Range join: lineitem priced into static bands — a non-equi join
+    * against a 10-row generated dimension (BroadcastNestedLoopJoin;
+    * the broadcast side is tiny, so the NLJ is the right plan at any
+    * scale). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 10)
+      .select(col("id").as("band_id"),
+        (col("id") * 10000.0).as("lo"), ((col("id") + 1) * 10000.0).as("hi"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("band_revenue"))
+  }
+
+  /** Statistical aggregates: stddev / exact interpolated percentile /
+    * Pearson correlation (rounded — co-moment merge order differs
+    * between engines at the 1e-12 level). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+
+  /** Array scalar functions over the embedding column. */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        array_max(col("embedding")).as("max_val"),
+        array_min(col("embedding")).as("min_val"))
+
   /** Multi-way star join + HAVING: order counts per region/priority
     * keeping only groups with ≥ 20 orders. */
   def havingFilter(spark: SparkSession, dir: String): DataFrame = {

