@@ -61,6 +61,7 @@ object SparkEntry {
     "q26_range_join"      -> (Relational.rangeJoin _),
     "q27_stats_agg"       -> (Relational.statsAgg _),
     "q28_array_ops"       -> (Relational.arrayOps _),
+    "q29_approx_distinct" -> (Relational.approxDistinct _), // HLL impl-specific → rows-only
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q33_lang_id"         -> (TextAnalysis.langId _),
     "q34_lang_stats"      -> (TextAnalysis.langStats _),
     "q35_fingerprint"     -> (TextAnalysis.fingerprint _),        // xxhash64 → rows-only
+    "q36_bpe_tokens"      -> (TextAnalysis.bpeTokenCount _),
     // dedup [ext]
     "q40_exact_dedup"     -> (Dedup.exactDedup _),
     "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -326,6 +328,11 @@ object SparkEntry {
          |  round(CAST(SUM(len($toks)) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
          |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
          |FROM documents GROUP BY lang""".stripMargin,
+    "q36_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS INTEGER) AS n_bpeish,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))) AS INTEGER) AS n_distinct_pieces
+        |FROM documents""".stripMargin,
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS cluster_size, content_hash
         |FROM (SELECT doc_id,

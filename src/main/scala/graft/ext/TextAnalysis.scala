@@ -91,6 +91,19 @@ object TextAnalysis {
         pmod(rolling, lit(1024)).as("fp_bucket"))
   }
 
+  /** BPE-ish tokenization: GPT-2-style pre-tokenizer regex classes
+    * (letter runs, digit runs, single non-space symbols) as a cheap
+    * proxy for subword token counting — the standard way to estimate
+    * LLM token budgets over a corpus without shipping a tokenizer. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val pieces = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pieces.as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).as("n_bpeish"),
+        size(array_distinct(col("pieces"))).as("n_distinct_pieces"))
+  }
+
   /** Token histogram by language: per-lang total/avg token counts. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -347,6 +347,18 @@ object Relational {
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
 
+  /** Sketch aggregates: HyperLogLog approximate distinct counts —
+    * the at-scale substitute for exact countDistinct (one pass, fixed
+    * memory, mergeable). Not oracled: DuckDB's HLL differs; the spec
+    * asserts the estimate brackets the exact count instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+
   /** Array scalar functions over the embedding column. */
   def arrayOps(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)

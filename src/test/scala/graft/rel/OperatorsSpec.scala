@@ -66,6 +66,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(probe.forall(r => r.getAs[Double]("cos_sim") <= 1.0))
   }
 
+  test("approx distinct brackets the exact count within rsd") {
+    val approx = Relational.approxDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_orders")).toMap
+    val exact = Relational.pricingSummary(spark, sf).sparkSession.emptyDataFrame
+    val exactCounts = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    exactCounts.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.1, s"$k: ${approx(k)} vs $n")
+    }
+  }
+
   test("language id is deterministic and total") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == 500)
