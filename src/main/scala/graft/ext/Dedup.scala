@@ -113,8 +113,8 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        round(graft.functions.exprs.jaccard_sim(col("sh_a"), col("sh_b")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -131,8 +131,8 @@ object Dedup {
     val b = docs.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
     a.join(b, col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-          size(array_union(col("tok_a"), col("tok_b"))), 4).as("jaccard"))
+        round(graft.functions.exprs.jaccard_sim(col("tok_a"), col("tok_b")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

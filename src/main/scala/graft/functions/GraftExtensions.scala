@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSim, MinHashSig}
+import org.apache.spark.sql.graft.{CosineSim, JaccardSim, MinHashSig}
 import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions wiring: exposes the native expressions to
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "cosine_sim(arrayA, arrayB)")
         CosineSim(children.head, children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "jaccard_sim(arrayA, arrayB)")
+        JaccardSim(children.head, children(1))
       }))
     e.injectFunction((
       new FunctionIdentifier("minhash_sig"),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{bridge, CosineSim, MinHashSig}
+import org.apache.spark.sql.graft.{bridge, CosineSim, JaccardSim, MinHashSig}
 
 /** Public Column API over the native expressions (implementation in
   * org.apache.spark.sql.graft — see that file's scaladoc). */
@@ -14,4 +14,8 @@ object exprs {
   /** MinHash signature: array<long> of length `perms`, one pass. */
   def minhash_sig(shingles: Column, perms: Int): Column =
     bridge.column(MinHashSig(bridge.expression(shingles), perms))
+
+  /** Set Jaccard |A∩B|/|A∪B| over string arrays, one hash-set pass. */
+  def jaccard_sim(a: Column, b: Column): Column =
+    bridge.column(JaccardSim(bridge.expression(a), bridge.expression(b)))
 }

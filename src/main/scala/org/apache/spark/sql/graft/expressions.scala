@@ -82,6 +82,46 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Set Jaccard similarity |A∩B| / |A∪B| over two string-array
+  * columns (duplicates ignored). One hash-set pass replaces the
+  * array_intersect + array_union + two size() composition — three
+  * interpreted passes and two materialized arrays per pair — with
+  * zero intermediate allocation beyond the sets. Counting semantics
+  * match Spark's array_intersect/array_union (and DuckDB's
+  * list_intersect / list_distinct(list_concat)) exactly, so the
+  * oracle contract is unchanged. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaccard_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < x.numElements()) { setA.add(x.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var inter = 0
+    i = 0
+    while (i < y.numElements()) {
+      val s = y.getUTF8String(i)
+      if (setB.add(s) && setA.contains(s)) inter += 1
+      i += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature of a string-array column: for each permutation
   * p ∈ [0, perms), min over XXH64(shingle bytes, seed = p). Single
   * pass over the array computes the whole signature. */

@@ -66,6 +66,25 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(est(sigs(1), sigs(3)) < 0.2)
   }
 
+  test("native jaccard_sim equals the array_intersect/union composition") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c", "c"), Seq("b", "c", "d")),
+      (Seq("x"), Seq("y")),
+      (Seq("q", "q"), Seq("q"))).toDF("a", "b")
+    val rows = df.select(
+      exprs.jaccard_sim(col("a"), col("b")).as("native"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("composed")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 0.5)   // {a,b,c} ∩ {b,c,d} = 2; ∪ = 4
+    assert(rows(2).getDouble(0) == 1.0)
+    // empty∪empty: native defines jaccard = 0.0 (composed form divides by zero)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(exprs.jaccard_sim(col("a"), col("b"))).collect()
+    assert(empty.head.getDouble(0) == 0.0)
+  }
+
   test("SQL registration via GraftExtensions function builders") {
     // exercise the injected builders directly through the registry path
     val ext = new org.apache.spark.sql.SparkSessionExtensions

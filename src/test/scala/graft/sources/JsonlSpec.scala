@@ -74,6 +74,23 @@ class JsonlSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("csv and partitioned-parquet round-trips preserve data") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+    Io.writeCsv(docs, s"$tmp/csv")
+    val backCsv = Io.readCsv(spark, s"$tmp/csv")
+    assert(backCsv.count() == 500)
+    assert(backCsv.columns.toSet == Set("doc_id", "lang", "n_chars"))
+    Io.writeParquet(docs, s"$tmp/pq", partitionBy = Seq("lang"))
+    val backPq = Io.readParquet(spark, s"$tmp/pq")
+    assert(backPq.count() == 500)
+    // partition pruning: a lang filter reads only that partition dir
+    assert(backPq.filter(col("lang") === "en").count() ==
+      docs.filter(col("lang") === "en").count())
+  }
+
   test("pretty stringify boundary reaches the prompts (indent=2)") {
     val src = Jsonl.read(spark, fixture)
       .withColumn("__graft_id", org.apache.spark.sql.functions.monotonically_increasing_id())
