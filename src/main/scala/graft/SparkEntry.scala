@@ -85,6 +85,7 @@ object SparkEntry {
     // instructions-MR pipeline (reference core; stub LLM → rows-only)
     "q70_mr_pipeline"     -> (graft.exec.Demo.mrPipeline _),
     "q71_self_verify"     -> (graft.exec.Demo.selfVerify _),
+    "q72_grouped_reduce"  -> (graft.exec.GroupedReduce.bySource _),
     // multimodal [ext]
     "q60_media_meta"      -> (Multimodal.mediaMeta _),
     "q61_decode_features" -> (Multimodal.decodeFeatures _),       // mapPartitions → rows-only
