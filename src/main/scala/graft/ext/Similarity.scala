@@ -94,11 +94,23 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The bucketed index table, MATERIALIZED (persist): the bucket
+    * expression is bits × dim interpreted lambda work per row, and
+    * the probe/near-dup queries reference it on BOTH sides of a
+    * self-join — without the cache barrier CollapseProject inlines
+    * and re-evaluates it per side (same pathology as the minhash
+    * shingle pipeline). At scale this is the written-once LSH index
+    * table, partitioned by bucket for probe-time pruning. */
+  def lshIndex(spark: SparkSession, dir: String, bits: Int): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        lshBucket(col("embedding"), 64, bits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** ANN via LSH buckets: group corpus by bucket; report bucket
     * occupancy (the index-build step; probing = filter on bucket). */
   def lshIndexStats(spark: SparkSession, dir: String, bits: Int = 8): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), lshBucket(col("embedding"), 64, bits).as("bucket"))
+    lshIndex(spark, dir, bits)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
 
@@ -106,9 +118,7 @@ object Similarity {
     * query's LSH bucket are scored (partition-pruned at scale). */
   def annProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
       bits: Int = 6, k: Int = 10): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        lshBucket(col("embedding"), 64, bits).as("bucket"))
+    val emb = lshIndex(spark, dir, bits)
     val query = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
     emb.join(broadcast(query),
@@ -123,9 +133,7 @@ object Similarity {
     * by LSH so the pair join is within-bucket only (sub-quadratic). */
   def embeddingNearDup(spark: SparkSession, dir: String, bits: Int = 4,
       threshold: Double = 0.3): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), 64, bits).as("bucket"))
+    val emb = lshIndex(spark, dir, bits)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket"))
