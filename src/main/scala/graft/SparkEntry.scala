@@ -62,6 +62,8 @@ object SparkEntry {
     "q27_stats_agg"       -> (Relational.statsAgg _),
     "q28_array_ops"       -> (Relational.arrayOps _),
     "q29_approx_distinct" -> (Relational.approxDistinct _), // HLL impl-specific → rows-only
+    "q63_window_ranks"    -> (Relational.windowRanks _),
+    "q64_array_agg"       -> (Relational.arrayAgg _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -374,6 +376,21 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rn FROM s)
         |WHERE rn <= 5""".stripMargin,
+    "q63_window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders WHERE o_orderstatus = 'F'
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q64_array_agg" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q60_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -347,6 +347,32 @@ object Relational {
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
 
+  /** Ranking window functions: rank / dense_rank / percent_rank /
+    * cume_dist / ntile over one total order (unique tiebreak ⇒
+    * deterministic, and the rank family shares ONE sort). */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  /** Ordered collection aggregate: per customer, the sorted list of
+    * order keys (sort_array ⇒ deterministic under any shuffle;
+    * serialized to CSV so the oracle compare is list-type-agnostic). */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
+          .as("orderkeys"),
+        count(lit(1)).as("n_orders"))
+
   /** Sketch aggregates: HyperLogLog approximate distinct counts —
     * the at-scale substitute for exact countDistinct (one pass, fixed
     * memory, mergeable). Not oracled: DuckDB's HLL differs; the spec
