@@ -84,13 +84,31 @@ object SparkEntry {
     "q52_lsh_index"       -> ((s, d) => Similarity.lshIndexStats(s, d)), // rows-only
     "q53_ann_probe"       -> ((s, d) => Similarity.annProbe(s, d)),      // rows-only
     "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(s, d)), // rows-only
-    // instructions-MR pipeline (reference core; stub LLM → rows-only)
-    "q70_mr_pipeline"     -> (graft.exec.Demo.mrPipeline _),
-    "q71_self_verify"     -> (graft.exec.Demo.selfVerify _),
+    // instructions-MR pipeline (reference core; stub LLM → rows-only).
+    // Driver-facing outputs are flattened to sortable scalars (the
+    // harness canonicalizes rows via a pandas sort, which cannot hash
+    // map/array cells); library callers use the rich-typed methods.
+    "q70_mr_pipeline"     -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      graft.exec.Demo.mrPipeline(s, d).select(col("id"),
+        to_json(col("results.map_results")).as("map_json"),
+        to_json(col("results.reduce_results")).as("reduce_json"),
+        col("results.result").as("result"))
+    }),
+    "q71_self_verify"     -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, to_json}
+      graft.exec.Demo.selfVerify(s, d).select(col("id"),
+        to_json(col("reduce_results")).as("reduce_json"),
+        col("result"))
+    }),
     "q72_grouped_reduce"  -> (graft.exec.GroupedReduce.bySource _),
     // multimodal [ext]
     "q60_media_meta"      -> (Multimodal.mediaMeta _),
-    "q61_decode_features" -> (Multimodal.decodeFeatures _),       // mapPartitions → rows-only
+    "q61_decode_features" -> ((s, d) => {                         // mapPartitions → rows-only
+      import org.apache.spark.sql.functions.{col, to_json}
+      Multimodal.decodeFeatures(s, d).select(col("media_id"),
+        col("width"), col("height"), to_json(col("feature")).as("feature_json"))
+    }),
     "q62_frame_sample"    -> ((s, d) => Multimodal.frameSample(s, d)), // rows-only
   )
 

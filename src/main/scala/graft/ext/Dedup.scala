@@ -65,26 +65,63 @@ object Dedup {
     * minhashLsh and jaccardVerify share this cache within a session.
     * At 100 TB this is the standard compute-once signature table
     * (persisted to storage, reused across bands and verification). */
-  def shingleTable(spark: SparkSession, dir: String, k: Int): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
 
-  /** doc_id → minhash signature (from the cached shingle table). */
+  def shingleTable(spark: SparkSession, dir: String, k: Int): DataFrame =
+    shingleCache.getOrElseUpdate((dir, k),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), shinglesFromTokens(col("toks"), k).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** doc_id → minhash signature (from the cached shingle table).
+    * Memoized per (dir, k, perms) so long-lived sessions don't
+    * accrete a dead persist per parameterization; [[clearCaches]]
+    * unpersists everything. */
   def signatures(spark: SparkSession, dir: String, k: Int, perms: Int): DataFrame =
-    shingleTable(spark, dir, k)
-      .select(col("doc_id"), minhashFromShingles(col("sh"), perms).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigCache.getOrElseUpdate((dir, k, perms),
+      shingleTable(spark, dir, k)
+        .select(col("doc_id"), minhashFromShingles(col("sh"), perms).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist + drop all memoized tables (long-session hygiene). */
+  def clearCaches(): Unit = {
+    sigCache.values.foreach(_.unpersist(blocking = false))
+    sigCache.clear()
+    shingleCache.values.foreach(_.unpersist(blocking = false))
+    shingleCache.clear()
+  }
 
   /** MinHash + LSH banding: near-duplicate candidate pairs.
     * bands × rowsPerBand = perms; a pair lands in a bucket iff one
     * band of their signatures agrees exactly. Join happens per
-    * (band, bucket-hash) — never all-pairs. */
+    * (band, bucket-hash) — never all-pairs.
+    *
+    * Skew guard (the mass-duplicate corpus case — every doc identical
+    * ⇒ ONE bucket holds all N docs ⇒ an N² clique on one shuffle
+    * key): buckets larger than `maxBucket` switch from clique pairing
+    * to STAR pairing against the bucket's min doc_id. Per-bucket work
+    * drops from O(n²) to O(n) while dedup semantics are preserved —
+    * the candidate graph's connected components are identical, and
+    * downstream keep-min-id clustering sees the same clusters. Small
+    * buckets (the normal case) still emit every pair, so near-dup
+    * RECALL is unchanged wherever the clique is affordable. The
+    * bucket-size aggregation shuffles on the same (band, bucket) key
+    * the join uses, so it adds no new shuffle pattern, and AQE's
+    * skew-join splitting handles residual imbalance below the cap. */
   def minhashLsh(spark: SparkSession, dir: String,
-      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val perms = bands * rowsPerBand
-    val sig = signatures(spark, dir, k, perms)
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 256): DataFrame =
+    lshCandidatePairs(signatures(spark, dir, k, bands * rowsPerBand),
+      bands, rowsPerBand, maxBucket)
+
+  /** The banding + bucket-join core over any (doc_id, sig) table —
+    * split out so the skew guard is testable on synthetic corpora. */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
@@ -94,13 +131,19 @@ object Dedup {
     val banded = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+    val stats = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor"))
+    val tagged = banded.join(stats, Seq("band", "bucket"))
+    val small = tagged.filter(col("n") <= maxBucket)
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val cliquePairs = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val starPairs = tagged.filter(col("n") > maxBucket && col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+    cliquePairs.unionByName(starPairs).distinct()
   }
 
   /** Exact k-shingle Jaccard for LSH candidate pairs (the
@@ -136,10 +179,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash from a pre-materialized token-hash (long array) column:
-    * for each bit i, sum ±1 votes of the hash bits; bit set iff the
-    * vote is positive. */
-  def simhashFromHashes(hashes: Column, bits: Int = 16): Column =
+  /** SimHash from a token-hash (long array) column: for each bit i,
+    * sum ±1 votes of the hash bits; bit set iff the vote is positive.
+    * HOF reference composition — `bits` interpreted `aggregate`
+    * lambdas per row. Kept ONLY as the semantics oracle the native
+    * expression is spec'd bit-identical against; query paths use
+    * [[simhashFromHashes]]. */
+  def simhashFromHashesHof(hashes: Column, bits: Int = 16): Column =
     (0 until bits).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (s, h) => s + when(pmod(shiftright(h, i), lit(2L)) === 1L, lit(1L))
@@ -147,14 +193,21 @@ object Dedup {
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** SimHash signature — native single-pass expression
+    * (graft.functions.SimHash): whole signature in one traversal of
+    * the hash array vs bits × |tokens| interpreted lambda calls. */
+  def simhashFromHashes(hashes: Column, bits: Int = 16): Column =
+    graft.functions.exprs.simhash(hashes, bits)
+
   /** SimHash near-dup: docs sharing an identical simhash value.
-    * Token hashes are materialized once (persist barrier) so the
-    * per-bit vote doesn't re-tokenize 16×. */
+    * With the native single-pass signature the hash array is consumed
+    * exactly once, so this is a pure one-scan query — no persist
+    * barrier needed (the old HOF form referenced the array 16× and
+    * required one). */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("doc_id"), simhashFromHashes(col("th")).as("sh"))
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keep_id"))

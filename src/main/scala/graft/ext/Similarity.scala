@@ -80,10 +80,12 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
-    * `bits` pseudo-random hyperplanes. The hyperplanes are derived
-    * deterministically from xxhash64(dim, plane) so executors need no
-    * shared state and re-runs are reproducible. */
-  def lshBucket(emb: Column, dim: Int, bits: Int): Column =
+    * `bits` pseudo-random hyperplanes, hash-derived from
+    * xxhash64(dim, plane). HOF reference composition — bits × dim
+    * interpreted lambda steps per row. Kept ONLY as the semantics
+    * oracle the native expression is spec'd bit-identical against;
+    * query paths use [[lshBucket]]. */
+  def lshBucketHof(emb: Column, dim: Int, bits: Int): Column =
     (0 until bits).map { p =>
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), lit(dim - 1)),
@@ -94,18 +96,50 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** The bucketed index table, MATERIALIZED (persist): the bucket
-    * expression is bits × dim interpreted lambda work per row, and
-    * the probe/near-dup queries reference it on BOTH sides of a
-    * self-join — without the cache barrier CollapseProject inlines
-    * and re-evaluates it per side (same pathology as the minhash
-    * shingle pipeline). At scale this is the written-once LSH index
-    * table, partitioned by bucket for probe-time pruning. */
+  /** LSH bucket id — native expression (graft.functions.LshBucket):
+    * the hyperplane matrix is precomputed once per plan (it is
+    * row-independent) and the projection is one fused double loop,
+    * replacing bits × dim interpreted lambda steps per row. */
+  def lshBucket(emb: Column, dim: Int, bits: Int): Column =
+    graft.functions.exprs.lsh_bucket(emb, dim, bits)
+
+  /** Pick `bits` so expected bucket occupancy stays bounded:
+    * 2^bits ≥ corpusSize / targetOccupancy. More bits ⇒ smaller
+    * buckets ⇒ cheaper within-bucket work but lower recall (a true
+    * neighbour pair survives only if every sign bit agrees); this is
+    * the standard LSH recall/cost dial. Derived from a parquet
+    * metadata count, so the sizing step is cheap even at 100 TB. */
+  def bitsForCorpus(corpusSize: Long, targetOccupancy: Long = 16L,
+      minBits: Int = 4, maxBits: Int = 20): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
+  private val indexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+
+  /** The bucketed index table, MATERIALIZED (persist) and memoized
+    * per (dir, bits): the probe/near-dup queries reference it on BOTH
+    * sides of a self-join — without the cache barrier CollapseProject
+    * inlines and re-evaluates the scan per side — and the memo map
+    * keeps long-lived sessions (Bench runs every query in one
+    * session) from accreting a dead cache entry per parameterization.
+    * [[clearCaches]] unpersists everything. At scale this is the
+    * written-once LSH index table, partitioned by bucket for
+    * probe-time pruning. */
   def lshIndex(spark: SparkSession, dir: String, bits: Int): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        lshBucket(col("embedding"), 64, bits).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    indexCache.getOrElseUpdate((dir, bits),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          lshBucket(col("embedding"), 64, bits).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist + drop every memoized index (long-session hygiene). */
+  def clearCaches(): Unit = {
+    indexCache.values.foreach(_.unpersist(blocking = false))
+    indexCache.clear()
+  }
 
   /** ANN via LSH buckets: group corpus by bucket; report bucket
     * occupancy (the index-build step; probing = filter on bucket). */
@@ -130,10 +164,21 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, bucketed
-    * by LSH so the pair join is within-bucket only (sub-quadratic). */
-  def embeddingNearDup(spark: SparkSession, dir: String, bits: Int = 4,
+    * by LSH so the pair join is within-bucket only (sub-quadratic).
+    *
+    * `bits <= 0` (the default) derives the bucket count from the
+    * corpus size via [[bitsForCorpus]] so expected occupancy stays
+    * bounded as the corpus grows — a fixed `bits` that is fine at
+    * sf0.1 turns ~N²/2^bits quadratic at 100 TB. Recall trade: each
+    * extra bit halves bucket size AND the chance a true near-dup pair
+    * shares the bucket; production runs wanting higher recall should
+    * probe multiple bit-flipped buckets or band multiple independent
+    * sign groups (same trick as MinHash banding). */
+  def embeddingNearDup(spark: SparkSession, dir: String, bits: Int = 0,
       threshold: Double = 0.3): DataFrame = {
-    val emb = lshIndex(spark, dir, bits)
+    val nVec = Tables.embeddings(spark, dir).count() // parquet metadata count
+    val useBits = if (bits > 0) bits else bitsForCorpus(nVec)
+    val emb = lshIndex(spark, dir, useBits)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket"))

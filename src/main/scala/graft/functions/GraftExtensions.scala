@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSim, JaccardSim, MinHashSig}
+import org.apache.spark.sql.graft.{CosineSim, JaccardSim, LshBucket, MinHashSig, SimHash}
 import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions wiring: exposes the native expressions to
@@ -46,5 +46,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(children.head, perms)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "simhash(tokenHashes, bits)")
+        SimHash(children.head, intLit(children(1), "simhash bits"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "lsh_bucket(embedding, dim, bits)")
+        LshBucket(children.head,
+          intLit(children(1), "lsh_bucket dim"), intLit(children(2), "lsh_bucket bits"))
+      }))
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{bridge, CosineSim, JaccardSim, MinHashSig}
+import org.apache.spark.sql.graft.{bridge, CosineSim, JaccardSim, LshBucket, MinHashSig, SimHash}
 
 /** Public Column API over the native expressions (implementation in
   * org.apache.spark.sql.graft — see that file's scaladoc). */
@@ -18,4 +18,15 @@ object exprs {
   /** Set Jaccard |A∩B|/|A∪B| over string arrays, one hash-set pass. */
   def jaccard_sim(a: Column, b: Column): Column =
     bridge.column(JaccardSim(bridge.expression(a), bridge.expression(b)))
+
+  /** SimHash of a long-array (token hashes): `bits`-bit signature,
+    * one pass over the array. */
+  def simhash(hashes: Column, bits: Int): Column =
+    bridge.column(SimHash(bridge.expression(hashes), bits))
+
+  /** Random-hyperplane LSH bucket of an array<float> embedding:
+    * `bits` sign bits over a precomputed deterministic hyperplane
+    * matrix. */
+  def lsh_bucket(emb: Column, dim: Int, bits: Int): Column =
+    bridge.column(LshBucket(bridge.expression(emb), dim, bits))
 }

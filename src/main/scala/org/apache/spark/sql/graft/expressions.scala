@@ -156,3 +156,108 @@ case class MinHashSig(child: Expression, perms: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
+
+/** SimHash of a token-hash (long-array) column: per bit b, sum ±1
+  * votes of bit b across the hashes; output bit b is set iff the vote
+  * is positive. One pass over the array replaces `bits` interpreted
+  * `aggregate` lambdas per row (bits × |tokens| lambda evals).
+  *
+  * Vote semantics are bit-identical to the HOF composition in
+  * graft.ext.Dedup.simhashFromHashesHof: bit test = pmod(h >> b, 2)
+  * == 1 (i.e. (h >> b) & 1), null elements fall to the `otherwise`
+  * branch and vote -1 on every bit. */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < bits) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket id of an array<float> embedding:
+  * sign bits of `bits` hyperplane projections. The hyperplane matrix
+  * is row-independent and derived deterministically from
+  * xxhash64(d, p) (seed 42, int-hash chaining — exactly Spark's
+  * XxHash64 over (d, p)), so it is PRECOMPUTED once per expression
+  * instance instead of re-hashed bits × dim times per row, and
+  * executors need no shared state.
+  *
+  * Bit-identical to the HOF composition in
+  * graft.ext.Similarity.lshBucketHof: component = pmod(h, 1000)/1000
+  * - 0.5, projection folded left-to-right in double; arrays whose
+  * length differs from `dim` or that contain nulls produce a null
+  * projection there (zip_with padding) ⇒ no bit set ⇒ bucket 0. */
+case class LshBucket(child: Expression, dim: Int, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(dim > 0, "dim must be positive")
+  require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_bucket"
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(bits) { p =>
+      Array.tabulate(dim) { d =>
+        val h = XXH64.hashInt(p, XXH64.hashInt(d, 42L))
+        (((h % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5
+      }
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return 0L
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return 0L
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      val hp = planes(p)
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += arr.getFloat(d).toDouble * hp(d); d += 1 }
+      if (s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}

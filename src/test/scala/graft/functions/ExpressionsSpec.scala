@@ -85,6 +85,44 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(empty.head.getDouble(0) == 0.0)
   }
 
+  test("native simhash is bit-identical to the HOF vote composition") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0x0L, 0xFFFFL, 0x1234L, -17L)),
+      (2L, Seq(Long.MaxValue, Long.MinValue, 42L)),
+      (3L, Seq(7L)),
+      (4L, Seq.empty[Long])).toDF("id", "th")
+    val rows = df.select(
+      exprs.simhash(col("th"), 16).as("native"),
+      graft.ext.Dedup.simhashFromHashesHof(col("th"), 16).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // and on real tokenized documents
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .select(transform(graft.ext.TextAnalysis.tokens(col("text")),
+        t => xxhash64(t)).as("th"))
+      .select(exprs.simhash(col("th"), 16).as("native"),
+        graft.ext.Dedup.simhashFromHashesHof(col("th"), 16).as("hof"))
+      .collect()
+    assert(docs.length == 500)
+    docs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native lsh_bucket is bit-identical to the HOF projection") {
+    import graft.ext.Similarity
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+    val rows = emb.select(
+      exprs.lsh_bucket(col("embedding"), 64, 8).as("native"),
+      Similarity.lshBucketHof(col("embedding"), 64, 8).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // length-mismatch arrays bucket to 0 in both forms
+    import spark.implicits._
+    val short = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
+      .select(exprs.lsh_bucket(col("embedding"), 64, 8).as("native"),
+        Similarity.lshBucketHof(col("embedding"), 64, 8).as("hof")).collect()
+    assert(short.head.getLong(0) == 0L && short.head.getLong(1) == 0L)
+  }
+
   test("SQL registration via GraftExtensions function builders") {
     // exercise the injected builders directly through the registry path
     val ext = new org.apache.spark.sql.SparkSessionExtensions

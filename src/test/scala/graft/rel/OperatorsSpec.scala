@@ -79,6 +79,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH skew guard: degenerate all-duplicates corpus stays linear") {
+    // every doc identical ⇒ every band maps all docs to ONE bucket.
+    // With the clique cap the candidate set is the star (minId, other)
+    // per band — N-1 pairs, not N(N-1)/2 — and clusters are preserved.
+    import spark.implicits._
+    val n = 50
+    val sameSig = (1L to 32L).toArray
+    val sig = (0 until n).map(i => (i.toLong, sameSig)).toDF("doc_id", "sig")
+    val pairs = Dedup.lshCandidatePairs(sig, bands = 8, rowsPerBand = 4,
+      maxBucket = 10).collect()
+    assert(pairs.length == n - 1)
+    assert(pairs.forall(_.getAs[Long]("doc_a") == 0L))
+    // below the cap the full clique is still emitted (recall unchanged)
+    val small = (0 until 5).map(i => (i.toLong, sameSig)).toDF("doc_id", "sig")
+    val clique = Dedup.lshCandidatePairs(small, bands = 8, rowsPerBand = 4,
+      maxBucket = 10).collect()
+    assert(clique.length == 5 * 4 / 2)
+  }
+
+  test("bitsForCorpus bounds expected bucket occupancy as the corpus grows") {
+    assert(Similarity.bitsForCorpus(0) == 4)
+    assert(Similarity.bitsForCorpus(1000, targetOccupancy = 16) == 6)
+    // 100 TB-ish corpus: a billion vectors still gets a bounded answer
+    val b = Similarity.bitsForCorpus(1000000000L, targetOccupancy = 16)
+    assert(b == 20) // capped at maxBits
+    assert(Similarity.bitsForCorpus(1000000L) ==
+      math.ceil(math.log(1000000.0 / 16) / math.log(2)).toInt)
+    // the derived default keeps observed max occupancy sane on testdata
+    val stats = Similarity.lshIndexStats(spark, sf,
+      Similarity.bitsForCorpus(graft.Tables.embeddings(spark, sf).count()))
+    val maxOcc = stats.collect().map(_.getAs[Long]("n_vectors")).max
+    assert(maxOcc < 200, s"hot bucket too big: $maxOcc")
+  }
+
   test("language id is deterministic and total") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == 500)
