@@ -63,8 +63,13 @@ object CachedStage {
     val reqs = buildReqs(ds, stage, params)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // probe through the Hadoop FileSystem resolved from the path's URI —
+    // a driver-local java.io.File check is always false on HDFS/S3,
+    // which is where a 100 TB pipeline's cache actually lives
+    val hPath = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cache: DataFrame =
-      if (new java.io.File(cachePath).exists())
+      if (fs.exists(hPath))
         spark.read.parquet(cachePath).select(col("prompt_hash"), col("response"))
           .dropDuplicates("prompt_hash") // concurrent appends may race; any copy is valid (pure function)
       else

@@ -71,21 +71,24 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
 
   def shingleTable(spark: SparkSession, dir: String, k: Int): DataFrame =
-    shingleCache.getOrElseUpdate((dir, k),
+    Memo.cached(shingleCache, (dir, k), spark) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), shinglesFromTokens(col("toks"), k).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** doc_id → minhash signature (from the cached shingle table).
     * Memoized per (dir, k, perms) so long-lived sessions don't
-    * accrete a dead persist per parameterization; [[clearCaches]]
-    * unpersists everything. */
+    * accrete a dead persist per parameterization; entries are
+    * session-validated (see [[Memo]]) and [[clearCaches]] unpersists
+    * everything. */
   def signatures(spark: SparkSession, dir: String, k: Int, perms: Int): DataFrame =
-    sigCache.getOrElseUpdate((dir, k, perms),
+    Memo.cached(sigCache, (dir, k, perms), spark) {
       shingleTable(spark, dir, k)
         .select(col("doc_id"), minhashFromShingles(col("sh"), perms).as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Unpersist + drop all memoized tables (long-session hygiene). */
   def clearCaches(): Unit = {
@@ -102,13 +105,22 @@ object Dedup {
     *
     * Skew guard (the mass-duplicate corpus case — every doc identical
     * ⇒ ONE bucket holds all N docs ⇒ an N² clique on one shuffle
-    * key): buckets larger than `maxBucket` switch from clique pairing
-    * to STAR pairing against the bucket's min doc_id. Per-bucket work
-    * drops from O(n²) to O(n) while dedup semantics are preserved —
-    * the candidate graph's connected components are identical, and
-    * downstream keep-min-id clustering sees the same clusters. Small
-    * buckets (the normal case) still emit every pair, so near-dup
-    * RECALL is unchanged wherever the clique is affordable. The
+    * key): buckets larger than `maxBucket` emit a STAR against the
+    * bucket's min doc_id PLUS exhaustive pairs within salt groups of
+    * expected size ≤ maxBucket (members hashed into ⌈n/maxBucket⌉
+    * groups). Per-bucket work drops from O(n²) to O(n·maxBucket).
+    *
+    * Recall accounting (be precise — the CANDIDATE graph's connected
+    * components are unchanged because the star keeps every member
+    * attached, but the VERIFIED graph after [[jaccardVerify]] filters
+    * edges is not): a true near-dup pair (B, C) inside an oversized
+    * bucket is verified directly iff B and C share a salt group;
+    * otherwise it is recovered only transitively when both verify
+    * against the anchor. The residual loss — cross-salt-group pairs
+    * where at least one endpoint fails the anchor check — is the
+    * price of the O(n·maxBucket) bound; raise `maxBucket` to shrink
+    * it. Small buckets (the normal case) still emit every pair, so
+    * recall is unchanged wherever the clique is affordable. The
     * bucket-size aggregation shuffles on the same (band, bucket) key
     * the join uses, so it adds no new shuffle pattern, and AQE's
     * skew-join splitting handles residual imbalance below the cap. */
@@ -141,9 +153,23 @@ object Dedup {
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val starPairs = tagged.filter(col("n") > maxBucket && col("doc_id") =!= col("anchor"))
+    // oversized buckets: star (connectivity) + salted sub-cliques
+    // (direct-pair recall degrades gracefully instead of collapsing
+    // to anchor-only — see the recall accounting on minhashLsh)
+    val big = tagged.filter(col("n") > maxBucket)
+      .withColumn("salt",
+        pmod(xxhash64(col("doc_id"), col("band"), col("bucket")),
+          ceil(col("n").cast("double") / maxBucket).cast("long")))
+    val starPairs = big.filter(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
-    cliquePairs.unionByName(starPairs).distinct()
+    val bigSel = big.select(col("band"), col("bucket"), col("salt"), col("doc_id"))
+    val saltedCliques = bigSel.as("a").join(bigSel.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.salt") === col("b.salt") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    cliquePairs.unionByName(starPairs).unionByName(saltedCliques).distinct()
   }
 
   /** Exact k-shingle Jaccard for LSH candidate pairs (the

@@ -1,0 +1,47 @@
+package graft.ext
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-aware DataFrame memoization for the persisted signature /
+  * index tables.
+  *
+  * Two failure modes of a bare `TrieMap.getOrElseUpdate` keyed only by
+  * (dir, params):
+  *  - entries survive a SparkSession stop/restart and hand out
+  *    DataFrames bound to a dead session (queries then fail);
+  *  - two threads racing on the same key both evaluate the builder,
+  *    and the loser's persisted DataFrame leaks (never unpersisted,
+  *    never reachable).
+  *
+  * [[cached]] validates the entry against the CURRENT session
+  * (`df.sparkSession eq spark` — rebuild on mismatch) and settles the
+  * race with `putIfAbsent`, unpersisting the losing copy.
+  */
+private[graft] object Memo {
+
+  def cached[K](cache: TrieMap[K, DataFrame], key: K, spark: SparkSession)(
+      build: => DataFrame): DataFrame = {
+    def alive(df: DataFrame): Boolean = df.sparkSession eq spark
+    cache.get(key) match {
+      case Some(df) if alive(df) => df
+      case stale =>
+        stale.foreach { old =>
+          cache.remove(key)
+          // the old entry may belong to a stopped session; unpersist is
+          // best-effort hygiene, not correctness
+          try old.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+        val built = build
+        cache.putIfAbsent(key, built) match {
+          case Some(winner) if alive(winner) =>
+            try built.unpersist(blocking = false) catch { case _: Throwable => () }
+            winner
+          case Some(_) => // raced with a now-stale entry: replace it
+            cache.update(key, built); built
+          case None => built
+        }
+    }
+  }
+}

@@ -129,11 +129,12 @@ object Similarity {
     * written-once LSH index table, partitioned by bucket for
     * probe-time pruning. */
   def lshIndex(spark: SparkSession, dir: String, bits: Int): DataFrame =
-    indexCache.getOrElseUpdate((dir, bits),
+    Memo.cached(indexCache, (dir, bits), spark) {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), col("embedding"),
           lshBucket(col("embedding"), 64, bits).as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Unpersist + drop every memoized index (long-session hygiene). */
   def clearCaches(): Unit = {
@@ -176,8 +177,11 @@ object Similarity {
     * sign groups (same trick as MinHash banding). */
   def embeddingNearDup(spark: SparkSession, dir: String, bits: Int = 0,
       threshold: Double = 0.3): DataFrame = {
-    val nVec = Tables.embeddings(spark, dir).count() // parquet metadata count
-    val useBits = if (bits > 0) bits else bitsForCorpus(nVec)
+    // the sizing count (parquet metadata, but still a Spark job) only
+    // runs when the caller asked for derived bits
+    val useBits =
+      if (bits > 0) bits
+      else bitsForCorpus(Tables.embeddings(spark, dir).count())
     val emb = lshIndex(spark, dir, useBits)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("bucket"))

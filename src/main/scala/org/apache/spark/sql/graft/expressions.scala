@@ -214,10 +214,17 @@ case class SimHash(child: Expression, bits: Int)
   * executors need no shared state.
   *
   * Bit-identical to the HOF composition in
-  * graft.ext.Similarity.lshBucketHof: component = pmod(h, 1000)/1000
-  * - 0.5, projection folded left-to-right in double; arrays whose
-  * length differs from `dim` or that contain nulls produce a null
-  * projection there (zip_with padding) ⇒ no bit set ⇒ bucket 0. */
+  * graft.ext.Similarity.lshBucketHof for arrays of length ≤ dim
+  * (component = pmod(h, 1000)/1000 - 0.5, projection folded
+  * left-to-right in double; short arrays and null elements null the
+  * HOF projection via zip_with padding ⇒ no bit set ⇒ bucket 0, which
+  * this expression matches). The forms DIVERGE outside that contract:
+  * for arrays LONGER than dim, zip_with pads the sequence side with
+  * null and xxhash64 skips null children, so the HOF projection stays
+  * non-null and can set bits while this expression returns 0; a null
+  * array is 0 under the HOF form but NULL here (nullIntolerant). The
+  * embeddings table is fixed dim-64, so query paths never leave the
+  * contract. */
 case class LshBucket(child: Expression, dim: Int, bits: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 

@@ -63,6 +63,22 @@ class CachedStageSpec extends AnyFunSuite {
     assert(out.length == 6)
   }
 
+  test("cache probe resolves through the Hadoop FileSystem (file: URI works)") {
+    // the probe must go through FileSystem.get(path.toUri, conf), not a
+    // driver-local java.io.File — a scheme'd URI is the regression canary
+    // (and on HDFS/S3, the only correct resolution path)
+    val cachePath = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-llmcache-uri").toString + "/cache"
+    CallCounter.calls.set(0)
+    CachedStage.runStage(docs(3), stage, LlmParams(), new CountingLlm, cachePath).collect()
+    assert(CallCounter.calls.get() == 4) // 3 summaries + 1 shared meta
+    CallCounter.calls.set(0)
+    val out = CachedStage.runStage(docs(3), stage, LlmParams(), new CountingLlm, cachePath)
+      .collect()
+    assert(CallCounter.calls.get() == 0) // replay hits through the URI probe
+    assert(out.length == 3)
+  }
+
   test("cached stage agrees with the uncached pipeline runner") {
     val cachePath = java.nio.file.Files.createTempDirectory("graft-llmcache3")
       .toString + "/cache"

@@ -115,12 +115,25 @@ class ExpressionsSpec extends AnyFunSuite {
       Similarity.lshBucketHof(col("embedding"), 64, 8).as("hof")).collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
-    // length-mismatch arrays bucket to 0 in both forms
+    // SHORTER arrays bucket to 0 in both forms (zip_with null-padding)
     import spark.implicits._
     val short = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
       .select(exprs.lsh_bucket(col("embedding"), 64, 8).as("native"),
         Similarity.lshBucketHof(col("embedding"), 64, 8).as("hof")).collect()
     assert(short.head.getLong(0) == 0L && short.head.getLong(1) == 0L)
+  }
+
+  test("lsh_bucket documented edge semantics: longer arrays → 0, null → NULL") {
+    // outside the length ≤ dim contract the HOF form is NOT the oracle
+    // (xxhash64 skips zip_with's null padding); pin the native
+    // expression's own documented behavior instead
+    import spark.implicits._
+    val longer = Seq(Tuple1(Array.fill(70)(1.0f))).toDF("embedding")
+      .select(exprs.lsh_bucket(col("embedding"), 64, 8).as("native")).collect()
+    assert(longer.head.getLong(0) == 0L)
+    val nul = Seq(Tuple1(null: Array[Float])).toDF("embedding")
+      .select(exprs.lsh_bucket(col("embedding"), 64, 8).as("native")).collect()
+    assert(nul.head.isNullAt(0))
   }
 
   test("SQL registration via GraftExtensions function builders") {

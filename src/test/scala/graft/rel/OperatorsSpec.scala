@@ -81,21 +81,45 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("LSH skew guard: degenerate all-duplicates corpus stays linear") {
     // every doc identical ⇒ every band maps all docs to ONE bucket.
-    // With the clique cap the candidate set is the star (minId, other)
-    // per band — N-1 pairs, not N(N-1)/2 — and clusters are preserved.
+    // Over the cap each band emits the star (minId, other) plus
+    // salted sub-cliques of expected size ≤ maxBucket — per-band work
+    // O(n·maxBucket), never the O(n²) clique on one shuffle key.
     import spark.implicits._
     val n = 50
+    val bands = 8
+    val maxBucket = 10
     val sameSig = (1L to 32L).toArray
     val sig = (0 until n).map(i => (i.toLong, sameSig)).toDF("doc_id", "sig")
-    val pairs = Dedup.lshCandidatePairs(sig, bands = 8, rowsPerBand = 4,
-      maxBucket = 10).collect()
-    assert(pairs.length == n - 1)
-    assert(pairs.forall(_.getAs[Long]("doc_a") == 0L))
+    val pairs = Dedup.lshCandidatePairs(sig, bands = bands, rowsPerBand = 4,
+      maxBucket = maxBucket).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // star: every member stays connected to the anchor's component
+    assert((1 until n).forall(i => pairs.contains((0L, i.toLong))))
+    // salted sub-cliques add direct pairs beyond the star...
+    assert(pairs.exists(_._1 != 0L))
+    // ...but per-band output stays within the O(n·maxBucket) budget
+    // (distinct union across bands is at most the full clique)
+    assert(pairs.length <= math.min(n * (n - 1) / 2,
+      (n - 1) + bands * n * maxBucket))
     // below the cap the full clique is still emitted (recall unchanged)
     val small = (0 until 5).map(i => (i.toLong, sameSig)).toDF("doc_id", "sig")
-    val clique = Dedup.lshCandidatePairs(small, bands = 8, rowsPerBand = 4,
-      maxBucket = 10).collect()
+    val clique = Dedup.lshCandidatePairs(small, bands = bands, rowsPerBand = 4,
+      maxBucket = maxBucket).collect()
     assert(clique.length == 5 * 4 / 2)
+  }
+
+  test("memoized index tables are rebuilt for a new session, not handed out stale") {
+    // ADVICE r2: a (dir, bits) key alone would return a DataFrame bound
+    // to whichever session built it first; Memo validates session
+    // identity and rebuilds. newSession() shares the SparkContext, so
+    // this exercises the exact staleness without stopping anything.
+    val s2 = spark.newSession()
+    val a = Similarity.lshIndex(spark, sf, bits = 5)
+    val b = Similarity.lshIndex(s2, sf, bits = 5)
+    assert(a.sparkSession eq spark)
+    assert(b.sparkSession eq s2)
+    assert(Similarity.lshIndex(s2, sf, bits = 5) eq b) // memo hit for the new session
+    Similarity.clearCaches()
   }
 
   test("bitsForCorpus bounds expected bucket occupancy as the corpus grows") {
