@@ -53,6 +53,12 @@ final class SelfVerifyPipeline(
     val mapInstrs = mapStage.resolved
     val reduceInstrs = reduceStage.resolved
     val p = params
+    // the extraction turn is schema-constrained (per-call override —
+    // the reference defines INIT_GEN_SCHEMA for exactly this turn,
+    // self_verification_mr.py:19-34, and llm_cli.py:80 passes it as
+    // response_format); later turns keep the stage params
+    val pExtract = p.withOverrides(
+      responseFormat = Some(SelfVerifyPipeline.InitGenSchema))
     val client = llm
     val pruneFn = prune
     import ds.sparkSession.implicits._
@@ -66,7 +72,7 @@ final class SelfVerifyPipeline(
             DocOps.initChatml(DocOps.buildSysMsg(ins) + extractionSuffix,
               DocOps.buildUserMsg(projected))
           }
-          val r1 = client.completeBatch(convs, p)
+          val r1 = client.completeBatch(convs, pExtract)
           // turn 2: omission check (conversation grows)
           convs = convs.zip(r1).map { case (c, r) =>
             c :+ ChatMsg("assistant", r) :+ ChatMsg("user", omissionPrompt)
@@ -100,4 +106,18 @@ final class SelfVerifyPipeline(
     run(ds).toDF()
       .select(col("id"), col("fields").as("reduce_results"),
         DocOps.mdRenderCol(col("fields")).as("result"))
+}
+
+object SelfVerifyPipeline {
+
+  /** The POC's json_schema response_format for the extraction turn —
+    * /root/reference/bin/poc/self-verified-mr/self_verification_mr.py:19-34
+    * (INIT_GEN_SCHEMA), passed as the chat-completions
+    * `response_format` (llm_cli.py:80). */
+  val InitGenSchema: String =
+    """{"type":"json_schema","json_schema":{""" +
+    """"name":"instruction_generated_elements_schema",""" +
+    """"schema":{"type":"object","properties":{"content":{"type":"string"}},""" +
+    """"required":["content"],"additionalProperties":false},""" +
+    """"strict":true}}"""
 }

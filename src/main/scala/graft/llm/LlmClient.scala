@@ -68,6 +68,13 @@ final class FailingStubLlm(failIfContains: String) extends LlmClient {
   * from [[LlmParams]]. Mistral-family dialect rewrite mirrors
   * instructions_runners.py:84-90: demote system→user and splice an
   * assistant "Ok.".
+  *
+  * Endpoint dialects (llm_cli.py:32-41):
+  *  - `api_type=openai` — POST to `api_url` with `Authorization:
+  *    Bearer <key>`;
+  *  - `api_type=azure`  — POST to `<endpoint>/openai/deployments/
+  *    <model>/chat/completions?api-version=<v>` with an `api-key`
+  *    header (the AsyncAzureOpenAI wire shape).
   */
 final class HttpLlm(maxInFlight: Int = 8) extends LlmClient {
 
@@ -81,41 +88,65 @@ final class HttpLlm(maxInFlight: Int = 8) extends LlmClient {
       Seq(ChatMsg("user", msgs.head.content), ChatMsg("assistant", "Ok.")) ++ msgs.tail
     else msgs
 
-  private def requestBody(msgs: Seq[ChatMsg], params: LlmParams): String = {
+  private[llm] def requestBody(msgs: Seq[ChatMsg], params: LlmParams): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    JsonMethods.compact(JsonMethods.render(
+    val base =
       ("model" -> params.model) ~
       ("messages" -> dialect(msgs, params).map(m =>
         ("role" -> m.role) ~ ("content" -> m.content))) ~
       ("temperature" -> params.temperature) ~
       ("top_p" -> params.topP) ~
       ("seed" -> params.seed) ~
-      ("max_tokens" -> params.maxTokens)))
+      ("max_tokens" -> params.maxTokens)
+    // response_format rides along verbatim (llm_cli.py:66,80) —
+    // json_schema-constrained decoding is the structured-output
+    // guarantee the reference relies on for extraction turns
+    val body = params.responseFormat match {
+      case Some(rf) => base ~ ("response_format" -> JsonMethods.parse(rf))
+      case None     => base
+    }
+    JsonMethods.compact(JsonMethods.render(body))
+  }
+
+  /** Endpoint + auth per api_type — split out so request construction
+    * is spec-testable without a live server. */
+  private[llm] def endpointUri(params: LlmParams): java.net.URI =
+    if (params.apiType.equalsIgnoreCase("azure")) {
+      val base = params.apiUrl.stripSuffix("/")
+      val ver = java.net.URLEncoder.encode(
+        params.apiVersion.getOrElse(""), "UTF-8")
+      java.net.URI.create(
+        s"$base/openai/deployments/${params.model}/chat/completions?api-version=$ver")
+    } else java.net.URI.create(params.apiUrl)
+
+  private[llm] def authHeader(params: LlmParams): (String, String) =
+    if (params.apiType.equalsIgnoreCase("azure")) ("api-key", params.apiKey)
+    else ("Authorization", s"Bearer ${params.apiKey}")
+
+  private[llm] def buildRequest(msgs: Seq[ChatMsg], params: LlmParams): java.net.http.HttpRequest = {
+    val (hName, hValue) = authHeader(params)
+    java.net.http.HttpRequest.newBuilder()
+      .uri(endpointUri(params))
+      .header("Content-Type", "application/json")
+      .header(hName, hValue)
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(requestBody(msgs, params)))
+      .build()
   }
 
   override def complete(msgs: Seq[ChatMsg], params: LlmParams): String = {
-    val req = java.net.http.HttpRequest.newBuilder()
-      .uri(java.net.URI.create(params.apiUrl))
-      .header("Content-Type", "application/json")
-      .header("Authorization", s"Bearer ${params.apiKey}")
-      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(requestBody(msgs, params)))
-      .build()
-    val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val resp = http.send(buildRequest(msgs, params),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
     extractContent(resp.body())
   }
 
   override def completeBatch(batch: Seq[Seq[ChatMsg]], params: LlmParams): Seq[String] = {
-    // sliding window of maxInFlight async requests; order preserved
+    // waves of maxInFlight async requests; order preserved (matches the
+    // reference's asyncio.gather barrier per stage)
     batch.grouped(maxInFlight).flatMap { group =>
       val futures = group.map { msgs =>
-        val req = java.net.http.HttpRequest.newBuilder()
-          .uri(java.net.URI.create(params.apiUrl))
-          .header("Content-Type", "application/json")
-          .header("Authorization", s"Bearer ${params.apiKey}")
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(requestBody(msgs, params)))
-          .build()
-        http.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        http.sendAsync(buildRequest(msgs, params),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
       }
       futures.map(f => extractContent(f.join().body()))
     }.toSeq

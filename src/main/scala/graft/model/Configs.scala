@@ -31,6 +31,16 @@ final case class Stage(
     instructions.map(i => if (i.role.isEmpty) i.copy(role = role) else i)
 }
 
+/** LLM call parameters. `responseFormat` is the OpenAI
+  * `response_format` object as a compact JSON string (e.g.
+  * `{"type":"json_schema","json_schema":{...}}`) — the reference
+  * passes it on every call (llm_cli.py:66,80 `response_format=
+  * json_schema`); None omits the field. Per-call overrides (the
+  * reference's async_run(temperature=, max_tokens=, json_schema=)
+  * — llm_cli.py:60-66) are expressed by passing a modified copy to
+  * `LlmClient.complete`, which takes params per call: see
+  * [[withOverrides]]. The reference's `prefix` messages need no
+  * knob — callers already pass the full conversation. */
 final case class LlmParams(
     apiType: String = "openai",
     apiUrl: String = "",
@@ -40,7 +50,19 @@ final case class LlmParams(
     temperature: Double = 0.0,
     topP: Double = 0.0001,
     seed: Long = 2,
-    maxTokens: Int = 4096)
+    maxTokens: Int = 4096,
+    responseFormat: Option[String] = None) {
+
+  /** Per-call parameter override (None ⇒ keep the stage value). */
+  def withOverrides(
+      temperature: Option[Double] = None,
+      maxTokens: Option[Int] = None,
+      responseFormat: Option[String] = None): LlmParams =
+    copy(
+      temperature = temperature.getOrElse(this.temperature),
+      maxTokens = maxTokens.getOrElse(this.maxTokens),
+      responseFormat = responseFormat.orElse(this.responseFormat))
+}
 
 final case class PipelineConf(
     inDataPath: Option[String],
@@ -118,7 +140,11 @@ object Configs {
     temperature = dbl(jv \ "temperature").getOrElse(0.0),
     topP = dbl(jv \ "top_p").getOrElse(0.0001),
     seed = lng(jv \ "seed").getOrElse(2L),
-    maxTokens = lng(jv \ "max_tokens").map(_.toInt).getOrElse(4096))
+    maxTokens = lng(jv \ "max_tokens").map(_.toInt).getOrElse(4096),
+    responseFormat = (jv \ "response_format") match {
+      case JNothing | JNull => None
+      case o                => Some(JsonMethods.compact(JsonMethods.render(o)))
+    })
 
   private def str(jv: JValue): Option[String] = jv match {
     case JString(s) => Some(s)

@@ -11,10 +11,12 @@ import graft.model.{Instruction, LlmParams, Stage}
   * local-mode executors share the test JVM. */
 object TurnRecorder {
   val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  val formats = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
 }
 class CountingStub extends LlmClient {
   override def complete(msgs: Seq[ChatMsg], params: LlmParams): String = {
     TurnRecorder.seen.add(msgs.length)
+    TurnRecorder.formats.add(msgs.length -> params.responseFormat.getOrElse(""))
     StubLlm.complete(msgs, params)
   }
 }
@@ -44,6 +46,22 @@ class SelfVerifySpec extends AnyFunSuite {
     val turns = TurnRecorder.seen.toArray(Array.empty[Integer]).map(_.toInt).sorted
     // per map instruction: 2 msgs (t1), 4 (t2), 6 (t3); reduce: 2
     assert(turns.toSeq == Seq(2, 2, 2, 4, 4, 6, 6))
+  }
+
+  test("extraction turn is json_schema-constrained; later turns are not") {
+    // INIT_GEN_SCHEMA rides only on turn 1 (2-msg conversations);
+    // omission/evidence/reduce keep the stage params
+    TurnRecorder.formats.clear()
+    new SelfVerifyPipeline(mapStage, reduceStage, LlmParams(), new CountingStub)
+      .run(docs(1)).collect()
+    val byTurn = TurnRecorder.formats.toArray(Array.empty[(Int, String)])
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // 2-msg calls = turn-1 extraction (schema'd) AND the reduce call
+    // (plain), so both values appear there; turns 2/3 are plain only
+    assert(byTurn(2) == Set(SelfVerifyPipeline.InitGenSchema, ""))
+    assert(byTurn(4) == Set("") && byTurn(6) == Set(""))
+    val rf = org.json4s.jackson.JsonMethods.parse(SelfVerifyPipeline.InitGenSchema)
+    assert((rf \ "type") == org.json4s.JString("json_schema"))
   }
 
   test("deterministic end-to-end with stub") {
