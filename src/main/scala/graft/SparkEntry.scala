@@ -64,6 +64,10 @@ object SparkEntry {
     "q29_approx_distinct" -> (Relational.approxDistinct _), // HLL impl-specific → rows-only
     "q63_window_ranks"    -> (Relational.windowRanks _),
     "q64_array_agg"       -> (Relational.arrayAgg _),
+    "q65_pivot"           -> (Relational.pivotStatus _),
+    "q66_unpivot"         -> (Relational.unpivotMetrics _),
+    "q67_posexplode"      -> (Relational.posExplode _),
+    "q68_range_frame"     -> (Relational.rangeFrameSpend _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -84,6 +88,8 @@ object SparkEntry {
     "q52_lsh_index"       -> ((s, d) => Similarity.lshIndexStats(s, d)), // rows-only
     "q53_ann_probe"       -> ((s, d) => Similarity.annProbe(s, d)),      // rows-only
     "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(s, d)), // rows-only
+    "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),      // rows-only
+    "q56_ivf_index"       -> ((s, d) => Similarity.ivfIndexStats(s, d)), // rows-only
     // instructions-MR pipeline (reference core; stub LLM → rows-only).
     // Driver-facing outputs are flattened to sortable scalars (the
     // harness canonicalizes rows via a pandas sort, which cannot hash
@@ -409,6 +415,28 @@ object SparkEntry {
         |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q65_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q66_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part""".stripMargin,
+    "q67_posexplode" ->
+      """SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+        |  unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q68_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders""".stripMargin,
     "q60_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

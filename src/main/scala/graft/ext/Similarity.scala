@@ -140,6 +140,10 @@ object Similarity {
   def clearCaches(): Unit = {
     indexCache.values.foreach(_.unpersist(blocking = false))
     indexCache.clear()
+    ivfCache.values.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    ivfCache.clear()
+    centroidCache.clear()
   }
 
   /** ANN via LSH buckets: group corpus by bucket; report bucket
@@ -162,6 +166,102 @@ object Similarity {
         round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // ---------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path, complementary to
+  // LSH: centroids are FIT on a bounded sample (the fit cost is
+  // corpus-size-independent), the corpus is assigned to its nearest
+  // centroid in ONE distributed scan, and a probe scores only the
+  // nProbe nearest cells — O(N · nProbe / k) work per query instead
+  // of O(N). At 100 TB the index table is written partitioned by
+  // `cell`, so probes are partition-pruned scans; the recall dial is
+  // nProbe (more cells ⇒ more recall, more scan).
+  // ---------------------------------------------------------------
+
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Seq[Double]]]
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+
+  /** Fit `k` centroids with driver-side Lloyd iterations over a
+    * bounded deterministic sample (first `sampleN` by vec_id,
+    * evenly-spaced init, fixed iteration count — byte-stable across
+    * runs and partitionings). Driver-side is the right altitude: the
+    * sample is small by construction (at 100 TB you fit on ~100k
+    * sampled vectors, not the corpus), while the expensive step —
+    * assigning N vectors — stays a distributed one-scan job. */
+  def ivfCentroids(spark: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 10, sampleN: Int = 2048): Seq[Seq[Double]] =
+    centroidCache.getOrElseUpdate((dir, k), {
+      val sample = Tables.embeddings(spark, dir)
+        .orderBy(col("vec_id")).limit(sampleN)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(sample.length >= k, s"corpus smaller than k=$k")
+      val dim = sample.head.length
+      var cents = Array.tabulate(k) { i =>
+        sample(((i.toLong * sample.length) / k).toInt).clone()
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Int](k)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var s = 0.0; var i = 0
+            while (i < dim) { val d = v(i) - cents(c)(i); s += d * d; i += 1 }
+            if (s < bestD) { best = c; bestD = s }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+          else { val m = sums(c); val n = counts(c); m.map(_ / n) }
+        }
+      }
+      cents.map(_.toIndexedSeq).toIndexedSeq
+    })
+
+  /** vec_id → nearest-centroid cell, MATERIALIZED + memoized (same
+    * persist rationale as [[lshIndex]]). At scale: written once,
+    * partitioned by `cell`, probes partition-prune. */
+  def ivfIndex(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    Memo.cached(ivfCache, (dir, k), spark) {
+      val cents = ivfCentroids(spark, dir, k)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          element_at(graft.functions.exprs.ivf_cells(col("embedding"), cents, 1), 1)
+            .as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Cell occupancy of the IVF index (the index-build report). */
+  def ivfIndexStats(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    ivfIndex(spark, dir, k)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+
+  /** IVF probe: approximate top-k — only vectors whose cell is among
+    * the query's `nProbe` nearest centroids are scored. */
+  def ivfProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 16, nProbe: Int = 4, topK: Int = 10): DataFrame = {
+    val cents = ivfCentroids(spark, dir, k)
+    val idx = ivfIndex(spark, dir, k)
+    val query = idx.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        graft.functions.exprs.ivf_cells(col("embedding"), cents, nProbe)
+          .as("q_cells"))
+    idx.join(broadcast(query),
+        array_contains(col("q_cells"), col("cell")) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, bucketed

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{bridge, CosineSim, JaccardSim, LshBucket, MinHashSig, SimHash}
+import org.apache.spark.sql.graft.{bridge, CosineSim, IvfCells, JaccardSim, LshBucket, MinHashSig, SimHash}
 
 /** Public Column API over the native expressions (implementation in
   * org.apache.spark.sql.graft — see that file's scaladoc). */
@@ -29,4 +29,10 @@ object exprs {
     * matrix. */
   def lsh_bucket(emb: Column, dim: Int, bits: Int): Column =
     bridge.column(LshBucket(bridge.expression(emb), dim, bits))
+
+  /** IVF cell assignment: the `nProbe` nearest centroid ids (squared
+    * L2, nearest first) — one fused k × dim loop per row against a
+    * plan-time centroid matrix. */
+  def ivf_cells(emb: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    bridge.column(IvfCells(bridge.expression(emb), centroids, nProbe))
 }

@@ -141,15 +141,21 @@ final class HttpLlm(maxInFlight: Int = 8) extends LlmClient {
   }
 
   override def completeBatch(batch: Seq[Seq[ChatMsg]], params: LlmParams): Seq[String] = {
-    // waves of maxInFlight async requests; order preserved (matches the
-    // reference's asyncio.gather barrier per stage)
-    batch.grouped(maxInFlight).flatMap { group =>
-      val futures = group.map { msgs =>
+    // true sliding window: request i+maxInFlight launches the moment
+    // ANY in-flight request completes. (A grouped-wave gather — the
+    // reference's asyncio.gather shape — barriers each wave on its
+    // slowest response, idling up to maxInFlight-1 slots behind one
+    // slow decode.) Output order stays the input order.
+    val sem = new java.util.concurrent.Semaphore(maxInFlight)
+    val futures = batch.map { msgs =>
+      sem.acquire()
+      try
         http.sendAsync(buildRequest(msgs, params),
           java.net.http.HttpResponse.BodyHandlers.ofString())
-      }
-      futures.map(f => extractContent(f.join().body()))
-    }.toSeq
+          .whenComplete((_, _) => sem.release())
+      catch { case e: Throwable => sem.release(); throw e }
+    }
+    futures.map(f => extractContent(f.join().body()))
   }
 
   private def extractContent(body: String): String = {

@@ -408,4 +408,53 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 20)
   }
+
+  /** PIVOT: order counts per priority, one column per status. The
+    * pivot values are EXPLICIT — at scale an implicit pivot runs an
+    * extra distinct-scan job just to discover the columns; coalesce
+    * because pivot leaves absent combinations null, while the
+    * conditional-agg oracle sums zeros. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** UNPIVOT (melt): wide part metrics → long (metric, value) rows.
+    * Value columns are cast to one type up front (unpivot requires
+    * it); the operator is a zero-shuffle narrow transform. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "metric", "value")
+
+  /** posexplode: embedding array → one (pos, val) row per element —
+    * the lateral-view/ordinality pattern. Bounded to a vec_id slice
+    * so the oracle compare stays small; the operator itself is a
+    * narrow per-row generator (no shuffle). */
+  def posExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+
+  /** RANGE-frame window: per customer, total spend over the trailing
+    * 30 days — ordered by integer epoch-days so both engines use the
+    * same numeric RANGE semantics. RANGE frames are peer-inclusive ⇒
+    * deterministic without a tiebreak (unlike ROWS). */
+  def rangeFrameSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
+          .cast("double").as("spend_30d"))
+  }
 }

@@ -2,11 +2,16 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.exec.{InstructionsPipeline, PipeDoc}
 import graft.llm.LlmClient
 import graft.model.PipelineConf
+
+/** A content-hashed document on a stream (hash upstream with
+  * sha2(normText(text), 256) — the same digest exactDedup groups on,
+  * so the batch and streaming dedup agree on identity). */
+final case class HashedDoc(contentHash: String, docId: Long)
 
 /** Structured Streaming surface. The reference explicitly cannot
   * stream end-to-end (/root/reference/README.md:96-97) because each
@@ -58,6 +63,33 @@ object StreamOps {
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch((batch: Dataset[T], id: Long) => f(batch, id))
+
+  /** Streaming exact-dedup with EXPLICIT keyed state
+    * (`flatMapGroupsWithState` — the custom-state API the windowed
+    * aggregations above don't need): the first document per content
+    * hash passes through (min doc_id within a micro-batch, so the
+    * survivor is deterministic under shuffle), every later duplicate
+    * — same batch or any later one — is dropped.
+    *
+    * State per distinct hash is one boolean, partitioned by hash
+    * across executors. On an unbounded 100 TB/day stream, bound the
+    * state with a TTL timeout (how long a duplicate can lag its
+    * original — the dedup analog of a watermark) instead of
+    * NoTimeout; kept unbounded here because the testdata corpus is
+    * finite and the batch operator it mirrors keeps every digest. */
+  def dedupStream(docs: Dataset[HashedDoc]): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.contentHash)
+      .flatMapGroupsWithState[Boolean, HashedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_.docId))
+          }
+      }
+  }
 
   /** File-source streaming read of an events directory with the
     * events schema (ns timestamps pre-converted like Tables.events). */

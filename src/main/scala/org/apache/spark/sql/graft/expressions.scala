@@ -268,3 +268,74 @@ case class LshBucket(child: Expression, dim: Int, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
 }
+
+/** IVF (inverted-file) cell assignment: ids of the `nProbe` nearest
+  * centroids — squared L2, nearest first — for an array<float>
+  * embedding. The centroid matrix is a plan-time constant (fit
+  * offline on a bounded sample, see graft.ext.Similarity.ivfCentroids)
+  * shipped inside the expression, so assignment is one fused
+  * k × dim double loop per row with no join and no shared state.
+  * nProbe = 1 is the index-build assignment; probe time uses
+  * nProbe > 1 to trade scan cost for recall.
+  *
+  * `centroids` is a Seq (not Array) so case-class equality keeps plan
+  * canonicalization/caching correct. Ties broken by lower centroid id
+  * (stable selection ⇒ deterministic across partitionings). Arrays
+  * shorter than the centroid dim score only the shared prefix. */
+case class IvfCells(child: Expression, centroids: Seq[Seq[Double]], nProbe: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(nProbe > 0 && nProbe <= centroids.size,
+    "nProbe must be in [1, centroids.size]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_cells"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = cents.length
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(arr.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val d = arr.getFloat(i).toDouble - cent(i)
+          s += d * d
+        }
+        i += 1
+      }
+      dists(c) = s
+      c += 1
+    }
+    // selection of the nProbe smallest, stable on ties (lower id wins)
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < nProbe) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < k) {
+        if (!taken(c) && dists(c) < bestD) { best = c; bestD = dists(c) }
+        c += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
+}

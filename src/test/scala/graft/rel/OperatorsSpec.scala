@@ -122,6 +122,32 @@ class OperatorsSpec extends AnyFunSuite {
     Similarity.clearCaches()
   }
 
+  test("IVF probe: deterministic centroids, partitioned cells, useful recall") {
+    // centroid fit is a pure function of the sample → byte-stable
+    val c1 = Similarity.ivfCentroids(spark, sf, k = 8)
+    Similarity.clearCaches()
+    val c2 = Similarity.ivfCentroids(spark, sf, k = 8)
+    assert(c1 == c2)
+    // every vector lands in exactly one of k cells; totals conserved
+    val n = graft.Tables.embeddings(spark, sf).count()
+    val stats = Similarity.ivfIndexStats(spark, sf, k = 8).collect()
+    assert(stats.map(_.getAs[Long]("n_vectors")).sum == n)
+    assert(stats.forall(r => r.getAs[Int]("cell") >= 0 && r.getAs[Int]("cell") < 8))
+    // probe recall vs the exact scan: nProbe=4 of 8 cells must recover
+    // most of the true top-10 (the dial the scaladoc documents)
+    val exact = Similarity.cosineTopK(spark, sf, queryId = 0L, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = Similarity.ivfProbe(spark, sf, queryId = 0L,
+      k = 8, nProbe = 4, topK = 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
+    // and full probe (nProbe = k) is exact by construction
+    val full = Similarity.ivfProbe(spark, sf, queryId = 0L,
+      k = 8, nProbe = 8, topK = 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(full == exact)
+    Similarity.clearCaches()
+  }
+
   test("bitsForCorpus bounds expected bucket occupancy as the corpus grows") {
     assert(Similarity.bitsForCorpus(0) == 4)
     assert(Similarity.bitsForCorpus(1000, targetOccupancy = 16) == 6)

@@ -60,6 +60,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.head.fields == batch.fields)
   }
 
+  test("stateful streaming dedup: first doc per hash survives across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[HashedDoc]
+    val q = StreamOps.dedupStream(src.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: h1 twice (min doc_id 7 must win), h2 once
+    src.addData(HashedDoc("h1", 10L), HashedDoc("h1", 7L), HashedDoc("h2", 1L))
+    q.processAllAvailable()
+    // batch 2: h1 again (dropped via state), h3 new
+    src.addData(HashedDoc("h1", 99L), HashedDoc("h3", 5L))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_stream").as[HashedDoc].collect()
+      .map(d => d.contentHash -> d.docId).sorted.toSeq
+    q.stop()
+    assert(rows == Seq("h1" -> 7L, "h2" -> 1L, "h3" -> 5L))
+  }
+
   test("foreachBatch writer drains a stream through a batch transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
