@@ -65,6 +65,7 @@ object SparkEntry {
     "q63_window_ranks"    -> (Relational.windowRanks _),
     "q64_array_agg"       -> (Relational.arrayAgg _),
     "q65_pivot"           -> (Relational.pivotStatus _),
+    "q69_grouping_sets"   -> (Relational.groupingSetsAgg _),
     "q66_unpivot"         -> (Relational.unpivotMetrics _),
     "q67_posexplode"      -> (Relational.posExplode _),
     "q68_range_frame"     -> (Relational.rangeFrameSpend _),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q40_exact_dedup"     -> (Dedup.exactDedup _),
     "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "q42_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d)),  // xxhash64 → rows-only
+    "q45_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerify(s, d)), // rows-only
     "q44_simhash"         -> (Dedup.simhashDedup _),              // rows-only
     // similarity search [ext]
@@ -377,6 +379,29 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id
          |  AND round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
          |      len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.5""".stripMargin,
+    "q45_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, list_distinct($toks) AS tok
+         |      FROM documents WHERE doc_id < 100),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a, d b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)
+         |SELECT id AS doc_id, MIN(lab) AS rep_id FROM reach GROUP BY id""".stripMargin,
+    "q69_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |                        (o_orderpriority), ())""".stripMargin,
     "q50_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id = 0)

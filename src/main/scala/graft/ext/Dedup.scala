@@ -42,12 +42,22 @@ object Dedup {
       .select(col("keep_id"), col("cluster_size"), col("content_hash"))
 
   /** Word k-shingles from a PRE-MATERIALIZED token-array column
-    * (distinct, order-free). */
-  def shinglesFromTokens(toks: Column, k: Int): Column =
+    * (distinct, order-free). HOF reference composition — a position
+    * sequence, an interpreted lambda frame and a sliced copy per
+    * shingle. Kept ONLY as the semantics oracle the native expression
+    * is spec'd identical against; query paths use
+    * [[shinglesFromTokens]]. */
+  def shinglesFromTokensHof(toks: Column, k: Int): Column =
     array_distinct(
       when(size(toks) < k, array(concat_ws(" ", toks)))
         .otherwise(transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+
+  /** Word k-shingles — native single-pass expression
+    * (graft.functions.WordShingles): the whole distinct shingle set
+    * in one traversal of the token array. */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    graft.functions.exprs.word_shingles(toks, k)
 
   /** MinHash signature from a pre-materialized shingle column: for
     * each seed p, min over XXH64(shingle, seed=p). Native expression
@@ -186,6 +196,68 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node starts labelled with its own
+    * id; each round a node takes the min of its label and its
+    * neighbours' labels; at the fixpoint a component's label is its
+    * min member id (the canonical dedup representative).
+    *
+    * Scale posture: one shuffle per round (edge join + min-agg),
+    * rounds ≤ component diameter — near-dup clusters are
+    * shallow (dups of dups of one original), so this converges in a
+    * handful of rounds where a 100 TB corpus is concerned; pathological
+    * chains are bounded by `maxIter`. Labels only decrease, so
+    * `sum(label)` is a strictly-decreasing convergence witness — the
+    * loop stops on the first round that changes nothing. Each round is
+    * `localCheckpoint`ed to truncate lineage (the iterative-join plan
+    * would otherwise grow exponentially); a multi-executor deployment
+    * would use reliable `checkpoint` on the cluster FS instead.
+    *
+    * This is also the expansion pass that closes the oversized-bucket
+    * recall gap in [[minhashLsh]]'s star guard: run it over the
+    * VERIFIED edge set and every doc transitively connected through a
+    * star anchor lands in one cluster without materializing the
+    * O(n²) clique edges. */
+  def connectedComponents(edges: DataFrame, src: String = "doc_a",
+      dst: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    // coalesce: an empty edge list must not NPE the witness
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var lastSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val msgs = labels.join(e, col("id") === col("a"))
+        .select(col("b").as("id"), col("label"))
+      labels = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == lastSum
+      lastSum = s
+      it += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters: connected components of the verified
+    * token-Jaccard pair graph — each doc mapped to its cluster's min
+    * doc_id. Built on the oracle-able [[jaccardPairs]] edge set so the
+    * whole operator (pairing AND transitive clustering) is checked
+    * against a DuckDB recursive-CTE oracle; the scale path is the same
+    * call over [[jaccardVerify]]'s LSH-verified edges. */
+  def nearDupClusters(spark: SparkSession, dir: String, maxId: Long = 100L,
+      threshold: Double = 0.5): DataFrame =
+    connectedComponents(jaccardPairs(spark, dir, maxId, threshold))
+      .select(col("id").as("doc_id"), col("label").as("rep_id"))
 
   /** Token-set (1-gram) Jaccard over a bounded id range — the
     * SQL-oracle-able all-pairs variant (the LSH path above is the

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{bridge, CosineSim, IvfCells, JaccardSim, LshBucket, MinHashSig, SimHash}
+import org.apache.spark.sql.graft.{bridge, CosineSim, IvfCells, JaccardSim, LshBucket, MinHashSig, SimHash, WordShingles}
 
 /** Public Column API over the native expressions (implementation in
   * org.apache.spark.sql.graft — see that file's scaladoc). */
@@ -29,6 +29,12 @@ object exprs {
     * matrix. */
   def lsh_bucket(emb: Column, dim: Int, bits: Int): Column =
     bridge.column(LshBucket(bridge.expression(emb), dim, bits))
+
+  /** Distinct word k-shingles of a token array in one pass (the
+    * staged HOF composition's semantics, minus its per-position
+    * lambda + slice allocations). */
+  def word_shingles(toks: Column, k: Int): Column =
+    bridge.column(WordShingles(bridge.expression(toks), k))
 
   /** IVF cell assignment: the `nProbe` nearest centroid ids (squared
     * L2, nearest first) — one fused k × dim loop per row against a

@@ -192,6 +192,19 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
 
+  /** Explicit GROUPING SETS — the general form ROLLUP/CUBE
+    * specialize: (status, priority), (priority), grand total.
+    * Catalyst expands all sets into ONE Expand + hash aggregate —
+    * a single scan and a single shuffle, not one job per set, which
+    * is the property that matters when the fact table is 100 TB. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+
   /** String scalar functions: lower/upper/length/substring/split/
     * concat/regexp — codegen'd `functions._`, no UDFs. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =

@@ -123,6 +123,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(short.head.getLong(0) == 0L && short.head.getLong(1) == 0L)
   }
 
+  test("native word_shingles equals the staged HOF composition") {
+    import spark.implicits._
+    // edge shapes: shorter-than-k, exactly-k, duplicates, empty
+    val df = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("a", "b"),
+      Seq("x", "y", "z"),
+      Seq("r", "r", "r", "r", "r"),   // duplicate shingles → distinct
+      Seq.empty[String]).toDF("toks")
+    val rows = df.select(
+      exprs.word_shingles(col("toks"), 3).as("native"),
+      graft.ext.Dedup.shinglesFromTokensHof(col("toks"), 3).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(rows(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](0) == Seq("a b"))
+    assert(rows(3).getSeq[String](0) == Seq("r r r"))
+    assert(rows(4).getSeq[String](0) == Seq(""))
+    // null array → null in both forms
+    val nul = Seq(Tuple1(null: Seq[String])).toDF("toks").select(
+      exprs.word_shingles(col("toks"), 3).as("native"),
+      graft.ext.Dedup.shinglesFromTokensHof(col("toks"), 3).as("hof")).collect()
+    assert(nul.head.isNullAt(0) && nul.head.isNullAt(1))
+    // and identical over every real tokenized document
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .select(graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(exprs.word_shingles(col("toks"), 3).as("native"),
+        graft.ext.Dedup.shinglesFromTokensHof(col("toks"), 3).as("hof"))
+      .collect()
+    assert(docs.length == 500)
+    docs.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("lsh_bucket documented edge semantics: longer arrays → 0, null → NULL") {
     // outside the length ≤ dim contract the HOF form is NOT the oracle
     // (xxhash64 skips zip_with's null padding); pin the native

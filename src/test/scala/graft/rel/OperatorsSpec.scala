@@ -54,6 +54,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(verified.forall(_.getAs[Double]("jaccard") >= 0.7))
   }
 
+  test("connected components: min-label fixpoint on known graphs") {
+    import spark.implicits._
+    // a 6-node path (forces > 1 propagation round: label 1 must walk
+    // 5 hops), a separate pair, and a triangle
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    // empty edge list → empty labelling, no NPE
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect().isEmpty)
+  }
+
+  test("near-dup clusters: reps are component minima, edges stay intra-cluster") {
+    val edges = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.nonEmpty)
+    // every rep is ≤ its members and is itself a member mapping to itself
+    comp.foreach { case (id, rep) => assert(rep <= id && comp(rep) == rep) }
+    // both endpoints of every verified edge share a cluster
+    edges.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+  }
+
   test("cosine top-k: similarities within [-1,1], sorted desc") {
     val sims = Similarity.cosineTopK(spark, sf).collect().map(_.getAs[Double]("cos_sim"))
     assert(sims.length == 10)
