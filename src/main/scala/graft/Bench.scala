@@ -17,22 +17,30 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    // Deterministic execution order (sorted) so run-to-run and
-    // round-to-round totals are comparable. Each query is timed twice
-    // and the MIN reported: the host has documented noise bursts that
-    // randomly spike a single query ~50× (BENCH_r02's 43 s
-    // q40_exact_dedup vs its steady 1-2 s), and min-of-2 keeps one
-    // burst from contaminating a whole round's total. Rep 1 also
-    // materializes the engine's compute-once persisted indexes, so
-    // rep 2 measures the steady state those tables exist to provide.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def rep(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(rep(), rep())
+    // Deterministic execution order (sorted) so run-to-round totals
+    // are comparable. Each query is timed in TWO INTERLEAVED passes
+    // over the whole catalog and the per-query MIN reported: the host
+    // has documented noise bursts that spike queries ~50× for minutes
+    // at a time (BENCH_r02's 43 s q40_exact_dedup vs its steady
+    // sub-second), and back-to-back reps let one burst contaminate
+    // both samples of the same query — full-catalog interleaving
+    // separates a query's two reps by the whole pass, which no
+    // observed burst outlasts. Pass 1 also materializes the engine's
+    // compute-once persisted indexes, so pass 2 measures the steady
+    // state those tables exist to provide.
+    // SPARK_GRAFT_ONLY=<substring[,substring…]> narrows the run for
+    // targeted iteration; unset = the full catalog (driver mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains))
     }
+    def pass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val p1 = pass().toMap
+    val results = pass().map { case (name, t) => name -> math.min(t, p1(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -91,6 +91,30 @@ object StreamOps {
       }
   }
 
+  /** Watermarked stream-stream interval join: pair each left event
+    * with right events for the same key whose timestamp lies in
+    * [l.ts - tolerance, l.ts + tolerance]. BOTH sides carry a
+    * watermark and the join condition time-bounds both directions —
+    * the two together are what let Spark evict buffered rows and keep
+    * state finite on an unbounded stream (an unconstrained
+    * stream-stream join must buffer one side forever). State per key
+    * ≈ rows within the tolerance window; at 100 TB/day pick the
+    * tolerance like a dedup TTL — the max lag you pay state for.
+    *
+    * Expected columns: `key`, `ts` (event time) on both sides; right
+    * columns are prefixed `r_` in the output. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      tolerance: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", tolerance)
+    val r = right.withWatermark("ts", tolerance)
+      .select(col("key").as("r_key"), col("ts").as("r_ts"))
+    l.join(r,
+      col("key") === col("r_key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $tolerance") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $tolerance"))
+      .drop("r_key")
+  }
+
   /** File-source streaming read of an events directory with the
     * events schema (ns timestamps pre-converted like Tables.events). */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {

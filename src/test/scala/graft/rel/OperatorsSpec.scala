@@ -1,5 +1,6 @@
 package graft.rel
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -82,6 +83,30 @@ class OperatorsSpec extends AnyFunSuite {
     comp.foreach { case (id, rep) => assert(rep <= id && comp(rep) == rep) }
     // both endpoints of every verified edge share a cluster
     edges.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+  }
+
+  test("salted join: row parity with the plain join, salt spread on the hot key") {
+    import spark.implicits._
+    // pathological histogram: one key owns 90% of the fact side
+    val fact = ((1 to 900).map(i => (1L, s"row$i")) ++
+      (1 to 100).map(i => (i.toLong + 1, s"tail$i"))).toDF("k", "payload")
+    val dim = (1 to 200).map(i => (i.toLong, s"dim$i")).toDF("k", "attr")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = fact.join(dim, "k")
+      val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+      // identical multiset of result rows, no __salt leakage
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      assert(salted.count() == plain.count())
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+      // the hot key's rows really spread over multiple salt values
+      val spread = fact.withColumn("__salt",
+          pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(8L)))
+        .filter(col("k") === 1L).select(col("__salt")).distinct().count()
+      assert(spread > 1, "hot key must land on more than one salt")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("cosine top-k: similarities within [-1,1], sorted desc") {

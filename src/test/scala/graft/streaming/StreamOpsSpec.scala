@@ -79,6 +79,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows == Seq("h1" -> 7L, "h2" -> 1L, "h3" -> 5L))
   }
 
+  test("stream-stream interval join pairs events within tolerance only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lSrc = MemoryStream[(String, Timestamp)]
+    val rSrc = MemoryStream[(String, Timestamp)]
+    val left = lSrc.toDF().toDF("key", "ts")
+    val right = rSrc.toDF().toDF("key", "ts")
+    val q = StreamOps.intervalJoinStream(left, right, "10 minutes")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append()).start()
+    lSrc.addData(("a", Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("b", Timestamp.valueOf("2024-01-01 10:00:00")))
+    rSrc.addData(
+      ("a", Timestamp.valueOf("2024-01-01 10:05:00")),  // within 10 min → joins
+      ("a", Timestamp.valueOf("2024-01-01 11:00:00")),  // outside → dropped
+      ("c", Timestamp.valueOf("2024-01-01 10:00:00")))  // wrong key → dropped
+    q.processAllAvailable()
+    val rows = spark.table("ij").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Timestamp]("r_ts").toString))
+    q.stop()
+    assert(rows.toSeq == Seq(("a", "2024-01-01 10:05:00.0")))
+  }
+
   test("foreachBatch writer drains a stream through a batch transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
