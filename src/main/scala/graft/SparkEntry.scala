@@ -77,6 +77,7 @@ object SparkEntry {
     "q34_lang_stats"      -> (TextAnalysis.langStats _),
     "q35_fingerprint"     -> (TextAnalysis.fingerprint _),        // xxhash64 → rows-only
     "q36_bpe_tokens"      -> (TextAnalysis.bpeTokenCount _),
+    "q37_tfidf"           -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     // dedup [ext]
     "q40_exact_dedup"     -> (Dedup.exactDedup _),
     "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -379,6 +380,22 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id
          |  AND round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
          |      len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.5""".stripMargin,
+    "q37_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word,
+         |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+         |               tf.word) AS rn
+         |  FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+         |SELECT doc_id, word, round(score, 6) AS tfidf,
+         |  CAST(rn AS INTEGER) AS rn
+         |FROM scored WHERE rn <= 3""".stripMargin,
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE
          |d AS (SELECT doc_id, list_distinct($toks) AS tok

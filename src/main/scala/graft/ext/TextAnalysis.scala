@@ -104,6 +104,32 @@ object TextAnalysis {
         size(array_distinct(col("pieces"))).as("n_distinct_pieces"))
   }
 
+  /** Top TF-IDF terms per document: tf(doc, word) × ln(N / df(word)),
+    * top `topN` by score (ties → lexicographic) — the classic
+    * keyword-extraction / relevance-weighting primitive.
+    *
+    * Shape at scale: one scan explodes tokens, ONE shuffle builds the
+    * (doc, word) tf table, the word-keyed df aggregate and the join
+    * back both reuse word-hash partitioning, and the final top-N is a
+    * bounded per-doc window. N (corpus size) is a driver-side parquet
+    * metadata count, not a per-row subquery. */
+  def tfidfTop(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(dfreq, "word")
+      .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col("doc_id"), col("word"),
+        round(col("score"), 6).as("tfidf"), col("rn"))
+  }
+
   /** Token histogram by language: per-lang total/avg token counts. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -89,6 +89,11 @@ class JsonlSpec extends AnyFunSuite {
     // partition pruning: a lang filter reads only that partition dir
     assert(backPq.filter(col("lang") === "en").count() ==
       docs.filter(col("lang") === "en").count())
+    Io.writeOrc(docs, s"$tmp/orc", partitionBy = Seq("lang"))
+    val backOrc = Io.readOrc(spark, s"$tmp/orc")
+    assert(backOrc.count() == 500)
+    assert(backOrc.filter(col("lang") === "en").count() ==
+      docs.filter(col("lang") === "en").count())
   }
 
   test("pretty stringify boundary reaches the prompts (indent=2)") {
