@@ -108,10 +108,11 @@ object TextAnalysis {
     * top `topN` by score (ties → lexicographic) — the classic
     * keyword-extraction / relevance-weighting primitive.
     *
-    * Shape at scale: one scan explodes tokens, ONE shuffle builds the
-    * (doc, word) tf table, the word-keyed df aggregate and the join
-    * back both reuse word-hash partitioning, and the final top-N is a
-    * bounded per-doc window. N (corpus size) is a driver-side parquet
+    * Shape at scale: ONE corpus scan (df as a word-partitioned window
+    * COUNT over the tf table, not a separate aggregate — a groupBy +
+    * self-join would re-run the whole scan+explode subtree for the
+    * second branch, doubling the dominant cost), then a bounded
+    * per-doc top-N window. N (corpus size) is a driver-side parquet
     * metadata count, not a per-row subquery. */
   def tfidfTop(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -119,12 +120,12 @@ object TextAnalysis {
     val nDocs = docs.count()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
+    val wDf = Window.partitionBy(col("word"))
+    val wTop = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
-    tf.join(dfreq, "word")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topN)
       .select(col("doc_id"), col("word"),
         round(col("score"), 6).as("tfidf"), col("rn"))
