@@ -83,6 +83,7 @@ object SparkEntry {
     "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "q42_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d)),  // xxhash64 → rows-only
     "q45_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q46_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // xxhash64 → rows-only
     "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerify(s, d)), // rows-only
     "q44_simhash"         -> (Dedup.simhashDedup _),              // rows-only
     // similarity search [ext]

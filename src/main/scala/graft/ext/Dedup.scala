@@ -297,6 +297,49 @@ object Dedup {
   def simhashFromHashes(hashes: Column, bits: Int = 16): Column =
     graft.functions.exprs.simhash(hashes, bits)
 
+  /** SimHash near-dup with HAMMING TOLERANCE: pairs whose `bits`-bit
+    * signatures differ in at most `maxDist` bit positions. Pigeonhole
+    * banding makes it sub-quadratic: split the signature into `bands`
+    * disjoint bit-slices — a pair within distance d ≤ bands-1 must
+    * agree EXACTLY on at least one slice, so candidates are generated
+    * only inside (band, slice-value) buckets and verified with one
+    * XOR+popcount. Reuses [[lshCandidatePairs]] (rowsPerBand = 1 over
+    * the slice array), so the oversized-bucket star/salt skew guard
+    * applies unchanged — a mass-duplicate corpus stays linear.
+    *
+    * Defaults: 48-bit signatures in 4 bands of 12 bits ⇒ 4096 slice
+    * values per band (bounded buckets at corpus scale), guaranteed
+    * recall for maxDist ≤ 3 wherever buckets stay under `maxBucket`. */
+  def simhashBandPairs(sigs: DataFrame, bits: Int = 48, bands: Int = 4,
+      maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(bands > maxDist, "need bands >= maxDist+1 for pigeonhole recall")
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val w = bits / bands
+    val sliced = sigs.select(col("doc_id"), col("sh"),
+      array((0 until bands).map(b =>
+        pmod(shiftright(col("sh"), b * w), lit(1L << w))): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatePairs(
+      sliced.select(col("doc_id"), col("sig")), bands, 1, maxBucket)
+    cands
+      .join(sliced.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sliced.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Hamming-tolerant simhash near-dup over the documents corpus
+    * (48-bit signature of the token-hash votes, distance ≤ 3). */
+  def simhashNearDup(spark: SparkSession, dir: String, bits: Int = 48,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th"), bits).as("sh"))
+    simhashBandPairs(sigs, bits, bands = 4, maxDist = maxDist)
+  }
+
   /** SimHash near-dup: docs sharing an identical simhash value.
     * With the native single-pass signature the hash array is consumed
     * exactly once, so this is a pure one-scan query — no persist

@@ -85,6 +85,28 @@ class OperatorsSpec extends AnyFunSuite {
     edges.foreach { case (a, b) => assert(comp(a) == comp(b)) }
   }
 
+  test("simhash band pairs: pigeonhole recall within distance, none beyond") {
+    import spark.implicits._
+    // 48-bit signatures with engineered hamming distances
+    val base = 0x0000FACEB00CL
+    val sigs = Seq(
+      1L -> base,
+      2L -> (base ^ 0x7L),               // d=3, one band → found
+      3L -> (base ^ ((1L << 1) | (1L << 13) | (1L << 25))), // d=3 across 3 bands → found (agree on band 3)
+      4L -> (base ^ ((1L << 0) | (1L << 12) | (1L << 24) | (1L << 36))), // d=4, all bands differ → correctly excluded
+      5L -> (base ^ 0xFFFL)              // d=12, shares bands 1-3 → candidate but filtered
+    ).toDF("doc_id", "sh")
+    val pairs = Dedup.simhashBandPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 3)))
+    assert(pairs.contains((1L, 3L, 3)))
+    assert(!pairs.exists { case (a, b, _) => (a, b) == (1L, 4L) })
+    assert(!pairs.exists { case (a, b, _) => (a, b) == (1L, 5L) })
+    // corpus smoke: every emitted pair is within tolerance
+    val corpus = Dedup.simhashNearDup(spark, sf).collect()
+    assert(corpus.forall(_.getInt(2) <= 3))
+  }
+
   test("salted join: row parity with the plain join, salt spread on the hot key") {
     import spark.implicits._
     // pathological histogram: one key owns 90% of the fact side
