@@ -78,6 +78,8 @@ object SparkEntry {
     "q35_fingerprint"     -> (TextAnalysis.fingerprint _),        // xxhash64 → rows-only
     "q36_bpe_tokens"      -> (TextAnalysis.bpeTokenCount _),
     "q37_tfidf"           -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "q38_funnel"          -> (Relational.funnelStages _),
+    "q39_retention"       -> (Relational.retentionCohorts _),
     // dedup [ext]
     "q40_exact_dedup"     -> (Dedup.exactDedup _),
     "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -397,6 +399,29 @@ object SparkEntry {
          |SELECT doc_id, word, round(score, 6) AS tfidf,
          |  CAST(rn AS INTEGER) AS rn
          |FROM scored WHERE rn <= 3""".stripMargin,
+    "q38_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click' AS stage, COUNT(*) AS n_users FROM c
+        |UNION ALL
+        |SELECT '3_purchase' AS stage, COUNT(*) AS n_users FROM p""".stripMargin,
+    "q39_retention" ->
+      """WITH w AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |           FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, w.wk) / 7 AS INTEGER) AS week_offset,
+        |  COUNT(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN f ON w.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE
          |d AS (SELECT doc_id, list_distinct($toks) AS tok

@@ -192,6 +192,48 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
 
+  /** Conversion funnel view → click → purchase, ordered by event
+    * time: a user advances a stage only with a LATER event of the
+    * next type. Three per-user min-aggregates chained by user_id —
+    * every join and aggregate reuses the same user-hash
+    * partitioning, and stage tables shrink monotonically, so the
+    * whole funnel is one scan plus user-keyed small-table joins. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stageMin(t: String) = ev.filter(col("event_type") === t)
+    val v = stageMin("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = stageMin("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = stageMin("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their
+    * first event; n_users = distinct users from that cohort active
+    * in cohort-week + offset. One scan, user-keyed first-week agg,
+    * join back on user_id, then a small (cohort, offset) aggregate.
+    * Offsets are exact (both sides week-truncated ⇒ day diff is a
+    * multiple of 7). */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    w.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP/CUBE
     * specialize: (status, priority), (priority), grand total.
     * Catalyst expands all sets into ONE Expand + hash aggregate —
