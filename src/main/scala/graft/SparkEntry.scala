@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.rel.Relational
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -85,6 +85,7 @@ object SparkEntry {
     "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
     "q42_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d)),  // xxhash64 → rows-only
     "q45_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q47_hash_sample"     -> (Sampling.stratifiedDocs _),
     "q46_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // xxhash64 → rows-only
     "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerify(s, d)), // rows-only
     "q44_simhash"         -> (Dedup.simhashDedup _),              // rows-only
@@ -445,6 +446,15 @@ object SparkEntry {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
          |                        (o_orderpriority), ())""".stripMargin,
+    "q47_hash_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 50
+        |                    WHEN lang = 'fr' THEN 20 ELSE 10 END""".stripMargin,
     "q50_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id = 0)

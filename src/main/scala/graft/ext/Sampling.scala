@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic (hash-based) sampling for training-data curation.
+  *
+  * `df.sample()` draws from a seeded RNG streamed over partitions, so
+  * its output changes with partitioning, task retries, and row order —
+  * three things a 100 TB pipeline cannot pin down. Hash sampling
+  * decides membership per ROW (a pure function of a stable key), so
+  * the same corpus always yields the same sample: resumable jobs,
+  * reproducible ablations, and consistent joins between a sample and
+  * its derived artifacts. The rate dial is exact in expectation and
+  * the decision needs no coordination — it vectorizes inside the scan.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a row key: first 8 hex chars
+    * of md5(key) as an integer. md5 (not xxhash64) deliberately:
+    * every engine agrees on md5 of a decimal string, so the bucket —
+    * and therefore the sample — is reproducible outside Spark too
+    * (the DuckDB oracle recomputes it verbatim). */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Keep rows whose key-bucket < pct (a deterministic ~pct% sample). */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(hashBucket(key) < pct)
+
+  /** Stratified deterministic sample: per-stratum keep-percentages
+    * (e.g. downsample dominant languages, keep all of rare ones).
+    * Unlisted strata fall back to `defaultPct`. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      pcts: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    val pctCol = pcts.foldLeft(lit(defaultPct): Column) {
+      case (acc, (s, p)) => when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < pctCol)
+  }
+
+  /** The q47 query: stratified sample of documents by language —
+    * half of `en`, a fifth of `fr`, 10% of everything else. */
+  def stratifiedDocs(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"),
+      Map("en" -> 50, "fr" -> 20), defaultPct = 10)
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id")).as("bucket"))
+}

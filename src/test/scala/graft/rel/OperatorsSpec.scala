@@ -85,6 +85,31 @@ class OperatorsSpec extends AnyFunSuite {
     edges.foreach { case (a, b) => assert(comp(a) == comp(b)) }
   }
 
+  test("hash sampling: deterministic, partitioning-invariant, strata-bounded") {
+    import graft.ext.Sampling
+    val docs = graft.Tables.documents(spark, sf)
+    val s1 = Sampling.hashSample(docs, col("doc_id"), 30)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // identical under a different partitioning (rand-sample is not)
+    val s2 = Sampling.hashSample(docs.repartition(13), col("doc_id"), 30)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    // rate lands near the dial (md5 buckets ≈ uniform)
+    val rate = s1.size.toDouble / docs.count()
+    assert(rate > 0.2 && rate < 0.4, s"rate $rate")
+    // a wider sample strictly contains a narrower one (nested samples)
+    val s3 = Sampling.hashSample(docs, col("doc_id"), 60)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+    // stratified: every surviving row's bucket is under its stratum pct
+    val strat = Sampling.stratifiedDocs(spark, sf).collect()
+    assert(strat.nonEmpty)
+    strat.foreach { r =>
+      val cap = r.getString(1) match { case "en" => 50; case "fr" => 20; case _ => 10 }
+      assert(r.getLong(2) < cap)
+    }
+  }
+
   test("simhash band pairs: pigeonhole recall within distance, none beyond") {
     import spark.implicits._
     // 48-bit signatures with engineered hamming distances
