@@ -41,6 +41,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
       .select(col("keep_id"), col("cluster_size"), col("content_hash"))
 
+  /** Incremental exact dedup — the daily-ingest pattern: dedupe a new
+    * batch WITHIN itself (min doc_id per digest) and against the
+    * accumulated digest table, without touching historical documents.
+    * State is one 64-char digest row per distinct document ever seen;
+    * after the batch is accepted, append its `content_hash` column to
+    * the digest table. The anti-join shuffles only digests, and at
+    * scale the digest table bucket-joins against batch hashes (or
+    * broadcasts while small) — the corpus itself is never re-read.
+    * This is the batch twin of [[graft.streaming.StreamOps.dedupStream]]
+    * (same digest ⇒ the two agree on identity). */
+  def exactDedupIncremental(batch: DataFrame, knownHashes: DataFrame): DataFrame =
+    batch
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(knownHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+
   /** Word k-shingles from a PRE-MATERIALIZED token-array column
     * (distinct, order-free). HOF reference composition — a position
     * sequence, an interpreted lambda frame and a sliced copy per

@@ -38,6 +38,39 @@ object Io {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a parquet directory into ~`targetBytes` output files —
+    * the small-files fix (a 100 TB table ingested in streaming
+    * micro-batches accretes millions of KB-sized files; every query
+    * then pays a task + open + footer-read per file). Sizing comes
+    * from the filesystem's content summary (no data read), and the
+    * rewrite uses `coalesce`, which merges partitions locally WITHOUT
+    * a network shuffle — compaction is pure IO. For size-skewed
+    * inputs where even output files matter more than avoiding the
+    * shuffle, pass `shuffle = true` (repartition round-robins rows).
+    * Returns the chosen file count. Output goes to a new directory:
+    * compact-in-place over an object store is not atomic; swap paths
+    * (or use a table format) at the catalog level. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 512L << 20, shuffle: Boolean = false): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // size from the listing only (no data read); skip hidden/marker
+    // files (_SUCCESS, .crc) so sizing reflects actual data bytes
+    def dataBytes(dir: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(dir).iterator.map { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (st.isDirectory) dataBytes(st.getPath)
+        else st.getLen
+      }.sum
+    val totalBytes = dataBytes(p)
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val sized = if (shuffle) df.repartition(n) else df.coalesce(n)
+    sized.write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   def writeParquet(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")

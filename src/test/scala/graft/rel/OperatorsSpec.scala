@@ -55,6 +55,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(verified.forall(_.getAs[Double]("jaccard") >= 0.7))
   }
 
+  test("incremental dedup: in-batch and cross-batch duplicates dropped") {
+    import spark.implicits._
+    val batch1 = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val noKnown = Seq.empty[String].toDF("content_hash")
+    val kept1 = Dedup.exactDedupIncremental(batch1, noKnown)
+    // in-batch: min doc_id survives per digest
+    assert(kept1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // day 2: one old doc (different id, same text), one new
+    val digests = kept1.select("content_hash")
+    val batch2 = Seq((10L, "ALPHA   beta"), (11L, "delta")).toDF("doc_id", "text")
+    val kept2 = Dedup.exactDedupIncremental(batch2, digests)
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L))
+  }
+
   test("connected components: min-label fixpoint on known graphs") {
     import spark.implicits._
     // a 6-node path (forces > 1 propagation round: label 1 must walk

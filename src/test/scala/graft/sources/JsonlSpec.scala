@@ -96,6 +96,26 @@ class JsonlSpec extends AnyFunSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("compaction collapses a many-small-files table, preserving rows") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    docs.repartition(40).write.parquet(s"$tmp/small")
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/small") == 40)
+    // target sized to land at a couple of files for this tiny table
+    val total = new java.io.File(s"$tmp/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Io.compactParquet(spark, s"$tmp/small", s"$tmp/big",
+      targetBytes = total / 2 + 1)
+    assert(n == 2 && parquetFiles(s"$tmp/big") == 2)
+    val back = Io.readParquet(spark, s"$tmp/big")
+    assert(back.count() == 500)
+    assert(back.exceptAll(docs).isEmpty)
+  }
+
   test("pretty stringify boundary reaches the prompts (indent=2)") {
     val src = Jsonl.read(spark, fixture)
       .withColumn("__graft_id", org.apache.spark.sql.functions.monotonically_increasing_id())
