@@ -86,6 +86,7 @@ object SparkEntry {
     "q42_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d)),  // xxhash64 → rows-only
     "q45_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q47_hash_sample"     -> (Sampling.stratifiedDocs _),
+    "q48_range_join_binned" -> (Relational.rangeJoinBinned _),
     "q46_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // xxhash64 → rows-only
     "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerify(s, d)), // rows-only
     "q44_simhash"         -> (Dedup.simhashDedup _),              // rows-only
@@ -300,6 +301,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND epoch_us(p.ts) >= epoch_us(s.ts)""".stripMargin,
     "q26_range_join" ->
+      s"""SELECT band_id, COUNT(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS band_revenue
+         |FROM lineitem
+         |JOIN (SELECT range AS band_id, range * 10000.0 AS lo,
+         |             (range + 1) * 10000.0 AS hi FROM range(0, 10)) bands
+         |  ON l_extendedprice >= lo AND l_extendedprice < hi
+         |GROUP BY band_id""".stripMargin,
+    "q48_range_join_binned" ->
       s"""SELECT band_id, COUNT(*) AS n_items,
          |  ${dsumSql("l_extendedprice")} AS band_revenue
          |FROM lineitem

@@ -378,16 +378,50 @@ object Relational {
     * against a 10-row generated dimension (BroadcastNestedLoopJoin;
     * the broadcast side is tiny, so the NLJ is the right plan at any
     * scale). */
-  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val bands = spark.range(0, 10)
+  private def priceBands(spark: SparkSession): DataFrame =
+    spark.range(0, 10)
       .select(col("id").as("band_id"),
         (col("id") * 10000.0).as("lo"), ((col("id") + 1) * 10000.0).as("hi"))
+
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(bands),
+      .join(broadcast(priceBands(spark)),
         col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
       .groupBy(col("band_id"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("band_revenue"))
+
+  /** Range join WITHOUT broadcast: overlap-binning turns the
+    * interval predicate into an equi-join. Each range row explodes
+    * into the fixed-width bins it covers; each fact row hashes to
+    * exactly one bin; the residual interval predicate filters
+    * bin-collisions after the hash join. Use when the RANGES side is
+    * too big to broadcast — Spark's native plan for that case is a
+    * nested-loop join, O(|fact|·|ranges|), while this is
+    * O(|fact| + |ranges|·span/binWidth + matches) with an ordinary
+    * shuffled equi-join's scale behavior (AQE, skew split, spill).
+    * Pick binWidth near the median range span: wider ⇒ fewer
+    * replicas per range but more false bin-collisions to filter. */
+  def binnedRangeJoin(fact: DataFrame, ranges: DataFrame, v: String,
+      lo: String, hi: String, binWidth: Double,
+      hiInclusive: Boolean = false): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val fb = fact.withColumn("__bin", floor(col(v) / binWidth).cast("long"))
+    val rb = ranges.withColumn("__bin",
+      explode(sequence(floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    val residual =
+      if (hiInclusive) col(v) >= col(lo) && col(v) <= col(hi)
+      else col(v) >= col(lo) && col(v) < col(hi)
+    fb.join(rb, Seq("__bin")).filter(residual).drop("__bin")
   }
+
+  /** q26's semantics through the binned path (q48): same oracle SQL,
+    * different physical strategy — proves the rewrite exact. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame =
+    binnedRangeJoin(Tables.lineitem(spark, dir), priceBands(spark),
+      "l_extendedprice", "lo", "hi", binWidth = 10000.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("band_revenue"))
 
   /** Statistical aggregates: stddev / exact interpolated percentile /
     * Pearson correlation (rounded — co-moment merge order differs

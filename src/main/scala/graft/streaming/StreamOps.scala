@@ -91,6 +91,19 @@ object StreamOps {
       }
   }
 
+  /** Session windows with a 30-minute inactivity gap — the built-in
+    * dynamic-window form of Relational.sessionize (which uses the
+    * lag/cumsum composition batch-side). `session_window` merges
+    * per-key windows whose events are within `gap` of each other;
+    * the watermark closes sessions and bounds state. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("n_events"))
+
   /** Watermarked stream-stream interval join: pair each left event
     * with right events for the same key whose timestamp lies in
     * [l.ts - tolerance, l.ts + tolerance]. BOTH sides carry a

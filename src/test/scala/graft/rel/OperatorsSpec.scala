@@ -100,6 +100,21 @@ class OperatorsSpec extends AnyFunSuite {
     edges.foreach { case (a, b) => assert(comp(a) == comp(b)) }
   }
 
+  test("binned range join is exact vs the broadcast NLJ form") {
+    val nlj = Relational.rangeJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val binned = Relational.rangeJoinBinned(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(binned == nlj && binned.nonEmpty)
+    // boundary semantics: a value exactly on hi is excluded (v < hi)
+    import spark.implicits._
+    val fact = Seq((1L, 10.0), (2L, 20.0), (3L, 19.999)).toDF("id", "v")
+    val ranges = Seq((100L, 10.0, 20.0)).toDF("rid", "lo", "hi")
+    val out = Relational.binnedRangeJoin(fact, ranges, "v", "lo", "hi", 7.0)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
   test("hash sampling: deterministic, partitioning-invariant, strata-bounded") {
     import graft.ext.Sampling
     val docs = graft.Tables.documents(spark, sf)

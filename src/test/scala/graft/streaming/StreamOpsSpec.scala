@@ -79,6 +79,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows == Seq("h1" -> 7L, "h2" -> 1L, "h3" -> 5L))
   }
 
+  test("session windows merge within gap, split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionizeStream(src.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    src.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:20:00")),  // within gap → same session
+      (1L, Timestamp.valueOf("2024-01-01 12:00:00")),  // > 30 min later → new session
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).sorted.toSeq
+    q.stop()
+    assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("stream-stream interval join pairs events within tolerance only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
