@@ -98,6 +98,7 @@ object SparkEntry {
     "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(s, d)), // rows-only
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),      // rows-only
     "q56_ivf_index"       -> ((s, d) => Similarity.ivfIndexStats(s, d)), // rows-only
+    "q57_quantize"        -> (Similarity.quantizeStats _),              // rows-only
     // instructions-MR pipeline (reference core; stub LLM → rows-only).
     // Driver-facing outputs are flattened to sortable scalars (the
     // harness canonicalizes rows via a pandas sort, which cannot hash

@@ -264,6 +264,33 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Symmetric int8 quantization of the embedding column: per-vector
+    * scale = max|x|/127, codes = round(x/scale) ∈ [-127, 127] — 4×
+    * smaller storage and the form ANN systems score in at scale. The
+    * query reports per-vector fidelity (cosine between original and
+    * dequantized, max absolute error ≤ scale/2) so the storage trade
+    * is measured, not assumed. Composed built-ins on purpose: this is
+    * a write-path op, not a scan-side hot loop. Zero vectors keep
+    * scale 0 and all-zero codes. */
+  def quantizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("max_abs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("scale", col("max_abs") / 127.0)
+    val coded = emb.withColumn("q8",
+      when(col("scale") === 0.0,
+        transform(col("embedding"), _ => lit(0.toByte)))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")).cast("tinyint"))))
+    val deq = coded.withColumn("deq",
+      transform(col("q8"), v => (v.cast("double") * col("scale")).cast("float")))
+    deq.select(col("vec_id"),
+      round(col("scale"), 6).as("scale"),
+      round(cosine(col("embedding"), col("deq")), 6).as("cos_fidelity"),
+      round(array_max(zip_with(col("embedding"), col("deq"),
+        (a, b) => abs(a.cast("double") - b.cast("double")))), 6).as("max_err"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, bucketed
     * by LSH so the pair join is within-bucket only (sub-quadratic).
     *

@@ -280,6 +280,16 @@ class OperatorsSpec extends AnyFunSuite {
     Similarity.clearCaches()
   }
 
+  test("int8 quantization: high cosine fidelity, error bounded by scale/2") {
+    val rows = Similarity.quantizeStats(spark, sf).collect()
+    assert(rows.length == graft.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val scale = r.getDouble(1); val cos = r.getDouble(2); val err = r.getDouble(3)
+      assert(cos > 0.995, s"fidelity $cos")
+      assert(err <= scale / 2 + 1e-6, s"err $err vs scale $scale")
+    }
+  }
+
   test("bitsForCorpus bounds expected bucket occupancy as the corpus grows") {
     assert(Similarity.bitsForCorpus(0) == 4)
     assert(Similarity.bitsForCorpus(1000, targetOccupancy = 16) == 6)
