@@ -79,6 +79,7 @@ object SparkEntry {
     "q36_bpe_tokens"      -> (TextAnalysis.bpeTokenCount _),
     "q37_tfidf"           -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
+    "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
     // dedup [ext]
     "q40_exact_dedup"     -> (Dedup.exactDedup _),
@@ -465,6 +466,16 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50
         |                    WHEN lang = 'fr' THEN 20 ELSE 10 END""".stripMargin,
+    "q49_doc_chunks" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text), 1) + 1, 150)) AS start
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((start - 1) / 150 AS INTEGER) AS chunk_idx,
+        |  CAST(length(substring(text, start, 200)) AS INTEGER) AS n_chars_chunk,
+        |  md5(substring(text, start, 200)) AS chunk_md5
+        |FROM s""".stripMargin,
     "q50_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id = 0)

@@ -131,6 +131,33 @@ object TextAnalysis {
         round(col("score"), 6).as("tfidf"), col("rn"))
   }
 
+  /** Overlapping fixed-size document chunks — the context-window
+    * preparation step of an embedding/RAG pipeline (chunk = what gets
+    * embedded; stride < chunk preserves continuity across
+    * boundaries). A pure per-row generator: sequence of start
+    * offsets + posexplode + substring, no shuffle, no UDF — chunking
+    * 100 TB is exactly one scan. Emits the chunk digest rather than
+    * the chunk text so downstream exact-dedup of chunks (and the
+    * driver compare) move digests, not kilobytes. */
+  def chunkDocs(spark: SparkSession, dir: String, chunk: Int = 200,
+      stride: Int = 150): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      "need 0 < stride <= chunk")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+          lit(stride))).as(Seq("chunk_idx", "start")),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(substring_index_free(col("text"), col("start"), chunk)).as("n_chars_chunk"),
+        md5(substring_index_free(col("text"), col("start"), chunk)).as("chunk_md5"))
+  }
+
+  /** substring with a COLUMN start (the literal-only `substring`
+    * helper can't take one). */
+  private def substring_index_free(s: Column, start: Column, len: Int): Column =
+    s.substr(start, lit(len))
+
   /** Token histogram by language: per-lang total/avg token counts. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

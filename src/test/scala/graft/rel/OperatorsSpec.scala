@@ -305,6 +305,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(maxOcc < 200, s"hot bucket too big: $maxOcc")
   }
 
+  test("doc chunking: stride offsets, overlap, tail chunk, digest stability") {
+    val rows = TextAnalysis.chunkDocs(spark, sf, chunk = 200, stride = 150)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val byDoc = rows.groupBy(_._1)
+    val nChars = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, cs) =>
+      val len = nChars(doc)
+      // chunk count = starts 1, 151, 301, … ≤ len
+      assert(cs.length == (len - 1) / 150 + 1)
+      // indexes contiguous from 0; chunk i covers exactly
+      // [i·stride+1, min(i·stride+chunk, len)]
+      assert(cs.map(_._2).sorted.toSeq == (0 until cs.length))
+      cs.foreach { case (_, idx, size, _) =>
+        assert(size == math.min(200, len - idx * 150))
+      }
+    }
+    // digests deterministic across runs
+    val again = TextAnalysis.chunkDocs(spark, sf, 200, 150).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows.toSet == again.toSet)
+  }
+
   test("language id is deterministic and total") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == 500)
