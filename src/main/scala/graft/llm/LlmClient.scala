@@ -76,12 +76,46 @@ final class FailingStubLlm(failIfContains: String) extends LlmClient {
   *    <model>/chat/completions?api-version=<v>` with an `api-key`
   *    header (the AsyncAzureOpenAI wire shape).
   */
-final class HttpLlm(maxInFlight: Int = 8) extends LlmClient {
+class HttpLlm(maxInFlight: Int = 8, maxRetries: Int = 2,
+    backoffMs: Long = 200) extends LlmClient {
 
   @transient private lazy val http: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(30))
       .build()
+
+  /** Transport seams — overridden by specs with a fake; production
+    * goes through java.net.http. */
+  protected def sendSync(req: java.net.http.HttpRequest): java.net.http.HttpResponse[String] =
+    http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+  protected def sendAsync(req: java.net.http.HttpRequest): java.util.concurrent.CompletableFuture[java.net.http.HttpResponse[String]] =
+    http.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+
+  /** Retry transient failures only: throttle + server-side errors.
+    * 4xx besides 429 are caller bugs (bad key, bad schema) — retrying
+    * those just burns quota. */
+  private[llm] def retryableStatus(status: Int): Boolean =
+    status == 429 || status >= 500
+
+  /** Async send with up to `maxRetries` retries on IO errors and
+    * retryable statuses, exponential backoff (backoffMs · 2^attempt)
+    * scheduled on a delayed executor — no thread parks inside the
+    * sliding window, so retries don't shrink effective concurrency. */
+  private def sendWithRetry(req: java.net.http.HttpRequest, attempt: Int = 0): java.util.concurrent.CompletableFuture[java.net.http.HttpResponse[String]] =
+    sendAsync(req).handle[java.util.concurrent.CompletableFuture[java.net.http.HttpResponse[String]]] { (resp, err) =>
+      val transient = (err != null) || retryableStatus(resp.statusCode())
+      if (!transient) java.util.concurrent.CompletableFuture.completedFuture(resp)
+      else if (attempt >= maxRetries) {
+        if (err != null) java.util.concurrent.CompletableFuture.failedFuture(err)
+        else java.util.concurrent.CompletableFuture.completedFuture(resp)
+      } else {
+        val delayed = java.util.concurrent.CompletableFuture.supplyAsync(
+          () => (),
+          java.util.concurrent.CompletableFuture.delayedExecutor(
+            backoffMs << attempt, java.util.concurrent.TimeUnit.MILLISECONDS))
+        delayed.thenCompose(_ => sendWithRetry(req, attempt + 1))
+      }
+    }.thenCompose(f => f)
 
   private def dialect(msgs: Seq[ChatMsg], params: LlmParams): Seq[ChatMsg] =
     if (params.model.toLowerCase.contains("mistral") && msgs.headOption.exists(_.role == "system"))
@@ -134,24 +168,22 @@ final class HttpLlm(maxInFlight: Int = 8) extends LlmClient {
       .build()
   }
 
-  override def complete(msgs: Seq[ChatMsg], params: LlmParams): String = {
-    val resp = http.send(buildRequest(msgs, params),
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    extractContent(resp.body())
-  }
+  override def complete(msgs: Seq[ChatMsg], params: LlmParams): String =
+    extractContent(sendWithRetry(buildRequest(msgs, params)).join().body())
 
   override def completeBatch(batch: Seq[Seq[ChatMsg]], params: LlmParams): Seq[String] = {
     // true sliding window: request i+maxInFlight launches the moment
     // ANY in-flight request completes. (A grouped-wave gather — the
     // reference's asyncio.gather shape — barriers each wave on its
     // slowest response, idling up to maxInFlight-1 slots behind one
-    // slow decode.) Output order stays the input order.
+    // slow decode.) Output order stays the input order. A slot is
+    // held across that request's retries — retrying work must not
+    // widen the window past maxInFlight.
     val sem = new java.util.concurrent.Semaphore(maxInFlight)
     val futures = batch.map { msgs =>
       sem.acquire()
       try
-        http.sendAsync(buildRequest(msgs, params),
-          java.net.http.HttpResponse.BodyHandlers.ofString())
+        sendWithRetry(buildRequest(msgs, params))
           .whenComplete((_, _) => sem.release())
       catch { case e: Throwable => sem.release(); throw e }
     }

@@ -72,4 +72,63 @@ class HttpLlmSpec extends AnyFunSuite {
     val keep = p.withOverrides()
     assert(keep == p)
   }
+
+  /** Scripted fake transport: statuses served in order, then 200. */
+  private class ScriptedLlm(script: Seq[Int], var failFirst: Int = 0)
+      extends HttpLlm(maxInFlight = 2, maxRetries = 2, backoffMs = 1) {
+    val calls = new java.util.concurrent.atomic.AtomicInteger()
+    private val remaining = new java.util.concurrent.ConcurrentLinkedQueue[Integer](
+      scala.jdk.CollectionConverters.SeqHasAsJava(script.map(Integer.valueOf)).asJava)
+    private def fakeResponse(status: Int): java.net.http.HttpResponse[String] =
+      new java.net.http.HttpResponse[String] {
+        override def statusCode(): Int = status
+        override def body(): String =
+          """{"choices":[{"message":{"content":"ok-after-""" + calls.get() + """"}}]}"""
+        override def request(): java.net.http.HttpRequest = null
+        override def previousResponse(): java.util.Optional[java.net.http.HttpResponse[String]] =
+          java.util.Optional.empty()
+        override def headers(): java.net.http.HttpHeaders =
+          java.net.http.HttpHeaders.of(java.util.Map.of(), (_, _) => true)
+        override def sslSession(): java.util.Optional[javax.net.ssl.SSLSession] =
+          java.util.Optional.empty()
+        override def uri(): java.net.URI = null
+        override def version(): java.net.http.HttpClient.Version =
+          java.net.http.HttpClient.Version.HTTP_1_1
+      }
+    override protected def sendAsync(req: java.net.http.HttpRequest): java.util.concurrent.CompletableFuture[java.net.http.HttpResponse[String]] = {
+      calls.incrementAndGet()
+      if (failFirst > 0) {
+        failFirst -= 1
+        java.util.concurrent.CompletableFuture.failedFuture(
+          new java.io.IOException("connection reset"))
+      } else {
+        val st = Option(remaining.poll()).map(_.intValue).getOrElse(200)
+        java.util.concurrent.CompletableFuture.completedFuture(fakeResponse(st))
+      }
+    }
+  }
+
+  test("retry: transient 429/5xx and IO errors retried with bounded attempts") {
+    val p = LlmParams(model = "m", apiUrl = "http://localhost:9/v1/chat/completions")
+    // 429 then 503 then success: 3 sends, content extracted
+    val a = new ScriptedLlm(Seq(429, 503))
+    assert(a.complete(msgs, p).startsWith("ok-after-"))
+    assert(a.calls.get() == 3)
+    // IO error once, then success
+    val b = new ScriptedLlm(Seq.empty, failFirst = 1)
+    assert(b.complete(msgs, p).startsWith("ok-after-"))
+    assert(b.calls.get() == 2)
+    // non-retryable 401: exactly one send, empty content (no choices parse)
+    val c = new ScriptedLlm(Seq(401, 200))
+    c.complete(msgs, p)
+    assert(c.calls.get() == 1)
+    // exhaustion: maxRetries=2 means at most 3 sends, last body returned
+    val d = new ScriptedLlm(Seq(500, 500, 500, 500))
+    d.complete(msgs, p)
+    assert(d.calls.get() == 3)
+    // batch path retries too, window preserved
+    val e = new ScriptedLlm(Seq(429))
+    val outs = e.completeBatch(Seq(msgs, msgs, msgs), p)
+    assert(outs.length == 3 && e.calls.get() == 4)
+  }
 }
