@@ -100,6 +100,7 @@ object SparkEntry {
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),      // rows-only
     "q56_ivf_index"       -> ((s, d) => Similarity.ivfIndexStats(s, d)), // rows-only
     "q57_quantize"        -> (Similarity.quantizeStats _),              // rows-only
+    "q58_profile"         -> (graft.ext.Profile.lineitemProfile _),
     // instructions-MR pipeline (reference core; stub LLM → rows-only).
     // Driver-facing outputs are flattened to sortable scalars (the
     // harness canonicalizes rows via a pandas sort, which cannot hash
@@ -476,6 +477,25 @@ object SparkEntry {
         |  CAST(length(substring(text, start, 200)) AS INTEGER) AS n_chars_chunk,
         |  md5(substring(text, start, 200)) AS chunk_md5
         |FROM s""".stripMargin,
+    "q58_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(l_orderkey) AS nn1, COUNT(DISTINCT l_orderkey) AS nd1,
+        |    CAST(MIN(l_orderkey) AS DOUBLE) AS mn1, CAST(MAX(l_orderkey) AS DOUBLE) AS mx1,
+        |  COUNT(l_quantity) AS nn2, COUNT(DISTINCT l_quantity) AS nd2,
+        |    CAST(MIN(l_quantity) AS DOUBLE) AS mn2, CAST(MAX(l_quantity) AS DOUBLE) AS mx2,
+        |  COUNT(l_extendedprice) AS nn3, COUNT(DISTINCT l_extendedprice) AS nd3,
+        |    CAST(MIN(l_extendedprice) AS DOUBLE) AS mn3, CAST(MAX(l_extendedprice) AS DOUBLE) AS mx3,
+        |  COUNT(l_returnflag) AS nn4, COUNT(DISTINCT l_returnflag) AS nd4
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS column_name, n_rows, n_rows - nn1 AS n_null,
+        |  nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+        |UNION ALL
+        |SELECT 'l_quantity', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL
+        |SELECT 'l_extendedprice', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a
+        |UNION ALL
+        |SELECT 'l_returnflag', n_rows, n_rows - nn4, nd4,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a""".stripMargin,
     "q50_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id = 0)
