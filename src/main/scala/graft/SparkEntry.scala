@@ -69,6 +69,7 @@ object SparkEntry {
     "q66_unpivot"         -> (Relational.unpivotMetrics _),
     "q67_posexplode"      -> (Relational.posExplode _),
     "q68_range_frame"     -> (Relational.rangeFrameSpend _),
+    "q74_window_dist"     -> (Relational.windowDistributions _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q56_ivf_index"       -> ((s, d) => Similarity.ivfIndexStats(s, d)), // rows-only
     "q57_quantize"        -> (Similarity.quantizeStats _),              // rows-only
     "q58_profile"         -> (graft.ext.Profile.lineitemProfile _),
+    "q59_lsh_clusters"    -> ((s, d) => Dedup.lshDedupClusters(s, d)), // xxhash64 → rows-only
     // instructions-MR pipeline (reference core; stub LLM → rows-only).
     // Driver-facing outputs are flattened to sortable scalars (the
     // harness canonicalizes rows via a pandas sort, which cannot hash
@@ -452,6 +454,14 @@ object SparkEntry {
          |  UNION
          |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)
          |SELECT id AS doc_id, MIN(lab) AS rep_id FROM reach GROUP BY id""".stripMargin,
+    "q74_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q69_grouping_sets" ->
       s"""SELECT o_orderstatus, o_orderpriority,
          |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price

@@ -277,6 +277,19 @@ object Dedup {
     connectedComponents(jaccardPairs(spark, dir, maxId, threshold))
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
 
+  /** Near-dup clusters on the LSH SCALE PATH: connected components
+    * over [[jaccardVerify]]'s verified candidate edges. This is the
+    * expansion pass that closes the oversized-bucket recall gap of
+    * the star/salt skew guard: docs B and C that each verified only
+    * against their bucket's anchor land in one component through the
+    * anchor without the O(n²) clique edges ever existing. Output is
+    * (doc_id, rep_id = min member id), duplicates = rows where
+    * rep_id != doc_id. */
+  def lshDedupClusters(spark: SparkSession, dir: String, k: Int = 3,
+      threshold: Double = 0.7): DataFrame =
+    connectedComponents(jaccardVerify(spark, dir, k, threshold))
+      .select(col("id").as("doc_id"), col("label").as("rep_id"))
+
   /** Token-set (1-gram) Jaccard over a bounded id range — the
     * SQL-oracle-able all-pairs variant (the LSH path above is the
     * scale path; this one verifies the similarity math). The id

@@ -192,6 +192,21 @@ object Relational {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
 
+  /** Distribution window functions — ntile quartiles, percent_rank,
+    * cume_dist over order value per priority class. One shuffle on
+    * the partition key; the unique-key tiebreak (o_orderkey) makes
+    * every rank deterministic cross-engine. */
+  def windowDistributions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
   /** Conversion funnel view → click → purchase, ordered by event
     * time: a user advances a stage only with a LATER event of the
     * next type. Three per-user min-aggregates chained by user_id —

@@ -240,6 +240,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clique.length == 5 * 4 / 2)
   }
 
+  test("star-guard expansion: components recover transitive identity over capped buckets") {
+    import spark.implicits._
+    // degenerate corpus: candidate graph is star+salted-subcliques,
+    // NOT the full clique — components must still be ONE cluster
+    val n = 50
+    val sameSig = (1L to 32L).toArray
+    val sig = (0 until n).map(i => (i.toLong, sameSig)).toDF("doc_id", "sig")
+    val pairs = Dedup.lshCandidatePairs(sig, bands = 8, rowsPerBand = 4,
+      maxBucket = 10)
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == n)
+    assert(comp.values.toSet == Set(0L), "all duplicates must share one cluster")
+    // end-to-end on the real corpus: every verified edge intra-cluster
+    val clusters = Dedup.lshDedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.jaccardVerify(spark, sf).collect().foreach { r =>
+      assert(clusters(r.getLong(0)) == clusters(r.getLong(1)))
+    }
+  }
+
   test("memoized index tables are rebuilt for a new session, not handed out stale") {
     // ADVICE r2: a (dir, bits) key alone would return a DataFrame bound
     // to whichever session built it first; Memo validates session
