@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins.
@@ -38,5 +38,32 @@ object Skew {
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Load-balanced general theta join — the 1-Bucket-Theta scheme
+    * (Okcan & Riedewald, "Processing theta-joins using MapReduce",
+    * SIGMOD 2011) re-expressed on DataFrames. An arbitrary-predicate
+    * join is inherently |L|·|R| work, but Spark's fallback (broadcast
+    * or single-partition cartesian) serializes it; here the virtual
+    * L×R matrix is cut into a `grid`×`grid` cell grid — each left row
+    * lands in one row-band and replicates across its `grid` cells,
+    * each right row in one column-band likewise, so every (l, r) pair
+    * meets in EXACTLY one cell (its row-band × column-band) and the
+    * quadratic work spreads evenly over grid² reducers at replication
+    * cost `grid` per side (≈ √reducers, the paper's bound). Band
+    * assignment is the same retry-deterministic position hash as
+    * [[saltedJoin]] — any band is correct, so re-execution cannot
+    * duplicate or drop pairs. */
+  def balancedThetaJoin(left: DataFrame, right: DataFrame, cond: Column,
+      grid: Int = 8): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    def band = pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+      lit(grid.toLong)).cast("int")
+    val all = sequence(lit(0), lit(grid - 1))
+    val l = left.withColumn("__rb", band).withColumn("__cb", explode(all))
+    val r = right.withColumn("__cb", band).withColumn("__rb", explode(all))
+    l.join(r, l("__rb") === r("__rb") && l("__cb") === r("__cb"))
+      .filter(cond)
+      .drop("__rb", "__cb")
   }
 }

@@ -140,6 +140,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("balanced theta join: exact multiset parity with cartesian+filter") {
+    import spark.implicits._
+    val l = (1 to 40).map(i => (i.toLong, i * 1.5)).toDF("lid", "lv")
+    val r = (1 to 30).map(j => (j.toLong, j * 2.0)).toDF("rid", "rv")
+    val cond = col("lv") > col("rv") && (col("lid") + col("rid")) % 3 =!= 0
+    val expected = l.crossJoin(r).filter(cond)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val got = Skew.balancedThetaJoin(l, r, cond, grid = 4)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    // exact multiset: every pair meets in exactly one grid cell
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("simhash band pairs: pigeonhole recall within distance, none beyond") {
     import spark.implicits._
     // 48-bit signatures with engineered hamming distances
