@@ -104,6 +104,15 @@ object StreamOps {
       .select(col("user_id"), col("win.start").as("session_start"),
         col("win.end").as("session_end"), col("n_events"))
 
+  /** Stream-static enrichment: join a stream against a batch dim
+    * table. No watermark needed — the static side is re-read per
+    * micro-batch (so slowly-changing dims pick up updates), and with
+    * a broadcastable dim the per-batch join is shuffle-free. The
+    * standard shape for tagging an event stream with user/catalog
+    * attributes at ingest. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked stream-stream interval join: pair each left event
     * with right events for the same key whose timestamp lies in
     * [l.ts - tolerance, l.ts + tolerance]. BOTH sides carry a

@@ -121,6 +121,22 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("a", "2024-01-01 10:05:00.0")))
   }
 
+  test("stream-static join enriches events with dim attributes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamOps.enrichStream(src.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    src.addData((1L, 10.0), (3L, 7.0))
+    q.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[String]("tier")))).sorted.toSeq
+    q.stop()
+    assert(rows == Seq((1L, Some("gold")), (3L, None)))
+  }
+
   test("foreachBatch writer drains a stream through a batch transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
