@@ -79,6 +79,7 @@ object SparkEntry {
     "q35_fingerprint"     -> (TextAnalysis.fingerprint _),        // xxhash64 → rows-only
     "q36_bpe_tokens"      -> (TextAnalysis.bpeTokenCount _),
     "q37_tfidf"           -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "q75_pii_scrub"       -> (TextAnalysis.piiScrub _),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -414,6 +415,18 @@ object SparkEntry {
          |SELECT doc_id, word, round(score, 6) AS tfidf,
          |  CAST(rn AS INTEGER) AS rn
          |FROM scored WHERE rn <= 3""".stripMargin,
+    "q75_pii_scrub" -> {
+      import graft.ext.TextAnalysis.{emailRe, ipRe, phoneRe}
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$emailRe', '[EMAIL]', 'g'),
+         |    '$ipRe', '[IP]', 'g'),
+         |    '$phoneRe', '[PHONE]', 'g')) AS scrubbed_md5,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ipRe')) AS INTEGER) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS INTEGER) AS n_phones
+         |FROM documents""".stripMargin
+    },
     "q38_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -158,6 +158,35 @@ object TextAnalysis {
   private def substring_index_free(s: Column, start: Column, len: Int): Column =
     s.substr(start, lit(len))
 
+  /** PII scrubbing — the redaction pass a training corpus goes
+    * through before anything else reads it: emails, phone-shaped
+    * number runs, and IPv4 literals replaced with typed placeholder
+    * tags, plus per-document match counts so redaction volume is
+    * auditable. Chained `regexp_replace` column expressions — one
+    * scan, codegen'd, no UDF; the regexes stay in the portable
+    * subset (char classes, bounded repetition) so the DuckDB oracle
+    * runs them verbatim. */
+  def emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  def ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  def phoneRe = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(scrubPii(col("text"))).as("scrubbed_md5"),
+        // Column-API regexp_extract_all: SQL-literal backslash
+        // escaping would corrupt \b inside expr() strings
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"))
+
   /** Token histogram by language: per-lang total/avg token counts. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -368,6 +368,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.toSet == again.toSet)
   }
 
+  test("PII scrub replaces emails/IPs/phones globally, leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      "contact bob@example.com or alice@test.org today",
+      "server at 192.168.0.1 and 10.0.0.255 responded",
+      "call 555-123-4567 now",
+      "nothing sensitive here").toDF("text")
+    val out = df.select(TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "contact [EMAIL] or [EMAIL] today")   // global, not first-only
+    assert(out(1) == "server at [IP] and [IP] responded")
+    assert(out(2) == "call [PHONE] now")
+    assert(out(3) == "nothing sensitive here")
+  }
+
   test("language id is deterministic and total") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     assert(rows.length == 500)
