@@ -89,6 +89,7 @@ object SparkEntry {
     "q42_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d)),  // xxhash64 → rows-only
     "q45_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q47_hash_sample"     -> (Sampling.stratifiedDocs _),
+    "q76_train_test"      -> (Sampling.splitCounts _),
     "q48_range_join_binned" -> (Relational.rangeJoinBinned _),
     "q46_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // xxhash64 → rows-only
     "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerify(s, d)), // rows-only
@@ -314,6 +315,12 @@ object SparkEntry {
          |             (range + 1) * 10000.0 AS hi FROM range(0, 10)) bands
          |  ON l_extendedprice >= lo AND l_extendedprice < hi
          |GROUP BY band_id""".stripMargin,
+    "q76_train_test" ->
+      """SELECT lang,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            % 100 < 10 THEN 'test' ELSE 'train' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q48_range_join_binned" ->
       s"""SELECT band_id, COUNT(*) AS n_items,
          |  ${dsumSql("l_extendedprice")} AS band_revenue

@@ -42,6 +42,25 @@ object Sampling {
     df.filter(hashBucket(key) < pctCol)
   }
 
+  /** Deterministic train/test split: rows tagged by key-bucket, so
+    * the assignment is stable across runs, partitionings, and
+    * engines — a document can never drift between splits when the
+    * corpus is re-processed, and joining any derived artifact back
+    * to its split is exact. The split column rides along; no data
+    * moves. */
+  def trainTestSplit(df: DataFrame, key: Column, testPct: Int): DataFrame = {
+    require(testPct >= 0 && testPct <= 100, "testPct in [0,100]")
+    df.withColumn("split",
+      when(hashBucket(key) < testPct, lit("test")).otherwise(lit("train")))
+  }
+
+  /** The q76 query: per-language split sizes of a 10% held-out test
+    * set — the audit table you check before training. */
+  def splitCounts(spark: SparkSession, dir: String): DataFrame =
+    trainTestSplit(Tables.documents(spark, dir), col("doc_id"), 10)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** The q47 query: stratified sample of documents by language —
     * half of `en`, a fifth of `fr`, 10% of everything else. */
   def stratifiedDocs(spark: SparkSession, dir: String): DataFrame =

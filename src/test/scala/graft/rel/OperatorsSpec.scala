@@ -138,6 +138,14 @@ class OperatorsSpec extends AnyFunSuite {
       val cap = r.getString(1) match { case "en" => 50; case "fr" => 20; case _ => 10 }
       assert(r.getLong(2) < cap)
     }
+    // train/test split: total partition, disjoint, stable vs hashSample(10)
+    val split = Sampling.trainTestSplit(docs, col("doc_id"), 10)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == docs.count())
+    val test10 = Sampling.hashSample(docs, col("doc_id"), 10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(split.filter(_._2 == "test").keySet == test10)
   }
 
   test("balanced theta join: exact multiset parity with cartesian+filter") {
