@@ -105,6 +105,8 @@ object SparkEntry {
     "q57_quantize"        -> (Similarity.quantizeStats _),              // rows-only
     "q58_profile"         -> (graft.ext.Profile.lineitemProfile _),
     "q59_lsh_clusters"    -> ((s, d) => Dedup.lshDedupClusters(s, d)), // xxhash64 → rows-only
+    "q77_deduped_corpus"  -> ((s, d) => Dedup.dedupedCorpus(s, d)),
+    "q78_fully_deduped"   -> ((s, d) => Dedup.dedupedCorpus(s, d, nearDups = true)), // rows-only
     // instructions-MR pipeline (reference core; stub LLM → rows-only).
     // Driver-facing outputs are flattened to sortable scalars (the
     // harness canonicalizes rows via a pandas sort, which cannot hash
@@ -457,6 +459,12 @@ object SparkEntry {
         |  COUNT(DISTINCT w.user_id) AS n_users
         |FROM w JOIN f ON w.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q77_deduped_corpus" ->
+      """SELECT d.doc_id, d.lang
+        |FROM documents d
+        |JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
+        |      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) k
+        |  ON d.doc_id = k.doc_id""".stripMargin,
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE
          |d AS (SELECT doc_id, list_distinct($toks) AS tok

@@ -41,6 +41,26 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
       .select(col("keep_id"), col("cluster_size"), col("content_hash"))
 
+  /** The end product every pair/cluster operator above feeds: the
+    * corpus with duplicates REMOVED. Exact stage keeps the min doc_id
+    * per content digest (semi-join against [[exactDedup]]'s
+    * survivors); `nearDups = true` additionally drops every
+    * non-representative member of an LSH near-dup cluster
+    * ([[lshDedupClusters]] anti-join). Both joins move only ids and
+    * digests — the text column rides through untouched projections. */
+  def dedupedCorpus(spark: SparkSession, dir: String,
+      nearDups: Boolean = false): DataFrame = {
+    val survivors = Tables.documents(spark, dir)
+      .join(exactDedup(spark, dir).select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "semi")
+      .select(col("doc_id"), col("lang"))
+    if (!nearDups) survivors
+    else survivors.join(
+      lshDedupClusters(spark, dir).filter(col("rep_id") =!= col("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Incremental exact dedup — the daily-ingest pattern: dedupe a new
     * batch WITHIN itself (min doc_id per digest) and against the
     * accumulated digest table, without touching historical documents.
