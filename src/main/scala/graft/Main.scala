@@ -45,7 +45,10 @@ object Main {
     val spark = SparkSession.builder()
       .appName("graft-mr-pipe")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate() // master from spark-submit / env, not hardcoded
+      // spark-submit injects spark.master as a system property and
+      // wins; a bare `java -cp`/sbt invocation falls back to local
+      .master(sys.props.getOrElse("spark.master", "local[*]"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       val out = run(spark, args(0))
