@@ -140,6 +140,9 @@ object Dedup {
 
   /** Unpersist + drop all memoized tables (long-session hygiene). */
   def clearCaches(): Unit = {
+    verifiedCache.values.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    verifiedCache.clear()
     sigCache.values.foreach(_.unpersist(blocking = false))
     sigCache.clear()
     shingleCache.values.foreach(_.unpersist(blocking = false))
@@ -220,20 +223,29 @@ object Dedup {
     cliquePairs.unionByName(starPairs).unionByName(saltedCliques).distinct()
   }
 
+  private val verifiedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Double), DataFrame]
+
   /** Exact k-shingle Jaccard for LSH candidate pairs (the
-    * verification stage): |A∩B| / |A∪B|. */
+    * verification stage): |A∩B| / |A∪B|. MATERIALIZED + memoized —
+    * the verified edge table feeds reporting (q43), cluster
+    * expansion (q59) and corpus filtering (q78); at scale it is
+    * written once and every consumer reads the table instead of
+    * re-running the candidate join. */
   def jaccardVerify(spark: SparkSession, dir: String, k: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
-    val docs = shingleTable(spark, dir, k)
-    val cands = minhashLsh(spark, dir, k)
-    cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(graft.functions.exprs.jaccard_sim(col("sh_a"), col("sh_b")), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-  }
+      threshold: Double = 0.7): DataFrame =
+    Memo.cached(verifiedCache, (dir, k, threshold), spark) {
+      val docs = shingleTable(spark, dir, k)
+      val cands = minhashLsh(spark, dir, k)
+      cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(graft.functions.exprs.jaccard_sim(col("sh_a"), col("sh_b")), 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node starts labelled with its own
