@@ -85,4 +85,49 @@ class PropertiesSpec extends AnyFunSuite {
       assert(DocOps.jsonClean(once) == once)
     }
   }
+
+  test("word_shingles ≡ HOF composition for random token arrays and k") {
+    val spark = TestSpark.init()
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val caseGen = Gen.zip(
+      Gen.listOf(Gen.oneOf(Gen.const(""), tokenGen)), // incl. empty tokens
+      Gen.chooseNum(1, 5))
+    val cases = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Int)]
+    forSamples(caseGen, 120) { case (toks, k) => cases += ((toks, k)) }
+    cases.groupBy(_._2).foreach { case (k, group) =>
+      val df = group.map(_._1).toSeq.toDF("toks")
+      val rows = df.select(
+        graft.functions.exprs.word_shingles(col("toks"), k).as("native"),
+        graft.ext.Dedup.shinglesFromTokensHof(col("toks"), k).as("hof")).collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
+  }
+
+  test("ivf_cells: valid cell ids, no repeats, nearest-first by true distance") {
+    val spark = TestSpark.init()
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dim = 6
+    val cents: Seq[Seq[Double]] =
+      (0 until 5).map(c => (0 until dim).map(d => math.sin(c * 7 + d).toDouble))
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    forSamples(vecGen, 100) { v => vecs += v }
+    val rows = vecs.toSeq.map(v => Tuple1(v.toArray)).toDF("emb")
+      .select(col("emb"),
+        graft.functions.exprs.ivf_cells(col("emb"), cents, 3).as("cells"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val cells = r.getSeq[Int](1)
+      assert(cells.length == 3 && cells.distinct.length == 3)
+      assert(cells.forall(c => c >= 0 && c < 5))
+      def d2(c: Int) = cents(c).zip(v).map { case (a, b) => val x = a - b; x * x }.sum
+      // reported order is non-decreasing in true squared distance
+      cells.sliding(2).foreach { case Seq(a, b) => assert(d2(a) <= d2(b) + 1e-9) }
+      // and the first cell is a global argmin
+      assert((0 until 5).forall(c => d2(cells.head) <= d2(c) + 1e-9))
+    }
+  }
 }
