@@ -83,6 +83,7 @@ object SparkEntry {
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
+    "q79_hourly_anomalies" -> (Relational.hourlyAnomalies _),
     // dedup [ext]
     "q40_exact_dedup"     -> (Dedup.exactDedup _),
     "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -465,6 +466,19 @@ object SparkEntry {
         |JOIN (SELECT MIN(doc_id) AS doc_id FROM documents
         |      GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) k
         |  ON d.doc_id = k.doc_id""".stripMargin,
+    "q79_hourly_anomalies" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT hour, event_type, n_events,
+        |    avg(n_events) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_samp(n_events) OVER (PARTITION BY event_type) AS sd
+        |  FROM h)
+        |SELECT hour, event_type, n_events,
+        |  round((n_events - mu) / sd, 4) AS z
+        |FROM m WHERE sd > 0 AND abs((n_events - mu) / sd) >= 2.0""".stripMargin,
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE
          |d AS (SELECT doc_id, list_distinct($toks) AS tok

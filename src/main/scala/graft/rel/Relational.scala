@@ -207,6 +207,28 @@ object Relational {
         round(cume_dist().over(w), 6).as("cume"))
   }
 
+  /** Hourly volume anomalies per event type: z-score of each hour's
+    * count against that type's own mean/stddev, flagged at |z| ≥ 2 —
+    * the monitoring query a pipeline runs over its own event firehose.
+    * Two stacked aggregations (hourly counts, then per-type moments
+    * as a window over the small hourly table) — the raw events are
+    * scanned once; everything after the first shuffle is
+    * hours × types sized. */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("mu", avg(col("n_events")).over(w))
+      .withColumn("sd", stddev_samp(col("n_events")).over(w))
+      .filter(col("sd") > 0)
+      .select(col("hour"), col("event_type"), col("n_events"),
+        round((col("n_events") - col("mu")) / col("sd"), 4).as("z"))
+      .filter(abs(col("z")) >= 2.0)
+  }
+
   /** Conversion funnel view → click → purchase, ordered by event
     * time: a user advances a stage only with a LATER event of the
     * next type. Three per-user min-aggregates chained by user_id —
