@@ -70,6 +70,7 @@ object SparkEntry {
     "q67_posexplode"      -> (Relational.posExplode _),
     "q68_range_frame"     -> (Relational.rangeFrameSpend _),
     "q74_window_dist"     -> (Relational.windowDistributions _),
+    "q73_supplier_region" -> (Relational.supplierByRegion _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -103,7 +104,7 @@ object SparkEntry {
     "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(s, d)), // rows-only
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),      // rows-only
     "q56_ivf_index"       -> ((s, d) => Similarity.ivfIndexStats(s, d)), // rows-only
-    "q57_quantize"        -> (Similarity.quantizeStats _),              // rows-only
+    "q57_quantize"        -> (Similarity.quantizeStats _),
     "q58_profile"         -> (graft.ext.Profile.lineitemProfile _),
     "q59_lsh_clusters"    -> ((s, d) => Dedup.lshDedupClusters(s, d)), // xxhash64 → rows-only
     "q77_deduped_corpus"  -> ((s, d) => Dedup.dedupedCorpus(s, d)),
@@ -608,6 +609,40 @@ object SparkEntry {
         |    ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
         |FROM orders""".stripMargin,
+    "q73_supplier_region" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+         |  ${dsumSql("s_acctbal")} AS total_bal,
+         |  ${dsumSql("s_acctbal")} / COUNT(s_acctbal) AS avg_bal,
+         |  MAX(s_acctbal) AS max_bal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+    "q57_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, embedding, scale,
+        |    CASE WHEN scale = 0.0
+        |      THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(CAST(CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT)
+        |               AS DOUBLE) * scale AS FLOAT))
+        |    END AS deq
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(deq AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                           CAST(embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(deq AS DOUBLE[]), CAST(deq AS DOUBLE[])))), 6)
+        |    AS cos_fidelity,
+        |  round(list_max(list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+        |                                         CAST(deq AS DOUBLE[])),
+        |    p -> abs(p[1] - p[2]))), 6) AS max_err
+        |FROM c""".stripMargin,
     "q60_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -60,11 +60,17 @@ object GroupedReduce {
     val sys = DocOps.buildSysMsg(instruction)
     val client = llm
     val p = params
+    // STREAM the partition in bounded chunks instead of buffering it
+    // whole (`it.toSeq` held every packed group prompt — bounded in
+    // groups, unbounded in prompt BYTES). 32 groups per chunk keeps
+    // an HTTP client's in-flight window full while capping resident
+    // prompt bytes at chunk × maxDocs documents.
     packed.mapPartitions { it =>
-      val batch = it.toSeq
-      val out = client.completeBatch(
-        batch.map { case (_, body) => DocOps.initChatml(sys, body) }, p)
-      batch.zip(out).map { case ((key, _), resp) => (key, resp) }.iterator
+      it.grouped(32).flatMap { batch =>
+        val out = client.completeBatch(
+          batch.map { case (_, body) => DocOps.initChatml(sys, body) }, p)
+        batch.zip(out).map { case ((key, _), resp) => (key, resp) }
+      }
     }.toDF("group_key", "response")
   }
 

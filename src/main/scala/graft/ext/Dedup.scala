@@ -138,15 +138,21 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Best-effort unpersist: entries may be bound to a stopped
+    * SparkSession, and one throwing sweep must not abort the rest of
+    * the cleanup. */
+  private def sweep(dfs: Iterable[DataFrame]): Unit =
+    dfs.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+
   /** Unpersist + drop all memoized tables (long-session hygiene). */
   def clearCaches(): Unit = {
-    verifiedCache.values.foreach(df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () })
-    verifiedCache.clear()
-    sigCache.values.foreach(_.unpersist(blocking = false))
-    sigCache.clear()
-    shingleCache.values.foreach(_.unpersist(blocking = false))
-    shingleCache.clear()
+    sweep(verifiedCache.values); verifiedCache.clear()
+    sweep(sigCache.values); sigCache.clear()
+    sweep(shingleCache.values); shingleCache.clear()
+    bandSlicePersists.synchronized {
+      sweep(bandSlicePersists); bandSlicePersists.clear()
+    }
   }
 
   /** MinHash + LSH banding: near-duplicate candidate pairs.
@@ -268,28 +274,51 @@ object Dedup {
     * recall gap in [[minhashLsh]]'s star guard: run it over the
     * VERIFIED edge set and every doc transitively connected through a
     * star anchor lands in one cluster without materializing the
-    * O(n²) clique edges. */
+    * O(n²) clique edges.
+    *
+    * One Spark action per round: the round's new label table is
+    * truncation-marked LAZILY (`localCheckpoint(false)` /
+    * `checkpoint(false)`) and the convergence-witness aggregate is the
+    * action that materializes it — the label-update job and the
+    * witness are the same job, not two (driver-side job-launch
+    * chattiness was most of the recorded q45 cost).
+    *
+    * `checkpointDir`: a multi-executor deployment loses executors;
+    * `localCheckpoint` stores partitions on executor disk/memory and a
+    * lost executor kills the (truncated-lineage) job. Passing a
+    * cluster-FS directory switches every truncation to reliable
+    * `checkpoint` so the iteration survives executor loss. Default
+    * stays local: right for local[N] and for the bench. */
   def connectedComponents(edges: DataFrame, src: String = "doc_a",
-      dst: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = e.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      dst: String = "doc_b", maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d =>
+      edges.sparkSession.sparkContext.setCheckpointDir(d))
+    def truncate(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+    val e = truncate(
+      edges.select(col(src).as("a"), col(dst).as("b"))
+        .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+        .distinct(), eager = true)
     // coalesce: an empty edge list must not NPE the witness
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var lastSum = labelSum(labels)
+    var labels = truncate(
+      e.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("label")), eager = false)
+    var lastSum = labelSum(labels) // materializes the initial table
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
       val msgs = labels.join(e, col("id") === col("a"))
         .select(col("b").as("id"), col("label"))
-      labels = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      labels = truncate(
+        labels.unionByName(msgs)
+          .groupBy(col("id")).agg(min(col("label")).as("label")),
+        eager = false)
+      // the witness action materializes the checkpoint: labels only
+      // decrease, so an unchanged sum ⇔ an unchanged fixpoint
       val s = labelSum(labels)
       converged = s == lastSum
       lastSum = s
@@ -373,6 +402,15 @@ object Dedup {
     * Defaults: 48-bit signatures in 4 bands of 12 bits ⇒ 4096 slice
     * values per band (bounded buckets at corpus scale), guaranteed
     * recall for maxDist ≤ 3 wherever buckets stay under `maxBucket`. */
+  /** Persisted band-slice tables from [[simhashBandPairs]] — the
+    * input is an arbitrary caller DataFrame (no (dir, params) key to
+    * memoize on), so each call's persist is REGISTERED here and
+    * [[clearCaches]] releases them; Spark's CacheManager dedupes
+    * repeated calls on an equal plan, so re-running the same query
+    * costs no extra storage. */
+  private val bandSlicePersists =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
   def simhashBandPairs(sigs: DataFrame, bits: Int = 48, bands: Int = 4,
       maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
     require(bands > maxDist, "need bands >= maxDist+1 for pigeonhole recall")
@@ -382,6 +420,7 @@ object Dedup {
       array((0 until bands).map(b =>
         pmod(shiftright(col("sh"), b * w), lit(1L << w))): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandSlicePersists.synchronized { bandSlicePersists += sliced }
     val cands = lshCandidatePairs(
       sliced.select(col("doc_id"), col("sig")), bands, 1, maxBucket)
     cands

@@ -75,13 +75,26 @@ object Multimodal {
   }
 
   /** Frame-sample analog: slice the payload into fixed-size "frames"
-    * and keep every k-th — pure column expressions over binary. */
+    * and keep every k-th — pure column expressions over binary. The
+    * slicing stays in BINARY the whole way (`substr` on a binary
+    * column yields a binary slice, `length` counts bytes): a UTF-8
+    * string cast would mangle real — non-text — media bytes the day
+    * an actual blob arrives. */
   def frameSample(spark: SparkSession, dir: String, frameBytes: Int = 32,
       everyK: Int = 4): DataFrame =
-    mediaTable(spark, dir)
-      .select(col("media_id"),
-        posexplode(split(col("payload").cast("string"),
-          s"(?<=\\G.{$frameBytes})")).as(Seq("frame_no", "frame")))
+    frameSampleOf(mediaTable(spark, dir), frameBytes, everyK)
+
+  /** The slicing core over any (media_id, payload: binary) frame —
+    * split out so byte-exactness is testable on raw non-UTF8 bytes. */
+  def frameSampleOf(media: DataFrame, frameBytes: Int,
+      everyK: Int): DataFrame =
+    media
+      .select(col("media_id"), col("payload"),
+        posexplode(sequence(lit(1),
+          greatest(length(col("payload")), lit(1)), lit(frameBytes)))
+          .as(Seq("frame_no", "start")))
+      .select(col("media_id"), col("frame_no"),
+        col("payload").substr(col("start"), lit(frameBytes)).as("frame"))
       .filter(col("frame_no") % everyK === 0 && length(col("frame")) > 0)
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames_kept"),

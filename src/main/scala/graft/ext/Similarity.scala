@@ -136,12 +136,13 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** Unpersist + drop every memoized index (long-session hygiene). */
+  /** Unpersist + drop every memoized index (long-session hygiene).
+    * Every sweep is best-effort: a stale entry bound to a stopped
+    * session may throw, and must not abort the rest of the cleanup. */
   def clearCaches(): Unit = {
-    indexCache.values.foreach(_.unpersist(blocking = false))
-    indexCache.clear()
-    ivfCache.values.foreach(df =>
+    (indexCache.values ++ ivfCache.values).foreach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    indexCache.clear()
     ivfCache.clear()
     centroidCache.clear()
   }
@@ -179,8 +180,10 @@ object Similarity {
   // nProbe (more cells ⇒ more recall, more scan).
   // ---------------------------------------------------------------
 
+  // keyed on EVERY fitting parameter — (dir, k) alone would silently
+  // hand a later caller with different iters/sampleN the first fit
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[Seq[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Seq[Seq[Double]]]
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
 
@@ -193,11 +196,18 @@ object Similarity {
     * assigning N vectors — stays a distributed one-scan job. */
   def ivfCentroids(spark: SparkSession, dir: String, k: Int = 16,
       iters: Int = 10, sampleN: Int = 2048): Seq[Seq[Double]] =
-    centroidCache.getOrElseUpdate((dir, k), {
+    centroidCache.getOrElseUpdate((dir, k, iters, sampleN), {
+      // vec_id < sampleN is a SCAN-PRUNABLE predicate (pushed to the
+      // parquet reader; an orderBy+limit TakeOrdered would scan the
+      // full corpus at 100 TB just to pick a fit sample). The collect
+      // is bounded (≤ sampleN rows) and sorted DRIVER-side so the
+      // init indexing and float accumulation order — and therefore
+      // the fitted centroids — are byte-stable across partitionings.
       val sample = Tables.embeddings(spark, dir)
-        .orderBy(col("vec_id")).limit(sampleN)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .filter(col("vec_id") < sampleN)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
       require(sample.length >= k, s"corpus smaller than k=$k")
       val dim = sample.head.length
       var cents = Array.tabulate(k) { i =>

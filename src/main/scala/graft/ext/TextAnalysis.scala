@@ -17,13 +17,21 @@ object TextAnalysis {
     * spaces can't skew counts. */
   def tokens(c: Column): Column = filter(split(c, " "), t => length(t) > 0)
 
-  /** Per-document token statistics. */
+  /** Per-document token statistics. Tokenization is STAGED in its own
+    * projection: HOF-bearing expressions are excluded from Catalyst's
+    * common-subexpression elimination (lambda variables bind at
+    * runtime), so repeating `tokens(text)` per output column re-runs
+    * the split per reference — and CollapseProject keeps the stage
+    * because a non-cheap alias referenced more than once is not
+    * inlined. Same pattern throughout this file. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        tokens(col("text")).as("tok"))
       .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).as("n_tokens"),
+        size(col("tok")).as("n_tokens"),
         col("n_chars"),
-        size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"))
+        size(array_distinct(col("tok"))).as("n_distinct_tokens"))
 
   /** Corpus term frequency: explode tokens → count → top 20.
     * Map-side partial agg shrinks the shuffle to |vocab| per
@@ -40,14 +48,17 @@ object TextAnalysis {
     * the classic cheap heuristics for corpus filtering. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val stop = array(lit("the"), lit("a"), lit("and"), lit("of"), lit("to"))
+    // tok staged once (see tokenStats) — the old inline form re-ran
+    // the tokenizer 6× per row
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("tok"))
       .select(col("doc_id"),
-        size(tokens(col("text"))).as("n_tokens"),
-        round(size(array_distinct(tokens(col("text")))).cast("double") /
-          size(tokens(col("text"))), 4).as("ttr"),
-        round(size(filter(tokens(col("text")), t => array_contains(stop, t)))
-          .cast("double") / size(tokens(col("text"))), 4).as("stopword_ratio"),
-        round(col("n_chars").cast("double") / size(tokens(col("text"))), 4)
+        size(col("tok")).as("n_tokens"),
+        round(size(array_distinct(col("tok"))).cast("double") /
+          size(col("tok")), 4).as("ttr"),
+        round(size(filter(col("tok"), t => array_contains(stop, t)))
+          .cast("double") / size(col("tok")), 4).as("stopword_ratio"),
+        round(col("n_chars").cast("double") / size(col("tok")), 4)
           .as("avg_token_len"))
   }
 
@@ -65,16 +76,24 @@ object TextAnalysis {
       "fr" -> Seq("le", "la", "les", "des"),
       "de" -> Seq("der", "die", "das", "und"),
       "zh" -> Seq("zh0", "zh1", "zh2", "zh3"))
-    val toks = tokens(col("text"))
+    // argmax struct staged once: greatest(scored…) carries HOF
+    // lambdas, which Catalyst CSE skips — referencing it twice
+    // (getField lang / score) would re-run all 5 marker filters per
+    // row. The non-cheap multi-referenced alias also blocks
+    // CollapseProject, so the plan keeps one evaluation.
     val scored = profiles.map { case (langName, markers) =>
       val markerArr = array(markers.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(markerArr, t))).as("score"),
+      struct(size(filter(col("tok"), t => array_contains(markerArr, t))).as("score"),
         lit(langName).as("lang"))
     }
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang").as("label_lang"),
-        greatest(scored: _*).getField("lang").as("pred_lang"),
-        greatest(scored: _*).getField("score").as("pred_score"))
+        tokens(col("text")).as("tok"))
+      .select(col("doc_id"), col("label_lang"),
+        greatest(scored: _*).as("best"))
+      .select(col("doc_id"), col("label_lang"),
+        col("best").getField("lang").as("pred_lang"),
+        col("best").getField("score").as("pred_score"))
   }
 
   /** Document fingerprint: order-sensitive polynomial rolling hash
@@ -190,9 +209,12 @@ object TextAnalysis {
   /** Token histogram by language: per-lang total/avg token counts. */
   def langStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // token count staged once pre-aggregation (see tokenStats)
+      .select(col("lang"), col("n_chars"),
+        size(tokens(col("text"))).as("n_toks"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text")))).as("total_tokens"),
-        round(avg(size(tokens(col("text")))), 4).as("avg_tokens"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(avg(col("n_toks")), 4).as("avg_tokens"),
         round(avg(col("n_chars")), 4).as("avg_chars"))
 }

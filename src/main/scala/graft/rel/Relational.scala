@@ -224,10 +224,32 @@ object Relational {
       .withColumn("mu", avg(col("n_events")).over(w))
       .withColumn("sd", stddev_samp(col("n_events")).over(w))
       .filter(col("sd") > 0)
+      // filter on the UNROUNDED z and round only in the final select,
+      // mirroring the oracle's WHERE/SELECT split — filtering on the
+      // rounded value would pass raw |z| ∈ [1.99995, 2) rows the
+      // oracle drops
+      .withColumn("z_raw", (col("n_events") - col("mu")) / col("sd"))
+      .filter(abs(col("z_raw")) >= 2.0)
       .select(col("hour"), col("event_type"), col("n_events"),
-        round((col("n_events") - col("mu")) / col("sd"), 4).as("z"))
-      .filter(abs(col("z")) >= 2.0)
+        round(col("z_raw"), 4).as("z"))
   }
+
+  /** Suppliers per region/nation with balance totals — the
+    * supplier-side star join (supplier ⋈ nation ⋈ region, both
+    * dimensions broadcast: supplier is the fact side here and must
+    * never shuffle to meet a 25-row nation). Covers the one testdata
+    * table the rest of the catalog doesn't touch. */
+  def supplierByRegion(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("total_bal"),
+        davg(col("s_acctbal")).as("avg_bal"),
+        max(col("s_acctbal")).as("max_bal"))
 
   /** Conversion funnel view → click → purchase, ordered by event
     * time: a user advances a stage only with a LATER event of the

@@ -72,20 +72,36 @@ object StreamOps {
     * — same batch or any later one — is dropped.
     *
     * State per distinct hash is one boolean, partitioned by hash
-    * across executors. On an unbounded 100 TB/day stream, bound the
-    * state with a TTL timeout (how long a duplicate can lag its
-    * original — the dedup analog of a watermark) instead of
-    * NoTimeout; kept unbounded here because the testdata corpus is
-    * finite and the batch operator it mirrors keeps every digest. */
-  def dedupStream(docs: Dataset[HashedDoc]): Dataset[HashedDoc] = {
+    * across executors.
+    *
+    * `ttl`: on an unbounded 100 TB/day stream the state must be
+    * BOUNDED — `Some(ttl)` arms a processing-time timeout per key (how
+    * long a duplicate can lag its original — the dedup analog of a
+    * watermark): each arriving duplicate re-arms the clock, a key idle
+    * past the TTL is evicted on a later micro-batch, and a duplicate
+    * arriving after eviction passes through as a new original (the
+    * accepted cost of bounded state). The default `None` keeps every
+    * digest forever — right for a finite corpus and exactly the batch
+    * operator's behavior. */
+  def dedupStream(docs: Dataset[HashedDoc],
+      ttl: Option[java.time.Duration] = None): Dataset[HashedDoc] = {
     import docs.sparkSession.implicits._
+    val timeoutConf = ttl.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
     docs.groupByKey(_.contentHash)
       .flatMapGroupsWithState[Boolean, HashedDoc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[HashedDoc], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            // timeout invocation: no rows for this key — evict
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else {
             state.update(true)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
             Iterator.single(rows.minBy(_.docId))
           }
       }

@@ -383,6 +383,16 @@ case class IvfCells(child: Expression, centroids: Seq[Seq[Double]], nProbe: Int)
         if (!taken(c) && dists(c) < bestD) { best = c; bestD = dists(c) }
         c += 1
       }
+      if (best < 0) {
+        // every remaining distance is NaN (NaN-poisoned embedding:
+        // NaN < bestD is always false) — degrade to the lowest
+        // untaken centroid id instead of indexing with -1
+        c = 0
+        while (best < 0 && c < k) {
+          if (!taken(c)) best = c
+          c += 1
+        }
+      }
       taken(best) = true
       out(j) = best
       j += 1

@@ -130,4 +130,24 @@ class PropertiesSpec extends AnyFunSuite {
       assert((0 until 5).forall(c => d2(cells.head) <= d2(c) + 1e-9))
     }
   }
+
+  test("ivf_cells degrades gracefully on NaN-poisoned embeddings") {
+    // ADVICE r3: all-NaN distances left best = -1 and threw on
+    // taken(-1); the guard falls back to the lowest untaken id
+    val spark = TestSpark.init()
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cents: Seq[Seq[Double]] = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(2.0, 2.0))
+    val rows = Seq(
+      Tuple1(Array(Float.NaN, Float.NaN)), // every distance NaN
+      Tuple1(Array(1.0f, Float.NaN)))      // NaN poisons all dists too
+      .toDF("emb")
+      .select(graft.functions.exprs.ivf_cells(col("emb"), cents, 3).as("cells"))
+      .collect()
+    rows.foreach { r =>
+      val cells = r.getSeq[Int](0)
+      // falls back to id order: still 3 distinct valid cells, no throw
+      assert(cells == Seq(0, 1, 2))
+    }
+  }
 }

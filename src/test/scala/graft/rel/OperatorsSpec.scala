@@ -396,4 +396,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.length == 500)
     assert(rows.forall(r => Set("en", "es", "fr", "de", "zh")(r.getAs[String]("pred_lang"))))
   }
+
+  test("staged HOF projections evaluate the expensive subtree once (plan shape)") {
+    // HOF-bearing expressions are excluded from Catalyst CSE (lambda
+    // variables bind at runtime), so single evaluation must come from
+    // the plan: a non-cheap alias referenced more than once blocks
+    // CollapseProject. Count the expensive subtree's occurrences in
+    // the optimized plan.
+    def occurrences(df: org.apache.spark.sql.DataFrame, needle: String): Int = {
+      val plan = df.queryExecution.optimizedPlan.toString
+      plan.sliding(needle.length).count(_ == needle)
+    }
+    // langId: one greatest(...) argmax struct, not one per getField
+    assert(occurrences(TextAnalysis.langId(spark, sf), "greatest(") == 1)
+    // qualityScore: the tokenizer split runs once per row, not 6×
+    assert(occurrences(TextAnalysis.qualityScore(spark, sf), "split(") == 1)
+    assert(occurrences(TextAnalysis.tokenStats(spark, sf), "split(") == 1)
+  }
+
+  test("connected components: reliable-checkpoint path reaches the same fixpoint") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val reliable = Dedup.connectedComponents(edges,
+        checkpointDir = Some(dir.toString)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(reliable == local && reliable.nonEmpty)
+      // the reliable path actually wrote checkpoint data to the dir
+      assert(java.nio.file.Files.list(dir).count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("supplier star join: every supplier counted exactly once across regions") {
+    val rows = Relational.supplierByRegion(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_suppliers")).sum
+    assert(total == graft.Tables.supplier(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("max_bal") >= r.getAs[Double]("avg_bal") - 1e-9)
+    }
+  }
+
+  test("frame sampling slices raw binary byte-exactly (non-UTF8 payload)") {
+    import spark.implicits._
+    // 100 bytes spanning the full 0..255 range — a UTF-8 string cast
+    // would mangle these; the binary substr path must count exactly
+    val payload = Array.tabulate(100)(i => ((i * 37 + 128) % 256).toByte)
+    val df = Seq((1L, payload)).toDF("media_id", "payload")
+    val out = graft.ext.Multimodal.frameSampleOf(df, frameBytes = 32, everyK = 2)
+      .collect()
+    assert(out.length == 1)
+    // frames: idx 0..3 of len 32,32,32,4 — keep idx 0 and 2 → 64 bytes
+    assert(out.head.getAs[Long]("n_frames_kept") == 2L)
+    assert(out.head.getAs[Long]("bytes_kept") == 64L)
+  }
 }

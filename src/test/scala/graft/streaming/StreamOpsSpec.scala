@@ -79,6 +79,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows == Seq("h1" -> 7L, "h2" -> 1L, "h3" -> 5L))
   }
 
+  test("TTL dedup: duplicate within TTL dropped, after eviction passes through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[HashedDoc]
+    val q = StreamOps.dedupStream(src.toDS(),
+      ttl = Some(java.time.Duration.ofMillis(200)))
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: original h1 emitted, state armed
+    src.addData(HashedDoc("h1", 7L))
+    q.processAllAvailable()
+    // batch 2 (immediately, inside TTL): duplicate dropped
+    src.addData(HashedDoc("h1", 50L))
+    q.processAllAvailable()
+    // let the TTL lapse, then force a batch so the timeout fires and
+    // h1's state is EVICTED (timeouts only fire when a batch runs)
+    Thread.sleep(1000)
+    src.addData(HashedDoc("h2", 1L))
+    q.processAllAvailable()
+    // h1 again after eviction: passes through as a new original
+    src.addData(HashedDoc("h1", 99L))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_ttl").as[HashedDoc].collect()
+      .map(d => d.contentHash -> d.docId).toSeq.sorted
+    q.stop()
+    assert(rows == Seq("h1" -> 7L, "h1" -> 99L, "h2" -> 1L))
+  }
+
   test("session windows merge within gap, split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
