@@ -64,7 +64,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"n_passes":$nPasses,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"n_passes":$nPasses,"sf":"$sfDir"}"""
+    println(line)
+    // stdout goes through sbt, which appends its own postlude — also
+    // drop the line as a file so the artifact survives log framing
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

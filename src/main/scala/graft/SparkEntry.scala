@@ -71,6 +71,13 @@ object SparkEntry {
     "q68_range_frame"     -> (Relational.rangeFrameSpend _),
     "q74_window_dist"     -> (Relational.windowDistributions _),
     "q73_supplier_region" -> (Relational.supplierByRegion _),
+    "q80_percentiles"     -> (Relational.percentiles _),
+    "q81_latest_per_key"  -> (Relational.latestPerKey _),
+    "q82_brand_revenue"   -> (Relational.brandRevenue _),
+    "q83_ntile_buckets"   -> (Relational.ntileBuckets _),
+    "q84_shipping_priority" -> (Relational.shippingPriority _),
+    "q85_activity_streaks" -> (Relational.activityStreaks _),
+    "q86_arg_extremes"    -> (Relational.argExtremes _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -81,6 +88,9 @@ object SparkEntry {
     "q36_bpe_tokens"      -> (TextAnalysis.bpeTokenCount _),
     "q37_tfidf"           -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q75_pii_scrub"       -> (TextAnalysis.piiScrub _),
+    "q87_bigrams"         -> ((s, d) => TextAnalysis.bigramFreq(s, d)),
+    "q88_vocab_coverage"  -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "q89_length_histogram" -> (TextAnalysis.lengthHistogram _),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -649,5 +659,93 @@ object SparkEntry {
         |  hex(substring(text, 1, 8)) AS magic_hex,
         |  'image/fake' AS mime, source AS origin
         |FROM documents""".stripMargin,
+    "q80_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  median(l_quantity) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q81_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "q82_brand_revenue" ->
+      s"""SELECT p_brand,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+    "q83_ntile_buckets" ->
+      """SELECT c_mktsegment, bucket, COUNT(*) AS n_customers,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM (SELECT c_mktsegment, c_acctbal,
+        |        CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |          ORDER BY c_acctbal, c_custkey) AS INTEGER) AS bucket
+        |      FROM customer)
+        |GROUP BY c_mktsegment, bucket""".stripMargin,
+    "q84_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |  AND l_shipdate > TIMESTAMP '1996-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q85_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |    AS INTEGER) AS rn FROM d),
+        |g AS (SELECT user_id, day - TO_DAYS(rn) AS grp,
+        |  COUNT(*) AS streak_len FROM r GROUP BY user_id, grp)
+        |SELECT user_id, CAST(max(streak_len) AS INTEGER) AS max_streak
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q86_arg_extremes" ->
+      """WITH mx AS (SELECT c_nationkey, max(c_acctbal) AS top_bal,
+        |    min(c_acctbal) AS bottom_bal
+        |  FROM customer GROUP BY c_nationkey),
+        |t AS (SELECT m.c_nationkey, top_bal, bottom_bal,
+        |  (SELECT min(c_custkey) FROM customer c
+        |    WHERE c.c_nationkey = m.c_nationkey
+        |      AND c.c_acctbal = m.top_bal) AS top_custkey,
+        |  (SELECT min(c_custkey) FROM customer c
+        |    WHERE c.c_nationkey = m.c_nationkey
+        |      AND c.c_acctbal = m.bottom_bal) AS bottom_custkey
+        |  FROM mx m)
+        |SELECT n_name, top_custkey, top_bal, bottom_custkey, bottom_bal
+        |FROM t JOIN nation ON t.c_nationkey = n_nationkey""".stripMargin,
+    "q87_bigrams" ->
+      s"""WITH w AS (SELECT $toks AS ws FROM documents),
+         |b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+         |      FROM w, UNNEST(range(1, len(ws))) AS t(i))
+         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q88_vocab_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($toks) AS w
+         |    FROM documents),
+         |vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS n FROM tok
+         |    GROUP BY w ORDER BY n DESC, w LIMIT 10)),
+         |cov AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tok,
+         |    SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+         |  FROM tok t LEFT JOIN vocab v ON t.w = v.w
+         |  GROUP BY t.doc_id, t.lang)
+         |SELECT lang,
+         |  round(CAST(SUM(CAST(CAST(n_in AS DOUBLE) / CAST(n_tok AS DOUBLE)
+         |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_coverage,
+         |  COUNT(*) AS n_docs
+         |FROM cov GROUP BY lang""".stripMargin,
+    "q89_length_histogram" ->
+      """SELECT CAST(FLOOR(n_chars / 200.0) AS INTEGER) AS bucket,
+        |  COUNT(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY bucket""".stripMargin,
   )
 }

@@ -217,4 +217,63 @@ object TextAnalysis {
         sum(col("n_toks")).as("total_tokens"),
         round(avg(col("n_toks")), 4).as("avg_tokens"),
         round(avg(col("n_chars")), 4).as("avg_chars"))
+
+  /** Corpus bigram frequency, top-k. Adjacent-token pairs via
+    * zip_with over two offset slices of ONE staged token array — a
+    * narrow per-row generator (no self-join on position); the only
+    * shuffle is the count aggregation. `greatest(…,0)` keeps the
+    * slice length legal for empty/one-token docs (they contribute no
+    * bigrams, same as the oracle's empty range). */
+  def bigramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("ws"))
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** Vocabulary coverage (OOV-rate complement) per language against
+    * the corpus top-`vocabSize` tokens — the tokenizer-fit diagnostic
+    * a training pipeline runs before committing a vocab. Two corpus
+    * scans by construction (one fits the vocab, one measures
+    * coverage); the fitted vocab is a tiny broadcast so the measure
+    * pass never shuffles the token stream — per-doc coverage folds
+    * into the same groupBy. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      vocabSize: Int = 10): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_v"))
+    val perDoc = tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("in_v"), lit(0))).as("n_in"))
+    perDoc
+      .groupBy(col("lang"))
+      .agg(
+        round(
+          sum((col("n_in").cast("double") / col("n_tok").cast("double"))
+            .cast("decimal(28,6)")).cast("double") / count(lit(1)),
+          4).as("avg_coverage"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Document-length histogram: fixed-width 200-char buckets by
+    * floor division — single partial→final agg, no window, no sort;
+    * the portable form of width_bucket (which the oracle engine
+    * lacks). */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(floor(col("n_chars") / lit(200.0)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
 }

@@ -605,4 +605,124 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
           .cast("double").as("spend_30d"))
   }
+
+  /** EXACT percentiles per group (`percentile`, not the approx
+    * sketch): distributed sort-based exact quantile — the per-group
+    * value lists are aggregated partial→final like any other agg, no
+    * global sort. Both engines interpolate linearly on the same
+    * sorted doubles (`lower + (upper-lower)*frac`), so results are
+    * bit-identical; q29 covers the approx path for cardinality, q74
+    * the window-function distributions. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+        median(col("l_quantity")).as("med_qty"))
+
+  /** CDC-style upsert compaction: latest order per customer —
+    * row_number over (key, recency desc) = 1, the keep-latest dedup
+    * every incremental ingest needs. One shuffle on the key; at
+    * 100 TB the same plan compacts a day's changelog against any
+    * partitioning because row_number is per-key, not global. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+  }
+
+  /** Fact⋈fact join: revenue by part brand. `part` SCALES WITH the
+    * data (unlike nation/region) so it is NOT hard-broadcast — the
+    * plan shuffles both sides on partkey and AQE downgrades to
+    * broadcast only when the built side is actually small. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(revenue).as("revenue"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+
+  /** ntile quartiles of balance WITHIN each market segment: the
+    * window is partitioned, so every segment's ranking runs parallel
+    * — a global ntile would funnel 100 TB through one partition (the
+    * scale path for global quantile bucketing is percentile_approx
+    * boundaries broadcast as a when-chain). Unique (bal, custkey)
+    * order makes bucket assignment engine-independent. */
+  def ntileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("bucket"))
+      .groupBy(col("c_mktsegment"), col("bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+  }
+
+  /** TPC-H Q3 shipping priority: filtered customer dim broadcast,
+    * lineitem⋈orders is the only shuffle, top-10 via
+    * TakeOrderedAndProject (never a global sort). All three filters
+    * are pushed to the parquet scans. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1996-01-01").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Gaps-and-islands: longest run of consecutive active DAYS per
+    * user. day − row_number(day) is constant within a consecutive
+    * run (the classic islands key); everything after the distinct is
+    * keyed on user_id so one shuffle feeds the window AND both
+    * aggregations. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", date_sub(col("day"), col("rn")))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak_len")).cast("int").as("max_streak"))
+  }
+
+  /** max_by/min_by (argmax) with DETERMINISTIC tie-breaks: richest /
+    * poorest customer per nation. Ordering key is the (balance,
+    * custkey) pair — `array` ordering is lexicographic, and negating
+    * the key on the max side makes both sides resolve balance ties
+    * to the SMALLEST custkey (what the oracle's join-back + min
+    * computes). Single partial→final agg, no window, no join-back —
+    * the plan a 100 TB groupwise-argmax wants. */
+  def argExtremes(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        max_by(col("c_custkey"),
+          array(col("c_acctbal"), -col("c_custkey").cast("double")))
+          .as("top_custkey"),
+        max(col("c_acctbal")).as("top_bal"),
+        min_by(col("c_custkey"),
+          array(col("c_acctbal"), col("c_custkey").cast("double")))
+          .as("bottom_custkey"),
+        min(col("c_acctbal")).as("bottom_bal"))
 }

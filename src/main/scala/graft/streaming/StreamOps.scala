@@ -82,7 +82,14 @@ object StreamOps {
     * arriving after eviction passes through as a new original (the
     * accepted cost of bounded state). The default `None` keeps every
     * digest forever — right for a finite corpus and exactly the batch
-    * operator's behavior. */
+    * operator's behavior.
+    *
+    * Deployment note: with a processing-time timeout armed the
+    * micro-batch engine considers another batch always-needed (timers
+    * may fire), so a default `Trigger(0)` busy-loops empty batches and
+    * `processAllAvailable()` never returns — run TTL'd dedup with an
+    * interval trigger (e.g. `Trigger.ProcessingTime("10 seconds")`)
+    * and sync on sink progress, not on processAllAvailable. */
   def dedupStream(docs: Dataset[HashedDoc],
       ttl: Option[java.time.Duration] = None): Dataset[HashedDoc] = {
     import docs.sparkSession.implicits._

@@ -457,4 +457,110 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_frames_kept") == 2L)
     assert(out.head.getAs[Long]("bytes_kept") == 64L)
   }
+
+  test("exact percentiles are ordered p25 <= p50 <= p90 per group") {
+    val rows = Relational.percentiles(spark, sf).collect()
+    assert(rows.length == 3) // A, N, R
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50"))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+    }
+  }
+
+  test("latest-per-key keeps exactly one order per customer, the max-date one") {
+    val latest = Relational.latestPerKey(spark, sf)
+    val nCust = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(latest.count() == nCust)
+    // spot-check: no other order for the same customer is strictly later
+    val joined = latest.alias("l")
+      .join(graft.Tables.orders(spark, sf).alias("o"),
+        col("l.o_custkey") === col("o.o_custkey") &&
+        col("o.o_orderdate") > col("l.o_orderdate"))
+    assert(joined.count() == 0)
+  }
+
+  test("ntile buckets: 4 per segment, ranges non-overlapping and ordered") {
+    val rows = Relational.ntileBuckets(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bucket"))
+      assert(sorted.map(_.getAs[Int]("bucket")).toSeq == (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_bal") <= b.getAs[Double]("min_bal"))
+        case _ =>
+      }
+    }
+  }
+
+  test("shipping priority: top-10 revenue descending, BUILDING only") {
+    val rows = Relational.shippingPriority(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted.reverse))
+  }
+
+  test("activity streaks: max streak bounded by the user's active-day count") {
+    val streaks = Relational.activityStreaks(spark, sf)
+    val days = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct().groupBy(col("user_id")).count()
+    val joined = streaks.join(days, Seq("user_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val streak = r.getAs[Int]("max_streak")
+      assert(streak >= 1 && streak <= r.getAs[Long]("count"))
+    }
+  }
+
+  test("arg extremes: reported balances are the group's true min/max") {
+    val rows = Relational.argExtremes(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("top_bal") >= r.getAs[Double]("bottom_bal"))
+    }
+    // tie-break determinism: run twice, identical argmax keys
+    val again = Relational.argExtremes(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("top_custkey")).toSet ==
+      again.map(_.getAs[Long]("top_custkey")).toSet)
+  }
+
+  test("bigrams: counts positive, top list deterministic and bounded") {
+    val rows = TextAnalysis.bigramFreq(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sorted.reverse))
+    // one-token and empty docs contribute nothing — total bigrams =
+    // sum over docs of max(tokens-1, 0)
+    val expected = graft.Tables.documents(spark, sf)
+      .select(greatest(size(TextAnalysis.tokens(col("text"))) - 1, lit(0))
+        .as("nb"))
+      .agg(sum(col("nb"))).head().getLong(0)
+    val total = TextAnalysis.bigramFreq(spark, sf, topK = Int.MaxValue)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == expected)
+  }
+
+  test("vocab coverage in [0,1] per language; full-size vocab covers 1.0") {
+    val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("avg_coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+    val full = TextAnalysis.vocabCoverage(spark, sf, vocabSize = 100000)
+      .collect()
+    full.foreach(r => assert(r.getAs[Double]("avg_coverage") == 1.0))
+  }
+
+  test("length histogram partitions the corpus") {
+    val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[Long]("min_chars") >= b * 200L)
+      assert(r.getAs[Long]("max_chars") < (b + 1) * 200L)
+    }
+  }
 }

@@ -79,32 +79,62 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows == Seq("h1" -> 7L, "h2" -> 1L, "h3" -> 5L))
   }
 
-  test("TTL dedup: duplicate within TTL dropped, after eviction passes through") {
+  // NOTE on both TTL tests: with ProcessingTimeTimeout the micro-batch
+  // engine always schedules another batch (timers may fire), so
+  // `noNewData` is never latched and processAllAvailable() BLOCKS
+  // FOREVER — sync on the sink's row count instead. Each test races
+  // the wall clock in ONE direction only, with a margin wide enough
+  // for this host's documented noise bursts.
+  private def awaitRows(table: String, n: Long, timeoutMs: Long = 120000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (spark.table(table).count() < n &&
+      System.currentTimeMillis() - t0 < timeoutMs) Thread.sleep(50)
+    assert(spark.table(table).count() >= n, s"sink never reached $n rows")
+  }
+
+  test("TTL dedup: duplicate inside a long TTL is dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[HashedDoc]
+    // TTL of an hour: nothing can evict within the test, so the
+    // duplicate MUST be dropped — no lower-bound race
     val q = StreamOps.dedupStream(src.toDS(),
-      ttl = Some(java.time.Duration.ofMillis(200)))
-      .writeStream.format("memory").queryName("dedup_ttl")
+      ttl = Some(java.time.Duration.ofHours(1)))
+      .writeStream.format("memory").queryName("dedup_ttl_drop")
       .outputMode(OutputMode.Append()).start()
-    // batch 1: original h1 emitted, state armed
-    src.addData(HashedDoc("h1", 7L))
-    q.processAllAvailable()
-    // batch 2 (immediately, inside TTL): duplicate dropped
-    src.addData(HashedDoc("h1", 50L))
-    q.processAllAvailable()
-    // let the TTL lapse, then force a batch so the timeout fires and
-    // h1's state is EVICTED (timeouts only fire when a batch runs)
-    Thread.sleep(1000)
-    src.addData(HashedDoc("h2", 1L))
-    q.processAllAvailable()
-    // h1 again after eviction: passes through as a new original
-    src.addData(HashedDoc("h1", 99L))
-    q.processAllAvailable()
-    val rows = spark.table("dedup_ttl").as[HashedDoc].collect()
-      .map(d => d.contentHash -> d.docId).toSeq.sorted
-    q.stop()
-    assert(rows == Seq("h1" -> 7L, "h1" -> 99L, "h2" -> 1L))
+    try {
+      src.addData(HashedDoc("h1", 7L))
+      awaitRows("dedup_ttl_drop", 1)
+      src.addData(HashedDoc("h1", 50L)) // inside TTL → dropped
+      src.addData(HashedDoc("h2", 1L))
+      awaitRows("dedup_ttl_drop", 2)
+      Thread.sleep(1000) // settle: let any straggler batch commit
+      val rows = spark.table("dedup_ttl_drop").as[HashedDoc].collect()
+        .map(d => d.contentHash -> d.docId).toSeq.sorted
+      assert(rows == Seq("h1" -> 7L, "h2" -> 1L))
+    } finally q.stop()
+  }
+
+  test("TTL dedup: key re-admitted after state eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[HashedDoc]
+    // short TTL + long sleep: eviction is CERTAIN by the time the
+    // key returns — no upper-bound race
+    val q = StreamOps.dedupStream(src.toDS(),
+      ttl = Some(java.time.Duration.ofMillis(2000)))
+      .writeStream.format("memory").queryName("dedup_ttl_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(HashedDoc("h1", 7L))
+      awaitRows("dedup_ttl_evict", 1)
+      Thread.sleep(15000) // ≫ TTL; timer batches evict on their own
+      src.addData(HashedDoc("h1", 99L)) // after eviction → re-admitted
+      awaitRows("dedup_ttl_evict", 2)
+      val rows = spark.table("dedup_ttl_evict").as[HashedDoc].collect()
+        .map(d => d.contentHash -> d.docId).toSeq.sorted
+      assert(rows == Seq("h1" -> 7L, "h1" -> 99L))
+    } finally q.stop()
   }
 
   test("session windows merge within gap, split across it") {
