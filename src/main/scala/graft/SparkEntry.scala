@@ -78,6 +78,10 @@ object SparkEntry {
     "q84_shipping_priority" -> (Relational.shippingPriority _),
     "q85_activity_streaks" -> (Relational.activityStreaks _),
     "q86_arg_extremes"    -> (Relational.argExtremes _),
+    "q90_distinct_twostage" -> (Relational.distinctTwoStage _),
+    "q91_order_priority"  -> (Relational.orderPriority _),
+    "q92_revenue_share"   -> (Relational.revenueShare _),
+    "q93_first_last"      -> (Relational.firstLast _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -747,5 +751,41 @@ object SparkEntry {
         |  COUNT(*) AS n_docs, min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars
         |FROM documents GROUP BY bucket""".stripMargin,
+    "q90_distinct_twostage" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q91_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o.o_orderkey
+        |                AND l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q92_revenue_share" ->
+      s"""WITH a AS (
+         |  SELECT r_name, n_name,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY r_name, n_name)
+         |SELECT r_name, n_name, revenue,
+         |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
+         |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
+         |FROM a""".stripMargin,
+    "q93_first_last" ->
+      """SELECT DISTINCT o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
   )
 }

@@ -725,4 +725,67 @@ object Relational {
           array(col("c_acctbal"), col("c_custkey").cast("double")))
           .as("bottom_custkey"),
         min(col("c_acctbal")).as("bottom_bal"))
+
+  /** Exact COUNT(DISTINCT) in its skew-safe two-stage form: first
+    * reduce to (group, member) — this stage partially aggregates
+    * map-side, so a hot group never funnels raw rows to one task —
+    * then count members per group. The single-expression
+    * countDistinct compiles to the same expand-based plan for ONE
+    * distinct column, but the explicit form composes (e.g. carrying
+    * n_events alongside without a second scan) and is the shape to
+    * reach for when a hot key OOMs the fused version. */
+  def distinctTwoStage(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+
+  /** TPC-H Q4 (order-priority checking) driven through the SQL
+    * surface: `spark.sql` text over registered temp views, with a
+    * correlated EXISTS that Catalyst rewrites to the same left-semi
+    * plan the DataFrame API builds — one API, one plan. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o.o_orderkey
+        |                AND l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** Window over an aggregate: each nation's share of its region's
+    * revenue. The window runs over the already-aggregated (region,
+    * nation) table — a few hundred rows at any data scale — so the
+    * second shuffle is free; the expensive star join happens once in
+    * [[revenueByNation]]. */
+  def revenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("r_name"))
+    revenueByNation(spark, dir)
+      .select(col("r_name"), col("n_name"), col("revenue"))
+      .withColumn("region_share",
+        round(col("revenue") /
+          sum(col("revenue").cast("decimal(28,6)")).over(w).cast("double"),
+          6))
+  }
+
+  /** first_value / last_value / nth_value over a FULL frame (the
+    * UNBOUNDED FOLLOWING shape that trips engines defaulting to
+    * CURRENT ROW), collapsed to one row per customer. */
+  def firstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .distinct()
+  }
 }

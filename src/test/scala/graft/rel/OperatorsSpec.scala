@@ -553,6 +553,40 @@ class OperatorsSpec extends AnyFunSuite {
     full.foreach(r => assert(r.getAs[Double]("avg_coverage") == 1.0))
   }
 
+  test("two-stage distinct equals the fused countDistinct plan") {
+    val two = Relational.distinctTwoStage(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_events"))).sorted.toSeq
+    val fused = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("n_events"))).sorted.toSeq
+    assert(two == fused && two.nonEmpty)
+  }
+
+  test("order priority (SQL surface): every priority counted, bounded by orders") {
+    val rows = Relational.orderPriority(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum > 0)
+  }
+
+  test("revenue shares sum to 1 within every region") {
+    val rows = Relational.revenueShare(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Double]("region_share")).sum
+      assert(math.abs(s - 1.0) < 1e-3)
+    }
+  }
+
+  test("first/last window: one row per customer, nth null for single-order keys") {
+    val rows = Relational.firstLast(spark, sf).collect()
+    val nCust = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.length == nCust)
+  }
+
   test("length histogram partitions the corpus") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
