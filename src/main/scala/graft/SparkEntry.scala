@@ -88,13 +88,14 @@ object SparkEntry {
     "q32_quality_score"   -> (TextAnalysis.qualityScore _),
     "q33_lang_id"         -> (TextAnalysis.langId _),
     "q34_lang_stats"      -> (TextAnalysis.langStats _),
-    "q35_fingerprint"     -> (TextAnalysis.fingerprint _),        // xxhash64 → rows-only
+    "q35_fingerprint"     -> (TextAnalysis.fingerprint _),
     "q36_bpe_tokens"      -> (TextAnalysis.bpeTokenCount _),
     "q37_tfidf"           -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q75_pii_scrub"       -> (TextAnalysis.piiScrub _),
     "q87_bigrams"         -> ((s, d) => TextAnalysis.bigramFreq(s, d)),
     "q88_vocab_coverage"  -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q89_length_histogram" -> (TextAnalysis.lengthHistogram _),
+    "q94_decontaminate"   -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -751,6 +752,21 @@ object SparkEntry {
         |  COUNT(*) AS n_docs, min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars
         |FROM documents GROUP BY bucket""".stripMargin,
+    "q35_fingerprint" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST(generate_subscripts(ws, 1) AS BIGINT) AS i,
+         |    unnest(ws) AS t
+         |  FROM (SELECT doc_id, $toks AS ws FROM documents)),
+         |h AS (
+         |  SELECT doc_id,
+         |    ((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000000007)
+         |      * ((2654435761 * i) % 1000000007)) % 1000000007 AS term
+         |  FROM tok)
+         |SELECT doc_id,
+         |  CAST(SUM(term) % 1000000007 AS BIGINT) AS fingerprint,
+         |  CAST((SUM(term) % 1000000007) % 1024 AS BIGINT) AS fp_bucket
+         |FROM h GROUP BY doc_id""".stripMargin,
     "q90_distinct_twostage" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events
@@ -778,6 +794,23 @@ object SparkEntry {
          |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
          |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
          |FROM a""".stripMargin,
+    "q94_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+         |bg AS (SELECT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |block AS (SELECT DISTINCT shingle FROM bg WHERE doc_id < 5),
+         |corpus AS (SELECT doc_id, source FROM documents WHERE doc_id >= 5),
+         |contam AS (SELECT DISTINCT b.doc_id FROM bg b
+         |  WHERE b.doc_id >= 5
+         |    AND b.shingle IN (SELECT shingle FROM block))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated,
+         |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clean
+         |FROM corpus LEFT JOIN contam c USING (doc_id)
+         |GROUP BY source""".stripMargin,
     "q93_first_last" ->
       """SELECT DISTINCT o_custkey,
         |  first_value(o_totalprice) OVER w AS first_price,

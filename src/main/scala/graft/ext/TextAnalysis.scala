@@ -96,18 +96,28 @@ object TextAnalysis {
         col("best").getField("score").as("pred_score"))
   }
 
-  /** Document fingerprint: order-sensitive polynomial rolling hash
-    * over tokens, mod a 1e9-scale prime so the accumulator never
-    * overflows ANSI-mode long arithmetic. Two docs with identical
-    * token sequences collide. */
+  /** Document fingerprint: ORDER-SENSITIVE position-weighted token
+    * digest — Σᵢ h(tᵢ)·w(i) mod p, with h = first 8 hex chars of
+    * md5 and w(i) = Knuth-multiplier position weight. Identical
+    * token sequences collide; any reorder/edit moves the digest.
+    * Per-term mod keeps every intermediate inside ANSI-long range
+    * (h < p ≈ 1e9, w < p, product < 1e18; ≤ thousands of terms sum
+    * < 1e13). The per-term form (vs a sequential fold) is chosen
+    * deliberately: it's embarrassingly parallel, and every operation
+    * is portable integer math the DuckDB oracle reproduces exactly —
+    * so the whole operator is hash-checked, not rows-only. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val m = 1000000007L
-    val rolling = aggregate(col("toks"), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(m)), lit(m)))
+    val tokHash =
+      pmod(conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"), lit(m))
+    val posWeight = pmod(lit(2654435761L) * (col("pos") + 1), lit(m))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), rolling.as("fingerprint"),
-        pmod(rolling, lit(1024)).as("fp_bucket"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), pmod(tokHash * posWeight, lit(m)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(pmod(sum(col("term")), lit(m)).as("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"),
+        pmod(col("fingerprint"), lit(1024)).as("fp_bucket"))
   }
 
   /** BPE-ish tokenization: GPT-2-style pre-tokenizer regex classes
@@ -264,6 +274,49 @@ object TextAnalysis {
             .cast("decimal(28,6)")).cast("double") / count(lit(1)),
           4).as("avg_coverage"),
         count(lit(1)).as("n_docs"))
+  }
+
+  /** n-token shingle STRINGS from a staged token-array column `ws`
+    * (the portable cousin of the hashed `WordShingles` native
+    * expression — plain strings so an external engine can reproduce
+    * them). Guarded: `sequence(1, k)` RUNS DESCENDING when k < 1, so
+    * short docs get an explicit empty array. */
+  private def shingleStrings(n: Int): Column = {
+    val k = size(col("ws")) - lit(n - 1)
+    when(k >= 1,
+      transform(sequence(lit(1), k), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * n-token shingle with an eval/benchmark set — the overlap check
+    * a training pipeline runs before a corpus ships (here the eval
+    * set is the doc_id < `evalMax` slice; in production it's the
+    * benchmark suite). The blocklist is DISTINCT eval shingles —
+    * small by construction (benchmarks are tiny next to the corpus)
+    * — broadcast into a left-semi join against one corpus scan, so
+    * the 100 TB side never shuffles; per-source audit counts come
+    * from joining the contaminated-id set (ids only) back. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 4,
+      evalMax: Long = 5L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(shingleStrings(n)).as("shingle"))
+    val block = sh.filter(col("doc_id") < evalMax)
+      .select(col("shingle")).distinct()
+    val contam = sh.filter(col("doc_id") >= evalMax)
+      .join(broadcast(block), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("c", lit(1))
+    docs.filter(col("doc_id") >= evalMax)
+      .select(col("doc_id"), col("source"))
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("c"), lit(0))).cast("long").as("n_contaminated"),
+        sum(when(col("c").isNull, 1).otherwise(0)).cast("long").as("n_clean"))
   }
 
   /** Document-length histogram: fixed-width 200-char buckets by

@@ -587,6 +587,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.length == nCust)
   }
 
+  test("fingerprint: identical texts collide, digest inside modulus") {
+    val fp = TextAnalysis.fingerprint(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("txt_md5"))
+    // same text ⇒ same token sequence ⇒ same fingerprint
+    val perText = fp.join(docs, Seq("doc_id"))
+      .groupBy(col("txt_md5"))
+      .agg(countDistinct(col("fingerprint")).as("n_fp")).collect()
+    assert(perText.nonEmpty)
+    assert(perText.forall(_.getAs[Long]("n_fp") == 1L))
+    val rows = fp.collect()
+    assert(rows.forall { r =>
+      val f = r.getAs[Long]("fingerprint")
+      f >= 0 && f < 1000000007L
+    })
+  }
+
+  test("decontamination: counts conserve and eval slice is excluded") {
+    val rows = TextAnalysis.decontaminate(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") + r.getAs[Long]("n_clean") ==
+        r.getAs[Long]("n_docs"))
+    }
+    val corpusN = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 5).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpusN)
+  }
+
   test("length histogram partitions the corpus") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
