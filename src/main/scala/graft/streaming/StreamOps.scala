@@ -136,6 +136,38 @@ object StreamOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming z-score anomaly detection — the lambda-architecture
+    * companion to the batch `Relational.hourlyAnomalies` (q79): the
+    * heavy statistics (per-type mean/stddev of hourly counts) are fit
+    * BATCH-side over history and handed in as a tiny static table;
+    * the stream pays only a watermarked tumbling-window count and a
+    * broadcast join — per-type state is one window counter, bounded
+    * by the watermark. Re-fit the baseline on whatever cadence the
+    * drift tolerates; the stream picks it up because the static side
+    * is re-read per micro-batch. Emits closed windows whose count is
+    * ≥ `z` standard deviations from the baseline mean. */
+  def anomalyStream(events: DataFrame, baseline: DataFrame,
+      z: Double = 2.0): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(baseline), Seq("event_type"))
+      .withColumn("z_raw", (col("n_events") - col("mu")) / col("sd"))
+      .filter(abs(col("z_raw")) >= lit(z))
+      .select(col("win.start").as("hour"), col("event_type"),
+        col("n_events"), round(col("z_raw"), 4).as("z"))
+
+  /** Per-type baseline (mu, sd of hourly counts) for [[anomalyStream]],
+    * fit batch-side from a historical events table. */
+  def typeBaseline(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+      .filter(col("sd") > 0)
+
   /** Watermarked stream-stream interval join: pair each left event
     * with right events for the same key whose timestamp lies in
     * [l.ts - tolerance, l.ts + tolerance]. BOTH sides carry a

@@ -195,6 +195,54 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows == Seq((1L, Some("gold")), (3L, None)))
   }
 
+  test("anomaly stream flags only deviant closed windows against the static baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    val baseline = Seq(("click", 2.0, 1.0)).toDF("event_type", "mu", "sd")
+    val q = StreamOps.anomalyStream(
+      src.toDF().toDF("ts", "event_type"), baseline)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append()).start()
+    // window [10:00,11:00): 10 clicks → z = 8 (anomalous)
+    src.addData((0 until 10).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 10:${i * 3}%02d:00"), "click")): _*)
+    q.processAllAvailable()
+    // window [12:00,13:00): 2 clicks → z = 0 (normal, must NOT emit)
+    src.addData((Timestamp.valueOf("2024-01-01 12:10:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 12:20:00"), "click"))
+    q.processAllAvailable()
+    // nudge the watermark (max ts − 2 h) past BOTH window ends so the
+    // append-mode sink flushes them; two nudges because the watermark
+    // computed at batch N gates emission at batch N+1
+    src.addData((Timestamp.valueOf("2024-01-01 15:30:00"), "other"))
+    q.processAllAvailable()
+    src.addData((Timestamp.valueOf("2024-01-01 15:40:00"), "other"))
+    q.processAllAvailable()
+    val rows = spark.table("anomalies").collect()
+      .map(r => (r.getAs[Timestamp]("hour").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("z"))).toSeq
+    q.stop()
+    assert(rows == Seq(("2024-01-01 10:00:00.0", "click", 10L, 8.0)))
+  }
+
+  test("type baseline: positive sd, one row per active type") {
+    import spark.implicits._
+    val hist = Seq(
+      (Timestamp.valueOf("2024-01-01 09:05:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 09:10:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 09:30:00"), "view"),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), "view"))
+      .toDF("ts", "event_type")
+    val rows = StreamOps.typeBaseline(hist).collect()
+    // click: hourly counts (2,1) → mu 1.5, sd > 0; view: (1,1) → sd 0 filtered
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("event_type") == "click")
+    assert(rows.head.getAs[Double]("mu") == 1.5)
+  }
+
   test("foreachBatch writer drains a stream through a batch transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
