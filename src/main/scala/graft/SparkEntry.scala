@@ -82,6 +82,7 @@ object SparkEntry {
     "q91_order_priority"  -> (Relational.orderPriority _),
     "q92_revenue_share"   -> (Relational.revenueShare _),
     "q93_first_last"      -> (Relational.firstLast _),
+    "q95_quantile_buckets" -> (Relational.quantileBuckets _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -794,6 +795,16 @@ object SparkEntry {
          |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
          |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
          |FROM a""".stripMargin,
+    "q95_quantile_buckets" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+        |    quantile_cont(o_totalprice, 0.5) AS p50,
+        |    quantile_cont(o_totalprice, 0.75) AS p75 FROM orders)
+        |SELECT 1 + CAST(o_totalprice > p25 AS INT)
+        |    + CAST(o_totalprice > p50 AS INT)
+        |    + CAST(o_totalprice > p75 AS INT) AS bucket,
+        |  COUNT(*) AS n_orders, min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders, b GROUP BY bucket""".stripMargin,
     "q94_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
          |bg AS (SELECT doc_id,

@@ -774,6 +774,31 @@ object Relational {
           6))
   }
 
+  /** GLOBAL quantile bucketing the way 100 TB wants it: exact
+    * quartile boundaries from ONE aggregate (3 doubles), broadcast
+    * back over the fact scan as comparisons — no global window, no
+    * single-partition ntile funnel (contrast q83, which ntiles
+    * WITHIN segments and documents this as the global path). Value
+    * semantics (v > pXX), not row-position semantics: rows equal to
+    * a boundary all land in the lower bucket, so buckets are
+    * value-deterministic under any partitioning. */
+  def quantileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(
+      percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+      percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+      percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+    o.join(broadcast(bounds))
+      .select(col("o_totalprice"),
+        (lit(1) + (col("o_totalprice") > col("p25")).cast("int")
+          + (col("o_totalprice") > col("p50")).cast("int")
+          + (col("o_totalprice") > col("p75")).cast("int")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
   /** first_value / last_value / nth_value over a FULL frame (the
     * UNBOUNDED FOLLOWING shape that trips engines defaulting to
     * CURRENT ROW), collapsed to one row per customer. */

@@ -615,6 +615,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == corpusN)
   }
 
+  test("quantile buckets: 4 value-ordered buckets partitioning all orders") {
+    val rows = Relational.quantileBuckets(spark, sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      graft.Tables.orders(spark, sf).count())
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"))
+      case _ =>
+    }
+  }
+
   test("length histogram partitions the corpus") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
