@@ -97,6 +97,8 @@ object SparkEntry {
     "q88_vocab_coverage"  -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     "q89_length_histogram" -> (TextAnalysis.lengthHistogram _),
     "q94_decontaminate"   -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "q96_corpus_mix"      -> ((s, d) => Sampling.corpusMix(s, d)),
+    "q97_pack_bins"       -> ((s, d) => Sampling.packBins(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -795,6 +797,33 @@ object SparkEntry {
          |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
          |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
          |FROM a""".stripMargin,
+    "q96_corpus_mix" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS INTEGER) AS rk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_available,
+        |  CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_selected,
+        |  CAST(SUM(CASE WHEN rk <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS sel_checksum
+        |FROM ranked GROUP BY source""".stripMargin,
+    "q97_pack_bins" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS cum_before
+         |  FROM t)
+         |SELECT source, CAST(FLOOR(cum_before / 300.0) AS INTEGER) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY source, bin""".stripMargin,
     "q95_quantile_buckets" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS p25,
         |    quantile_cont(o_totalprice, 0.5) AS p50,

@@ -70,4 +70,53 @@ object Sampling {
       Map("en" -> 50, "fr" -> 20), defaultPct = 10)
       .select(col("doc_id"), col("lang"),
         hashBucket(col("doc_id")).as("bucket"))
+
+  /** Corpus mixing: cap every source at `cap` documents, selected by
+    * deterministic hash ORDER (not hash threshold) — a threshold
+    * keeps ~pct% but can't hit an exact per-source count; ranking by
+    * md5(key) takes exactly min(cap, n) docs per source AND the
+    * selection is stable as the corpus grows (a doc already selected
+    * stays selected unless new docs hash below it — the property that
+    * keeps re-mixed training sets mostly unchanged between snapshots).
+    * One shuffle on source; the window ranks inside each source
+    * partition in parallel. Emits the per-source audit row (selected
+    * count + id checksum) a mixing job logs before training. */
+  def corpusMix(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_available"),
+        sum(when(col("rk") <= cap, 1).otherwise(0)).cast("long")
+          .as("n_selected"),
+        sum(when(col("rk") <= cap, col("doc_id")).otherwise(0L)).cast("long")
+          .as("sel_checksum"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins —
+    * the pre-training step that concatenates docs into ~context-length
+    * training sequences. Deterministic first-fit-in-id-order per
+    * source: bin = floor(exclusive-cumulative-tokens / budget), so a
+    * doc straddling a boundary starts a new bin's worth of overflow
+    * but assignment never depends on partitioning. Packing is
+    * per-source (the window is partitioned — parallel at any scale);
+    * a global pack would funnel the corpus through one partition.
+    * Emits per-(source, bin) audit counts. */
+  def packBins(spark: SparkSession, dir: String, budget: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before",
+        sum(col("n_tok")).over(w) - col("n_tok"))
+      .groupBy(col("source"),
+        floor(col("cum_before") / lit(budget.toDouble)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"))
+  }
 }

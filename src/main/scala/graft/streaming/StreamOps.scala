@@ -168,6 +168,50 @@ object StreamOps {
       .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
       .filter(col("sd") > 0)
 
+  /** SimHash band-bucket projection for the streaming near-dup
+    * prefilter: (doc_id, text) → one (bucket, doc_id) row per band,
+    * bucket = "band:slice". STATELESS (pure column math over the
+    * native SimHash expression), so it runs identically on a batch
+    * frame or a stream — the same banding the batch engine joins on
+    * (`Dedup.simhashBandPairs`), re-expressed as a stream-friendly
+    * key. */
+  def bandedSimhash(docs: DataFrame, bits: Int = 48,
+      bands: Int = 4): DataFrame = {
+    val w = bits / bands
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val sh = graft.functions.exprs.simhash(
+      transform(col("toks"), t => xxhash64(t)), bits)
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), explode(array((0 until bands).map(b =>
+        concat(lit(s"$b:"),
+          pmod(shiftright(col("sh"), b * w), lit(1L << w)))): _*))
+        .as("bucket"))
+  }
+
+  /** Streaming near-duplicate CANDIDATE prefilter: keyed state per
+    * band-bucket holds only the bucket's ANCHOR (first doc seen);
+    * every later arrival emits an (anchor, doc) candidate pair for a
+    * downstream verifier — the streaming form of the batch LSH star
+    * guard (`Dedup`), with the same linear-in-bucket-size output and
+    * the same recall accounting (pairs transitively reachable through
+    * the anchor; close with connected components batch-side).
+    * State per bucket is ONE long — 4 bands × corpus-distinct slices,
+    * bounded and tiny next to buffering pairs or full signatures. */
+  def lshCandidateStream(bands: Dataset[(String, Long)]): Dataset[(String, Long, Long)] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._2).toSeq.sorted
+          val anchor = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(anchor)
+          ids.filter(_ != anchor).map(id => (bucket, anchor, id)).iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: pair each left event
     * with right events for the same key whose timestamp lies in
     * [l.ts - tolerance, l.ts + tolerance]. BOTH sides carry a

@@ -628,6 +628,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus mix: exactly min(cap, available) selected per source") {
+    val rows = graft.ext.Sampling.corpusMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sel = r.getAs[Long]("n_selected")
+      assert(sel == math.min(10L, r.getAs[Long]("n_available")))
+      assert(r.getAs[Long]("sel_checksum") > 0L)
+    }
+  }
+
+  test("pack bins: docs and tokens conserved, bins contiguous per source") {
+    val rows = graft.ext.Sampling.packBins(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val bins = rs.map(_.getAs[Int]("bin")).sorted.toSeq
+      assert(bins == (0 to bins.max).toSeq)
+    }
+  }
+
   test("length histogram partitions the corpus") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==

@@ -243,6 +243,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("mu") == 1.5)
   }
 
+  test("banded simhash: identical texts share every bucket, disjoint texts none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words about spark engines and parquet"))
+      .toDF("doc_id", "text")
+    val b = StreamOps.bandedSimhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+    val by = b.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(by(1L) == by(2L) && by(1L).size == 4)
+    assert((by(1L) intersect by(3L)).isEmpty)
+  }
+
+  test("LSH candidate stream: anchor pairing within buckets across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Long)]
+    val q = StreamOps.lshCandidateStream(src.toDS())
+      .toDF("bucket", "anchor", "doc_id")
+      .writeStream.format("memory").queryName("lsh_cands")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(("b1", 5L), ("b1", 9L), ("b2", 3L))
+    q.processAllAvailable()
+    src.addData(("b1", 12L), ("b2", 3L)) // same doc again: not a pair
+    q.processAllAvailable()
+    val rows = spark.table("lsh_cands").collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("anchor"),
+        r.getAs[Long]("doc_id"))).sorted.toSeq
+    q.stop()
+    assert(rows == Seq(("b1", 5L, 9L), ("b1", 5L, 12L)))
+  }
+
   test("foreachBatch writer drains a stream through a batch transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
