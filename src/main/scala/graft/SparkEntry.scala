@@ -99,6 +99,7 @@ object SparkEntry {
     "q94_decontaminate"   -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "q96_corpus_mix"      -> ((s, d) => Sampling.corpusMix(s, d)),
     "q97_pack_bins"       -> ((s, d) => Sampling.packBins(s, d)),
+    "q98_curated_corpus"  -> ((s, d) => TextAnalysis.curatedCorpus(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -797,6 +798,33 @@ object SparkEntry {
          |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
          |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
          |FROM a""".stripMargin,
+    "q98_curated_corpus" ->
+      s"""WITH w AS (SELECT doc_id, source, lang, n_chars,
+         |    $toks AS ws, md5(text) AS txt_md5
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, lang, n_chars, ws, txt_md5,
+         |    CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+         |  FROM w),
+         |dedup AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY txt_md5 ORDER BY doc_id)
+         |      AS dup_rk
+         |  FROM m),
+         |bg AS (SELECT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |block AS (SELECT DISTINCT shingle FROM bg WHERE doc_id < 5),
+         |contam AS (SELECT DISTINCT b.doc_id FROM bg b
+         |  WHERE b.doc_id >= 5
+         |    AND b.shingle IN (SELECT shingle FROM block))
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+         |FROM m JOIN dedup USING (doc_id)
+         |WHERE doc_id >= 5 AND dup_rk = 1
+         |  AND n_chars >= 100 AND n_tok >= 20
+         |  AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |GROUP BY source, lang""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -298,25 +298,62 @@ object TextAnalysis {
     * — broadcast into a left-semi join against one corpus scan, so
     * the 100 TB side never shuffles; per-source audit counts come
     * from joining the contaminated-id set (ids only) back. */
-  def decontaminate(spark: SparkSession, dir: String, n: Int = 4,
+  /** Distinct corpus doc_ids sharing any n-token shingle with the
+    * eval slice — the contaminated-id set [[decontaminate]] audits
+    * and [[curatedCorpus]] excludes. */
+  def contaminatedIds(spark: SparkSession, dir: String, n: Int = 4,
       evalMax: Long = 5L): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = docs
+    val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), explode(shingleStrings(n)).as("shingle"))
     val block = sh.filter(col("doc_id") < evalMax)
       .select(col("shingle")).distinct()
-    val contam = sh.filter(col("doc_id") >= evalMax)
+    sh.filter(col("doc_id") >= evalMax)
       .join(broadcast(block), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
+  }
+
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 4,
+      evalMax: Long = 5L): DataFrame = {
+    val contam = contaminatedIds(spark, dir, n, evalMax)
       .withColumn("c", lit(1))
-    docs.filter(col("doc_id") >= evalMax)
+    Tables.documents(spark, dir).filter(col("doc_id") >= evalMax)
       .select(col("doc_id"), col("source"))
       .join(contam, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("c"), lit(0))).cast("long").as("n_contaminated"),
         sum(when(col("c").isNull, 1).otherwise(0)).cast("long").as("n_clean"))
+  }
+
+  /** End-to-end corpus curation — the composition a training-data
+    * pipeline actually ships: quality gates (length, token count,
+    * type-token ratio), exact dedup (keep the min-id copy per
+    * identical text), benchmark decontamination, eval-slice
+    * exclusion — reduced to the per-(source, lang) audit table.
+    * Every stage is the scale-shaped form used by its standalone
+    * query: gates are scan-side predicates, dedup is one window on
+    * the text digest, contamination is a broadcast semi-join feeding
+    * a left-anti join of ids only. */
+  def curatedCorpus(spark: SparkSession, dir: String, n: Int = 4,
+      evalMax: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        tokens(col("text")).as("ws"), md5(col("text")).as("txt_md5"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(col("ws")).cast("long").as("n_tok"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        col("txt_md5"))
+    val dupW = Window.partitionBy(col("txt_md5")).orderBy(col("doc_id"))
+    m.withColumn("dup_rk", row_number().over(dupW))
+      .filter(col("doc_id") >= evalMax && col("dup_rk") === 1 &&
+        col("n_chars") >= 100 && col("n_tok") >= 20 &&
+        col("n_distinct").cast("double") / col("n_tok").cast("double") > 0.2)
+      .join(contaminatedIds(spark, dir, n, evalMax), Seq("doc_id"), "left_anti")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"))
   }
 
   /** Document-length histogram: fixed-width 200-char buckets by

@@ -648,6 +648,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("curated corpus: kept docs pass every gate, never exceed the raw corpus") {
+    val rows = TextAnalysis.curatedCorpus(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.map(_.getAs[Long]("n_docs")).sum
+    val raw = graft.Tables.documents(spark, sf).filter(col("doc_id") >= 5).count()
+    assert(kept > 0 && kept <= raw)
+    // tokens-per-doc ≥ the 20-token gate in every output cell
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") >= 20L * r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("length histogram partitions the corpus") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
