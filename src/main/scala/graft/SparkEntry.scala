@@ -83,6 +83,7 @@ object SparkEntry {
     "q92_revenue_share"   -> (Relational.revenueShare _),
     "q93_first_last"      -> (Relational.firstLast _),
     "q95_quantile_buckets" -> (Relational.quantileBuckets _),
+    "q99_supplier_revenue" -> (Relational.supplierRevenue _),
     // text analysis [ext]
     "q30_token_stats"     -> (TextAnalysis.tokenStats _),
     "q31_word_freq"       -> (TextAnalysis.wordFreq _),
@@ -852,6 +853,15 @@ object SparkEntry {
          |SELECT source, CAST(FLOOR(cum_before / 300.0) AS INTEGER) AS bin,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY source, bin""".stripMargin,
+    "q99_supplier_revenue" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(DISTINCT s_suppkey) AS n_suppliers,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
     "q95_quantile_buckets" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice, 0.25) AS p25,
         |    quantile_cont(o_totalprice, 0.5) AS p50,

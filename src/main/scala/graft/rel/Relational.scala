@@ -774,14 +774,35 @@ object Relational {
           6))
   }
 
-  /** GLOBAL quantile bucketing the way 100 TB wants it: exact
-    * quartile boundaries from ONE aggregate (3 doubles), broadcast
-    * back over the fact scan as comparisons — no global window, no
+  /** Supplier-side revenue rollup: lineitem ⋈ supplier on l_suppkey —
+    * the one fact→dimension path the rest of the catalog doesn't
+    * exercise (customer-side star joins cover the other fork).
+    * supplier/nation broadcast; lineitem never shuffles. */
+  def supplierRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(revenue).as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+
+  /** GLOBAL quantile bucketing via broadcast boundaries: quartile
+    * cutoffs from ONE aggregate (3 doubles), broadcast back over the
+    * fact scan as comparisons — no global window, no
     * single-partition ntile funnel (contrast q83, which ntiles
     * WITHIN segments and documents this as the global path). Value
     * semantics (v > pXX), not row-position semantics: rows equal to
     * a boundary all land in the lower bucket, so buckets are
-    * value-deterministic under any partitioning. */
+    * value-deterministic under any partitioning.
+    *
+    * The boundary fit here is EXACT `percentile` because the oracle
+    * needs bit-identical cutoffs; exact percentile buffers the
+    * column per group, so at 100 TB the production swap is
+    * `approx_percentile` (mergeable sketch, no buffering) — the
+    * broadcast-boundaries PATTERN is identical either way. */
   def quantileBuckets(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val bounds = o.agg(
