@@ -101,6 +101,7 @@ object SparkEntry {
     "q96_corpus_mix"      -> ((s, d) => Sampling.corpusMix(s, d)),
     "q97_pack_bins"       -> ((s, d) => Sampling.packBins(s, d)),
     "q98_curated_corpus"  -> ((s, d) => TextAnalysis.curatedCorpus(s, d)),
+    "q100_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -799,6 +800,16 @@ object SparkEntry {
          |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
          |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
          |FROM a""".stripMargin,
+    "q100_source_overlap" ->
+      s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS n_shared
+         |FROM sh a JOIN sh b
+         |  ON a.shingle = b.shingle AND a.source < b.source
+         |GROUP BY a.source, b.source""".stripMargin,
     "q98_curated_corpus" ->
       s"""WITH w AS (SELECT doc_id, source, lang, n_chars,
          |    $toks AS ws, md5(text) AS txt_md5

@@ -356,6 +356,28 @@ object TextAnalysis {
         sum(col("n_tok")).cast("long").as("total_tokens"))
   }
 
+  /** Cross-source overlap matrix: for every source pair, how many
+    * distinct n-token shingles they share — the dataset-provenance
+    * diagnostic behind "which of my sources are re-crawls of each
+    * other". Grouped self-join ON THE SHINGLE (co-occurrence within
+    * a shingle's source list, ≤ sources² pairs per shingle —
+    * sources number in the hundreds, not the billions, so the join
+    * fan-out is bounded at any corpus size); the corpus is scanned
+    * once per side and reduced to DISTINCT (shingle, source) before
+    * the join. */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .select(col("source"), explode(shingleStrings(n)).as("shingle"))
+      .distinct()
+    val a = sh.select(col("shingle"), col("source").as("source_a"))
+    val b = sh.select(col("shingle"), col("source").as("source_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Document-length histogram: fixed-width 200-char buckets by
     * floor division — single partial→final agg, no window, no sort;
     * the portable form of width_bucket (which the oracle engine

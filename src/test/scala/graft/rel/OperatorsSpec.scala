@@ -660,6 +660,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap: symmetric-free pairs, counts bounded by smaller side") {
+    val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("n_shared") > 0)
+    }
+  }
+
   test("length histogram partitions the corpus") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
