@@ -102,6 +102,7 @@ object SparkEntry {
     "q97_pack_bins"       -> ((s, d) => Sampling.packBins(s, d)),
     "q98_curated_corpus"  -> ((s, d) => TextAnalysis.curatedCorpus(s, d)),
     "q100_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
+    "q101_target_mixture" -> ((s, d) => Sampling.targetMixture(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -800,6 +801,24 @@ object SparkEntry {
          |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
          |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
          |FROM a""".stripMargin,
+    "q101_target_mixture" ->
+      """WITH caps AS (
+        |  SELECT * FROM (VALUES ('en', 80), ('fr', 40), ('de', 20),
+        |    ('es', 20), ('zh', 20)) AS t(lang, n_target)),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS INTEGER) AS rk
+        |  FROM documents)
+        |SELECT r.lang, CAST(c.n_target AS BIGINT) AS n_target,
+        |  COUNT(*) AS n_available,
+        |  CAST(SUM(CASE WHEN rk <= c.n_target THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_selected,
+        |  CAST(SUM(CASE WHEN rk <= c.n_target THEN doc_id ELSE 0 END)
+        |    AS BIGINT) AS sel_checksum
+        |FROM ranked r JOIN caps c ON r.lang = c.lang
+        |GROUP BY r.lang, c.n_target""".stripMargin,
     "q100_source_overlap" ->
       s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
          |sh AS (SELECT DISTINCT source,

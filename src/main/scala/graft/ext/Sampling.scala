@@ -96,6 +96,36 @@ object Sampling {
           .as("sel_checksum"))
   }
 
+  /** Mixture-to-target sampling: select documents to hit explicit
+    * per-stratum COUNTS (the "40% en / 20% fr / …" data-mixture spec
+    * every pretraining run starts from), selected within each
+    * stratum by the same stable md5-rank as [[corpusMix]] — exact
+    * counts where availability allows, graceful shortfall where it
+    * doesn't (audit shows n_selected < n_target), and snapshot-stable
+    * selection as the corpus grows. The targets join in as a tiny
+    * broadcast literal table; one shuffle on the stratum feeds both
+    * the rank window and the audit aggregation. */
+  def targetMixture(spark: SparkSession, dir: String,
+      targets: Map[String, Int] = Map(
+        "en" -> 80, "fr" -> 40, "de" -> 20, "es" -> 20, "zh" -> 20))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val caps = targets.toSeq.toDF("lang", "n_target")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(caps), Seq("lang"))
+      .groupBy(col("lang"), col("n_target").cast("long").as("n_target"))
+      .agg(count(lit(1)).as("n_available"),
+        sum(when(col("rk") <= col("n_target"), 1).otherwise(0)).cast("long")
+          .as("n_selected"),
+        sum(when(col("rk") <= col("n_target"), col("doc_id")).otherwise(0L))
+          .cast("long").as("sel_checksum"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the pre-training step that concatenates docs into ~context-length
     * training sequences. Deterministic first-fit-in-id-order per

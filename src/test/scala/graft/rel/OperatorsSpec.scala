@@ -638,6 +638,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("target mixture: selected = min(target, available) per stratum") {
+    val rows = graft.ext.Sampling.targetMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_selected") ==
+        math.min(r.getAs[Long]("n_target"), r.getAs[Long]("n_available")))
+    }
+  }
+
   test("pack bins: docs and tokens conserved, bins contiguous per source") {
     val rows = graft.ext.Sampling.packBins(spark, sf).collect()
     val nDocs = graft.Tables.documents(spark, sf).count()
