@@ -103,6 +103,7 @@ object SparkEntry {
     "q98_curated_corpus"  -> ((s, d) => TextAnalysis.curatedCorpus(s, d)),
     "q100_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q101_target_mixture" -> ((s, d) => Sampling.targetMixture(s, d)),
+    "q102_nearest_asof"   -> (Relational.nearestAsofJoin _),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -801,6 +802,16 @@ object SparkEntry {
          |  round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
          |    OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
          |FROM a""".stripMargin,
+    "q102_nearest_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  n.us AS nearest_us, CAST(abs(n.us - p.us) AS BIGINT) AS diff_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT s.us FROM s WHERE s.user_id = p.user_id
+        |  ORDER BY abs(s.us - p.us), s.us LIMIT 1) n ON TRUE""".stripMargin,
     "q101_target_mixture" ->
       """WITH caps AS (
         |  SELECT * FROM (VALUES ('en', 80), ('fr', 40), ('de', 20),

@@ -433,6 +433,41 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("signup_us"))
   }
 
+  /** NEAREST-direction as-of join: each purchase matched to the
+    * signup closest in time, before OR after (ties → the earlier
+    * signup). Same union+window shape as [[asofJoin]] — ONE shuffle
+    * on user_id, no join — but with both a carry-forward (last
+    * signup ≤ t) and a carry-backward (first signup ≥ t) frame over
+    * the same sorted partition, picked per row by distance. The
+    * oracle is an independent algorithm entirely (per-purchase
+    * LATERAL min-|Δt| subquery). */
+  def nearestAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .filter(col("event_type").isin("purchase", "signup"))
+      .withColumn("k", when(col("event_type") === "signup", 0).otherwise(1))
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("k"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("k"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sigUs = when(col("event_type") === "signup", col("us"))
+    ev
+      .withColumn("prev_us", last(sigUs, ignoreNulls = true).over(wPrev))
+      .withColumn("next_us", first(sigUs, ignoreNulls = true).over(wNext))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_us",
+        when(col("prev_us").isNull, col("next_us"))
+          .when(col("next_us").isNull, col("prev_us"))
+          .when(col("us") - col("prev_us") <= col("next_us") - col("us"),
+            col("prev_us"))
+          .otherwise(col("next_us")))
+      .select(col("event_id"), col("user_id"), col("nearest_us"),
+        abs(col("nearest_us") - col("us")).cast("long").as("diff_us"))
+  }
+
   /** Range join: lineitem priced into static bands — a non-equi join
     * against a 10-row generated dimension (BroadcastNestedLoopJoin;
     * the broadcast side is tiny, so the NLJ is the right plan at any

@@ -615,6 +615,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == corpusN)
   }
 
+  test("nearest asof: one row per purchase, nearest beats backward-only") {
+    val near = Relational.nearestAsofJoin(spark, sf)
+    val nPurch = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(near.count() == nPurch)
+    // nearest |Δt| can never exceed the backward-only match's |Δt|
+    val back = Relational.asofJoin(spark, sf)
+      .select(col("event_id"), col("signup_us"))
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val cmp = near.join(back, Seq("event_id")).join(ev, Seq("event_id"))
+      .filter(col("signup_us").isNotNull)
+      .select(col("diff_us"), abs(col("us") - col("signup_us")).as("back_diff"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r =>
+      assert(r.getAs[Long]("diff_us") <= r.getAs[Long]("back_diff")))
+  }
+
   test("quantile buckets: 4 value-ordered buckets partitioning all orders") {
     val rows = Relational.quantileBuckets(spark, sf).collect()
       .sortBy(_.getAs[Int]("bucket"))
