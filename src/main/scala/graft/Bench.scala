@@ -70,7 +70,12 @@ object Bench {
     // drop the line as a file so the artifact survives log framing
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    catch {
+      case e: java.io.IOException =>
+        // warn rather than swallow: a silent failure leaves a STALE
+        // artifact from a previous run that reads as current
+        System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e")
+    }
     spark.stop()
   }
 }

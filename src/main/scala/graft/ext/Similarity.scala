@@ -274,6 +274,84 @@ object Similarity {
       .limit(topK)
   }
 
+  // ---------------------------------------------------------------
+  // Materialized index tables — the written-once form of the ANN
+  // indexes. The in-session lshIndex/ivfIndex persist() is the
+  // iterate-in-one-job shape; at 100 TB the index is WRITTEN to
+  // parquet partitioned by bucket/cell, and a probe becomes a
+  // partition-PRUNED scan: Spark resolves the literal bucket
+  // predicate against the directory listing at planning time, so a
+  // probe reads one directory out of 2^bits (or k cells), not the
+  // corpus. The probe specs assert `PartitionFilters` in the
+  // physical plan — pruning is tested behavior, not a doc claim.
+  // ---------------------------------------------------------------
+
+  /** Write the LSH index table partitioned by `bucket`. One corpus
+    * scan; composes [[lshBucket]] with the partitioned parquet sink. */
+  def writeLshIndex(spark: SparkSession, dir: String, outPath: String,
+      bits: Int = 6): Unit =
+    graft.sources.Io.writeParquet(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          lshBucket(col("embedding"), 64, bits).as("bucket")),
+      outPath, Seq("bucket"))
+
+  /** Probe a [[writeLshIndex]] table: the query's bucket is resolved
+    * first (one row, vec_id pushed to the parquet reader), then the
+    * index scan filters on the LITERAL bucket — which Catalyst turns
+    * into a partition filter, pruning all other bucket directories
+    * before any file is opened. */
+  def lshProbeMaterialized(spark: SparkSession, dir: String,
+      indexPath: String, queryId: Long = 0L, bits: Int = 6,
+      k: Int = 10): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding"), lshBucket(col("embedding"), 64, bits).as("bucket"))
+      .collect().head
+    val qEmb = q.getSeq[Float](0)
+    val qBucket = q.getLong(1)
+    spark.read.parquet(indexPath)
+      .filter(col("bucket") === qBucket && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), typedLit(qEmb)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Write the IVF index table partitioned by `cell`. */
+  def writeIvfIndex(spark: SparkSession, dir: String, outPath: String,
+      k: Int = 16): Unit = {
+    val cents = ivfCentroids(spark, dir, k)
+    graft.sources.Io.writeParquet(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          element_at(graft.functions.exprs.ivf_cells(col("embedding"), cents, 1), 1)
+            .as("cell")),
+      outPath, Seq("cell"))
+  }
+
+  /** Probe a [[writeIvfIndex]] table: nProbe nearest cells become a
+    * literal IN-list partition filter — the scan reads nProbe cell
+    * directories out of k. */
+  def ivfProbeMaterialized(spark: SparkSession, dir: String,
+      indexPath: String, queryId: Long = 0L, k: Int = 16,
+      nProbe: Int = 4, topK: Int = 10): DataFrame = {
+    val cents = ivfCentroids(spark, dir, k)
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding"),
+        graft.functions.exprs.ivf_cells(col("embedding"), cents, nProbe).as("cells"))
+      .collect().head
+    val qEmb = q.getSeq[Float](0)
+    val qCells = q.getSeq[Int](1)
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(qCells: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), typedLit(qEmb)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector
     * scale = max|x|/127, codes = round(x/scale) ∈ [-127, 127] — 4×
     * smaller storage and the form ANN systems score in at scale. The

@@ -768,13 +768,16 @@ object Relational {
     * countDistinct compiles to the same expand-based plan for ONE
     * distinct column, but the explicit form composes (e.g. carrying
     * n_events alongside without a second scan) and is the shape to
-    * reach for when a hot key OOMs the fused version. */
+    * reach for when a hot key OOMs the fused version. Stage 2 counts
+    * `user_id` (not `*`) so a NULL key group is excluded from
+    * n_users exactly as COUNT(DISTINCT) excludes NULLs, while
+    * n_events still sums every row including NULL-user events. */
   def distinctTwoStage(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .agg(count(col("user_id")).as("n_users"), sum(col("n")).as("n_events"))
 
   /** TPC-H Q4 (order-priority checking) driven through the SQL
     * surface: `spark.sql` text over registered temp views, with a
@@ -844,6 +847,35 @@ object Relational {
       percentile(col("o_totalprice"), lit(0.25)).as("p25"),
       percentile(col("o_totalprice"), lit(0.5)).as("p50"),
       percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+    o.join(broadcast(bounds))
+      .select(col("o_totalprice"),
+        (lit(1) + (col("o_totalprice") > col("p25")).cast("int")
+          + (col("o_totalprice") > col("p50")).cast("int")
+          + (col("o_totalprice") > col("p75")).cast("int")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** PRODUCTION path for [[quantileBuckets]]: identical broadcast-
+    * boundaries plan with the fit swapped to `approx_percentile`
+    * (KLL-style mergeable sketch — one map-side sketch per
+    * partition, merged on the driver side of the agg; NO per-group
+    * value buffering, so the fit is O(sketch) memory at any scale).
+    * `accuracy` is the sketch's 1/ε knob: 10_000 bounds rank error
+    * at 0.01 % of rows, which moves bucket populations by at most
+    * that fraction around each cutoff — the spec asserts exactly
+    * that tolerance against the exact path. q95 keeps the exact fit
+    * because the DuckDB oracle needs bit-identical cutoffs; at
+    * 100 TB this is the method to call. */
+  def quantileBucketsApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(
+      approx_percentile(col("o_totalprice"), lit(0.25), lit(accuracy)).as("p25"),
+      approx_percentile(col("o_totalprice"), lit(0.5), lit(accuracy)).as("p50"),
+      approx_percentile(col("o_totalprice"), lit(0.75), lit(accuracy)).as("p75"))
     o.join(broadcast(bounds))
       .select(col("o_totalprice"),
         (lit(1) + (col("o_totalprice") > col("p25")).cast("int")

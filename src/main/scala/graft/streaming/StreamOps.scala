@@ -145,16 +145,21 @@ object StreamOps {
     * by the watermark. Re-fit the baseline on whatever cadence the
     * drift tolerates; the stream picks it up because the static side
     * is re-read per micro-batch. Emits closed windows whose count is
-    * ≥ `z` standard deviations from the baseline mean. */
+    * ≥ `z` standard deviations from the baseline mean. Event types
+    * ABSENT from the baseline (brand-new types, or sd=0 types dropped
+    * by [[typeBaseline]]) have no z to compute but are the loudest
+    * possible signal — a burst of a never-seen type — so the join is
+    * LEFT and unknown-type windows are emitted with `z = null` rather
+    * than silently discarded. */
   def anomalyStream(events: DataFrame, baseline: DataFrame,
       z: Double = 2.0): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-      .join(broadcast(baseline), Seq("event_type"))
+      .join(broadcast(baseline), Seq("event_type"), "left")
       .withColumn("z_raw", (col("n_events") - col("mu")) / col("sd"))
-      .filter(abs(col("z_raw")) >= lit(z))
+      .filter(col("mu").isNull || abs(col("z_raw")) >= lit(z))
       .select(col("win.start").as("hour"), col("event_type"),
         col("n_events"), round(col("z_raw"), 4).as("z"))
 
@@ -198,7 +203,16 @@ object StreamOps {
     * the same recall accounting (pairs transitively reachable through
     * the anchor; close with connected components batch-side).
     * State per bucket is ONE long — 4 bands × corpus-distinct slices,
-    * bounded and tiny next to buffering pairs or full signatures. */
+    * bounded and tiny next to buffering pairs or full signatures.
+    *
+    * RE-DELIVERY: the state holds only the anchor, NOT the set of
+    * docs already paired (that set is unbounded), so if the same
+    * (bucket, doc) row arrives twice — at-least-once sources, or a
+    * doc re-ingested — the same candidate pair is emitted twice. The
+    * "linear in bucket size" output bound holds per DISTINCT doc;
+    * under re-delivery either `dropDuplicates("bucket","doc_id")`
+    * with a watermark upstream of this operator, or have the
+    * downstream verifier dedup pairs (it is idempotent over them). */
   def lshCandidateStream(bands: Dataset[(String, Long)]): Dataset[(String, Long, Long)] = {
     import bands.sparkSession.implicits._
     bands.groupByKey(_._1)

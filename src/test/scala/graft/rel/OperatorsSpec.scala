@@ -221,6 +221,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(probe.forall(r => r.getAs[Double]("cos_sim") <= 1.0))
   }
 
+  test("materialized LSH index probe is partition-pruned and matches in-session probe") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    Similarity.writeLshIndex(spark, sf, idx, bits = 6)
+    val probe = Similarity.lshProbeMaterialized(spark, sf, idx, bits = 6)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(raw"PartitionFilters: \[[^\]]*bucket".r.findFirstIn(plan).isDefined,
+      "bucket predicate not in PartitionFilters:\n" + plan.take(2000))
+    // pruned probe returns the same neighbours as the in-session index
+    val mat = probe.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val mem = Similarity.annProbe(spark, sf, bits = 6).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(mat.toSeq == mem.toSeq)
+  }
+
+  test("materialized IVF index probe is partition-pruned and matches in-session probe") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.writeIvfIndex(spark, sf, idx)
+    val probe = Similarity.ivfProbeMaterialized(spark, sf, idx)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(plan).isDefined,
+      "cell predicate not in PartitionFilters:\n" + plan.take(2000))
+    val mat = probe.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val mem = Similarity.ivfProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(mat.toSeq == mem.toSeq)
+  }
+
   test("approx distinct brackets the exact count within rsd") {
     val approx = Relational.approxDistinct(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_orders")).toMap
@@ -645,6 +673,22 @@ class OperatorsSpec extends AnyFunSuite {
       case Array(a, b) =>
         assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"))
       case _ =>
+    }
+  }
+
+  test("quantile buckets approx: same plan shape, counts within sketch tolerance of exact") {
+    val exact = Relational.quantileBuckets(spark, sf).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n_orders")).toMap
+    val approx = Relational.quantileBucketsApprox(spark, sf).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n_orders")).toMap
+    assert(approx.keySet == Set(1, 2, 3, 4))
+    assert(approx.values.sum == exact.values.sum)
+    // accuracy=10000 → rank error ≤ total/10000 rows may shift across
+    // each of the 3 cutoffs; allow a small floor for tiny sf
+    val tol = math.max(2L, exact.values.sum / 10000)
+    (1 to 4).foreach { b =>
+      assert(math.abs(approx(b) - exact(b)) <= 2 * tol,
+        s"bucket $b: approx ${approx(b)} vs exact ${exact(b)} (tol $tol)")
     }
   }
 
