@@ -104,6 +104,7 @@ object SparkEntry {
     "q100_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q101_target_mixture" -> ((s, d) => Sampling.targetMixture(s, d)),
     "q102_nearest_asof"   -> (Relational.nearestAsofJoin _),
+    "q103_curated_neardup" -> ((s, d) => TextAnalysis.curatedCorpusNearDup(s, d)), // rows-only: LSH cluster path hashes with xxhash64
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -157,7 +158,7 @@ object SparkEntry {
       Multimodal.decodeFeatures(s, d).select(col("media_id"),
         col("width"), col("height"), to_json(col("feature")).as("feature_json"))
     }),
-    "q62_frame_sample"    -> ((s, d) => Multimodal.frameSample(s, d)), // rows-only
+    "q62_frame_sample"    -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** DECIMAL(28,6)-exact sum of a double expression, as double. */
@@ -672,6 +673,25 @@ object SparkEntry {
         |  hex(substring(text, 1, 8)) AS magic_hex,
         |  'image/fake' AS mime, source AS origin
         |FROM documents""".stripMargin,
+    // q62: the kept-frame aggregate depends only on BYTE LENGTHS, so
+    // the oracle reproduces the binary slicing arithmetically
+    // (fl = min(frameBytes, n - start + 1)) — DuckDB's substring does
+    // not take BLOB, but no blob function is needed to oracle the
+    // aggregate. Starts 1, 33, ... ≤ n mirror sequence(1, n, 32);
+    // frame_no = (start-1)/32 mirrors posexplode's 0-based pos.
+    "q62_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        |  FROM documents
+        |), frames AS (
+        |  SELECT media_id, CAST((i - 1) // 32 AS INTEGER) AS frame_no,
+        |         LEAST(32, n - CAST(i AS INTEGER) + 1) AS fl
+        |  FROM f, LATERAL (SELECT unnest(range(1, greatest(n,1)+1, 32)) AS i) gs
+        |)
+        |SELECT media_id, COUNT(*) AS n_frames_kept,
+        |  CAST(SUM(fl) AS BIGINT) AS bytes_kept
+        |FROM frames WHERE frame_no % 4 = 0 AND fl > 0
+        |GROUP BY media_id""".stripMargin,
     "q80_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.25) AS p25,

@@ -335,7 +335,11 @@ object TextAnalysis {
     * query: gates are scan-side predicates, dedup is one window on
     * the text digest, contamination is a broadcast semi-join feeding
     * a left-anti join of ids only. */
-  def curatedCorpus(spark: SparkSession, dir: String, n: Int = 4,
+  /** Per-doc survivor set of the curation pipeline (gates + exact
+    * dedup + decontamination) — the shared core of [[curatedCorpus]]
+    * and [[curatedCorpusNearDup]], public so audits can join against
+    * the survivor ids directly. */
+  def curatedDocs(spark: SparkSession, dir: String, n: Int = 4,
       evalMax: Long = 5L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = Tables.documents(spark, dir)
@@ -351,6 +355,33 @@ object TextAnalysis {
         col("n_chars") >= 100 && col("n_tok") >= 20 &&
         col("n_distinct").cast("double") / col("n_tok").cast("double") > 0.2)
       .join(contaminatedIds(spark, dir, n, evalMax), Seq("doc_id"), "left_anti")
+  }
+
+  def curatedCorpus(spark: SparkSession, dir: String, n: Int = 4,
+      evalMax: Long = 5L): DataFrame =
+    curatedDocs(spark, dir, n, evalMax)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"))
+
+  /** [[curatedCorpus]] with the NEAR-dup stage a shipped training
+    * corpus actually runs: after the exact-dedup/gate/decontamination
+    * survivors, drop every non-representative member of an LSH
+    * near-dup cluster (MinHash banding → candidate pairs → Jaccard
+    * verify → connected components; `Dedup.lshDedupClusters`), i.e.
+    * keep only cluster reps. ID-only anti-join — the clusters table
+    * carries (doc_id, rep_id), never text — so the added stage
+    * shuffles ids, not the corpus. Rows-only at the gate (the cluster
+    * path hashes with xxhash64, which DuckDB lacks); the spec pins
+    * the audit equality: docs dropped vs [[curatedCorpus]] ==
+    * gate-surviving non-rep members. */
+  def curatedCorpusNearDup(spark: SparkSession, dir: String, n: Int = 4,
+      evalMax: Long = 5L, k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val nonReps = graft.ext.Dedup.lshDedupClusters(spark, dir, k, threshold)
+      .filter(col("rep_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    curatedDocs(spark, dir, n, evalMax)
+      .join(nonReps, Seq("doc_id"), "left_anti")
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("total_tokens"))

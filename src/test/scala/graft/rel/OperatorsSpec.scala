@@ -733,6 +733,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("curated corpus near-dup: drops exactly the gate-surviving non-rep cluster members") {
+    val exact = TextAnalysis.curatedCorpus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    val near = TextAnalysis.curatedCorpusNearDup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    // near-dup removal only ever shrinks cells, never adds or grows them
+    assert(near.keySet.subsetOf(exact.keySet))
+    near.foreach { case (k, n) => assert(n <= exact(k), s"$k grew: $n > ${exact(k)}") }
+    // audit equality: total drop == non-rep cluster members that
+    // survived the gates (recompute the survivor ids independently)
+    val nonReps = graft.ext.Dedup.lshDedupClusters(spark, sf)
+      .filter(col("rep_id") =!= col("doc_id")).select(col("doc_id"))
+    val survivors = TextAnalysis.curatedDocs(spark, sf)
+    val expectedDrop = survivors.join(nonReps, Seq("doc_id"), "left_semi").count()
+    assert(exact.values.sum - near.values.sum == expectedDrop)
+  }
+
   test("source overlap: symmetric-free pairs, counts bounded by smaller side") {
     val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
     assert(rows.nonEmpty)
