@@ -13,6 +13,10 @@ import graft.model.PipelineConf
   * so the batch and streaming dedup agree on identity). */
 final case class HashedDoc(contentHash: String, docId: Long)
 
+/** [[HashedDoc]] plus event time, for the event-time TTL dedup. */
+final case class TimedHashedDoc(contentHash: String, docId: Long,
+  ts: java.sql.Timestamp)
+
 /** Structured Streaming surface. The reference explicitly cannot
   * stream end-to-end (/root/reference/README.md:96-97) because each
   * reduce depends on the previous stage's complete output — but that
@@ -110,6 +114,51 @@ object StreamOps {
             state.update(true)
             ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
             Iterator.single(rows.minBy(_.docId))
+          }
+      }
+  }
+
+  /** EVENT-time TTL dedup — the replay-deterministic twin of
+    * `dedupStream(ttl = …)`: state ages by the WATERMARK, not the
+    * machine clock, so re-running the same input (backfill, recovery,
+    * reprocessing at 10× speed) evicts every key at exactly the same
+    * point in the data — a processing-time TTL would evict on how
+    * fast the replay happens to run. Each arriving duplicate re-arms
+    * the deadline to its event time + ttl (clamped one ms past the
+    * current watermark, which Spark requires of event-time timers);
+    * a key whose deadline falls behind the watermark is evicted on a
+    * later micro-batch, and a duplicate arriving after eviction
+    * passes through as a new original — the same bounded-state
+    * contract as the processing-time variant, with the TTL measured
+    * in data time.
+    *
+    * Unlike ProcessingTimeTimeout, event-time timers only fire when
+    * the watermark moves (i.e. when data arrives), so this variant
+    * has no busy-loop deployment caveat: `processAllAvailable()`
+    * synchronization works. */
+  def dedupStreamEventTime(docs: Dataset[TimedHashedDoc],
+      ttl: java.time.Duration,
+      watermarkDelay: String = "10 seconds"): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.contentHash)
+      .flatMapGroupsWithState[Long, HashedDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (hash: String, rows: Iterator[TimedHashedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            val deadline = math.max(maxTs + ttl.toMillis,
+              state.getCurrentWatermarkMs() + 1)
+            val out =
+              if (state.exists) Iterator.empty
+              else Iterator.single(HashedDoc(hash, rs.minBy(_.docId).docId))
+            state.update(maxTs)
+            state.setTimeoutTimestamp(deadline)
+            out
           }
       }
   }

@@ -137,6 +137,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time TTL dedup: drops inside TTL, evicts by watermark, re-admits after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[TimedHashedDoc]
+    def ts(s: String) = Timestamp.valueOf(s)
+    // TTL 60 s of EVENT time — the whole test is driven by data
+    // timestamps, no wall-clock sleeps or races anywhere
+    val q = StreamOps.dedupStreamEventTime(src.toDS(),
+      java.time.Duration.ofSeconds(60))
+      .writeStream.format("memory").queryName("dedup_evtime")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(TimedHashedDoc("h1", 7L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // duplicate 5 s of event time later: inside TTL → dropped
+      src.addData(TimedHashedDoc("h1", 50L, ts("2024-01-01 10:00:05")))
+      q.processAllAvailable()
+      // a later key pushes the watermark far past h1's deadline
+      // (10:01:05); the watermark computed at batch N gates timers at
+      // batch N+1, so the next batch is where h1's state evicts
+      src.addData(TimedHashedDoc("adv", 1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      src.addData(TimedHashedDoc("adv2", 2L, ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      // h1 returns after eviction → new original
+      src.addData(TimedHashedDoc("h1", 99L, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_evtime").as[HashedDoc].collect()
+        .map(d => d.contentHash -> d.docId).toSeq.sorted
+      assert(rows == Seq("adv" -> 1L, "adv2" -> 2L, "h1" -> 7L, "h1" -> 99L))
+    } finally q.stop()
+  }
+
   test("session windows merge within gap, split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -274,6 +307,28 @@ class StreamOpsSpec extends AnyFunSuite {
         r.getAs[Long]("doc_id"))).sorted.toSeq
     q.stop()
     assert(rows == Seq(("b1", 5L, 9L), ("b1", 5L, 12L)))
+  }
+
+  test("LSH candidate stream state is one row per distinct bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Long)]
+    val q = StreamOps.lshCandidateStream(src.toDS())
+      .toDF("bucket", "anchor", "doc_id")
+      .writeStream.format("memory").queryName("lsh_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(("b1", 5L), ("b1", 9L), ("b2", 3L))
+      q.processAllAvailable()
+      // more arrivals in existing buckets + one new bucket: state must
+      // grow only with DISTINCT buckets (1 anchor long per bucket),
+      // never with arrivals or emitted pairs
+      src.addData(("b1", 12L), ("b1", 13L), ("b2", 4L), ("b3", 7L))
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+      assert(stateRows == 3L, s"state rows $stateRows != distinct buckets 3")
+    } finally q.stop()
   }
 
   test("foreachBatch writer drains a stream through a batch transform") {
