@@ -105,6 +105,11 @@ object SparkEntry {
     "q101_target_mixture" -> ((s, d) => Sampling.targetMixture(s, d)),
     "q102_nearest_asof"   -> (Relational.nearestAsofJoin _),
     "q103_curated_neardup" -> ((s, d) => TextAnalysis.curatedCorpusNearDup(s, d)), // rows-only: LSH cluster path hashes with xxhash64
+    "q104_repetition"     -> (TextAnalysis.repetitionStats _),
+    "q105_trigram_lm"     -> ((s, d) => TextAnalysis.trigramLm(s, d)),
+    "q106_temperature_mix" -> ((s, d) => Sampling.temperatureWeights(s, d)),
+    "q107_token_budget"   -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
+    "q108_scd2"           -> (Relational.scd2Periods _),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -692,6 +697,58 @@ object SparkEntry {
         |  CAST(SUM(fl) AS BIGINT) AS bytes_kept
         |FROM frames WHERE frame_no % 4 = 0 AND fl > 0
         |GROUP BY media_id""".stripMargin,
+    "q104_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+         |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+         |      FROM w, UNNEST(range(1, len(ws))) AS t(i)),
+         |c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |  round(1 - COUNT(*)::DOUBLE / SUM(c), 4) AS dup_bigram_frac,
+         |  round(MAX(c)::DOUBLE / SUM(c), 4) AS top_bigram_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
+    "q105_trigram_lm" ->
+      s"""WITH w AS (SELECT $toks AS ws FROM documents),
+         |t AS (SELECT ws[i] || ' ' || ws[i+1] AS prefix, ws[i+2] AS next_word
+         |      FROM w, UNNEST(range(1, len(ws) - 1)) AS g(i)),
+         |c AS (SELECT prefix, next_word, COUNT(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT prefix, next_word, c,
+         |  round(c::DOUBLE / SUM(c) OVER (PARTITION BY prefix), 4) AS p
+         |FROM c ORDER BY c DESC, prefix, next_word LIMIT 20""".stripMargin,
+    "q106_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |           GROUP BY source),
+        |t AS (SELECT SUM(pow(n_docs, 0.5)) AS z, SUM(n_docs) AS n_total
+        |      FROM c)
+        |SELECT source, n_docs,
+        |  round(pow(n_docs, 0.5) / z, 6) AS weight,
+        |  round(pow(n_docs, 0.5) / z * n_total, 2) AS eff_docs
+        |FROM c, t""".stripMargin,
+    "q107_token_budget" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok,
+         |    round(len(list_distinct(ws))::DOUBLE / len(ws), 3) AS score
+         |  FROM (SELECT doc_id, source, $toks AS ws FROM documents)
+         |  WHERE len(ws) > 0),
+         |h AS (SELECT score, SUM(n_tok) AS bucket_tokens FROM s
+         |      GROUP BY score),
+         |cum AS (SELECT score, SUM(bucket_tokens)
+         |          OVER (ORDER BY score DESC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS cum FROM h),
+         |k AS (SELECT MIN(score) AS cutoff FROM cum WHERE cum <= 30000)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  round(MIN(score), 3) AS min_score
+         |FROM s, k WHERE score >= cutoff GROUP BY source""".stripMargin,
+    "q108_scd2" ->
+      """SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_no,
+        |  ts AS valid_from,
+        |  LEAD(ts, 1) OVER w AS valid_to,
+        |  LEAD(ts, 1) OVER w IS NULL AS is_current,
+        |  round(value, 4) AS attr_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q80_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.25) AS p25,

@@ -126,6 +126,71 @@ object Sampling {
           .cast("long").as("sel_checksum"))
   }
 
+  /** Temperature-scaled domain mixture weights: w_s ∝ n_s^alpha,
+    * normalized — the standard multilingual/multi-domain rebalancing
+    * (alpha = 1 keeps natural proportions, alpha → 0 flattens to
+    * uniform; pretraining runs typically pick 0.3–0.7 to lift
+    * low-resource domains without drowning high-resource ones).
+    * `eff_docs` is the per-epoch expected document budget the weight
+    * implies. The per-source counts are a tiny aggregate; the
+    * normalizer joins back as a broadcast single row — the same
+    * broadcast-scalar shape as quantileBuckets, nothing global ever
+    * shuffles. */
+  def temperatureWeights(spark: SparkSession, dir: String,
+      alpha: Double = 0.5): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val norm = counts.agg(
+      sum(pow(col("n_docs"), alpha)).as("z"),
+      sum(col("n_docs")).as("n_total"))
+    counts.join(broadcast(norm))
+      .select(col("source"), col("n_docs"),
+        round(pow(col("n_docs"), alpha) / col("z"), 6).as("weight"),
+        round(pow(col("n_docs"), alpha) / col("z") * col("n_total"), 2)
+          .as("eff_docs"))
+  }
+
+  /** Token-budget corpus selection, two-phase so no global sort ever
+    * touches the corpus: (1) docs reduce to a SCORE-BUCKET histogram
+    * (type-token ratio rounded to 3 decimals → ≤ 1001 buckets —
+    * constant-size regardless of corpus), (2) a running token total
+    * over that tiny histogram picks the lowest score bucket that
+    * still fits the budget whole, (3) the cutoff broadcasts back as
+    * a scan-side filter `score >= cutoff`. The greedy-by-rank
+    * alternative (SUM OVER one global ORDER BY) funnels 100 TB
+    * through one partition; this form's only ordered window is over
+    * the histogram. Whole buckets only — selection under-fills by at
+    * most one bucket's tokens, the price of never ranking documents
+    * globally. If even the best bucket exceeds the budget, cutoff is
+    * NULL and nothing is selected (audit shows zero rows). Output is
+    * the per-source audit of the selected set. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+      budget: Long = 30000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("n_tok"),
+        round(size(array_distinct(col("ws"))).cast("double") /
+          size(col("ws")).cast("double"), 3).as("score"))
+      .filter(col("n_tok") > 0)
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(col("n_tok")).as("bucket_tokens"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = hist
+      .withColumn("cum", sum(col("bucket_tokens")).over(wCum))
+      .filter(col("cum") <= budget)
+      .agg(min(col("score")).as("cutoff"))
+    scored.join(broadcast(cutoff))
+      .filter(col("score") >= col("cutoff"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        round(min(col("score")), 3).as("min_score"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the pre-training step that concatenates docs into ~context-length
     * training sequences. Deterministic first-fit-in-id-order per

@@ -247,6 +247,65 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Repetition quality stats (the Gopher-style repetition filters):
+    * per-document duplicate-bigram fraction (1 − distinct/total) and
+    * top-bigram fraction (most frequent bigram's share) — the two
+    * cheap signals that catch boilerplate, keyword stuffing, and
+    * looping generations that length/TTR gates miss. Two-stage
+    * aggregate exactly like the skew-safe distinct (q90): explode →
+    * (doc, bigram) partial counts map-side → per-doc fold, so a
+    * pathological document (one bigram repeated millions of times)
+    * compresses at the first stage instead of funnelling raw rows.
+    * Documents with < 2 tokens have no bigrams and are absent — they
+    * can't repeat, and the oracle's empty range agrees. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = greatest(size(col("ws")) - 1, lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), n1), slice(col("ws"), lit(2), n1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top"))
+      .select(col("doc_id"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_bigrams").cast("double"), 4).as("dup_bigram_frac"),
+        round(col("top").cast("double") /
+          col("n_bigrams").cast("double"), 4).as("top_bigram_frac"))
+  }
+
+  /** Trigram language-model head: top continuations by count with
+    * conditional probability p(next | prefix) = c(prefix,next) /
+    * c(prefix). The prefix total is a window SUM over the trigram
+    * count table — NOT a separate bigram aggregate joined back,
+    * which would re-run the scan+explode subtree (the same
+    * one-scan argument as tfidf's df). Shuffle is on (prefix, next)
+    * then prefix — both partial-aggregated map-side. */
+  def trigramLm(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n2 = greatest(size(col("ws")) - 2, lit(0))
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("ws"))
+      .select(
+        explode(zip_with(
+          zip_with(slice(col("ws"), lit(1), n2), slice(col("ws"), lit(2), n2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(col("ws"), lit(3), n2),
+          (p, c) => struct(p.as("prefix"), c.as("next_word")))).as("tg"))
+      .select(col("tg.prefix").as("prefix"), col("tg.next_word").as("next_word"))
+      .groupBy(col("prefix"), col("next_word"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("p", round(col("c").cast("double") /
+        sum(col("c")).over(Window.partitionBy(col("prefix"))), 4))
+      .orderBy(col("c").desc, col("prefix"), col("next_word"))
+      .limit(topK)
+  }
+
   /** Vocabulary coverage (OOV-rate complement) per language against
     * the corpus top-`vocabSize` tokens — the tokenizer-fit diagnostic
     * a training pipeline runs before committing a vocab. Two corpus

@@ -887,6 +887,28 @@ object Relational {
         max(col("o_totalprice")).as("max_price"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) period build from an
+    * event log: each user event opens a version valid from its
+    * timestamp until the user's next event (`lead`), the last
+    * version staying open (`valid_to` NULL, `is_current` true) —
+    * the standard warehouse pattern for turning CDC/event streams
+    * into point-in-time-joinable dimensions (the as-of joins q25/
+    * q102 would then probe). One shuffle on user_id feeds both
+    * window functions; no self-join. Ties on ts break by event_id so
+    * versions are total-ordered deterministically. */
+  def scd2Periods(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .select(col("user_id"),
+        row_number().over(w).as("version_no"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"),
+        round(col("value"), 4).as("attr_value"))
+  }
+
   /** first_value / last_value / nth_value over a FULL frame (the
     * UNBOUNDED FOLLOWING shape that trips engines defaulting to
     * CURRENT ROW), collapsed to one row per customer. */

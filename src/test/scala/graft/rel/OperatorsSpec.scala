@@ -750,6 +750,94 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.values.sum - near.values.sum == expectedDrop)
   }
 
+  test("repetition stats: fractions in range, duplicate-free docs score zero dup") {
+    val rows = TextAnalysis.repetitionStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      val top = r.getAs[Double]("top_bigram_frac")
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      // top bigram's excess repeats are themselves duplicates (1e-4
+      // slack: both fractions are independently rounded to 4 decimals)
+      assert(top <= dup + 1.0 / r.getAs[Long]("n_bigrams") + 1e-4)
+    }
+    // an engineered looping doc scores high on both fractions
+    import spark.implicits._
+    val loop = Seq((1L, "spam ham " * 50), (2L, "all words here differ fully"))
+      .toDF("doc_id", "text")
+    // reuse the real operator body via a temp view swap is overkill —
+    // assert on the corpus op above; the loop doc check goes through
+    // the same bigram math inline
+    val bi = loop.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.transform(
+        sequence(lit(1), greatest(size(split(col("text"), " ")) - 2, lit(1))),
+        i => concat(element_at(split(col("text"), " "), i), lit(" "),
+          element_at(split(col("text"), " "), i + 1)))).as("bg"))
+      .groupBy(col("doc_id")).agg(
+        (lit(1.0) - countDistinct(col("bg")).cast("double") /
+          count(lit(1)).cast("double")).as("dup"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(1L) > 0.9 && bi(2L) < 0.5)
+  }
+
+  test("trigram LM: probabilities in (0,1], counts descending") {
+    val rows = TextAnalysis.trigramLm(spark, sf).collect()
+    assert(rows.length == 20)
+    val cs = rows.map(_.getAs[Long]("c"))
+    assert(cs.sameElements(cs.sorted.reverse))
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      assert(p > 0.0 && p <= 1.0)
+    }
+  }
+
+  test("temperature mixture: weights sum to 1, flatter than natural proportions") {
+    val rows = graft.ext.Sampling.temperatureWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-3)
+    // alpha < 1 lifts under-represented sources above natural share
+    // and pulls over-represented ones below it
+    rows.foreach { r =>
+      val natural = r.getAs[Long]("n_docs") / total
+      val w = r.getAs[Double]("weight")
+      if (natural < 1.0 / rows.length) assert(w >= natural - 1e-9)
+      else if (natural > 1.0 / rows.length) assert(w <= natural + 1e-9)
+    }
+  }
+
+  test("token budget select: selected tokens fit the budget, scores above cutoff") {
+    val rows = graft.ext.Sampling.tokenBudgetSelect(spark, sf, budget = 30000L)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum <= 30000L)
+    // a bigger budget never selects fewer docs
+    val more = graft.ext.Sampling.tokenBudgetSelect(spark, sf, budget = 60000L)
+      .collect()
+    assert(more.map(_.getAs[Long]("n_docs")).sum >=
+      rows.map(_.getAs[Long]("n_docs")).sum)
+  }
+
+  test("scd2: versions tile each user's timeline with one open period") {
+    val rows = Relational.scd2Periods(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getAs[Int]("version_no"))
+      // exactly one current (open) version per user, and it is the last
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      // each version closes exactly where the next opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"))
+        case _ =>
+      }
+    }
+  }
+
   test("source overlap: symmetric-free pairs, counts bounded by smaller side") {
     val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
     assert(rows.nonEmpty)
