@@ -110,6 +110,11 @@ object SparkEntry {
     "q106_temperature_mix" -> ((s, d) => Sampling.temperatureWeights(s, d)),
     "q107_token_budget"   -> ((s, d) => Sampling.tokenBudgetSelect(s, d)),
     "q108_scd2"           -> (Relational.scd2Periods _),
+    "q109_tpch_q5"        -> (Relational.localSupplierVolume _),
+    "q110_tpch_q10"       -> (Relational.returnedItems _),
+    "q111_tpch_q14"       -> (Relational.promoRevenue _),
+    "q112_tpch_q18"       -> ((s, d) => Relational.largeOrders(s, d)),
+    "q113_tpch_q19"       -> (Relational.brandDisjunction _),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -697,6 +702,60 @@ object SparkEntry {
         |  CAST(SUM(fl) AS BIGINT) AS bytes_kept
         |FROM frames WHERE frame_no % 4 = 0 AND fl > 0
         |GROUP BY media_id""".stripMargin,
+    "q109_tpch_q5" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem, orders, customer, supplier, nation, region
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "q110_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem, orders, customer, nation
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q111_tpch_q14" ->
+      s"""WITH a AS (
+         |  SELECT
+         |    ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_rev,
+         |    ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_rev
+         |  FROM lineitem, part
+         |  WHERE l_partkey = p_partkey
+         |    AND l_shipdate >= TIMESTAMP '1996-09-01'
+         |    AND l_shipdate < TIMESTAMP '1996-10-01')
+         |SELECT round(100.0 * promo_rev / total_rev, 4) AS promo_share_pct,
+         |  promo_rev, total_rev
+         |FROM a""".stripMargin,
+    "q112_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q113_tpch_q19" ->
+      s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey AND l_quantity <= 40
+         |  AND ((p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity BETWEEN 1 AND 20)
+         |    OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 20
+         |        AND l_quantity BETWEEN 10 AND 30)
+         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 30
+         |        AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
     "q104_repetition" ->
       s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
          |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram

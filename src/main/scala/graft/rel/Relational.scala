@@ -827,6 +827,114 @@ object Relational {
         countDistinct(col("s_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q5 (local supplier volume): revenue by nation where the
+    * ordering customer and the line's supplier sit in the SAME
+    * nation, one region, one year. The interesting plan property is
+    * the double nation constraint: customer and supplier each join
+    * their dims, and `c_nationkey = s_nationkey` closes the cycle as
+    * a residual equi-condition. Shuffle joins only where both sides
+    * are facts (lineitem⋈orders, orders⋈customer); supplier/nation/
+    * region broadcast; the year filter pushes to the orders scan. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(revenue).as("revenue"))
+  }
+
+  /** TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    * customer over one quarter, top 20. The quarter filter prunes
+    * orders scan-side and the R-flag filter prunes lineitem
+    * scan-side BEFORE the fact⋈fact join — the predicate-pushdown
+    * shape that matters at 100 TB. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 (promotion effect): promo revenue share of one
+    * month's shipments — conditional aggregation over a broadcast
+    * part join, one output row. Both sums come from the same pass;
+    * the share divides AFTER the decimal-exact sums surface as
+    * doubles, so the ratio is partitioning-stable. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum(revenue).as("total_rev"))
+      .select(round(lit(100.0) * col("promo_rev") / col("total_rev"), 4)
+        .as("promo_share_pct"), col("promo_rev"), col("total_rev"))
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds a threshold, with customer context. The HAVING reduces
+    * lineitem to a small qualifying-order set BEFORE any dimension
+    * join — aggregate-then-join, never join-then-aggregate, which is
+    * the difference between shuffling keys and shuffling the fact
+    * table twice. */
+  def largeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 150.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q19-shaped disjunctive-predicate join: revenue from three
+    * OR'd (brand, size-range, quantity-range) branches. The partkey
+    * equi-condition extracts cleanly so the join stays hash/broadcast
+    * (NOT a nested loop — the classic Q19 planner trap); the
+    * disjunction evaluates as a residual filter, and the shared
+    * `l_quantity <= 40` bound pushes to the lineitem scan. */
+  def brandDisjunction(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") <= 40.0)
+    val branch = (brand: String, szLo: Int, szHi: Int, qLo: Double, qHi: Double) =>
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#13", 1, 10, 1.0, 20.0) ||
+        branch("Brand#20", 10, 20, 10.0, 30.0) ||
+        branch("Brand#23", 20, 30, 20.0, 40.0))
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   /** GLOBAL quantile bucketing via broadcast boundaries: quartile
     * cutoffs from ONE aggregate (3 doubles), broadcast back over the
     * fact scan as comparisons — no global window, no

@@ -838,6 +838,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("tpch q5: dims broadcast, facts shuffle, revenue positive") {
+    val df = Relational.localSupplierVolume(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
+  test("tpch q18: every order exceeds the quantity threshold, sorted by price") {
+    val rows = Relational.largeOrders(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 150.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("tpch q19: disjunctive join stays hash-based and matches per-branch sum") {
+    val df = Relational.brandDisjunction(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    val total = df.collect().head.getAs[Long]("n_items")
+    // the three branches are disjoint (brands differ), so per-branch
+    // counts must add up exactly
+    val li = graft.Tables.lineitem(spark, sf)
+    val p = graft.Tables.part(spark, sf)
+    val j = li.join(p, col("l_partkey") === col("p_partkey"))
+    def branch(b: String, s1: Int, s2: Int, q1: Double, q2: Double) =
+      j.filter(col("p_brand") === b && col("p_size").between(s1, s2) &&
+        col("l_quantity").between(q1, q2)).count()
+    assert(total == branch("Brand#13", 1, 10, 1.0, 20.0) +
+      branch("Brand#20", 10, 20, 10.0, 30.0) +
+      branch("Brand#23", 20, 30, 20.0, 40.0))
+  }
+
   test("source overlap: symmetric-free pairs, counts bounded by smaller side") {
     val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
     assert(rows.nonEmpty)
