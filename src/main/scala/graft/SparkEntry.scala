@@ -115,6 +115,7 @@ object SparkEntry {
     "q111_tpch_q14"       -> (Relational.promoRevenue _),
     "q112_tpch_q18"       -> ((s, d) => Relational.largeOrders(s, d)),
     "q113_tpch_q19"       -> (Relational.brandDisjunction _),
+    "q114_incremental_agg" -> ((s, d) => Relational.incrementalDailyAgg(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -702,6 +703,12 @@ object SparkEntry {
         |  CAST(SUM(fl) AS BIGINT) AS bytes_kept
         |FROM frames WHERE frame_no % 4 = 0 AND fl > 0
         |GROUP BY media_id""".stripMargin,
+    // q114: the oracle is the FULL recompute — the merge-of-partials
+    // path must be indistinguishable from rescanning history
+    "q114_incremental_agg" ->
+      s"""SELECT event_type, date_trunc('day', ts) AS day,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "q109_tpch_q5" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue

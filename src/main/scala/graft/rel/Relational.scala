@@ -827,6 +827,33 @@ object Relational {
         countDistinct(col("s_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_items"))
 
+  /** Incremental aggregate maintenance — the rollup pattern that
+    * never rescans history: yesterday's materialized daily rollup
+    * (base) merges with today's increment (delta) by re-aggregating
+    * PARTIAL aggregates (counts add; sums add through the same
+    * decimal accumulation as the original), giving exactly the
+    * full-recompute table. At 100 TB the base is a tiny rollup read,
+    * the delta scans one day's partition, and the merge shuffles
+    * |groups| rows — the full recompute the oracle runs here is the
+    * thing this operator exists to avoid. Late-arriving data lands
+    * as another delta; merge is associative so any grouping of
+    * increments converges to the same table. */
+  def incrementalDailyAgg(spark: SparkSession, dir: String,
+      cut: String = "2024-01-20"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("value"))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val base = rollup(ev.filter(col("day") < lit(cut).cast("timestamp")))
+    val delta = rollup(ev.filter(col("day") >= lit(cut).cast("timestamp")))
+    base.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_events")).as("n_events"),
+        dsum(col("sum_value")).as("sum_value"))
+  }
+
   /** TPC-H Q5 (local supplier volume): revenue by nation where the
     * ordering customer and the line's supplier sit in the SAME
     * nation, one region, one year. The interesting plan property is

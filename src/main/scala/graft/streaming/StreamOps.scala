@@ -288,16 +288,29 @@ object StreamOps {
     * Expected columns: `key`, `ts` (event time) on both sides; right
     * columns are prefixed `r_` in the output. */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
-      tolerance: String = "10 minutes"): DataFrame = {
+      tolerance: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", tolerance)
     val r = right.withWatermark("ts", tolerance)
       .select(col("key").as("r_key"), col("ts").as("r_ts"))
     l.join(r,
       col("key") === col("r_key") &&
         col("r_ts") >= col("ts") - expr(s"INTERVAL $tolerance") &&
-        col("r_ts") <= col("ts") + expr(s"INTERVAL $tolerance"))
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $tolerance"),
+      joinType)
       .drop("r_key")
   }
+
+  /** LEFT OUTER watermarked interval join: same state bounds as the
+    * inner form, plus every left event that found NO right partner
+    * inside the tolerance is emitted with null right columns — but
+    * only once the watermark proves no partner can still arrive
+    * (null-padded results trail the inner results by the watermark
+    * delay by construction; an engine that emitted them eagerly
+    * would have to retract). The shape for "orders that never got a
+    * confirmation within 10 minutes" alerting. */
+  def intervalJoinStreamOuter(left: DataFrame, right: DataFrame,
+      tolerance: String = "10 minutes"): DataFrame =
+    intervalJoinStream(left, right, tolerance, "left_outer")
 
   /** File-source streaming read of an events directory with the
     * events schema (ns timestamps pre-converted like Tables.events). */

@@ -876,6 +876,20 @@ class OperatorsSpec extends AnyFunSuite {
       branch("Brand#23", 20, 30, 20.0, 40.0))
   }
 
+  test("incremental agg merge is indistinguishable from full recompute at any cut") {
+    val full = Relational.incrementalDailyAgg(spark, sf, cut = "1900-01-01")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    // two different cut points must converge to the identical table
+    Seq("2024-01-10", "2024-01-20").foreach { cut =>
+      val merged = Relational.incrementalDailyAgg(spark, sf, cut).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) ->
+          (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      assert(merged == full, s"cut $cut diverged")
+    }
+  }
+
   test("source overlap: symmetric-free pairs, counts bounded by smaller side") {
     val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -212,6 +212,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("a", "2024-01-01 10:05:00.0")))
   }
 
+  test("left-outer interval join emits unmatched lefts with nulls after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lSrc = MemoryStream[(String, Timestamp)]
+    val rSrc = MemoryStream[(String, Timestamp)]
+    val q = StreamOps.intervalJoinStreamOuter(
+      lSrc.toDF().toDF("key", "ts"), rSrc.toDF().toDF("key", "ts"), "10 minutes")
+      .writeStream.format("memory").queryName("ij_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lSrc.addData(("a", Timestamp.valueOf("2024-01-01 10:00:00")),
+        ("b", Timestamp.valueOf("2024-01-01 10:00:00")))
+      rSrc.addData(("a", Timestamp.valueOf("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // push BOTH watermarks far past b's join window so the engine
+      // can prove no partner for b will ever arrive; two nudges since
+      // the watermark computed at batch N gates emission at batch N+1
+      for (t <- Seq("2024-01-01 12:00:00", "2024-01-01 12:10:00")) {
+        lSrc.addData(("z", Timestamp.valueOf(t)))
+        rSrc.addData(("z", Timestamp.valueOf(t)))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("ij_outer").collect()
+        .map(r => (r.getAs[String]("key"), Option(r.getAs[Timestamp]("r_ts"))))
+        .filter(x => x._1 == "a" || x._1 == "b").sorted.toSeq
+      assert(rows == Seq(
+        ("a", Some(Timestamp.valueOf("2024-01-01 10:05:00"))),
+        ("b", None)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with dim attributes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
