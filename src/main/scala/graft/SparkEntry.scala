@@ -116,6 +116,8 @@ object SparkEntry {
     "q112_tpch_q18"       -> ((s, d) => Relational.largeOrders(s, d)),
     "q113_tpch_q19"       -> (Relational.brandDisjunction _),
     "q114_incremental_agg" -> ((s, d) => Relational.incrementalDailyAgg(s, d)),
+    "q115_debounce"       -> ((s, d) => Relational.debounceEvents(s, d)),
+    "q116_source_rank"    -> ((s, d) => Dedup.sourceRank(s, d)), // rows-only: fixed-iteration power loop, not one SQL query
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -709,6 +711,14 @@ object SparkEntry {
       s"""SELECT event_type, date_trunc('day', ts) AS day,
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "q115_debounce" ->
+      """SELECT event_id, user_id, event_type, ts FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    epoch_us(ts) - LAG(epoch_us(ts), 1)
+        |      OVER (PARTITION BY user_id, event_type
+        |            ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |WHERE gap_us IS NULL OR gap_us >= 600000000""".stripMargin,
     "q109_tpch_q5" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue

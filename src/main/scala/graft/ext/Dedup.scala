@@ -327,6 +327,59 @@ object Dedup {
     labels
   }
 
+  /** Weighted PageRank over an undirected edge list — the other
+    * iterative graph primitive a corpus-provenance pipeline wants
+    * (rank sources/documents by how centrally they sit in the
+    * overlap graph; [[connectedComponents]] answers "which", this
+    * answers "how much"). Power iteration with a FIXED iteration
+    * count: each round is one join (ranks into normalized edges) and
+    * one aggregation, lineage truncated per round exactly like CC so
+    * the plan never grows. Contributions accumulate through
+    * DECIMAL(38,28) so the per-node sum — and therefore the whole
+    * trajectory — is partitioning-independent; edge normalization
+    * (weight / out-weight) is a per-row double op, deterministic
+    * everywhere. Dangling nodes can't exist (every node of an
+    * undirected edge has out-edges), so mass only leaks through the
+    * (1-d) teleport, same as the textbook formulation. */
+  def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
+      weight: String = "weight", iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    def dsum28(c: Column): Column = sum(c.cast("decimal(38,28)")).cast("double")
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"),
+      col(weight).cast("double").as("w"))
+    val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .localCheckpoint(eager = true)
+    val outW = e.groupBy(col("a")).agg(dsum28(col("w")).as("out_w"))
+    val eNorm = e.join(outW, Seq("a"))
+      .select(col("a"), col("b"), (col("w") / col("out_w")).as("p"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("a").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val contrib = eNorm.join(ranks, eNorm("a") === ranks("node"))
+        .groupBy(col("b")).agg(dsum28(col("p") * col("rank")).as("c"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("b"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** PageRank of the cross-source shingle-overlap graph (q100's edge
+    * list): which sources sit centrally in the re-crawl/provenance
+    * web. Rows-only at the gate (a fixed-iteration power loop is not
+    * one SQL query); the spec checks closed-form graphs. */
+  def sourceRank(spark: SparkSession, dir: String): DataFrame =
+    pageRank(graft.ext.TextAnalysis.sourceOverlap(spark, dir)
+      .select(col("source_a").as("src"), col("source_b").as("dst"),
+        col("n_shared").cast("double").as("weight")))
+      .orderBy(col("rank").desc, col("node"))
+
   /** Near-duplicate clusters: connected components of the verified
     * token-Jaccard pair graph — each doc mapped to its cluster's min
     * doc_id. Built on the oracle-able [[jaccardPairs]] edge set so the

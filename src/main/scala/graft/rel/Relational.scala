@@ -827,6 +827,28 @@ object Relational {
         countDistinct(col("s_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_items"))
 
+  /** Event debounce: keep only the FIRST event of each burst — a
+    * burst being consecutive same-(user, type) events each within
+    * `gapMin` of its predecessor. One lag window gives exact
+    * first-per-session semantics without materializing session ids:
+    * within a burst every row's gap to its RAW predecessor is under
+    * the threshold except the burst head, so `gap >= threshold OR
+    * first` keeps precisely the heads. The dedup shape for
+    * double-click/retry storms at ingest; same single shuffle as any
+    * per-key window. Gap math in integer microseconds (portable,
+    * no DST/rounding surprises). */
+  def debounceEvents(spark: SparkSession, dir: String,
+      gapMin: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") >= gapMin * 60L * 1000000L)
+      .drop("prev_us")
+  }
+
   /** Incremental aggregate maintenance — the rollup pattern that
     * never rescans history: yesterday's materialized daily rollup
     * (base) merges with today's increment (delta) by re-aggregating

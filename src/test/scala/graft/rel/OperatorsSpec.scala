@@ -876,6 +876,63 @@ class OperatorsSpec extends AnyFunSuite {
       branch("Brand#23", 20, 30, 20.0, 40.0))
   }
 
+  test("debounce: burst heads kept, every survivor pair separated by the gap") {
+    val kept = Relational.debounceEvents(spark, sf, gapMin = 10).collect()
+    assert(kept.nonEmpty)
+    // survivors of one key are pairwise >= gap apart
+    kept.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .foreach { case (_, vs) =>
+        val ts = vs.map(_.getAs[java.sql.Timestamp]("ts").getTime).sorted
+        ts.sliding(2).foreach {
+          case Array(a, b) => assert(b - a >= 10 * 60 * 1000L)
+          case _ =>
+        }
+      }
+    // the earliest event of every key always survives
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+    val firstPerKey = all
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .map { case (k, vs) => k -> vs.map(_.getAs[Long]("event_id")).min }
+    val keptIds = kept.map(_.getAs[Long]("event_id")).toSet
+    // min event_id per key isn't necessarily the earliest ts, so check
+    // via (ts, event_id) ordering
+    all.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .foreach { case (_, vs) =>
+        val head = vs.minBy(r =>
+          (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+        assert(keptIds.contains(head.getAs[Long]("event_id")))
+      }
+    assert(firstPerKey.nonEmpty)
+  }
+
+  test("pagerank: closed forms on symmetric and star graphs, ranks sum to 1") {
+    import spark.implicits._
+    // two-node symmetric graph: ranks must be exactly equal (0.5, 0.5)
+    val pair = Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val pr2 = Dedup.pageRank(pair).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr2(1L) == 0.5 && pr2(2L) == 0.5)
+    // star: center must outrank every leaf; total mass conserved
+    val star = Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0))
+      .toDF("src", "dst", "weight")
+    val prs = Dedup.pageRank(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prs(0L) > prs(1L))
+    assert(prs(1L) == prs(2L) && prs(2L) == prs(3L))
+    assert(math.abs(prs.values.sum - 1.0) < 1e-4)
+    // weighted: heavier edge pulls more rank to its endpoint
+    val wtd = Seq((0L, 1L, 10.0), (0L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val prw = Dedup.pageRank(wtd).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prw(1L) > prw(2L))
+    // corpus-level: deterministic across invocations
+    val a = Dedup.sourceRank(spark, sf).collect().toSeq.map(_.toString)
+    val b = Dedup.sourceRank(spark, sf).collect().toSeq.map(_.toString)
+    assert(a == b && a.nonEmpty)
+  }
+
   test("incremental agg merge is indistinguishable from full recompute at any cut") {
     val full = Relational.incrementalDailyAgg(spark, sf, cut = "1900-01-01")
       .collect()

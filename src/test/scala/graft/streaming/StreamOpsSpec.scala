@@ -362,6 +362,42 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state survives a query restart via checkpoint (file source)") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-ckpt-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // file source → stateful dedup → file sink with a checkpoint: the
+    // production recovery shape (memory sink can't recover)
+    def start() = {
+      val src = spark.readStream
+        .schema("contentHash STRING, docId LONG")
+        .parquet(in).as[HashedDoc]
+      StreamOps.dedupStream(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+    }
+    // run 1: h1 admitted, then stop — state is in the checkpoint
+    Seq(HashedDoc("h1", 7L)).toDS().write.mode("append").parquet(in)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() == 1)
+    // run 2 (fresh query object, same checkpoint): the h1 duplicate
+    // MUST be dropped by state restored from the checkpoint; h2 is new
+    Seq(HashedDoc("h1", 99L), HashedDoc("h2", 1L)).toDS()
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).as[HashedDoc].collect()
+      .map(d => d.contentHash -> d.docId).toSeq.sorted
+    assert(rows == Seq("h1" -> 7L, "h2" -> 1L),
+      s"state did not survive restart: $rows")
+  }
+
   test("foreachBatch writer drains a stream through a batch transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
