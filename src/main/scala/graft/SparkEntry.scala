@@ -118,6 +118,9 @@ object SparkEntry {
     "q114_incremental_agg" -> ((s, d) => Relational.incrementalDailyAgg(s, d)),
     "q115_debounce"       -> ((s, d) => Relational.debounceEvents(s, d)),
     "q116_source_rank"    -> ((s, d) => Dedup.sourceRank(s, d)), // rows-only: fixed-iteration power loop, not one SQL query
+    "q117_negative_pairs" -> ((s, d) => Sampling.negativePairs(s, d)),
+    "q118_length_batches" -> ((s, d) => Sampling.lengthBatches(s, d)),
+    "q119_point_in_time"  -> (Relational.pointInTimeJoin _),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -719,6 +722,54 @@ object SparkEntry {
         |            ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |WHERE gap_us IS NULL OR gap_us >= 600000000""".stripMargin,
+    "q117_negative_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id AS neg_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 32 AS bucket
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id AS anchor_id, s.slot,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(s.slot AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS slot) s
+        |  WHERE doc_id < 50),
+        |j AS (
+        |  SELECT a.anchor_id, CAST(a.slot AS INTEGER) AS slot, d.neg_id,
+        |    md5(CAST(a.anchor_id AS VARCHAR) || '|' ||
+        |        CAST(d.neg_id AS VARCHAR)) AS pick
+        |  FROM a JOIN d USING (bucket) WHERE d.neg_id <> a.anchor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, slot
+        |        ORDER BY pick, neg_id) AS rn FROM j)
+        |SELECT anchor_id, slot, neg_id FROM r WHERE rn = 1""".stripMargin,
+    "q118_length_batches" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(n_chars / 200.0) AS INTEGER) AS len_bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT len_bucket, n_chars,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY len_bucket ORDER BY doc_id)
+        |      - 1) // 16 AS INTEGER) AS batch_no
+        |  FROM b)
+        |SELECT len_bucket, batch_no, COUNT(*) AS n_docs,
+        |  MAX(n_chars) AS batch_max_chars,
+        |  CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS BIGINT)
+        |    AS padding_waste
+        |FROM r GROUP BY len_bucket, batch_no""".stripMargin,
+    "q119_point_in_time" ->
+      """WITH dim AS (
+        |  SELECT user_id AS d_user, ts AS valid_from,
+        |    LEAD(ts, 1) OVER w AS valid_to,
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_no
+        |  FROM events WHERE event_type = 'signup'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, dim.version_no
+        |FROM f JOIN dim ON f.user_id = dim.d_user
+        |  AND dim.valid_from <= f.ts
+        |  AND (dim.valid_to IS NULL OR f.ts < dim.valid_to)""".stripMargin,
     "q109_tpch_q5" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue

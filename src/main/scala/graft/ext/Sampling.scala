@@ -191,6 +191,65 @@ object Sampling {
         round(min(col("score")), 3).as("min_score"))
   }
 
+  /** Deterministic contrastive NEGATIVE sampling: K pseudo-random
+    * negatives per anchor, reproducible across runs/partitionings/
+    * engines (the property `df.sample` can't give — see file header).
+    * Never a cross join: each (anchor, slot) hashes to a target
+    * BUCKET, docs carry their own hash bucket, and the join is equi
+    * on bucket — per-slot work is one bucket's ~N/B docs, and B
+    * scales with the corpus exactly like [[hashBucket]]'s dial. The
+    * winner within a bucket is the min md5(anchor|doc) — stable, and
+    * different anchors pick different docs from the same bucket.
+    * Collision with the anchor itself is excluded; a slot whose
+    * bucket holds no other docs yields no row (audited shortfall,
+    * same contract as [[targetMixture]]). */
+  def negativePairs(spark: SparkSession, dir: String, k: Int = 4,
+      nAnchors: Long = 50L, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("neg_id"),
+        hashBucket(col("doc_id"), buckets).as("bucket"))
+    val slots = Tables.documents(spark, dir)
+      .filter(col("doc_id") < nAnchors)
+      .select(col("doc_id").as("anchor_id"),
+        explode(sequence(lit(0), lit(k - 1))).as("slot"))
+      .withColumn("bucket",
+        hashBucket(concat_ws(":", col("anchor_id"), col("slot")), buckets))
+    val w = Window.partitionBy(col("anchor_id"), col("slot"))
+      .orderBy(col("pick"), col("neg_id"))
+    slots.join(docs, Seq("bucket"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .withColumn("pick",
+        md5(concat_ws("|", col("anchor_id"), col("neg_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("slot"), col("neg_id"))
+  }
+
+  /** Length-bucketed inference batching: group documents into
+    * fixed-size batches WITHIN coarse length buckets so each batch
+    * pads to its own max, not the corpus max — the standard serving /
+    * tokenize-and-pad efficiency move. Emits the per-batch audit
+    * (size, max length, padding waste) that quantifies what the
+    * bucketing saved. The only window is a row_number per length
+    * bucket — same parallel shape as packBins. */
+  def lengthBatches(spark: SparkSession, dir: String,
+      batchSize: Int = 16, bucketChars: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("len_bucket")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        floor(col("n_chars") / lit(bucketChars.toDouble)).cast("int")
+          .as("len_bucket"))
+      .withColumn("batch_no",
+        ((row_number().over(w) - 1) / batchSize).cast("int"))
+      .groupBy(col("len_bucket"), col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("batch_max_chars"),
+        (max(col("n_chars")) * count(lit(1)) - sum(col("n_chars")))
+          .cast("long").as("padding_waste"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the pre-training step that concatenates docs into ~context-length
     * training sequences. Deterministic first-fit-in-id-order per

@@ -849,6 +849,33 @@ object Relational {
       .drop("prev_us")
   }
 
+  /** Point-in-time (temporal) join against an SCD2 dimension built
+    * with [[scd2Periods]]' window shape: purchase facts resolve the
+    * signup-version valid AT their timestamp. The plan property that
+    * makes this scale: the join keeps an EQUI key (user_id) so Spark
+    * picks a hash join partitioned by user, and the period bounds
+    * are a residual filter — never a nested loop. Facts before a
+    * user's first version drop (inner); versions tile half-open
+    * [valid_from, valid_to), so exactly one version matches any
+    * in-range fact. */
+  def pointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dim = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("d_user"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version_no"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("version_no"))
+  }
+
   /** Incremental aggregate maintenance — the rollup pattern that
     * never rescans history: yesterday's materialized daily rollup
     * (base) merges with today's increment (delta) by re-aggregating

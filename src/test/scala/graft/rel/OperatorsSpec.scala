@@ -933,6 +933,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("negative pairs: deterministic, never the anchor, at most k per anchor") {
+    val a = graft.ext.Sampling.negativePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = graft.ext.Sampling.negativePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sorted.toSeq == b.sorted.toSeq && a.nonEmpty)
+    assert(a.forall { case (anchor, _, neg) => anchor != neg })
+    a.groupBy(_._1).foreach { case (_, slots) =>
+      assert(slots.length <= 4)
+      assert(slots.map(_._2).distinct.length == slots.length)
+    }
+  }
+
+  test("length batches: bounded size, waste consistent with batch max") {
+    val rows = graft.ext.Sampling.lengthBatches(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 16L)
+      val waste = r.getAs[Long]("padding_waste")
+      // waste < (batch width) × size: every doc in the bucket is
+      // within bucketChars of the batch max
+      assert(waste >= 0 && waste < 200L * r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("point-in-time join resolves exactly one version per in-range fact") {
+    val rows = Relational.pointInTimeJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one output row per qualifying fact (versions tile half-open)
+    val ids = rows.map(_.getAs[Long]("event_id"))
+    assert(ids.distinct.length == ids.length)
+    // spot-invariant: version numbers are positive
+    assert(rows.forall(_.getAs[Int]("version_no") >= 1))
+  }
+
   test("incremental agg merge is indistinguishable from full recompute at any cut") {
     val full = Relational.incrementalDailyAgg(spark, sf, cut = "1900-01-01")
       .collect()
