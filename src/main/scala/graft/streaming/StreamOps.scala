@@ -163,6 +163,48 @@ object StreamOps {
       }
   }
 
+  /** Streaming DEBOUNCE — the event-time streaming twin of the batch
+    * `Relational.debounceEvents` (q115): emit only burst heads, a
+    * burst being consecutive same-key events each within `gap` of
+    * its predecessor. Keyed state is ONE long (last event time);
+    * each arrival emits iff its gap from the previous raw event is
+    * ≥ the threshold, then advances the stored clock. Rows are
+    * processed in event-time order WITHIN a micro-batch, so the
+    * operator matches the batch window exactly whenever cross-batch
+    * arrival order respects event time (the watermark contract);
+    * an idle key's state evicts `gap` past its last event — safe,
+    * because any arrival after that gap is a burst head by
+    * definition. Reuses the [[TimedHashedDoc]] shape: contentHash =
+    * debounce key, docId = event id. */
+  def debounceStream(events: Dataset[TimedHashedDoc],
+      gap: java.time.Duration,
+      watermarkDelay: String = "10 seconds"): Dataset[HashedDoc] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.contentHash)
+      .flatMapGroupsWithState[Long, HashedDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[TimedHashedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))
+            var last = state.getOption.getOrElse(Long.MinValue)
+            val out = rs.flatMap { r =>
+              val t = r.ts.getTime
+              val head = last == Long.MinValue || t - last >= gap.toMillis
+              last = t
+              if (head) Some(HashedDoc(key, r.docId)) else None
+            }
+            state.update(last)
+            state.setTimeoutTimestamp(math.max(last + gap.toMillis,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Session windows with a 30-minute inactivity gap — the built-in
     * dynamic-window form of Relational.sessionize (which uses the
     * lag/cumsum composition batch-side). `session_window` merges
@@ -312,12 +354,21 @@ object StreamOps {
       tolerance: String = "10 minutes"): DataFrame =
     intervalJoinStream(left, right, tolerance, "left_outer")
 
-  /** File-source streaming read of an events directory with the
-    * events schema (ns timestamps pre-converted like Tables.events). */
+  /** File-source streaming read of the events table (sf dir), with
+    * the same ns→µs timestamp conversion as `Tables.events` so batch
+    * and streaming operators see identical event times. The schema
+    * comes from one batch-read of the footer (streams need it up
+    * front), and the stream reads ONLY the events file — not the
+    * sibling tables in the sf directory. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.events(spark, dir).schema
-    spark.readStream
-      .schema(schema)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // the streaming file source wants a DIRECTORY; glob-filter to the
+    // events file so sibling tables in the sf dir are never touched
+    val df = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, concat_ws}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -168,6 +169,55 @@ class StreamOpsSpec extends AnyFunSuite {
         .map(d => d.contentHash -> d.docId).toSeq.sorted
       assert(rows == Seq("adv" -> 1L, "adv2" -> 2L, "h1" -> 7L, "h1" -> 99L))
     } finally q.stop()
+  }
+
+  test("streaming debounce: burst suppression across batches by data clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[TimedHashedDoc]
+    def ts(s: String) = Timestamp.valueOf(s)
+    val q = StreamOps.debounceStream(src.toDS(),
+      java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("debounce_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // burst: head emits, follower 5 min later suppressed
+      src.addData(TimedHashedDoc("k1", 1L, ts("2024-01-01 10:00:00")),
+        TimedHashedDoc("k1", 2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // next batch: 9:55 after the previous RAW event → still inside
+      src.addData(TimedHashedDoc("k1", 3L, ts("2024-01-01 10:14:55")))
+      q.processAllAvailable()
+      // 15 min later → new burst head
+      src.addData(TimedHashedDoc("k1", 4L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("debounce_stream").as[HashedDoc].collect()
+        .map(_.docId).sorted.toSeq
+      assert(rows == Seq(1L, 4L))
+    } finally q.stop()
+  }
+
+  test("streaming debounce matches the batch operator on the events table") {
+    import spark.implicits._
+    val dir = graft.TestSpark.sf
+    val batch = graft.rel.Relational.debounceEvents(spark, dir, gapMin = 10)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val streamed = StreamOps.debounceStream(
+      StreamOps.readEventsStream(spark, dir)
+        .select(concat_ws("|", col("user_id"), col("event_type")).as("contentHash"),
+          col("event_id").as("docId"), col("ts"))
+        .as[TimedHashedDoc],
+      java.time.Duration.ofMinutes(10))
+    val out = java.nio.file.Files.createTempDirectory("graft-debounce-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-debounce-ck").toString
+    val q = streamed.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.read.parquet(out).select("docId").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == batch, s"stream/batch diverged: ${ids.size} vs ${batch.size}")
   }
 
   test("session windows merge within gap, split across it") {
