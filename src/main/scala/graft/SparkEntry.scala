@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.rel.Relational
+import graft.rel.{Reduce, Relational}
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -121,6 +121,9 @@ object SparkEntry {
     "q117_negative_pairs" -> ((s, d) => Sampling.negativePairs(s, d)),
     "q118_length_batches" -> ((s, d) => Sampling.lengthBatches(s, d)),
     "q119_point_in_time"  -> (Relational.pointInTimeJoin _),
+    "q120_bloom_semi"     -> (Reduce.buildingOrders _),
+    "q121_zorder_buckets" -> (Reduce.zOrderBuckets _),
+    "q122_cms_heavy_hitters" -> ((s, d) => graft.ext.Profile.cmsTokenCounts(s, d)), // rows-only: CMS sketch, bracket-spec'd vs exact
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -722,6 +725,25 @@ object SparkEntry {
         |            ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |WHERE gap_us IS NULL OR gap_us >= 600000000""".stripMargin,
+    // q120: the bloom filter is a pass-through optimization — the
+    // oracle is the plain semi join the reduction provably equals
+    "q120_bloom_semi" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer
+         |                    WHERE c_mktsegment = 'BUILDING')
+         |GROUP BY o_orderstatus""".stripMargin,
+    "q121_zorder_buckets" ->
+      """WITH z AS (
+        |  SELECT CAST(list_sum(list_transform(range(0, 16), i ->
+        |    ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) +
+        |    ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))))
+        |    AS BIGINT) AS z
+        |  FROM lineitem)
+        |SELECT z >> 12 AS z_bucket, COUNT(*) AS n_rows,
+        |  MIN(z) AS min_z, MAX(z) AS max_z
+        |FROM z GROUP BY z_bucket""".stripMargin,
     "q117_negative_pairs" ->
       """WITH d AS (
         |  SELECT doc_id AS neg_id,

@@ -56,4 +56,27 @@ object Profile {
     profile(Tables.lineitem(spark, dir),
       numericCols = Seq("l_orderkey", "l_quantity", "l_extendedprice"),
       otherCols = Seq("l_returnflag"))
+
+  /** Count–min-sketch heavy-hitter estimates — the third mergeable
+    * sketch in the catalog (HLL counts distincts q29, the KLL-style
+    * percentile sketch fits quantiles q95-approx; CMS estimates
+    * per-item frequencies). One pass builds the sketch
+    * (`stat.countMinSketch`, fixed seed ⇒ deterministic), then a tiny
+    * watchlist is probed driver-side — the shape for "how often did
+    * each of these K tokens appear in 100 TB" without a groupBy over
+    * the full token stream. CMS error is ONE-SIDED: estimate ≥ truth,
+    * and ≤ truth + eps·N with probability 1-δ — the spec brackets
+    * both sides. Rows-only at the gate (DuckDB has no CMS); the
+    * bracket spec against exact counts is the correctness story. */
+  def cmsTokenCounts(spark: SparkSession, dir: String,
+      watchlist: Seq[String] = Seq("the", "a", "and", "of", "to"),
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+    val cms = toks.stat.countMinSketch(col("tok"), eps, confidence, seed = 42)
+    watchlist.map(w => (w, cms.estimateCount(w)))
+      .toDF("token", "est_count")
+      .orderBy(col("token"))
+  }
 }

@@ -1,7 +1,90 @@
 package graft.rel
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Join-input REDUCTION techniques: shrink what a join must shuffle
+  * before the join runs. Complements [[Skew]] (which fixes how a
+  * shuffle distributes) — these fix how much shuffles at all. */
+object Reduce {
+
+  /** Bloom semi-join reduction: build a Bloom filter over the small
+    * side's keys, broadcast it, and pre-filter the BIG side before
+    * the exact join. At 100 TB this is the difference between
+    * shuffling the full fact table and shuffling only rows that can
+    * possibly match — false positives (rate `fpp`) pass the filter
+    * and die in the exact join, so results are EXACTLY the plain
+    * semi join's (the oracle runs the plain semi join). Spark's AQE
+    * can inject runtime bloom filters itself; the explicit form is
+    * for when the small side comes from a separate pipeline stage or
+    * the optimizer can't see the opportunity. The filter is built
+    * with one aggregation on the small side (`stat.bloomFilter`,
+    * mergeable sketch) and ships once per executor. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
+      fpp: Double = 0.01): DataFrame = {
+    val n = math.max(small.count(), 1L)
+    val bf = small.stat.bloomFilter(key, n, fpp)
+    val bfB = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    big.filter(mightContain(col(key)))
+      .join(small.select(col(key)).distinct().hint("broadcast"),
+        Seq(key), "left_semi")
+  }
+
+  /** The q120 query: orders of BUILDING-segment customers via bloom
+    * semi-join reduction — oracle = the plain semi join it equals. */
+  def buildingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val seg = graft.Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("o_custkey"))
+    bloomSemiJoin(graft.Tables.orders(spark, dir), seg, "o_custkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+          .as("sum_price"))
+  }
+
+  /** Morton (Z-order) value: bit-interleave two non-negative int
+    * columns (a in even bit positions, b in odd) — the space-filling
+    * curve behind multi-dimensional data layout: sorting by z keeps
+    * rows close in BOTH dimensions close in the file, so min/max
+    * zone maps prune 2-D range predicates that a 1-D sort can only
+    * prune on its leading column. Pure column arithmetic (2×bits
+    * shift/mask terms, codegen-friendly, no UDF); monotone under
+    * component-wise dominance, which the spec checks exhaustively on
+    * a grid. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until bits).map { i =>
+      (shiftright(al, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(bl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** The q121 query: z-bucket occupancy of lineitem laid out on
+    * (l_partkey, l_suppkey) — the audit a layout job emits: how rows
+    * distribute over the top bits (z >> 12) of the z-curve (= the file-level
+    * zone map granularity a writer would use). */
+  def zOrderBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(spark, dir)
+      .select(zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+      .groupBy(shiftright(col("z"), 12).as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+
+  /** Write `df` Z-ORDERED on two key columns: range-partition by the
+    * z value (so files own disjoint z ranges) and sort within each
+    * partition — parquet then records min/max zone maps per file
+    * that prune 2-D range scans. Returns the output path. */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+      nFiles: Int = 8): String = {
+    df.withColumn("z", zValue(col(a), col(b)))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+}
 
 /** Skew mitigation for shuffle joins.
   *

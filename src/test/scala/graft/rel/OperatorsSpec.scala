@@ -970,6 +970,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("version_no") >= 1))
   }
 
+  test("bloom semi-join reduction equals the plain semi join exactly") {
+    val reduced = Reduce.bloomSemiJoin(
+      graft.Tables.orders(spark, sf),
+      graft.Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey")),
+      "o_custkey")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(reduced == plain && reduced.nonEmpty)
+  }
+
+  test("z-value: exact interleave, dominance-monotone, files own disjoint ranges") {
+    import spark.implicits._
+    // exact interleave against a scalar reference on a 16x16 grid
+    def zRef(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b))
+    val got = grid.toDF("a", "b")
+      .select(col("a"), col("b"), Reduce.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (a, b) => assert(got((a, b)) == zRef(a, b)) }
+    // dominance monotonicity on the grid
+    grid.foreach { case (a, b) =>
+      if (a + 1 < 16) assert(got((a + 1, b)) > got((a, b)))
+      if (b + 1 < 16) assert(got((a, b + 1)) > got((a, b)))
+    }
+    // z-ordered write: parquet files cover disjoint z ranges
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Reduce.writeZOrdered(graft.Tables.lineitem(spark, sf),
+      out, "l_partkey", "l_suppkey", nFiles = 4)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(perFile.length > 1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("cms heavy hitters: one-sided error brackets the exact counts") {
+    val est = graft.ext.Profile.cmsTokenCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val total = toks.count()
+    val exact = toks.filter(col("tok").isin(est.keys.toSeq: _*))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (w, e) =>
+      val t = exact.getOrElse(w, 0L)
+      assert(e >= t, s"$w: CMS under-counted ($e < $t)")
+      assert(e <= t + (0.001 * total).toLong + 1,
+        s"$w: CMS above eps bound ($e vs $t + ${(0.001 * total).toLong})")
+    }
+  }
+
   test("incremental agg merge is indistinguishable from full recompute at any cut") {
     val full = Relational.incrementalDailyAgg(spark, sf, cut = "1900-01-01")
       .collect()
