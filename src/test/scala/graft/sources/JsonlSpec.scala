@@ -116,6 +116,55 @@ class JsonlSpec extends AnyFunSuite {
     assert(back.exceptAll(docs).isEmpty)
   }
 
+  test("corrupt JSONL records quarantine instead of failing the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-badjson")
+    val f = dir.resolve("data.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "good"}
+        |this is not json at all
+        |{"doc_id": 2, "text": "also good"}
+        |{"doc_id": 3, "text": "truncated
+        |""".stripMargin)
+    // PERMISSIVE (default): bad lines land in _corrupt_record, good
+    // rows survive — the only acceptable behavior at 100 TB where a
+    // handful of mangled records must never kill a day-long job
+    val df = spark.read
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(good == Set(1L, 2L))
+    // corrupt rows are COUNTABLE for the ingest audit (cache first:
+    // Spark refuses referencing only _corrupt_record on a raw scan)
+    val cached = df.cache()
+    try {
+      val bad = cached.filter(col("_corrupt_record").isNotNull).count()
+      assert(bad == 2L)
+    } finally cached.unpersist()
+    // FAILFAST: the strict mode refuses the same file
+    intercept[org.apache.spark.SparkException] {
+      spark.read.option("mode", "FAILFAST")
+        .schema("doc_id LONG, text STRING")
+        .json(dir.toString).collect()
+    }
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "batch"))
+    val rows = merged.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // old files surface the new column as null — reads never break
+    assert(rows(1L).isEmpty && rows(2L).contains("en"))
+  }
+
   test("pretty stringify boundary reaches the prompts (indent=2)") {
     val src = Jsonl.read(spark, fixture)
       .withColumn("__graft_id", org.apache.spark.sql.functions.monotonically_increasing_id())
