@@ -124,6 +124,7 @@ object SparkEntry {
     "q120_bloom_semi"     -> (Reduce.buildingOrders _),
     "q121_zorder_buckets" -> (Reduce.zOrderBuckets _),
     "q122_cms_heavy_hitters" -> ((s, d) => graft.ext.Profile.cmsTokenCounts(s, d)), // rows-only: CMS sketch, bracket-spec'd vs exact
+    "q123_topk_agg"       -> ((s, d) => Reduce.topKAgg(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -725,6 +726,16 @@ object SparkEntry {
         |            ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |WHERE gap_us IS NULL OR gap_us >= 600000000""".stripMargin,
+    // q123: the aggregation top-k must equal the window top-k
+    "q123_topk_agg" ->
+      """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_totalprice,
+        |  o_orderkey
+        |FROM (
+        |  SELECT o_custkey, o_totalprice, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3""".stripMargin,
     // q120: the bloom filter is a pass-through optimization — the
     // oracle is the plain semi join the reduction provably equals
     "q120_bloom_semi" ->

@@ -72,6 +72,50 @@ object Reduce {
       .agg(count(lit(1)).as("n_rows"),
         min(col("z")).as("min_z"), max(col("z")).as("max_z"))
 
+  /** Partial TOP-K aggregator: keeps the k largest (value, id) pairs
+    * per group with map-side combine — the aggregation alternative to
+    * a row_number window for per-group top-N. The window form sorts
+    * EVERY row of a group on the reducer; this form's partial buffers
+    * carry at most k entries per group per map task, so the shuffle
+    * moves O(groups × k), not O(rows) — at 100 TB that is the whole
+    * game. Ordering (value desc, id asc) makes the result total and
+    * deterministic; the q123 oracle is the window form it equals. */
+  final class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]]
+      with Serializable {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (v, id) => (-v, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Nil
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** The q123 query: top-3 order prices per customer via [[TopKAgg]]
+    * (one partial-combined aggregation, no window sort), exploded
+    * back to rows. Oracle: the ROW_NUMBER window form. */
+  def topKAgg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val agg = new TopKAgg(k).toColumn
+    graft.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("top"))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("o_custkey"), (col("i") + 1).as("rk"),
+        col("p._1").as("o_totalprice"), col("p._2").as("o_orderkey"))
+  }
+
   /** Write `df` Z-ORDERED on two key columns: range-partition by the
     * z value (so files own disjoint z ranges) and sort within each
     * partition — parquet then records min/max zone maps per file

@@ -970,6 +970,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("version_no") >= 1))
   }
 
+  test("top-k aggregator: partial-combined plan, no window sort, partitioning-invariant") {
+    val df = Reduce.topKAgg(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // typed Aggregator compiles to ObjectHashAggregate with a partial
+    // stage before the exchange — and never a Window over all rows
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+    val a = df.collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty)
+    // same result under any input partitioning (merge() is exercised)
+    import spark.implicits._
+    val agg = new Reduce.TopKAgg(3).toColumn
+    val repart = graft.Tables.orders(spark, sf)
+      .repartition(13)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(agg.name("top")).toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("o_custkey"), (col("i") + 1).as("rk"),
+        col("p._1").as("o_totalprice"), col("p._2").as("o_orderkey"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(repart == a)
+  }
+
   test("bloom semi-join reduction equals the plain semi join exactly") {
     val reduced = Reduce.bloomSemiJoin(
       graft.Tables.orders(spark, sf),
