@@ -117,7 +117,7 @@ object SparkEntry {
     "q113_tpch_q19"       -> (Relational.brandDisjunction _),
     "q114_incremental_agg" -> ((s, d) => Relational.incrementalDailyAgg(s, d)),
     "q115_debounce"       -> ((s, d) => Relational.debounceEvents(s, d)),
-    "q116_source_rank"    -> ((s, d) => Dedup.sourceRank(s, d)), // rows-only: fixed-iteration power loop, not one SQL query
+    "q116_source_rank"    -> ((s, d) => Dedup.sourceRank(s, d)),
     "q117_negative_pairs" -> ((s, d) => Sampling.negativePairs(s, d)),
     "q118_length_batches" -> ((s, d) => Sampling.lengthBatches(s, d)),
     "q119_point_in_time"  -> (Relational.pointInTimeJoin _),
@@ -726,6 +726,38 @@ object SparkEntry {
         |            ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |WHERE gap_us IS NULL OR gap_us >= 600000000""".stripMargin,
+    // q116: the fixed-iteration power loop IS one SQL query — a
+    // recursive CTE whose working table carries (iter, node, rank);
+    // per-round aggregation in the recursive term is legal DuckDB.
+    // The 6-decimal rounding absorbs the decimal-vs-double
+    // accumulation difference between the engines (verified exact on
+    // the full overlap graph).
+    "q116_source_rank" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT source, $toks AS ws FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |ov AS (SELECT a.source AS src, b.source AS dst,
+         |    CAST(COUNT(*) AS DOUBLE) AS wgt
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |    AND a.source < b.source
+         |  GROUP BY a.source, b.source),
+         |e AS (SELECT src AS a, dst AS b, wgt AS w FROM ov
+         |      UNION ALL SELECT dst, src, wgt FROM ov),
+         |outw AS (SELECT a, SUM(w) AS ow FROM e GROUP BY a),
+         |en AS (SELECT e.a, e.b, e.w / outw.ow AS p
+         |       FROM e JOIN outw USING (a)),
+         |nodes AS (SELECT DISTINCT a AS node FROM e),
+         |pr(iter, node, rank) AS (
+         |  SELECT 0, node, 1.0 / (SELECT COUNT(*) FROM nodes) FROM nodes
+         |  UNION ALL
+         |  SELECT iter + 1, en.b,
+         |    0.15 / (SELECT COUNT(*) FROM nodes) + 0.85 * SUM(p.rank * en.p)
+         |  FROM pr p JOIN en ON p.node = en.a
+         |  WHERE iter < 10
+         |  GROUP BY iter, en.b)
+         |SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 10""".stripMargin,
     // q123: the aggregation top-k must equal the window top-k
     "q123_topk_agg" ->
       """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_totalprice,
