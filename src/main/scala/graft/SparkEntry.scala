@@ -125,6 +125,8 @@ object SparkEntry {
     "q121_zorder_buckets" -> (Reduce.zOrderBuckets _),
     "q122_cms_heavy_hitters" -> ((s, d) => graft.ext.Profile.cmsTokenCounts(s, d)), // rows-only: CMS sketch, bracket-spec'd vs exact
     "q123_topk_agg"       -> ((s, d) => Reduce.topKAgg(s, d)),
+    "q124_tpch_q7"        -> ((s, d) => Relational.volumeShipping(s, d)),
+    "q125_tpch_q8"        -> ((s, d) => Relational.marketShare(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -758,6 +760,36 @@ object SparkEntry {
          |  WHERE iter < 10
          |  GROUP BY iter, en.b)
          |SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 10""".stripMargin,
+    "q124_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem, orders, customer, supplier,
+         |  nation n1, nation n2
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey
+         |  AND s_nationkey = n1.n_nationkey
+         |  AND c_nationkey = n2.n_nationkey
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q125_tpch_q8" ->
+      s"""WITH a AS (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |    ${dsumSql("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS nation_rev,
+         |    ${dsumSql("l_extendedprice * (1 - l_discount)")} AS total_rev
+         |  FROM lineitem, orders, customer, supplier, part,
+         |    nation n1, nation n2, region
+         |  WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+         |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND l_suppkey = s_suppkey
+         |    AND s_nationkey = n1.n_nationkey
+         |    AND c_nationkey = n2.n_nationkey
+         |    AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  GROUP BY 1)
+         |SELECT o_year, round(nation_rev / total_rev, 6) AS mkt_share,
+         |  nation_rev, total_rev
+         |FROM a""".stripMargin,
     // q123: the aggregation top-k must equal the window top-k
     "q123_topk_agg" ->
       """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_totalprice,

@@ -991,6 +991,73 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q7 (volume shipping): revenue flowing between two specific
+    * nations, split by which side supplied and which consumed, per
+    * ship year. The join graph touches BOTH dimension paths of the
+    * schema at once — lineitem→supplier→nation on the supply side,
+    * lineitem→orders→customer→nation on the demand side — with the
+    * pair filter as a residual OR over the two direction tuples.
+    * Both nation dims broadcast under distinct aliases (they are the
+    * same table twice — aliasing, not re-reading, is what keeps
+    * Catalyst from conflating the two sides). */
+  def volumeShipping(spark: SparkSession, dir: String,
+      n1: String = "NATION_1", n2: String = "NATION_2"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val supN = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cusN = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(supN), s("s_nationkey") === col("sn_key"))
+      .join(broadcast(cusN), c("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(revenue).as("revenue"))
+  }
+
+  /** TPC-H Q8 (national market share): one nation's share of a
+    * region's revenue for one part type, per order year. Conditional
+    * aggregation over the full star — share = Σ(nation's volume) /
+    * Σ(all volume), both from ONE pass; the division happens after
+    * the decimal-exact sums surface, so the ratio is
+    * partitioning-stable (same discipline as promoRevenue). */
+  def marketShare(spark: SparkSession, dir: String,
+      nation: String = "NATION_3", region: String = "ASIA",
+      ptype: String = "ECONOMY"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_type") === ptype)
+    val supN = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cusN = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === region)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cusN), c("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(supN), s("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === nation, revenue).otherwise(lit(0.0)))
+          .as("nation_rev"),
+        dsum(revenue).as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"),
+        col("nation_rev"), col("total_rev"))
+  }
+
   /** TPC-H Q19-shaped disjunctive-predicate join: revenue from three
     * OR'd (brand, size-range, quantity-range) branches. The partkey
     * equi-condition extracts cleanly so the join stays hash/broadcast

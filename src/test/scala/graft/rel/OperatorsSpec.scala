@@ -995,6 +995,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repart == a)
   }
 
+  test("tpch q7: directional pair rows, plan broadcasts both nation aliases") {
+    // NATION_18/19 trade at sf0.001 (q124's default pair only at sf0.01+)
+    val df = Relational.volumeShipping(spark, sf, "NATION_18", "NATION_19")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(1500))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18"))))
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("tpch q8: market share bounded by one, nation rev never exceeds total") {
+    val rows = Relational.marketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("nation_rev") <= r.getAs[Double]("total_rev") + 1e-9)
+    }
+  }
+
   test("bloom semi-join reduction equals the plain semi join exactly") {
     val reduced = Reduce.bloomSemiJoin(
       graft.Tables.orders(spark, sf),
