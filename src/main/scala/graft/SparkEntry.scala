@@ -127,6 +127,9 @@ object SparkEntry {
     "q123_topk_agg"       -> ((s, d) => Reduce.topKAgg(s, d)),
     "q124_tpch_q7"        -> ((s, d) => Relational.volumeShipping(s, d)),
     "q125_tpch_q8"        -> ((s, d) => Relational.marketShare(s, d)),
+    "q126_tpch_q6"        -> (Relational.forecastRevenue _),
+    "q127_tpch_q13"       -> (Relational.customerDistribution _),
+    "q128_tpch_q22"       -> ((s, d) => Relational.salesOpportunity(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -760,6 +763,31 @@ object SparkEntry {
          |  WHERE iter < 10
          |  GROUP BY iter, en.b)
          |SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 10""".stripMargin,
+    "q126_tpch_q6" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+    "q127_tpch_q13" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY c_count""".stripMargin,
+    "q128_tpch_q22" ->
+      s"""SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+         |  COUNT(*) AS numcust, ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+         |                   WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY 1""".stripMargin,
     "q124_tpch_q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS INTEGER) AS l_year,

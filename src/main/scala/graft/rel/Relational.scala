@@ -1058,6 +1058,61 @@ object Relational {
         col("nation_rev"), col("total_rev"))
   }
 
+  /** TPC-H Q6 (forecasting revenue change): pure filter+aggregate —
+    * no join at all. Its whole value is the SCAN: all three
+    * predicates (date range, discount band, quantity cap) push to
+    * the parquet reader, so the job reads row groups, not the table.
+    * The one-row answer is what a 100 TB scan-shaped query should
+    * cost: IO × selectivity. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q13 (customer distribution): how many customers placed
+    * exactly k orders — INCLUDING zero (the left outer join is the
+    * point; an inner join silently drops the never-ordered cohort,
+    * which is usually the business question). Double aggregation:
+    * orders-per-customer, then customers-per-count. */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q22-shaped (churned high-value customers): customers
+    * whose balance beats the positive-balance average but who placed
+    * NO order in the recent window — a scalar aggregate subquery
+    * (broadcast single row) composed with an ANTI join against the
+    * date-pruned order scan, grouped by a derived "country code"
+    * (nationkey band stands in for the reference's phone prefix).
+    * The anti join keys on custkey only — the 100 TB shape where the
+    * order list shuffles ids, never rows — and the recency predicate
+    * prunes the order scan before the ids are even extracted. */
+  def salesOpportunity(spark: SparkSession, dir: String,
+      since: String = "2000-01-01"): DataFrame = {
+    val avgBal = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    Tables.customer(spark, dir)
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 5).cast("int").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+  }
+
   /** TPC-H Q19-shaped disjunctive-predicate join: revenue from three
     * OR'd (brand, size-range, quantity-range) branches. The partkey
     * equi-condition extracts cleanly so the join stays hash/broadcast

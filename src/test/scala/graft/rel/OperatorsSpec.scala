@@ -995,6 +995,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repart == a)
   }
 
+  test("tpch q6: all three predicates pushed to the parquet scan") {
+    val df = Relational.forecastRevenue(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(1200))
+    // shipdate + discount + quantity all reach the reader
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(raw"PushedFilters: \[[^\]]*$c".r.findFirstIn(plan).isDefined,
+        s"$c not pushed:\n" + plan.take(1200))
+    }
+    assert(df.collect().head.getAs[Double]("revenue") > 0)
+  }
+
+  test("tpch q13: zero-order cohort survives the left join, cohorts partition customers") {
+    val rows = Relational.customerDistribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    assert(rows.values.sum == graft.Tables.customer(spark, sf).count())
+    // total orders conserved through the double aggregation
+    assert(rows.map { case (k, v) => k * v }.sum ==
+      graft.Tables.orders(spark, sf).count())
+  }
+
+  test("tpch q22: churned cohort disjoint from recent orderers") {
+    val churnedCount = Relational.salesOpportunity(spark, sf).collect()
+      .map(_.getAs[Long]("numcust")).sum
+    assert(churnedCount > 0)
+    val avgBal = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 0).agg(avg("c_acctbal")).head().getDouble(0)
+    val recent = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val expected = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > avgBal)
+      .select("c_custkey").collect().map(_.getLong(0))
+      .count(id => !recent.contains(id))
+    assert(churnedCount == expected)
+  }
+
   test("tpch q7: directional pair rows, plan broadcasts both nation aliases") {
     // NATION_18/19 trade at sf0.001 (q124's default pair only at sf0.01+)
     val df = Relational.volumeShipping(spark, sf, "NATION_18", "NATION_19")
