@@ -130,6 +130,8 @@ object SparkEntry {
     "q126_tpch_q6"        -> (Relational.forecastRevenue _),
     "q127_tpch_q13"       -> (Relational.customerDistribution _),
     "q128_tpch_q22"       -> ((s, d) => Relational.salesOpportunity(s, d)),
+    "q129_tpch_q17"       -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    "q130_tpch_q9"        -> ((s, d) => Relational.productProfit(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -763,6 +765,25 @@ object SparkEntry {
          |  WHERE iter < 10
          |  GROUP BY iter, en.b)
          |SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 10""".stripMargin,
+    "q129_tpch_q17" ->
+      s"""WITH j AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice,
+         |    AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part
+         |                      WHERE p_brand = 'Brand#13'))
+         |SELECT ${dsumSql("l_extendedprice")} AS avg_yearly_rev_base,
+         |  COUNT(*) AS n_small
+         |FROM j WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q130_tpch_q9" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1")} AS profit
+         |FROM lineitem, orders, supplier, part, nation
+         |WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |  AND p_name LIKE '%widget%'
+         |GROUP BY 1, 2""".stripMargin,
     "q126_tpch_q6" ->
       s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
          |  COUNT(*) AS n_items

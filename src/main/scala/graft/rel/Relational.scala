@@ -1113,6 +1113,46 @@ object Relational {
         dsum(col("c_acctbal")).as("totacctbal"))
   }
 
+  /** TPC-H Q17 (small-quantity-order revenue): lineitems whose
+    * quantity is under 20% of their part's average quantity. The
+    * correlated aggregate is computed as a WINDOW over the same scan
+    * — one pass, no self-join re-read (the same one-scan argument as
+    * tfidf's df) — and the brand filter narrows the window's
+    * partition population scan-side. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String,
+      brand: String = "Brand#13"): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === brand)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice")).as("avg_yearly_rev_base"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q9-shaped (product-type profit): per supplier-nation,
+    * per order year, profit ≈ revenue − cost (p_retailprice × qty
+    * standing in for the missing partsupp supplycost). Full
+    * fact⋈fact⋈dims star with only the two fact joins shuffling. */
+  def productProfit(spark: SparkSession, dir: String,
+      namePart: String = "widget"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains(namePart))
+    val n = Tables.nation(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(revenue - col("p_retailprice") * col("l_quantity") * 0.1)
+        .as("profit"))
+  }
+
   /** TPC-H Q19-shaped disjunctive-predicate join: revenue from three
     * OR'd (brand, size-range, quantity-range) branches. The partkey
     * equi-condition extracts cleanly so the join stays hash/broadcast

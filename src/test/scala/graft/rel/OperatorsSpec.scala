@@ -1032,6 +1032,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(churnedCount == expected)
   }
 
+  test("tpch q17: small-quantity rows all under a fifth of their part average") {
+    val out = Relational.smallQuantityRevenue(spark, sf).collect().head
+    assert(out.getAs[Long]("n_small") > 0)
+    // recompute the qualifying set independently (agg + join, not window)
+    val li = graft.Tables.lineitem(spark, sf)
+    val brand = graft.Tables.part(spark, sf)
+      .filter(col("p_brand") === "Brand#13").select("p_partkey")
+    val avgQ = li.join(brand, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("k")).agg(avg("l_quantity").as("aq"))
+    val expected = li.join(brand, col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("k"))
+      .filter(col("l_quantity") < col("aq") * 0.2).count()
+    assert(out.getAs[Long]("n_small") == expected)
+  }
+
+  test("tpch q9: profit rows cover every year with widget trade") {
+    val rows = Relational.productProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val years = rows.map(_.getAs[Int]("o_year")).distinct
+    assert(years.forall(y => y >= 1995 && y <= 2001))
+    // 25 nations × observed years bounds the row count
+    assert(rows.length <= 25 * years.length)
+  }
+
   test("tpch q7: directional pair rows, plan broadcasts both nation aliases") {
     // NATION_18/19 trade at sf0.001 (q124's default pair only at sf0.01+)
     val df = Relational.volumeShipping(spark, sf, "NATION_18", "NATION_19")
