@@ -132,6 +132,8 @@ object SparkEntry {
     "q128_tpch_q22"       -> ((s, d) => Relational.salesOpportunity(s, d)),
     "q129_tpch_q17"       -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
     "q130_tpch_q9"        -> ((s, d) => Relational.productProfit(s, d)),
+    "q131_merge_upsert"   -> (Relational.upsertCustomers _),
+    "q132_integrity_audit" -> (Relational.integrityAudit _),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -765,6 +767,32 @@ object SparkEntry {
          |  WHERE iter < 10
          |  GROUP BY iter, en.b)
          |SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 10""".stripMargin,
+    "q131_merge_upsert" ->
+      s"""WITH merged AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_mktsegment = 'BUILDING'
+         |         THEN round(c_acctbal * 1.1 + 100.0, 2)
+         |         ELSE c_acctbal END AS c_acctbal
+         |  FROM customer)
+         |SELECT c_mktsegment, COUNT(*) AS n_customers,
+         |  ${dsumSql("c_acctbal")} AS total_bal
+         |FROM merged GROUP BY c_mktsegment""".stripMargin,
+    "q132_integrity_audit" ->
+      """SELECT 'pk_orders_unique' AS check_name,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |    AS n_violations FROM orders
+        |UNION ALL
+        |SELECT 'pk_lineitem_unique',
+        |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders',
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin,
     "q129_tpch_q17" ->
       s"""WITH j AS (
          |  SELECT l_partkey, l_quantity, l_extendedprice,

@@ -876,6 +876,64 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ts"), col("version_no"))
   }
 
+  /** Batch MERGE (upsert) for immutable-format tables: new/changed
+    * rows replace their base versions, everything else passes
+    * through — `base ANTI-JOIN updates  UNION ALL  updates`, the
+    * rewrite every parquet-backed warehouse runs under its MERGE
+    * INTO. The anti join keys on the primary key only; at 100 TB
+    * compose with partition pruning so only partitions containing
+    * updated keys rewrite (partition column in the join key makes
+    * the pruning static). */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+      key: String): DataFrame =
+    base.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+
+  /** The q131 query: apply a deterministic update batch (every
+    * BUILDING customer's balance re-graded) to the customer table
+    * via [[mergeUpsert]], reduced to a per-segment audit. */
+  def upsertCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val updates = c.filter(col("c_mktsegment") === "BUILDING")
+      .withColumn("c_acctbal", round(col("c_acctbal") * 1.1 + 100.0, 2))
+    mergeUpsert(c, updates, "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_bal"))
+  }
+
+  /** Referential-integrity audit — the constraint checks an engine
+    * without enforced constraints must RUN as queries: primary-key
+    * uniqueness (count vs distinct count) and foreign-key orphans
+    * (anti joins, ids only) across the schema's core relationships.
+    * Each check is one aggregate or one anti-join count; the union
+    * of one-row audits is the standard post-load gate at any scale. */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def audit(name: String, violations: Long): DataFrame = {
+      import spark.implicits._
+      Seq((name, violations)).toDF("check_name", "n_violations")
+    }
+    val pkOrders = o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("d"))
+      .head().getLong(0)
+    val pkLineitem = li.agg(
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("d"))
+      .head().getLong(0)
+    val fkLiOrders = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    val fkOrdersCust = o.select(col("o_custkey"))
+      .join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+    audit("pk_orders_unique", pkOrders)
+      .unionByName(audit("pk_lineitem_unique", pkLineitem))
+      .unionByName(audit("fk_lineitem_orders", fkLiOrders))
+      .unionByName(audit("fk_orders_customer", fkOrdersCust))
+  }
+
   /** Incremental aggregate maintenance — the rollup pattern that
     * never rescans history: yesterday's materialized daily rollup
     * (base) merges with today's increment (delta) by re-aggregating

@@ -1032,6 +1032,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(churnedCount == expected)
   }
 
+  test("merge upsert: row count conserved, only updated keys change") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("id", "name", "v")
+    val merged = Relational.mergeUpsert(base, updates, "id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(merged.keySet == Set(1L, 2L, 3L, 4L))
+    assert(merged(2L) == ("b2", 99.0))  // updated
+    assert(merged(1L) == ("a", 10.0))   // untouched
+    assert(merged(4L) == ("d", 40.0))   // inserted
+    // corpus-level: upsert never changes cardinality when updates ⊆ base keys
+    val audit = Relational.upsertCustomers(spark, sf).collect()
+    assert(audit.map(_.getAs[Long]("n_customers")).sum ==
+      graft.Tables.customer(spark, sf).count())
+  }
+
+  test("integrity audit: FK checks clean; lineitem PK dupes counted exactly") {
+    val rows = Relational.integrityAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(rows.keySet == Set("pk_orders_unique", "pk_lineitem_unique",
+      "fk_lineitem_orders", "fk_orders_customer"))
+    // the synthetic testdata genuinely violates (l_orderkey,
+    // l_linenumber) uniqueness — the audit's job is to SAY so; check
+    // its count against an independent duplicate computation
+    val expectedDupes = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1)
+      .agg(sum(col("count") - 1)).head().getLong(0)
+    assert(rows("pk_lineitem_unique") == expectedDupes && expectedDupes > 0)
+    assert(rows("pk_orders_unique") == 0L)
+    assert(rows("fk_lineitem_orders") == 0L)
+    assert(rows("fk_orders_customer") == 0L)
+  }
+
   test("tpch q17: small-quantity rows all under a fifth of their part average") {
     val out = Relational.smallQuantityRevenue(spark, sf).collect().head
     assert(out.getAs[Long]("n_small") > 0)
