@@ -106,6 +106,49 @@ object Configs {
         s"duplicate instruction names in stage: ${dups.mkString(", ")}")
   }
 
+  /** Semantic LINT of a parsed pipeline — the plan-time analysis the
+    * reference lacks (its scope projection silently drops unknown
+    * keys at RUNTIME, instructions_runners.py:38-39, so a typo'd
+    * scope entry just produces an empty prompt section mid-run on
+    * the cluster). Warnings, not errors, because lenient-drop IS the
+    * reference semantics the engine reproduces — but a CI that
+    * asserts `lint(conf).isEmpty` catches:
+    *  - a stage ≥ 2 instruction scoping a field no previous-stage
+    *    instruction produces (stage 1 scopes address the input
+    *    document, which is unknowable statically);
+    *  - a non-final stage output that no later instruction ever
+    *    scopes (dead work — every LLM call costs real money);
+    *  - an empty pipe / empty stage. */
+  def lint(conf: PipelineConf): Seq[String] = {
+    val w = Seq.newBuilder[String]
+    if (conf.pipe.isEmpty) w += "pipe is empty: no stages configured"
+    conf.pipe.zipWithIndex.foreach { case (s, i) =>
+      if (s.instructions.isEmpty) w += s"stage ${i + 1} has no instructions"
+    }
+    conf.pipe.sliding(2).zipWithIndex.foreach {
+      case (Seq(prev, next), i) =>
+        val produced = prev.instructions.map(_.name).toSet
+        next.instructions.foreach { ins =>
+          ins.scope.getOrElse(Nil).filterNot(produced).foreach { missing =>
+            w += s"stage ${i + 2} instruction '${ins.name}' scopes " +
+              s"'$missing', which stage ${i + 1} does not produce " +
+              s"(produces: ${produced.toSeq.sorted.mkString(", ")})"
+          }
+        }
+        val consumed = next.instructions
+          .flatMap(_.scope.getOrElse(Nil)).toSet
+        val allExplicit = next.instructions.forall(_.scope.isDefined)
+        if (allExplicit) {
+          (produced -- consumed).toSeq.sorted.foreach { unused =>
+            w += s"stage ${i + 1} output '$unused' is never scoped by " +
+              s"stage ${i + 2} (dead work: its LLM calls are discarded)"
+          }
+        }
+      case _ => ()
+    }
+    w.result()
+  }
+
   /** A stage is either a bare list of instructions (generic pipe) or
     * an object {role, instructions} (POC stage-level role). */
   private def stage(jv: JValue): Stage = jv match {

@@ -48,4 +48,36 @@ class ConfigsSpec extends AnyFunSuite {
       Configs.parse("""{"pipe": [[{"content": "no name"}]]}""")
     }
   }
+
+  test("lint flags unknown scope refs, dead outputs, empty pipes; clean config is silent") {
+    // typo'd scope: stage 2 references a field stage 1 never produces
+    val typo = Configs.parse(
+      """{"pipe": [
+        |  [{"name": "summary", "content": "s"}, {"name": "facts", "content": "f"}],
+        |  [{"name": "report", "content": "r", "scope": ["sumary", "facts"]}]
+        |]}""".stripMargin)
+    val w1 = Configs.lint(typo)
+    assert(w1.exists(w => w.contains("'sumary'") && w.contains("stage 2")))
+    // dead work: stage-1 output nothing in stage 2 ever scopes
+    assert(w1.exists(w => w.contains("'summary'") && w.contains("dead work")))
+    // unscoped (scope-all) downstream stage suppresses the dead-work pass
+    val scopeAll = Configs.parse(
+      """{"pipe": [
+        |  [{"name": "a", "content": "x"}],
+        |  [{"name": "b", "content": "y"}]
+        |]}""".stripMargin)
+    assert(Configs.lint(scopeAll).isEmpty)
+    // empty pipe and empty stage each warn
+    assert(Configs.lint(Configs.parse("""{"pipe": []}""")).nonEmpty)
+    assert(Configs.lint(Configs.parse("""{"pipe": [[]]}""")).nonEmpty)
+    // the real EHR-shaped config used by the e2e tests lints clean
+    val ehr = Configs.parse(
+      """{"pipe": [
+        |  [{"name": "chief_complaint", "content": "c", "scope": ["encounters"]},
+        |   {"name": "medication_history", "content": "m", "scope": ["medications"]}],
+        |  [{"name": "overview", "content": "o",
+        |    "scope": ["chief_complaint", "medication_history"]}]
+        |]}""".stripMargin)
+    assert(Configs.lint(ehr).isEmpty)
+  }
 }
