@@ -28,6 +28,14 @@ final case class TimedHashedDoc(contentHash: String, docId: Long,
   * stateless streaming map, plus genuinely stateful analytics
   * (windowed aggregation with watermarks) that the reference has no
   * analog for.
+  *
+  * Ops note for every stateful operator here: the state store's
+  * partition count is FROZEN by the first run's
+  * `spark.sql.shuffle.partitions` (it keys checkpoint layout) — at
+  * 100 TB/day size it for peak BEFORE first deployment; changing it
+  * later means a new checkpoint (and replaying or accepting state
+  * loss). Plan stateful shuffle partitions like a schema decision,
+  * not a tuning knob.
   */
 object StreamOps {
 
