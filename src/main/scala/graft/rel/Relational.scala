@@ -912,26 +912,27 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     val c = Tables.customer(spark, dir)
-    def audit(name: String, violations: Long): DataFrame = {
-      import spark.implicits._
-      Seq((name, violations)).toDF("check_name", "n_violations")
-    }
-    val pkOrders = o.agg(
-      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("d"))
-      .head().getLong(0)
-    val pkLineitem = li.agg(
-      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("d"))
-      .head().getLong(0)
-    val fkLiOrders = li.select(col("l_orderkey"))
-      .join(o.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
-    val fkOrdersCust = o.select(col("o_custkey"))
-      .join(c.select(col("c_custkey")),
-        col("o_custkey") === col("c_custkey"), "left_anti").count()
-    audit("pk_orders_unique", pkOrders)
-      .unionByName(audit("pk_lineitem_unique", pkLineitem))
-      .unionByName(audit("fk_lineitem_orders", fkLiOrders))
-      .unionByName(audit("fk_orders_customer", fkOrdersCust))
+    // each check is a LAZY one-row frame; the union collects in ONE
+    // job (four independent DAG branches scheduled together), not
+    // four driver-synchronized actions
+    def named(name: String, one: DataFrame): DataFrame =
+      one.select(lit(name).as("check_name"),
+        col(one.columns.head).cast("long").as("n_violations"))
+    named("pk_orders_unique",
+      o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("d")))
+      .unionByName(named("pk_lineitem_unique",
+        li.agg((count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("d"))))
+      .unionByName(named("fk_lineitem_orders",
+        li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("d"))))
+      .unionByName(named("fk_orders_customer",
+        o.select(col("o_custkey"))
+          .join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("d"))))
   }
 
   /** Incremental aggregate maintenance — the rollup pattern that
