@@ -150,4 +150,61 @@ class PropertiesSpec extends AnyFunSuite {
       assert(cells == Seq(0, 1, 2))
     }
   }
+
+  test("zValue is a bijection on 16-bit pairs: de-interleaving recovers (a, b)") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.init()
+    import spark.implicits._
+    val pairGen = Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    forSamples(pairGen, 300) { p => pairs += p }
+    val got = pairs.toSeq.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.rel.Reduce.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (da, db) = (0L, 0L)
+      for (i <- 0 until 16) {
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(da == a && db == b, s"z=$z did not invert to ($a, $b)")
+    }
+  }
+
+  test("TopKAgg equals sort-take on random groups under random partitioning") {
+    val spark = TestSpark.init()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rowGen = Gen.zip(Gen.choose(1L, 8L), Gen.choose(-1000.0, 1000.0),
+      Gen.choose(0L, 100000L))
+    val data = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    forSamples(rowGen, 400) { r => data += r }
+    val expected = data.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(x => (x._2, x._3)).toSeq
+        .sortBy { case (v, id) => (-v, id) }.take(3)
+    }
+    val agg = new graft.rel.Reduce.TopKAgg(3).toColumn
+    val got = data.toSeq.toDF("g", "v", "id").repartition(7)
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(agg.name("top"))
+      .collect().map { case (g, top) => g -> top }.toMap
+    expected.foreach { case (g, want) => assert(got(g) == want, s"group $g") }
+  }
+
+  test("hashBucket is uniform enough and total: every row lands in [0, B)") {
+    val spark = TestSpark.init()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 5000L).toDF("id")
+    val counts = ids
+      .select(graft.ext.Sampling.hashBucket(col("id"), 10).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until 10L).toSet)
+    // md5 uniformity: each decile within ±25% of the expected 500
+    counts.values.foreach(c => assert(c > 375 && c < 625, counts.toString))
+  }
 }
