@@ -340,7 +340,10 @@ object Dedup {
     * (weight / out-weight) is a per-row double op, deterministic
     * everywhere. Dangling nodes can't exist (every node of an
     * undirected edge has out-edges), so mass only leaks through the
-    * (1-d) teleport, same as the textbook formulation. */
+    * (1-d) teleport, same as the textbook formulation. Nodes are
+    * DERIVED from the edge list — a fully isolated node (no edges at
+    * all) is not ranked; union such nodes in with rank (1-d)/n
+    * afterwards if the population matters. */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       weight: String = "weight", iters: Int = 10,
       damping: Double = 0.85): DataFrame = {

@@ -87,8 +87,14 @@ object Reduce {
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (v, id) => (-v, id) }.take(k)
     override def zero: Seq[(Double, Long)] = Nil
+    // the buffer stays ≤ k entries, so the per-row sort is O(k log k)
+    // on a tiny seq; a full-buffer fast-path skips rows that cannot
+    // displace the current minimum
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      trim(b :+ a)
+      if (b.size >= k && {
+        val (mv, mi) = b.last; a._1 < mv || (a._1 == mv && a._2 > mi)
+      }) b
+      else trim(b :+ a)
     override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       trim(x ++ y)
     override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
