@@ -126,6 +126,21 @@ object StreamOps {
       }
   }
 
+  /** Streaming dedup via the BUILT-IN `dropDuplicatesWithinWatermark`
+    * — the prefer-built-ins counterpart to the custom-state
+    * [[dedupStream]]: state is bounded by the watermark with no
+    * user-managed timers at all. Semantic difference worth knowing
+    * when choosing: the built-in keeps the FIRST row to ARRIVE per
+    * key (processing order), while [[dedupStream]] keeps the min
+    * docId within a batch; and the built-in's TTL is exactly the
+    * watermark delay, not an independent dial. Reach for this form
+    * first; drop to the custom state only for the deterministic
+    * min-id survivor or a TTL decoupled from lateness tolerance. */
+  def dedupStreamBuiltin(docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("contentHash")
+
   /** EVENT-time TTL dedup — the replay-deterministic twin of
     * `dedupStream(ttl = …)`: state ages by the WATERMARK, not the
     * machine clock, so re-running the same input (backfill, recovery,

@@ -138,6 +138,28 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("built-in dropDuplicatesWithinWatermark dedups across batches inside the delay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[TimedHashedDoc]
+    def ts(s: String) = Timestamp.valueOf(s)
+    val q = StreamOps.dedupStreamBuiltin(src.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_builtin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(TimedHashedDoc("h1", 7L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // same key arrives again within the watermark delay → dropped
+      src.addData(TimedHashedDoc("h1", 99L, ts("2024-01-01 10:05:00")),
+        TimedHashedDoc("h2", 1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_builtin").collect()
+        .map(r => (r.getAs[String]("contentHash"), r.getAs[Long]("docId")))
+        .sorted.toSeq
+      assert(rows == Seq("h1" -> 7L, "h2" -> 1L))
+    } finally q.stop()
+  }
+
   test("event-time TTL dedup: drops inside TTL, evicts by watermark, re-admits after") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
