@@ -134,6 +134,7 @@ object SparkEntry {
     "q130_tpch_q9"        -> ((s, d) => Relational.productProfit(s, d)),
     "q131_merge_upsert"   -> (Relational.upsertCustomers _),
     "q132_integrity_audit" -> (Relational.integrityAudit _),
+    "q133_incr_distinct"  -> ((s, d) => Relational.incrementalDistinct(s, d)), // rows-only: DataSketches HLL internals, bracket-spec'd vs exact
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),

@@ -1032,6 +1032,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(churnedCount == expected)
   }
 
+  test("incremental distinct: merged day-sketches bracket exact uniques at any cut") {
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    Seq("1900-01-01", "2024-01-10", "2024-01-20").foreach { cut =>
+      val est = Relational.incrementalDistinct(spark, sf, cut).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("est_users")).toMap
+      assert(est.keySet == exact.keySet, s"cut $cut")
+      est.foreach { case (t, e) =>
+        val x = exact(t)
+        // HLL default accuracy is ~2%; allow 5% + small-count floor
+        assert(math.abs(e - x) <= math.max(3L, (0.05 * x).toLong),
+          s"cut $cut type $t: est $e vs exact $x")
+      }
+      // merging must be cut-invariant: sketches are exactly mergeable,
+      // so every cut gives the IDENTICAL estimate
+      val est2 = Relational.incrementalDistinct(spark, sf, "1900-01-01")
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("est_users")).toMap
+      assert(est == est2, s"cut $cut diverged from full recompute")
+    }
+  }
+
   test("merge upsert: row count conserved, only updated keys change") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
