@@ -135,6 +135,7 @@ object SparkEntry {
     "q131_merge_upsert"   -> (Relational.upsertCustomers _),
     "q132_integrity_audit" -> (Relational.integrityAudit _),
     "q133_incr_distinct"  -> ((s, d) => Relational.incrementalDistinct(s, d)), // rows-only: DataSketches HLL internals, bracket-spec'd vs exact
+    "q134_stickiness"     -> (Relational.stickiness _),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -768,6 +769,20 @@ object SparkEntry {
          |  WHERE iter < 10
          |  GROUP BY iter, en.b)
          |SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 10""".stripMargin,
+    "q134_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        |  FROM events),
+        |anchors AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+        |wau AS (
+        |  SELECT a.day, COUNT(DISTINCT d.user_id) AS wau
+        |  FROM anchors a JOIN du d
+        |    ON d.day <= a.day AND d.day > a.day - INTERVAL 7 DAY
+        |  GROUP BY a.day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(dau.dau::DOUBLE / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     "q131_merge_upsert" ->
       s"""WITH merged AS (
          |  SELECT c_mktsegment,

@@ -904,6 +904,30 @@ object Relational {
         count(lit(1)).as("n_day_sketches"))
   }
 
+  /** DAU / trailing-7-day WAU stickiness — the engagement staple.
+    * Distinct (day, user) pairs reduce the event stream FIRST (the
+    * only pass over raw events); the trailing window is then a
+    * RANGE self-join on the tiny day×user table (≤ 7× amplification
+    * of day-level pairs, not events), grouped per anchor day. A
+    * per-day HLL-sketch union ([[incrementalDistinct]]'s shape) is
+    * the approximate path when day×user itself is too big. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val anchors = du.select(col("day")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = anchors
+      .join(du.select(col("day").as("d2"), col("user_id")),
+        col("d2") <= col("day") &&
+          col("d2") > col("day") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
   /** Batch MERGE (upsert) for immutable-format tables: new/changed
     * rows replace their base versions, everything else passes
     * through — `base ANTI-JOIN updates  UNION ALL  updates`, the

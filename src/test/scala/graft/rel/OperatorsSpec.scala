@@ -1055,6 +1055,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("stickiness: dau <= wau, ratio in (0,1], wau monotone vs dau window") {
+    val rows = Relational.stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(dau >= 1 && dau <= wau, s"dau $dau > wau $wau")
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
   test("merge upsert: row count conserved, only updated keys change") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
