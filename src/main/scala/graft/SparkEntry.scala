@@ -136,6 +136,7 @@ object SparkEntry {
     "q132_integrity_audit" -> (Relational.integrityAudit _),
     "q133_incr_distinct"  -> ((s, d) => Relational.incrementalDistinct(s, d)), // rows-only: DataSketches HLL internals, bracket-spec'd vs exact
     "q134_stickiness"     -> (Relational.stickiness _),
+    "q135_stickiness_approx" -> (Relational.stickinessApprox _), // rows-only: DataSketches HLL estimates, bracket-spec'd vs exact q134
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -803,12 +804,14 @@ object SparkEntry {
         |FROM lineitem
         |UNION ALL
         |SELECT 'fk_lineitem_orders',
-        |  (SELECT COUNT(*) FROM lineitem
-        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
         |UNION ALL
         |SELECT 'fk_orders_customer',
-        |  (SELECT COUNT(*) FROM orders
-        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey))""".stripMargin,
     "q129_tpch_q17" ->
       s"""WITH j AS (
          |  SELECT l_partkey, l_quantity, l_extendedprice,

@@ -343,24 +343,32 @@ object Dedup {
     * (1-d) teleport, same as the textbook formulation. Nodes are
     * DERIVED from the edge list — a fully isolated node (no edges at
     * all) is not ranked; union such nodes in with rank (1-d)/n
-    * afterwards if the population matters. */
+    * afterwards if the population matters.
+    *
+    * `checkpointDir`: same contract as [[connectedComponents]] — a
+    * long rank job on a real cluster must survive executor loss, and
+    * `localCheckpoint` data dies with its executor. Pass a
+    * cluster-FS directory to make every lineage truncation a
+    * reliable `checkpoint`; default stays local for local[N]. */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       weight: String = "weight", iters: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d =>
+      edges.sparkSession.sparkContext.setCheckpointDir(d))
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     def dsum28(c: Column): Column = sum(c.cast("decimal(38,28)")).cast("double")
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"),
       col(weight).cast("double").as("w"))
-    val e = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
-      .localCheckpoint(eager = true)
+    val e = truncate(
+      e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w"))))
     val outW = e.groupBy(col("a")).agg(dsum28(col("w")).as("out_w"))
-    val eNorm = e.join(outW, Seq("a"))
-      .select(col("a"), col("b"), (col("w") / col("out_w")).as("p"))
-      .localCheckpoint(eager = true)
-    val nodes = e.select(col("a").as("node")).distinct()
-      .localCheckpoint(eager = true)
+    val eNorm = truncate(e.join(outW, Seq("a"))
+      .select(col("a"), col("b"), (col("w") / col("out_w")).as("p")))
+    val nodes = truncate(e.select(col("a").as("node")).distinct())
     val n = nodes.count()
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(eager = true)
+    var ranks = truncate(nodes.select(col("node"), lit(1.0 / n).as("rank")))
     for (i <- 1 to iters) {
       val contrib = eNorm.join(ranks, eNorm("a") === ranks("node"))
         .groupBy(col("b")).agg(dsum28(col("p") * col("rank")).as("c"))
@@ -373,7 +381,7 @@ object Dedup {
       // is still tiny — cuts fixed per-round overhead ~3× without
       // letting the plan grow unboundedly
       if (i % 3 == 0 || i == iters)
-        ranks = ranks.localCheckpoint(eager = true)
+        ranks = truncate(ranks)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }

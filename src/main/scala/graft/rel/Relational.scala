@@ -906,23 +906,66 @@ object Relational {
 
   /** DAU / trailing-7-day WAU stickiness — the engagement staple.
     * Distinct (day, user) pairs reduce the event stream FIRST (the
-    * only pass over raw events); the trailing window is then a
-    * RANGE self-join on the tiny day×user table (≤ 7× amplification
-    * of day-level pairs, not events), grouped per anchor day. A
-    * per-day HLL-sketch union ([[incrementalDistinct]]'s shape) is
-    * the approximate path when day×user itself is too big. */
+    * only pass over raw events). The trailing window is then made
+    * EQUI-shaped: each (day, user) pair is exploded into its ≤ 7
+    * future anchor days (`sequence(day, day+6)`), and anchors that
+    * never had activity are dropped with a broadcast semi join on
+    * the tiny distinct-day table. That keeps the documented ≤ 7×
+    * row amplification but runs as hash join + hash aggregate — a
+    * plain inequality self-join here would compile to a
+    * BroadcastNestedLoopJoin whose *comparison* cost is
+    * |days| × |day×user|, quadratic in the date range at 100 TB.
+    * [[stickinessApprox]] is the sketch path when day×user itself
+    * is too big to shuffle. */
   def stickiness(spark: SparkSession, dir: String): DataFrame = {
     val du = Tables.events(spark, dir)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .distinct()
     val anchors = du.select(col("day")).distinct()
     val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val wau = anchors
-      .join(du.select(col("day").as("d2"), col("user_id")),
-        col("d2") <= col("day") &&
-          col("d2") > col("day") - expr("INTERVAL 7 DAYS"))
+    // a pair active on day d counts toward anchors d..d+6, i.e. the
+    // anchor's window (anchor-7, anchor] — same semantics as the
+    // range predicate `d2 <= day && d2 > day - 7 days`, equi-shaped
+    val contrib = du.select(
+      explode(sequence(col("day"),
+        col("day") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))).as("day"),
+      col("user_id"))
+    val wau = contrib
+      .join(broadcast(anchors), Seq("day"), "left_semi")
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+  }
+
+  /** Approximate stickiness for when even the distinct day×user
+    * table is too big to shuffle: one HLL sketch per day (the only
+    * pass over events), then each day's sketch — kilobytes, not the
+    * user list — is exploded to its ≤ 7 anchor days and union-merged
+    * per anchor. DAU and WAU both come from sketch estimates so the
+    * ratio is internally consistent. State per anchor is O(sketch),
+    * independent of user count; the explode/semi-join shape matches
+    * [[stickiness]] so the plan stays equi-join only. */
+  def stickinessApprox(spark: SparkSession, dir: String): DataFrame = {
+    val daySk = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val anchors = daySk.select(col("day"))
+    val dau = daySk.select(col("day"),
+      hll_sketch_estimate(col("sk")).cast("long").as("dau"))
+    val contrib = daySk.select(
+      explode(sequence(col("day"),
+        col("day") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))).as("day"),
+      col("sk"))
+    val wau = contrib
+      .join(broadcast(anchors), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .cast("long").as("wau"))
     dau.join(wau, Seq("day"))
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))

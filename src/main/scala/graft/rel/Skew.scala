@@ -19,16 +19,77 @@ object Reduce {
     * for when the small side comes from a separate pipeline stage or
     * the optimizer can't see the opportunity. The filter is built
     * with one aggregation on the small side (`stat.bloomFilter`,
-    * mergeable sketch) and ships once per executor. */
+    * mergeable sketch) and ships once per executor.
+    *
+    * Key columns may be any integral type or string (the types
+    * `stat.bloomFilter` itself supports); the probe side dispatches
+    * on the column's actual dataType, so int/long/string keys all
+    * work. Sizing: pass `expectedItems` when the caller already
+    * knows the small side's cardinality (e.g. from a prior stage's
+    * metrics) — otherwise ONE column-pruned `approx_count_distinct`
+    * action estimates it (an over-estimate only wastes filter bits;
+    * an under-estimate only raises fpp, never correctness). */
   def bloomSemiJoin(big: DataFrame, small: DataFrame, key: String,
-      fpp: Double = 0.01): DataFrame = {
-    val n = math.max(small.count(), 1L)
-    val bf = small.stat.bloomFilter(key, n, fpp)
-    val bfB = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
-    big.filter(mightContain(col(key)))
+      fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame =
+    big.filter(bloomContained(big, small, key, fpp, expectedItems))
       .join(small.select(col(key)).distinct().hint("broadcast"),
         Seq(key), "left_semi")
+
+  /** ANTI-join sibling of [[bloomSemiJoin]]: rows of `big` whose key
+    * is NOT in `small`. A Bloom filter cannot drive an anti join
+    * alone (a false positive would wrongly DROP a row), so the split
+    * is: bloom-negative rows are definitively clean and bypass the
+    * join entirely — scan + filter, zero shuffle — while the
+    * bloom-positive sliver (true matches + `fpp` of the clean side)
+    * is resolved by the exact anti join. At 100 TB with a blocklist
+    * too big to broadcast, that turns "shuffle the whole corpus
+    * against the blocklist" into "shuffle `fpp` of it": the branch
+    * union re-reads the big side's scan, but two cheap scans beat
+    * one full-corpus shuffle, and a materialized input pays the scan
+    * once. The filter is built ONCE and shared by both branches.
+    * NULL keys are never "contained", so they take the clean branch —
+    * exactly the plain anti join's NULL semantics. Results are
+    * EXACTLY the plain anti join's. */
+  def bloomAntiJoin(big: DataFrame, small: DataFrame, key: String,
+      fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame = {
+    val contained = bloomContained(big, small, key, fpp, expectedItems)
+    val maybe = big.filter(contained)
+      .join(small.select(col(key)).distinct(), Seq(key), "left_anti")
+    big.filter(!contained).unionByName(maybe)
+  }
+
+  /** Shared probe core: a predicate column that is true iff the small
+    * side's Bloom filter reports `key` as a possible member. Builds
+    * the filter eagerly (one `stat.bloomFilter` aggregation) and
+    * broadcasts it; key-type dispatch matches what `stat.bloomFilter`
+    * itself supports. NULL keys are never "contained": they fail the
+    * positive predicate and pass its negation — the semantics both
+    * joins need (NULL matches nothing in a semi join and survives an
+    * anti join). */
+  private def bloomContained(big: DataFrame, small: DataFrame,
+      key: String, fpp: Double, expectedItems: Option[Long]): Column = {
+    import org.apache.spark.sql.types._
+    val keyType = big.schema(key).dataType
+    val supported = keyType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!supported) throw new IllegalArgumentException(
+      s"bloomSemiJoin key '$key' has unsupported type $keyType " +
+        "(integral and string keys only, matching stat.bloomFilter)")
+    val n = math.max(expectedItems.getOrElse(
+      small.select(approx_count_distinct(col(key))).head().getLong(0)), 1L)
+    val bf = small.stat.bloomFilter(key, n, fpp)
+    val bfB = big.sparkSession.sparkContext.broadcast(bf)
+    keyType match {
+      case StringType =>
+        val f = udf((k: String) => k != null && bfB.value.mightContainString(k))
+        f(col(key))
+      case _ =>
+        val f = udf((k: java.lang.Long) =>
+          k != null && bfB.value.mightContainLong(k))
+        f(col(key).cast("long"))
+    }
   }
 
   /** The q120 query: orders of BUILDING-segment customers via bloom
@@ -52,8 +113,20 @@ object Reduce {
     * prune on its leading column. Pure column arithmetic (2×bits
     * shift/mask terms, codegen-friendly, no UDF); monotone under
     * component-wise dominance, which the spec checks exhaustively on
-    * a grid. */
+    * a grid.
+    *
+    * DOMAIN: both components must fit in `bits` bits, i.e. lie in
+    * [0, 2^bits); higher bits are silently DROPPED by the
+    * interleave, which breaks dominance-monotonicity and degrades
+    * layout quality for out-of-range keys. Size `bits` to the real
+    * key domain before a layout job (e.g. `l_partkey` at SF 100
+    * needs bits=28, not the default 16) — a one-row
+    * `agg(max(a), max(b))` on a sample is cheap insurance, and the
+    * spec exercises a wide-domain pair at bits=20 to pin the
+    * contract. bits ≤ 31 keeps 2×bits interleaved bits inside a
+    * long with room for the sign. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     val (al, bl) = (a.cast("long"), b.cast("long"))
     (0 until bits).map { i =>
       (shiftright(al, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +

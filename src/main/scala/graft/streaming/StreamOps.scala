@@ -17,6 +17,11 @@ final case class HashedDoc(contentHash: String, docId: Long)
 final case class TimedHashedDoc(contentHash: String, docId: Long,
   ts: java.sql.Timestamp)
 
+/** Per-bucket state of [[StreamOps.lshCandidateStreamDeduped]]: the
+  * bucket's anchor doc plus each recently-seen doc's dedup-horizon
+  * expiry (event-time ms). */
+final case class LshBucketState(anchor: Long, seen: Map[Long, Long])
+
 /** Structured Streaming surface. The reference explicitly cannot
   * stream end-to-end (/root/reference/README.md:96-97) because each
   * reduce depends on the previous stage's complete output — but that
@@ -173,13 +178,18 @@ object StreamOps {
             Iterator.empty
           } else {
             val rs = rows.toSeq
-            val maxTs = rs.iterator.map(_.ts.getTime).max
-            val deadline = math.max(maxTs + ttl.toMillis,
+            // deadline may only EXTEND: an out-of-order duplicate with
+            // an older event time must not contract the eviction point
+            // armed by an earlier, later-timestamped arrival
+            val armTs = math.max(
+              state.getOption.getOrElse(Long.MinValue),
+              rs.iterator.map(_.ts.getTime).max)
+            val deadline = math.max(armTs + ttl.toMillis,
               state.getCurrentWatermarkMs() + 1)
             val out =
               if (state.exists) Iterator.empty
               else Iterator.single(HashedDoc(hash, rs.minBy(_.docId).docId))
-            state.update(maxTs)
+            state.update(armTs)
             state.setTimeoutTimestamp(deadline)
             out
           }
@@ -337,6 +347,68 @@ object StreamOps {
           val anchor = state.getOption.getOrElse(ids.head)
           if (!state.exists) state.update(anchor)
           ids.filter(_ != anchor).map(id => (bucket, anchor, id)).iterator
+      }
+  }
+
+  /** [[lshCandidateStream]] with the re-delivery mitigation built in:
+    * at-least-once sources (or re-ingested docs) deliver the same
+    * (bucket, doc) row more than once, and the anchor-only state
+    * above then re-emits the same candidate pair. This variant
+    * tracks, per bucket, the doc ids seen within the watermark
+    * horizon — each doc carries an expiry of its max event time +
+    * `dedupDelay`, evicted once the watermark passes it (the exact
+    * state contract of the built-in `dropDuplicatesWithinWatermark`,
+    * folded into the candidate operator because Spark does not allow
+    * chaining another stateful operator ahead of
+    * flatMapGroupsWithState). A re-delivery inside the horizon emits
+    * nothing; one arriving after eviction re-emits its pair — the
+    * standard watermark-bounded-state trade. State per bucket =
+    * anchor + (docs seen within the horizon), bounded by the delay
+    * like every watermarked dedup.
+    *
+    * Input rows: (bucket, doc_id, event ts); the watermark is set
+    * here on `ts`, the operator's only time axis. */
+  def lshCandidateStreamDeduped(
+      bands: Dataset[(String, Long, java.sql.Timestamp)],
+      dedupTtl: java.time.Duration = java.time.Duration.ofMinutes(10),
+      watermarkDelay: String = "10 seconds"): Dataset[(String, Long, Long)] = {
+    import bands.sparkSession.implicits._
+    val dedupMs = dedupTtl.toMillis
+    bands.toDF("bucket", "doc_id", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LshBucketState, (String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[LshBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val rs = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            val st = state.getOption.getOrElse(LshBucketState(rs.head._2, Map.empty))
+            // evict doc entries whose horizon the watermark has passed
+            var seen = st.seen.filter { case (_, exp) => exp > wm }
+            val out = Seq.newBuilder[(String, Long, Long)]
+            rs.foreach { case (_, id, ts) =>
+              val exp = ts.getTime + dedupMs
+              seen.get(id) match {
+                case Some(prev) => seen = seen.updated(id, math.max(prev, exp))
+                case None =>
+                  seen = seen.updated(id, exp)
+                  if (id != st.anchor) out += ((bucket, st.anchor, id))
+              }
+            }
+            val ns = LshBucketState(st.anchor, seen)
+            state.update(ns)
+            // keep the bucket's state alive while any doc entry can
+            // still dedup a re-delivery; the anchor itself then evicts
+            // too (a quiet bucket re-anchors on its next arrival)
+            val maxExp = if (seen.isEmpty) wm + dedupMs
+              else seen.valuesIterator.max
+            state.setTimeoutTimestamp(math.max(maxExp, wm + 1))
+            out.result().iterator
+          }
       }
   }
 

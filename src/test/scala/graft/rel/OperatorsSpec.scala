@@ -933,6 +933,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("pagerank reliable-checkpoint path is byte-identical to local path") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
+      (2L, 3L, 2.0)).toDF("src", "dst", "weight")
+    val local = Dedup.pageRank(edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    val reliable = Dedup.pageRank(edges, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    assert(local == reliable && local.nonEmpty)
+  }
+
   test("negative pairs: deterministic, never the anchor, at most k per anchor") {
     val a = graft.ext.Sampling.negativePairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
@@ -1056,13 +1068,40 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("stickiness: dau <= wau, ratio in (0,1], wau monotone vs dau window") {
-    val rows = Relational.stickiness(spark, sf).collect()
+    val df = Relational.stickiness(spark, sf)
+    // the trailing window must be equi-shaped: explode-offsets +
+    // hash joins, never a nested-loop over anchors × day-user pairs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
       assert(dau >= 1 && dau <= wau, s"dau $dau > wau $wau")
       val s = r.getAs[Double]("stickiness")
       assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
+  test("stickinessApprox brackets exact stickiness at sketch tolerance") {
+    val exact = Relational.stickiness(spark, sf).collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    val approxDf = Relational.stickinessApprox(spark, sf)
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    val approx = approxDf.collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      val (edau, ewau) = exact(r.getTimestamp(0))
+      // HLL default relative error ~1.6%; allow 5% + small absolute slack
+      def close(a: Long, e: Long): Boolean =
+        math.abs(a - e) <= math.max(3L, (e * 0.05).toLong)
+      assert(close(dau, edau), s"dau $dau vs exact $edau")
+      assert(close(wau, ewau), s"wau $wau vs exact $ewau")
     }
   }
 
@@ -1163,6 +1202,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reduced == plain && reduced.nonEmpty)
   }
 
+  test("bloom semi-join handles string and int keys, caller-supplied sizing") {
+    import spark.implicits._
+    // string keys
+    val bigS = Seq(("alpha", 1), ("beta", 2), ("gamma", 3), ("alpha", 4))
+      .toDF("k", "v")
+    val smallS = Seq("alpha", "gamma", "delta").toDF("k")
+    val gotS = Reduce.bloomSemiJoin(bigS, smallS, "k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(gotS == Set(("alpha", 1), ("gamma", 3), ("alpha", 4)))
+    // int (non-long) keys, expectedItems supplied → no sizing action
+    val bigI = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val smallI = Seq(2, 3).toDF("k")
+    val gotI = Reduce.bloomSemiJoin(bigI, smallI, "k",
+      expectedItems = Some(2L)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(gotI == Set((2, "b"), (3, "c")))
+    // unsupported key type fails loudly, not with a runtime cast error
+    val bigD = Seq((1.5, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Reduce.bloomSemiJoin(bigD, bigD.select("k"), "k")
+    }
+  }
+
   test("z-value: exact interleave, dominance-monotone, files own disjoint ranges") {
     import spark.implicits._
     // exact interleave against a scalar reference on a 16x16 grid
@@ -1179,6 +1241,20 @@ class OperatorsSpec extends AnyFunSuite {
       if (a + 1 < 16) assert(got((a + 1, b)) > got((a, b)))
       if (b + 1 < 16) assert(got((a, b + 1)) > got((a, b)))
     }
+    // wide-domain contract: keys >= 2^16 need bits sized up — at
+    // bits=20 the interleave stays exact and dominance-monotone for
+    // components up to 2^20
+    def zRefN(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val wide = Seq((65536L, 70000L), (1048575L, 65537L), (999999L, 123456L),
+      (65535L, 1048575L))
+    val gotWide = wide.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Reduce.zValue(col("a"), col("b"), bits = 20).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    wide.foreach { case (a, b) => assert(gotWide((a, b)) == zRefN(a, b, 20)) }
+    intercept[IllegalArgumentException] { Reduce.zValue(col("a"), col("b"), 0) }
     // z-ordered write: parquet files cover disjoint z ranges
     val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     Reduce.writeZOrdered(graft.Tables.lineitem(spark, sf),

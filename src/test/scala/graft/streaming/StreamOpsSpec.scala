@@ -193,6 +193,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time TTL dedup: a late older duplicate never contracts the deadline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[TimedHashedDoc]
+    def ts(s: String) = Timestamp.valueOf(s)
+    // TTL 60 s, watermark delay 10 s. The original arrives at 10:10:00
+    // (deadline 10:11:00); an out-of-order duplicate then arrives with
+    // an OLDER event time 10:09:55 — a deadline armed from the batch
+    // max alone would contract to 10:10:55. Advance the watermark to
+    // 10:10:58: past the contracted deadline, before the true one. The
+    // key must still be in state, so its next duplicate is dropped.
+    val q = StreamOps.dedupStreamEventTime(src.toDS(),
+      java.time.Duration.ofSeconds(60), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_evtime_noshrink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(TimedHashedDoc("h1", 1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // late duplicate, above the watermark (10:09:50) so it reaches
+      // the stateful operator
+      src.addData(TimedHashedDoc("h1", 2L, ts("2024-01-01 10:09:55")))
+      q.processAllAvailable()
+      // watermark → 10:10:58 (> contracted 10:10:55, < correct 10:11:00)
+      src.addData(TimedHashedDoc("adv", 3L, ts("2024-01-01 10:11:08")))
+      q.processAllAvailable()
+      // timers evaluate against wm 10:10:58 this batch: h1 must survive
+      src.addData(TimedHashedDoc("adv2", 4L, ts("2024-01-01 10:11:09")))
+      q.processAllAvailable()
+      // still inside the true deadline's state window → dropped
+      src.addData(TimedHashedDoc("h1", 99L, ts("2024-01-01 10:11:30")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_evtime_noshrink").as[HashedDoc].collect()
+        .map(d => d.contentHash -> d.docId).toSeq.sorted
+      assert(rows == Seq("adv" -> 3L, "adv2" -> 4L, "h1" -> 1L),
+        s"late duplicate contracted the TTL deadline: $rows")
+    } finally q.stop()
+  }
+
   test("streaming debounce: burst suppression across batches by data clock") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -410,6 +448,69 @@ class StreamOpsSpec extends AnyFunSuite {
         r.getAs[Long]("doc_id"))).sorted.toSeq
     q.stop()
     assert(rows == Seq(("b1", 5L, 9L), ("b1", 5L, 12L)))
+  }
+
+  test("deduped LSH candidate stream: re-delivered (bucket, doc) emits one pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Long, Timestamp)]
+    def ts(s: String) = Timestamp.valueOf(s)
+    val q = StreamOps.lshCandidateStreamDeduped(src.toDS(),
+      dedupTtl = java.time.Duration.ofMinutes(10))
+      .toDF("bucket", "anchor", "doc_id")
+      .writeStream.format("memory").queryName("lsh_cands_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(("b1", 5L, ts("2024-01-01 10:00:00")),
+        ("b1", 9L, ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      // the SAME (bucket, doc) re-delivered on a later micro-batch —
+      // the at-least-once case the plain operator double-emits on
+      src.addData(("b1", 9L, ts("2024-01-01 10:00:05")))
+      q.processAllAvailable()
+      src.addData(("b1", 9L, ts("2024-01-01 10:00:09")),
+        ("b1", 12L, ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      val rows = spark.table("lsh_cands_dedup").collect()
+        .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("anchor"),
+          r.getAs[Long]("doc_id"))).sorted.toSeq
+      assert(rows == Seq(("b1", 5L, 9L), ("b1", 5L, 12L)),
+        s"re-delivery produced duplicate candidate pairs: $rows")
+    } finally q.stop()
+  }
+
+  test("deduped LSH candidates: doc entries evict past the horizon, pair re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Long, Timestamp)]
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 60 s horizon: a re-delivery AFTER eviction re-emits its pair —
+    // the documented bounded-state trade
+    val q = StreamOps.lshCandidateStreamDeduped(src.toDS(),
+      dedupTtl = java.time.Duration.ofSeconds(60))
+      .toDF("bucket", "anchor", "doc_id")
+      .writeStream.format("memory").queryName("lsh_cands_dedup_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(("b1", 5L, ts("2024-01-01 10:00:00")),
+        ("b1", 9L, ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      // fresh traffic keeps the BUCKET alive (anchor intact) while the
+      // watermark (→ 10:01:50) passes doc 9's horizon (10:01:01)
+      src.addData(("b1", 13L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // doc 9 re-delivered after its entry evicted → pair re-emits,
+      // still against the ORIGINAL anchor
+      src.addData(("b1", 9L, ts("2024-01-01 10:02:05")))
+      q.processAllAvailable()
+      val rows = spark.table("lsh_cands_dedup_evict").collect()
+        .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("anchor"),
+          r.getAs[Long]("doc_id"))).toSeq
+        .sortBy(r => (r._1, r._3))
+      assert(rows.count(_ == ("b1", 5L, 9L)) == 2,
+        s"expected post-eviction re-emit, got: $rows")
+      assert(rows.contains(("b1", 5L, 13L)))
+    } finally q.stop()
   }
 
   test("LSH candidate stream state is one row per distinct bucket") {
