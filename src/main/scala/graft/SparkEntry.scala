@@ -137,6 +137,8 @@ object SparkEntry {
     "q133_incr_distinct"  -> ((s, d) => Relational.incrementalDistinct(s, d)), // rows-only: DataSketches HLL internals, bracket-spec'd vs exact
     "q134_stickiness"     -> (Relational.stickiness _),
     "q135_stickiness_approx" -> (Relational.stickinessApprox _), // rows-only: DataSketches HLL estimates, bracket-spec'd vs exact q134
+    "q136_curated_bloom"  -> ((s, d) => TextAnalysis.curatedCorpus(s, d, bloomPrefilter = true)),
+    "q137_jaccard_window" -> ((s, d) => Dedup.jaccardVerifyWindow(s, d, maxId = 400L)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1264,6 +1266,56 @@ object SparkEntry {
          |  AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
          |  AND doc_id NOT IN (SELECT doc_id FROM contam)
          |GROUP BY source, lang""".stripMargin,
+    // q136 = q98 with the bloom anti-join split on the contaminated-id
+    // exclusion — results are identical by construction, so the oracle
+    // is q98's.
+    "q136_curated_bloom" ->
+      s"""WITH w AS (SELECT doc_id, source, lang, n_chars,
+         |    $toks AS ws, md5(text) AS txt_md5
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, lang, n_chars, ws, txt_md5,
+         |    CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+         |  FROM w),
+         |dedup AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY txt_md5 ORDER BY doc_id)
+         |      AS dup_rk
+         |  FROM m),
+         |bg AS (SELECT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |block AS (SELECT DISTINCT shingle FROM bg WHERE doc_id < 5),
+         |contam AS (SELECT DISTINCT b.doc_id FROM bg b
+         |  WHERE b.doc_id >= 5
+         |    AND b.shingle IN (SELECT shingle FROM block))
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+         |FROM m JOIN dedup USING (doc_id)
+         |WHERE doc_id >= 5 AND dup_rk = 1
+         |  AND n_chars >= 100 AND n_tok >= 20
+         |  AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |GROUP BY source, lang""".stripMargin,
+    // q137: jaccardVerify's verification math (3-token shingling +
+    // exact Jaccard + threshold) on the DETERMINISTIC all-pairs
+    // candidate set inside doc_id < 100 — DuckDB reproduces shingles
+    // and set Jaccard with list lambdas (the LSH candidate set itself
+    // is xxhash64-seeded, hence q43 stays rows-only).
+    "q137_jaccard_window" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS ws
+         |  FROM documents WHERE doc_id < 400),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+         |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+         |    END AS sh
+         |  FROM w)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

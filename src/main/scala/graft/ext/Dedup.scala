@@ -241,17 +241,44 @@ object Dedup {
   def jaccardVerify(spark: SparkSession, dir: String, k: Int = 3,
       threshold: Double = 0.7): DataFrame =
     Memo.cached(verifiedCache, (dir, k, threshold), spark) {
-      val docs = shingleTable(spark, dir, k)
-      val cands = minhashLsh(spark, dir, k)
-      cands
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          round(graft.functions.exprs.jaccard_sim(col("sh_a"), col("sh_b")), 4)
-            .as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+      verifyPairs(shingleTable(spark, dir, k), minhashLsh(spark, dir, k),
+          threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** The verification core shared by [[jaccardVerify]] and
+    * [[jaccardVerifyWindow]]: join a (doc_a, doc_b) candidate table
+    * against the shingle table on both endpoints and keep pairs with
+    * exact shingle Jaccard ≥ `threshold`. Id-keyed equi-joins — the
+    * candidate table never carries text. */
+  def verifyPairs(docs: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.exprs.jaccard_sim(col("sh_a"), col("sh_b")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** [[jaccardVerify]]'s SQL-oracle-able twin: same shingle table,
+    * same [[verifyPairs]] code, but the candidate set is every pair
+    * inside a bounded id window instead of the xxhash64-seeded LSH
+    * candidates DuckDB cannot reproduce. This is the hash-matched
+    * gate for the verification stage's MATH (shingling + exact
+    * Jaccard + threshold); the LSH path stays the scale path and is
+    * covered rows-only. The id bound keeps the all-pairs join
+    * quadratic only in a small slice (the q41 pattern). */
+  def jaccardVerifyWindow(spark: SparkSession, dir: String, k: Int = 3,
+      threshold: Double = 0.7, maxId: Long = 100L): DataFrame = {
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId).select(col("doc_id"))
+    val cands = ids.select(col("doc_id").as("doc_a"))
+      .join(ids.select(col("doc_id").as("doc_b")),
+        col("doc_a") < col("doc_b"))
+    verifyPairs(shingleTable(spark, dir, k).filter(col("doc_id") < maxId),
+      cands, threshold)
+  }
 
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node starts labelled with its own

@@ -399,7 +399,7 @@ object TextAnalysis {
     * and [[curatedCorpusNearDup]], public so audits can join against
     * the survivor ids directly. */
   def curatedDocs(spark: SparkSession, dir: String, n: Int = 4,
-      evalMax: Long = 5L): DataFrame = {
+      evalMax: Long = 5L, bloomPrefilter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -409,16 +409,25 @@ object TextAnalysis {
         size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
         col("txt_md5"))
     val dupW = Window.partitionBy(col("txt_md5")).orderBy(col("doc_id"))
-    m.withColumn("dup_rk", row_number().over(dupW))
+    val gated = m.withColumn("dup_rk", row_number().over(dupW))
       .filter(col("doc_id") >= evalMax && col("dup_rk") === 1 &&
         col("n_chars") >= 100 && col("n_tok") >= 20 &&
         col("n_distinct").cast("double") / col("n_tok").cast("double") > 0.2)
-      .join(contaminatedIds(spark, dir, n, evalMax), Seq("doc_id"), "left_anti")
+    val contam = contaminatedIds(spark, dir, n, evalMax)
+    // `bloomPrefilter` is the 100 TB form of the exclusion: when the
+    // contaminated-id set outgrows a broadcast, the plain anti join
+    // shuffles every gate survivor against it — the bloom split
+    // (graft.rel.Reduce.bloomAntiJoin) lets bloom-negative docs
+    // bypass that shuffle entirely and resolves only the positive
+    // sliver exactly. Results are identical either way (parity spec).
+    if (bloomPrefilter)
+      graft.rel.Reduce.bloomAntiJoin(gated, contam, "doc_id")
+    else gated.join(contam, Seq("doc_id"), "left_anti")
   }
 
   def curatedCorpus(spark: SparkSession, dir: String, n: Int = 4,
-      evalMax: Long = 5L): DataFrame =
-    curatedDocs(spark, dir, n, evalMax)
+      evalMax: Long = 5L, bloomPrefilter: Boolean = false): DataFrame =
+    curatedDocs(spark, dir, n, evalMax, bloomPrefilter)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("total_tokens"))

@@ -733,6 +733,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("curated corpus bloom pre-filter path is value-identical to the plain anti join") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val plain = canon(TextAnalysis.curatedCorpus(spark, sf))
+    val bloom = canon(TextAnalysis.curatedCorpus(spark, sf, bloomPrefilter = true))
+    assert(plain == bloom && plain.nonEmpty)
+  }
+
+  test("jaccard verify window twin agrees with the shared verification core") {
+    // the twin's all-pairs candidates are a superset of any LSH
+    // candidate set inside the window, so every LSH-verified pair in
+    // the window must appear with the SAME jaccard
+    val win = Dedup.jaccardVerifyWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(win.nonEmpty)
+    win.keys.foreach { case (a, b) => assert(a < b && b < 100L) }
+    val lshInWindow = Dedup.jaccardVerify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => a < 100L && b < 100L }
+    lshInWindow.foreach { case (pair, j) =>
+      assert(win.get(pair).contains(j), s"pair $pair: lsh=$j window=${win.get(pair)}")
+    }
+  }
+
   test("curated corpus near-dup: drops exactly the gate-surviving non-rep cluster members") {
     val exact = TextAnalysis.curatedCorpus(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
