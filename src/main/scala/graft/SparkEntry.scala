@@ -139,6 +139,9 @@ object SparkEntry {
     "q135_stickiness_approx" -> (Relational.stickinessApprox _), // rows-only: DataSketches HLL estimates, bracket-spec'd vs exact q134
     "q136_curated_bloom"  -> ((s, d) => TextAnalysis.curatedCorpus(s, d, bloomPrefilter = true)),
     "q137_jaccard_window" -> ((s, d) => Dedup.jaccardVerifyWindow(s, d, maxId = 400L)),
+    "q138_tpch_q15"       -> ((s, d) => Relational.topSupplier(s, d)),
+    "q139_tpch_q12"       -> ((s, d) => Relational.shipmodePriority(s, d)),
+    "q140_tpch_q21"       -> ((s, d) => Relational.waitingSuppliers(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1316,6 +1319,47 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7""".stripMargin,
+    "q138_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON supplier_no = s_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    // q139/q140: lateness ADAPTED to this schema (no l_shipmode /
+    // l_commitdate / l_receiptdate in the testdata) — late =
+    // l_shipdate > o_orderdate + 90 days; analytic shapes are Q12/Q21's.
+    "q139_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+    "q140_tpch_q21" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |        THEN 1 ELSE 0 END) AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey, l_suppkey),
+        |f AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+        |  FROM ps)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM f JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -1045,6 +1045,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.collect().head.getAs[Double]("revenue") > 0)
   }
 
+  test("tpch q15: winners carry the max revenue, fact scanned once") {
+    val df = Relational.topSupplier(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // all returned rows tie on the same (max) revenue
+    assert(rows.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+    // the winner's revenue really is the max of the per-supplier rollup
+    val best = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,6)")).cast("double").as("r"))
+      .agg(max(col("r"))).head().getDouble(0)
+    assert(rows.head.getAs[Double]("total_revenue") == best)
+    // one scan of lineitem: the max runs as a window over the rollup,
+    // it does not re-read the fact table
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .count(_.output.exists(_.name == "l_shipdate")) == 1)
+  }
+
+  test("tpch q12 adapted: line counts partition the late set, both classes present") {
+    val rows = Relational.shipmodePriority(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("high_line_count") +
+      r.getAs[Long]("low_line_count")).sum
+    val late = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .count()
+    assert(total == late && total > 0)
+  }
+
+  test("tpch q21 adapted: every waiting supplier was the sole late supplier on a multi-supplier order") {
+    val rows = Relational.waitingSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("numwait") > 0))
+    // numwait totals = number of (order, supplier) single-late slots
+    val perSupp = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(graft.Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("int")).as("late"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"), sum(col("late")).as("nl"))
+      .filter(col("ns") >= 2 && col("nl") === 1)
+      .count()
+    assert(rows.map(_.getAs[Long]("numwait")).sum == perSupp)
+  }
+
   test("tpch q13: zero-order cohort survives the left join, cohorts partition customers") {
     val rows = Relational.customerDistribution(spark, sf).collect()
       .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
