@@ -142,6 +142,9 @@ object SparkEntry {
     "q138_tpch_q15"       -> ((s, d) => Relational.topSupplier(s, d)),
     "q139_tpch_q12"       -> ((s, d) => Relational.shipmodePriority(s, d)),
     "q140_tpch_q21"       -> ((s, d) => Relational.waitingSuppliers(s, d)),
+    "q141_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "q142_pq_probe"       -> ((s, d) => Similarity.pqProbe(s, d)),     // rows-only: Lloyd-fitted codebooks, recall-spec'd vs exact top-k
+    "q143_pq_stats"       -> ((s, d) => Similarity.pqIndexStats(s, d)), // rows-only: same codebook dependence
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1360,6 +1363,33 @@ object SparkEntry {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    // BM25 constants are forced through CAST(... AS DOUBLE) so DuckDB's
+    // decimal literals promote to the same IEEE doubles Spark computes
+    // with (k1+1 is written 1.2+1.0, matching the Scala evaluation
+    // order, not the literal 2.2 whose nearest double can differ).
+    "q141_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS ws FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+         |  WHERE term IN ('shuffle', 'broadcast', 'join')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    ln((CAST(s.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |      * tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)
+         |      / (tf.tf + CAST(1.2 AS DOUBLE)
+         |          * (1.0 - CAST(0.75 AS DOUBLE)
+         |             + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS contrib
+         |  FROM tf JOIN df USING (term) JOIN lens l ON tf.doc_id = l.doc_id,
+         |    stats s)
+         |SELECT doc_id,
+         |  round(CAST(SUM(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
+         |  COUNT(*) AS n_terms_hit
+         |FROM sc GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 20""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

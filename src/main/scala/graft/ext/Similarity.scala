@@ -140,11 +140,13 @@ object Similarity {
     * Every sweep is best-effort: a stale entry bound to a stopped
     * session may throw, and must not abort the rest of the cleanup. */
   def clearCaches(): Unit = {
-    (indexCache.values ++ ivfCache.values).foreach(df =>
+    (indexCache.values ++ ivfCache.values ++ pqIdxCache.values).foreach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })
     indexCache.clear()
     ivfCache.clear()
     centroidCache.clear()
+    pqIdxCache.clear()
+    pqCache.clear()
   }
 
   /** ANN via LSH buckets: group corpus by bucket; report bucket
@@ -273,6 +275,134 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(topK)
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) — the memory-side of the ANN story:
+  // LSH/IVF prune WHICH vectors a probe scores; PQ shrinks WHAT is
+  // stored per vector (m byte codes instead of dim floats, 32× here)
+  // so a 100 TB embedding corpus's index fits the cluster's RAM and
+  // a probe never touches the raw vectors at all (ADC: score =
+  // table lookups on the codes). Jégou et al., "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011.
+  // ---------------------------------------------------------------
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[Seq[Seq[Double]]]]
+  private val pqIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+
+  /** Per-subspace codebooks: split the `dim` dims into `m` equal
+    * subspaces and fit `ksub` centroids in each with the same
+    * bounded-sample driver-side Lloyd as [[ivfCentroids]] (sorted
+    * sample, evenly-spaced init, fixed iterations — byte-stable).
+    * Returns m × ksub × (dim/m). */
+  def pqCodebooks(spark: SparkSession, dir: String, m: Int = 8,
+      ksub: Int = 16, iters: Int = 10, sampleN: Int = 2048): Seq[Seq[Seq[Double]]] =
+    pqCache.getOrElseUpdate((dir, m, ksub), {
+      val sample = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < sampleN)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      require(sample.length >= ksub, s"corpus smaller than ksub=$ksub")
+      val dim = sample.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val sub = dim / m
+      (0 until m).map { j =>
+        val slice = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+        var cents = Array.tabulate(ksub) { i =>
+          slice(((i.toLong * slice.length) / ksub).toInt).clone()
+        }
+        for (_ <- 0 until iters) {
+          val sums = Array.fill(ksub)(new Array[Double](sub))
+          val counts = new Array[Int](ksub)
+          slice.foreach { v =>
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < ksub) {
+              var s = 0.0; var i = 0
+              while (i < sub) { val d = v(i) - cents(c)(i); s += d * d; i += 1 }
+              if (s < bestD) { best = c; bestD = s }
+              c += 1
+            }
+            var i = 0
+            while (i < sub) { sums(best)(i) += v(i); i += 1 }
+            counts(best) += 1
+          }
+          cents = Array.tabulate(ksub) { c =>
+            if (counts(c) == 0) cents(c)
+            else { val s = sums(c); val n = counts(c); s.map(_ / n) }
+          }
+        }
+        cents.map(_.toIndexedSeq).toIndexedSeq
+      }
+    })
+
+  /** vec_id → PQ code array (m small ints), one distributed scan.
+    * Encoding composes the existing native `ivf_cells` expression
+    * per subspace over a SLICED view of the vector — nearest
+    * sub-centroid per block, no UDF. The raw embedding is NOT kept:
+    * the index row is (vec_id, label, codes), the compressed form. */
+  def pqIndex(spark: SparkSession, dir: String, m: Int = 8,
+      ksub: Int = 16): DataFrame =
+    Memo.cached(pqIdxCache, (dir, m, ksub), spark) {
+      val books = pqCodebooks(spark, dir, m, ksub)
+      val sub = books.head.head.length
+      val codes = (0 until m).map { j =>
+        element_at(graft.functions.exprs.ivf_cells(
+          slice(col("embedding"), j * sub + 1, sub), books(j), 1), 1)
+      }
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), array(codes: _*).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Asymmetric-distance (ADC) PQ probe: approximate cosine top-k
+    * where the corpus side is scored ONLY from its codes. The query
+    * vector is resolved once (single-row collect, the documented
+    * bounded pattern); each subspace's dot-product and squared-norm
+    * contributions against all `ksub` sub-centroids become literal
+    * lookup tables, and the per-vector score is m `element_at`s per
+    * table — pure column arithmetic over an m-int array, no raw
+    * vectors read, codegen-friendly. cos ≈ Σ_j dotLUT_j[code_j] /
+    * (|q| · sqrt(Σ_j normLUT_j[code_j])). */
+  def pqProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      m: Int = 8, ksub: Int = 16, topK: Int = 10): DataFrame = {
+    val books = pqCodebooks(spark, dir, m, ksub)
+    val sub = books.head.head.length
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val dotLut = (0 until m).map { j =>
+      books(j).map(c => c.indices.map(i => c(i) * q(j * sub + i)).sum)
+    }
+    val normLut = (0 until m).map { j => books(j).map(c => c.map(x => x * x).sum) }
+    val dotApprox = (0 until m).map { j =>
+      element_at(typedLit(dotLut(j)), col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val nrmApprox = (0 until m).map { j =>
+      element_at(typedLit(normLut(j)), col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    pqIndex(spark, dir, m, ksub)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(dotApprox / (lit(qNorm) * sqrt(nrmApprox)), 6).as("cos_approx"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** PQ code-usage report (the index-build audit): per subspace, how
+    * many distinct codes are live and how even the assignment is —
+    * dead codes mean wasted codebook capacity. */
+  def pqIndexStats(spark: SparkSession, dir: String, m: Int = 8,
+      ksub: Int = 16): DataFrame =
+    pqIndex(spark, dir, m, ksub)
+      .select(posexplode(col("codes")).as(Seq("subspace", "code")))
+      .groupBy(col("subspace"))
+      .agg(countDistinct(col("code")).as("live_codes"),
+        count(lit(1)).as("n_rows"),
+        max(col("code")).as("max_code"))
 
   // ---------------------------------------------------------------
   // Materialized index tables — the written-once form of the ANN

@@ -160,6 +160,56 @@ object TextAnalysis {
         round(col("score"), 6).as("tfidf"), col("rn"))
   }
 
+  /** BM25 keyword retrieval: score every document against a fixed
+    * query-term set and keep the top `topN` — the lexical-search
+    * primitive (Robertson/Spärck Jones; the Lucene `+1` idf variant
+    * so scores stay positive at any df). score(d, q) =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Shape at scale: the match extraction explodes tokens and
+    * filters to the query terms IMMEDIATELY (per-term rows leaving
+    * the scan are |terms|-bounded per doc, never the full posting
+    * explosion); df per term is an aggregation of that tiny table,
+    * broadcast back; doc length and the scalar avgdl come from a
+    * second column-pruned pass (at 100 TB both ship precomputed from
+    * the token-stats table — [[tokenStats]] — instead of re-reading
+    * text). Final score is one |terms|-bounded sum per matching doc
+    * + a global top-N (TakeOrderedAndProject, no full sort). */
+  def bm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("shuffle", "broadcast", "join"),
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val lens = docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
+    val avgdl = lens.agg(avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    tf.join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .join(broadcast(avgdl))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      // decimal accumulation: a ≤|terms|-element double sum could
+      // still reorder under partitioning; decimal is associative so
+      // the rounded score is partitioning-stable and oracle-exact
+      .agg(round(sum(col("contrib").cast("decimal(28,12)")).cast("double"), 6)
+          .as("bm25"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Overlapping fixed-size document chunks — the context-window
     * preparation step of an embedding/RAG pipeline (chunk = what gets
     * embedded; stride < chunk preserves continuity across
@@ -413,16 +463,23 @@ object TextAnalysis {
       .filter(col("doc_id") >= evalMax && col("dup_rk") === 1 &&
         col("n_chars") >= 100 && col("n_tok") >= 20 &&
         col("n_distinct").cast("double") / col("n_tok").cast("double") > 0.2)
-    val contam = contaminatedIds(spark, dir, n, evalMax)
     // `bloomPrefilter` is the 100 TB form of the exclusion: when the
     // contaminated-id set outgrows a broadcast, the plain anti join
     // shuffles every gate survivor against it — the bloom split
     // (graft.rel.Reduce.bloomAntiJoin) lets bloom-negative docs
     // bypass that shuffle entirely and resolves only the positive
     // sliver exactly. Results are identical either way (parity spec).
-    if (bloomPrefilter)
+    // The bloom path consumes the id set THREE times (sizing action,
+    // filter aggregation, exact anti join for positives), so it gets
+    // persisted — ids only, kilobytes per million contaminated docs;
+    // Spark's CacheManager dedupes by plan equality across calls.
+    if (bloomPrefilter) {
+      val contam = contaminatedIds(spark, dir, n, evalMax)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.rel.Reduce.bloomAntiJoin(gated, contam, "doc_id")
-    else gated.join(contam, Seq("doc_id"), "left_anti")
+    } else
+      gated.join(contaminatedIds(spark, dir, n, evalMax),
+        Seq("doc_id"), "left_anti")
   }
 
   def curatedCorpus(spark: SparkSession, dir: String, n: Int = 4,

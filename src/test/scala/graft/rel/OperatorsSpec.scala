@@ -776,6 +776,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.values.sum - near.values.sum == expectedDrop)
   }
 
+  test("bm25: descending positive scores, hit counts bounded by query size") {
+    val rows = TextAnalysis.bm25(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)), "not descending")
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_terms_hit")
+      assert(hits >= 1 && hits <= 3)
+    }
+    // more distinct query terms can only help: every 3-hit doc outranks
+    // the best 1-hit doc is NOT guaranteed by bm25, but a doc hitting
+    // zero terms must never appear
+    assert(rows.forall(_.getAs[Long]("n_terms_hit") > 0))
+  }
+
+  test("pq probe: deterministic, self-excluded, recalls most exact top-k") {
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val a = Similarity.pqProbe(spark, sf).collect()
+    val b = Similarity.pqProbe(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // byte-stable
+    val ids = a.map(_.getAs[Long]("vec_id")).toSet
+    assert(!ids.contains(0L) && ids.size == a.length)
+    // ADC on 8x16 codebooks over dim-64: coarse, but the top-10 should
+    // still recover a meaningful share of the exact top-10
+    val recall = ids.intersect(exact).size
+    assert(recall >= 3, s"PQ recall too low: $recall of ${exact.size}")
+    // approximate cosine stays in [-1.2, 1.2] (quantization can
+    // overshoot slightly but not wildly)
+    a.foreach(r => assert(math.abs(r.getAs[Double]("cos_approx")) <= 1.2))
+  }
+
+  test("pq index stats: one row per subspace, codes live and in range") {
+    val rows = Similarity.pqIndexStats(spark, sf).collect()
+    assert(rows.length == 8)
+    val n = graft.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      val live = r.getAs[Long]("live_codes")
+      assert(live >= 1 && live <= 16)
+      assert(r.getAs[Int]("max_code") <= 15)
+    }
+  }
+
   test("repetition stats: fractions in range, duplicate-free docs score zero dup") {
     val rows = TextAnalysis.repetitionStats(spark, sf).collect()
     assert(rows.nonEmpty)
