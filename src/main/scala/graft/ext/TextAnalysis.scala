@@ -166,35 +166,37 @@ object TextAnalysis {
     * so scores stay positive at any df). score(d, q) =
     * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
     *
-    * Shape at scale: the match extraction explodes tokens and
-    * filters to the query terms IMMEDIATELY (per-term rows leaving
-    * the scan are |terms|-bounded per doc, never the full posting
-    * explosion); df per term is an aggregation of that tiny table,
-    * broadcast back; doc length and the scalar avgdl come from a
-    * second column-pruned pass (at 100 TB both ship precomputed from
-    * the token-stats table — [[tokenStats]] — instead of re-reading
-    * text). Final score is one |terms|-bounded sum per matching doc
-    * + a global top-N (TakeOrderedAndProject, no full sort). */
+    * Shape at scale — TWO corpus scans, not four: the match
+    * extraction stages tokens once, carries the doc length alongside,
+    * and explodes+filters to the query terms IMMEDIATELY (per-term
+    * rows leaving the scan are |terms|-bounded per doc, never the
+    * full posting explosion); df per term is a WINDOW count over
+    * that tiny tf table (the tfidf discipline — a groupBy+join-back
+    * would re-run the whole scan+explode subtree for the df branch);
+    * only the scalar avgdl needs a second column-pruned pass (at
+    * 100 TB it ships precomputed from [[tokenStats]] instead). Final
+    * score is one |terms|-bounded sum per matching doc + a global
+    * top-N (TakeOrderedAndProject, no full sort). */
   def bm25(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("shuffle", "broadcast", "join"),
       k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
-    val lens = docs
-      .select(col("doc_id"), tokens(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
-    val avgdl = lens.agg(avg(col("dl")).as("avgdl"))
+    val avgdl = docs
+      .select(size(tokens(col("text"))).cast("double").as("dl"))
+      .agg(avg(col("dl")).as("avgdl"))
     val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .withColumn("idf",
         log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    tf.join(broadcast(df), Seq("term"))
-      .join(lens, Seq("doc_id"))
       .join(broadcast(avgdl))
       .withColumn("contrib",
         col("idf") * col("tf") * (k1 + 1.0) /

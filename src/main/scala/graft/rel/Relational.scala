@@ -1476,12 +1476,19 @@ object Relational {
     * l_orderkey; supplier names broadcast at the end. */
   def waitingSuppliers(spark: SparkSession, dir: String,
       lateDays: Int = 90, topN: Int = 100): DataFrame = {
+    // repartition by l_orderkey BEFORE the pair aggregation:
+    // HashPartitioning(l_orderkey) satisfies the clustered
+    // distribution of groupBy(l_orderkey, l_suppkey) AND the window's
+    // partitionBy(l_orderkey), so both run on ONE shuffle — without
+    // it Spark shuffles on the pair for the agg and again on
+    // l_orderkey for the window
     val perSupp = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(spark, dir)
           .filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max((col("l_shipdate") >
         col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).cast("int"))
