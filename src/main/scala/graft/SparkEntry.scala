@@ -145,6 +145,7 @@ object SparkEntry {
     "q141_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
     "q142_pq_probe"       -> ((s, d) => Similarity.pqProbe(s, d)),     // rows-only: Lloyd-fitted codebooks, recall-spec'd vs exact top-k
     "q143_pq_stats"       -> ((s, d) => Similarity.pqIndexStats(s, d)), // rows-only: same codebook dependence
+    "q144_ivfpq_probe"    -> ((s, d) => Similarity.ivfPqProbe(s, d)),  // rows-only: codebooks again; ADC-parity + partition-prune specs
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),

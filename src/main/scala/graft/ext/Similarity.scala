@@ -140,13 +140,15 @@ object Similarity {
     * Every sweep is best-effort: a stale entry bound to a stopped
     * session may throw, and must not abort the rest of the cleanup. */
   def clearCaches(): Unit = {
-    (indexCache.values ++ ivfCache.values ++ pqIdxCache.values).foreach(df =>
+    (indexCache.values ++ ivfCache.values ++ pqIdxCache.values ++
+        ivfPqCache.values).foreach(df =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () })
     indexCache.clear()
     ivfCache.clear()
     centroidCache.clear()
     pqIdxCache.clear()
     pqCache.clear()
+    ivfPqCache.clear()
   }
 
   /** ANN via LSH buckets: group corpus by bucket; report bucket
@@ -369,27 +371,53 @@ object Similarity {
   def pqProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
       m: Int = 8, ksub: Int = 16, topK: Int = 10): DataFrame = {
     val books = pqCodebooks(spark, dir, m, ksub)
-    val sub = books.head.head.length
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val dotLut = (0 until m).map { j =>
-      books(j).map(c => c.indices.map(i => c(i) * q(j * sub + i)).sum)
-    }
-    val normLut = (0 until m).map { j => books(j).map(c => c.map(x => x * x).sum) }
-    val dotApprox = (0 until m).map { j =>
-      element_at(typedLit(dotLut(j)), col("codes").getItem(j) + 1)
-    }.reduce(_ + _)
-    val nrmApprox = (0 until m).map { j =>
-      element_at(typedLit(normLut(j)), col("codes").getItem(j) + 1)
-    }.reduce(_ + _)
     pqIndex(spark, dir, m, ksub)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"),
-        round(dotApprox / (lit(qNorm) * sqrt(nrmApprox)), 6).as("cos_approx"))
+        round(adcCosApprox(books, q), 6).as("cos_approx"))
       .orderBy(col("cos_approx").desc, col("vec_id"))
       .limit(topK)
+  }
+
+  /** The ADC scoring column shared by every PQ probe: each
+    * subspace's dot-product and squared-norm contributions against
+    * all `ksub` sub-centroids become LITERAL lookup tables, and the
+    * per-row score is m `element_at`s per table over the `codes`
+    * array — pure column arithmetic, no raw vectors, no UDF.
+    * cos ≈ Σ_j dotLUT_j[code_j] / (|q| · sqrt(Σ_j normLUT_j[code_j])). */
+  private def adcCosApprox(books: Seq[Seq[Seq[Double]]],
+      qEmb: Seq[Double]): Column = {
+    val m = books.length
+    val sub = books.head.head.length
+    val qNorm = math.sqrt(qEmb.map(x => x * x).sum)
+    val dot = (0 until m).map { j =>
+      element_at(typedLit(books(j).map(c =>
+          c.indices.map(i => c(i) * qEmb(j * sub + i)).sum)),
+        col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val nrm = (0 until m).map { j =>
+      element_at(typedLit(books(j).map(c => c.map(x => x * x).sum)),
+        col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    dot / (lit(qNorm) * sqrt(nrm))
+  }
+
+  /** Query-side resolution shared by the IVF+PQ probes: the query
+    * vector and its `nProbe` nearest coarse cells, one bounded
+    * single-row action. */
+  private def resolveQuery(spark: SparkSession, dir: String,
+      queryId: Long, cents: Seq[Seq[Double]],
+      nProbe: Int): (Seq[Double], Seq[Int]) = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding"),
+        graft.functions.exprs.ivf_cells(col("embedding"), cents, nProbe)
+          .as("cells"))
+      .head()
+    (q.getSeq[Float](0).map(_.toDouble), q.getSeq[Int](1))
   }
 
   /** PQ code-usage report (the index-build audit): per subspace, how
@@ -479,6 +507,79 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), typedLit(qEmb)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  private val ivfPqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), DataFrame]
+
+  /** Combined IVF+PQ index — the production ANN layout (the
+    * non-residual FAISS IVFPQ shape): ONE corpus scan emits
+    * (vec_id, label, coarse cell, PQ codes). The cell prunes WHICH
+    * rows a probe touches; the codes shrink WHAT it stores and reads
+    * (m small ints — the raw vector is NOT in the index at all, the
+    * 32× memory cut that lets a 100 TB corpus's index live in
+    * cluster RAM). */
+  def ivfPqIndex(spark: SparkSession, dir: String, k: Int = 16,
+      m: Int = 8, ksub: Int = 16): DataFrame =
+    Memo.cached(ivfPqCache, (dir, k, m, ksub), spark) {
+      val cents = ivfCentroids(spark, dir, k)
+      val books = pqCodebooks(spark, dir, m, ksub)
+      val sub = books.head.head.length
+      val codes = (0 until m).map { j =>
+        element_at(graft.functions.exprs.ivf_cells(
+          slice(col("embedding"), j * sub + 1, sub), books(j), 1), 1)
+      }
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          element_at(graft.functions.exprs.ivf_cells(col("embedding"), cents, 1), 1)
+            .as("cell"),
+          array(codes: _*).as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** IVF+PQ probe: the query's `nProbe` nearest cells bound the scan
+    * (cell pruning), and every surviving row is ADC-scored from its
+    * codes alone (the [[pqProbe]] lookup tables) — the probe never
+    * touches a raw corpus vector. */
+  def ivfPqProbe(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      topK: Int = 10): DataFrame = {
+    val cents = ivfCentroids(spark, dir, k)
+    val books = pqCodebooks(spark, dir, m, ksub)
+    val (qEmb, qCells) = resolveQuery(spark, dir, queryId, cents, nProbe)
+    ivfPqIndex(spark, dir, k, m, ksub)
+      .filter(col("cell").isin(qCells: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(adcCosApprox(books, qEmb), 6).as("cos_approx"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Write the IVF+PQ index partitioned by `cell` — codes only, no
+    * embedding column: a probe reads nProbe cell DIRECTORIES of
+    * m-int code rows. */
+  def writeIvfPqIndex(spark: SparkSession, dir: String, outPath: String,
+      k: Int = 16, m: Int = 8, ksub: Int = 16): Unit =
+    graft.sources.Io.writeParquet(
+      ivfPqIndex(spark, dir, k, m, ksub), outPath, Seq("cell"))
+
+  /** Probe a [[writeIvfPqIndex]] table: literal IN-list cell filter
+    * (partition-pruned — asserted by spec), ADC scoring on codes.
+    * The index table has no embedding column to even accidentally
+    * read. */
+  def ivfPqProbeMaterialized(spark: SparkSession, dir: String,
+      indexPath: String, queryId: Long = 0L, k: Int = 16,
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      topK: Int = 10): DataFrame = {
+    val cents = ivfCentroids(spark, dir, k)
+    val books = pqCodebooks(spark, dir, m, ksub)
+    val (qEmb, qCells) = resolveQuery(spark, dir, queryId, cents, nProbe)
+    spark.read.parquet(indexPath)
+      .filter(col("cell").isin(qCells: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(adcCosApprox(books, qEmb), 6).as("cos_approx"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
       .limit(topK)
   }
 

@@ -249,6 +249,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mat.toSeq == mem.toSeq)
   }
 
+  test("ivf+pq probe: pruned-cell superset of pq ranking, materialized matches in-session") {
+    // in-session: scored rows come only from the query's nProbe cells,
+    // and scores agree with the pure-PQ ADC scores for shared ids
+    val ivfpq = Similarity.ivfPqProbe(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ivfpq.nonEmpty)
+    val pqAll = Similarity.pqProbe(spark, sf, topK = 2000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ivfpq.foreach { case (id, s) =>
+      assert(pqAll(id) == s, s"ADC score diverged for $id: $s vs ${pqAll(id)}")
+    }
+    // materialized: codes-only schema, partition-pruned scan, same rows
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Similarity.writeIvfPqIndex(spark, sf, idx)
+    val probe = Similarity.ivfPqProbeMaterialized(spark, sf, idx)
+    assert(!spark.read.parquet(idx).schema.fieldNames.contains("embedding"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(plan).isDefined,
+      "cell predicate not in PartitionFilters:\n" + plan.take(2000))
+    val mat = probe.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val mem = Similarity.ivfPqProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(mat == mem)
+  }
+
   test("approx distinct brackets the exact count within rsd") {
     val approx = Relational.approxDistinct(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_orders")).toMap
