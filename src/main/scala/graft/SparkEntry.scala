@@ -146,6 +146,9 @@ object SparkEntry {
     "q142_pq_probe"       -> ((s, d) => Similarity.pqProbe(s, d)),     // rows-only: Lloyd-fitted codebooks, recall-spec'd vs exact top-k
     "q143_pq_stats"       -> ((s, d) => Similarity.pqIndexStats(s, d)), // rows-only: same codebook dependence
     "q144_ivfpq_probe"    -> ((s, d) => Similarity.ivfPqProbe(s, d)),  // rows-only: codebooks again; ADC-parity + partition-prune specs
+    "q145_perplexity"     -> ((s, d) => TextAnalysis.trigramPerplexity(s, d)),
+    "q146_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
+    "q147_quality_score"  -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1391,6 +1394,60 @@ object SparkEntry {
          |FROM sc GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id
          |LIMIT 20""".stripMargin,
+    "q145_perplexity" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+         |tg AS (SELECT doc_id,
+         |    ws[i]||' '||ws[i+1] AS prefix, ws[i+2] AS next_word
+         |  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS u(i)),
+         |dtc AS (SELECT doc_id, prefix, next_word, COUNT(*) AS n
+         |  FROM tg GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id, n,
+         |    SUM(n) OVER (PARTITION BY prefix, next_word) AS c3,
+         |    SUM(n) OVER (PARTITION BY prefix) AS c2
+         |  FROM dtc),
+         |per AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_trigrams,
+         |    CAST(SUM(CAST(n * -ln(CAST(c3 AS DOUBLE) / c2) AS DECIMAL(28,12)))
+         |        AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS a
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_trigrams, round(a, 6) AS avg_nll,
+         |  round(exp(a), 4) AS perplexity
+         |FROM per""".stripMargin,
+    "q146_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                   AS BIGINT) + 0.5) / 4294967296.0)
+        |          / CAST(n_chars AS DOUBLE), 6) AS es_key
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, es_key
+        |FROM keyed
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 50""".stripMargin,
+    // logistic literals forced through CAST AS DOUBLE (the q141
+    // discipline) so DuckDB's decimal literals promote to the exact
+    // doubles the Scala side uses.
+    "q147_quality_score" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toks) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_distinct($toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(n_chars AS DOUBLE) AS n_chars_d
+         |  FROM documents),
+         |z AS (SELECT doc_id, source,
+         |    CAST(-3.0 AS DOUBLE)
+         |      + CAST(0.9 AS DOUBLE) * ln(n_tok + 1.0)
+         |      + CAST(2.0 AS DOUBLE)
+         |        * (CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END)
+         |      + CAST(0.1 AS DOUBLE)
+         |        * (CASE WHEN n_tok > 0 THEN n_chars_d / n_tok ELSE 0.0 END)
+         |      AS z
+         |  FROM f),
+         |s AS (SELECT doc_id, source, 1.0 / (1.0 + exp(-z)) AS score FROM z)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  round(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+         |        / COUNT(*), 6) AS mean_score
+         |FROM s GROUP BY source""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

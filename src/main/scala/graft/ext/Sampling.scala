@@ -71,6 +71,29 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         hashBucket(col("doc_id")).as("bucket"))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    * keep the k rows maximizing ln(u)/w, where u is a deterministic
+    * uniform derived from the row key (the portable md5 pattern of
+    * [[hashBucket]] — every engine agrees, so the sample is
+    * reproducible outside Spark) and w the row's weight. Equivalent
+    * to sequential weighted draws without replacement, but as ONE
+    * scan + a global top-k (TakeOrderedAndProject — no full sort,
+    * no sequential state, the only shape that works at 100 TB).
+    * Here weight = n_chars, so longer documents are
+    * proportionally likelier — the "sample by token mass" dial a
+    * data-mixing pipeline actually wants. Keys are rounded before
+    * ordering (ties then break by doc_id) so the selection is
+    * identical in any engine that reproduces the arithmetic. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("es_key", round(log(u) / col("n_chars").cast("double"), 6))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus mixing: cap every source at `cap` documents, selected by
     * deterministic hash ORDER (not hash threshold) — a threshold
     * keeps ~pct% but can't hit an exact per-source count; ranking by

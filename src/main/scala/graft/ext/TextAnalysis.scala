@@ -358,6 +358,83 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document perplexity under the corpus's own trigram LM —
+    * the fluency/repetition signal a curation pipeline scores with
+    * when no external LM is available (self-perplexity: low =
+    * formulaic/repetitive, high = unusual token sequences).
+    * p(next | prefix) comes from the SAME corpus counts [[trigramLm]]
+    * reports, so every doc trigram has p > 0 and no smoothing is
+    * needed.
+    *
+    * One corpus scan: per-(doc, trigram) counts first (one shuffle),
+    * then BOTH count marginals — c3(prefix, next) and c2(prefix) —
+    * as window sums over that aggregated table (no join back to the
+    * corpus, no second scan; the tfidf/trigramLm discipline), then
+    * one weighted-NLL reduce per doc. Decimal accumulation keeps the
+    * average partitioning-stable. Docs with < 3 tokens have no
+    * trigrams and are absent by construction. */
+  def trigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n2 = greatest(size(col("ws")) - 2, lit(0))
+    val dtc = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(zip_with(
+          zip_with(slice(col("ws"), lit(1), n2), slice(col("ws"), lit(2), n2),
+            (a, b) => concat(a, lit(" "), b)),
+          slice(col("ws"), lit(3), n2),
+          (p, c) => struct(p.as("prefix"), c.as("next_word")))).as("tg"))
+      .select(col("doc_id"), col("tg.prefix").as("prefix"),
+        col("tg.next_word").as("next_word"))
+      .groupBy(col("doc_id"), col("prefix"), col("next_word"))
+      .agg(count(lit(1)).as("n"))
+    dtc
+      .withColumn("c3",
+        sum(col("n")).over(Window.partitionBy(col("prefix"), col("next_word"))))
+      .withColumn("c2", sum(col("n")).over(Window.partitionBy(col("prefix"))))
+      .withColumn("nll",
+        col("n") * -log(col("c3").cast("double") / col("c2")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_trigrams"),
+        (sum(col("nll").cast("decimal(28,12)")).cast("double") /
+          sum(col("n")).cast("double")).as("a"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("a"), 6).as("avg_nll"),
+        round(exp(col("a")), 4).as("perplexity"))
+  }
+
+  /** Fixed-weight logistic quality scorer — the classifier-inference
+    * shape of a fasttext-style quality filter, with the model
+    * reduced to published literal weights so the whole forward pass
+    * is codegen'd column arithmetic (score = σ(w·x + b); at scale a
+    * real model's weights broadcast the same way, the plan does not
+    * change). Features from ONE staged tokenization: log-length,
+    * type-token ratio, mean token length. Emits the per-source audit
+    * (docs, kept-at-0.5, decimal-stable mean score) a filter job
+    * logs before dropping anything. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("double").as("n_tok"),
+        size(array_distinct(col("ws"))).cast("double").as("n_distinct"),
+        col("n_chars").cast("double").as("n_chars_d"))
+      .withColumn("ttr",
+        when(col("n_tok") > 0, col("n_distinct") / col("n_tok")).otherwise(0.0))
+      .withColumn("mean_tok_len",
+        when(col("n_tok") > 0, col("n_chars_d") / col("n_tok")).otherwise(0.0))
+    val z = lit(-3.0) + lit(0.9) * log(col("n_tok") + 1.0) +
+      lit(2.0) * col("ttr") + lit(0.1) * col("mean_tok_len")
+    feats
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score") > 0.5).cast("long")).as("n_keep"),
+        round(sum(col("score").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"))
+  }
+
   /** Vocabulary coverage (OOV-rate complement) per language against
     * the corpus top-`vocabSize` tokens — the tokenizer-fit diagnostic
     * a training pipeline runs before committing a vocab. Two corpus

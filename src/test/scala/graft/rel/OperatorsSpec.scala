@@ -463,7 +463,7 @@ class OperatorsSpec extends AnyFunSuite {
     // langId: one greatest(...) argmax struct, not one per getField
     assert(occurrences(TextAnalysis.langId(spark, sf), "greatest(") == 1)
     // qualityScore: the tokenizer split runs once per row, not 6×
-    assert(occurrences(TextAnalysis.qualityScore(spark, sf), "split(") == 1)
+    assert(occurrences(TextAnalysis.qualityClassifier(spark, sf), "split(") == 1)
     assert(occurrences(TextAnalysis.tokenStats(spark, sf), "split(") == 1)
   }
 
@@ -843,6 +843,56 @@ class OperatorsSpec extends AnyFunSuite {
       val live = r.getAs[Long]("live_codes")
       assert(live >= 1 && live <= 16)
       assert(r.getAs[Int]("max_code") <= 15)
+    }
+  }
+
+  test("trigram perplexity: nll nonnegative, trigram counts match token counts") {
+    val rows = TextAnalysis.trigramPerplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      val ppl = r.getAs[Double]("perplexity")
+      assert(nll >= 0.0, s"negative nll: $nll") // p(next|prefix) <= 1
+      assert(ppl >= 1.0 && math.abs(ppl - math.exp(nll)) < 0.01)
+      assert(r.getAs[Long]("n_trigrams") > 0)
+    }
+    // every doc with >= 3 tokens appears, with exactly n_tok - 2 trigrams
+    val expect = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.ext.TextAnalysis.tokens(col("text"))).as("nt"))
+      .filter(col("nt") >= 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1) - 2L)).toMap
+    assert(rows.length == expect.size)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_trigrams") == expect(r.getLong(0))))
+  }
+
+  test("weighted sample: deterministic, sorted, favors heavier docs in aggregate") {
+    val a = graft.ext.Sampling.weightedSample(spark, sf).collect()
+    val b = graft.ext.Sampling.weightedSample(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 50)
+    val keys = a.map(_.getAs[Double]("es_key"))
+    assert(keys.forall(_ <= 0.0)) // ln(u) < 0, weights > 0
+    assert(keys.sameElements(keys.sortBy(-_)))
+    // weighting by n_chars must pull the sample's mean length above
+    // the corpus mean (the point of the operator)
+    val corpusMean = graft.Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = a.map(_.getAs[Long]("n_chars").toDouble).sum / a.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample not length-biased: $sampleMean <= $corpusMean")
+  }
+
+  test("quality score: counts partition the corpus, scores are probabilities") {
+    val rows = TextAnalysis.qualityClassifier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_docs"))
+      val m = r.getAs[Double]("mean_score")
+      assert(m > 0.0 && m < 1.0)
     }
   }
 
