@@ -297,6 +297,36 @@ object StreamOps {
       .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
       .filter(col("sd") > 0)
 
+  /** End-to-end STREAMING corpus curation — the batch
+    * [[graft.ext.TextAnalysis.curatedDocs]] composition re-expressed
+    * over an ingest stream of (doc_id, text, ts): the quality gates
+    * (length / token count / type-token ratio, the same thresholds)
+    * run STATELESS inside the micro-batch scan, then exact dedup is
+    * the watermark-bounded built-in on the sha2 digest — state is
+    * one digest per surviving doc within the horizon, and the text
+    * column is dropped before the stateful operator so the dedup
+    * state and downstream shuffle carry digests, never documents.
+    * Semantic trade vs batch: the stream keeps each digest's FIRST
+    * ARRIVAL (batch keeps min doc_id — a total order no unbounded
+    * stream can offer), and a duplicate arriving after its
+    * original's watermark horizon passes through; both are the
+    * standard bounded-state contracts. Near-dup candidates chain
+    * downstream via [[bandedSimhash]] → [[lshCandidateStreamDeduped]]. */
+  def curationStream(docs: DataFrame, watermarkDelay: String = "10 minutes",
+      minChars: Int = 100, minTok: Int = 20, minTtr: Double = 0.2): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    docs
+      .withColumn("ws", toks)
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("long"))
+      .filter(length(col("text")) >= minChars && col("n_tok") >= minTok &&
+        col("n_distinct").cast("double") / col("n_tok").cast("double") > minTtr)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"),
+        col("n_tok"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** SimHash band-bucket projection for the streaming near-dup
     * prefilter: (doc_id, text) → one (bucket, doc_id) row per band,
     * bucket = "band:slice". STATELESS (pure column math over the

@@ -231,6 +231,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation stream: gates + cross-batch exact dedup, digests not text downstream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Timestamp)]
+    def ts(s: String) = Timestamp.valueOf(s)
+    val good1 = (0 until 25).map(i => s"word$i").mkString(" ")   // 25 distinct tokens, >100 chars
+    val good2 = (0 until 25).map(i => s"term$i").mkString(" ")
+    val lowTtr = Seq.fill(30)("aaaa").mkString(" ")              // 149 chars, ttr 1/30
+    val out = StreamOps.curationStream(
+      src.toDS().toDF("doc_id", "text", "ts"))
+    assert(!out.schema.fieldNames.contains("text")) // digests-only downstream
+    val q = out.writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData((1L, good1, ts("2024-01-01 10:00:00")),
+        (2L, "too short", ts("2024-01-01 10:00:01")),
+        (3L, good1, ts("2024-01-01 10:00:02")))      // in-batch duplicate of 1
+      q.processAllAvailable()
+      src.addData((4L, good1, ts("2024-01-01 10:01:00")), // cross-batch duplicate
+        (5L, good2, ts("2024-01-01 10:01:01")),
+        (6L, lowTtr, ts("2024-01-01 10:01:02")))
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"))).sorted.toSeq
+      assert(rows == Seq((1L, 25L), (5L, 25L)),
+        s"curation stream let the wrong docs through: $rows")
+    } finally q.stop()
+  }
+
   test("streaming debounce: burst suppression across batches by data clock") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
