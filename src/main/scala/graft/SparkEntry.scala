@@ -149,6 +149,7 @@ object SparkEntry {
     "q145_perplexity"     -> ((s, d) => TextAnalysis.trigramPerplexity(s, d)),
     "q146_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q147_quality_score"  -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
+    "q148_epoch_shuffle"  -> ((s, d) => Sampling.epochShuffle(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1448,6 +1449,16 @@ object SparkEntry {
          |  round(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
          |        / COUNT(*), 6) AS mean_score
          |FROM s GROUP BY source""".stripMargin,
+    "q148_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INTEGER) AS bucket,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+        |    AS INTEGER) AS pos
+        |FROM h""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -94,6 +94,30 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic EPOCH SHUFFLE — the data-delivery order for
+    * multi-epoch training: every (epoch, doc) pair hashes to a
+    * reshuffle position via the portable md5 pattern, so each epoch
+    * is a different-but-reproducible permutation and any worker can
+    * recompute its slice without coordination. Scale shape: hash →
+    * `buckets` delivery shards (one shuffle), rank WITHIN each shard
+    * (parallel windows) — never a global row_number, which would
+    * funnel the corpus through one partition. A reader consumes
+    * shard b in `pos` order; (bucket, pos) is a total order over the
+    * corpus for a fixed epoch. */
+  def epochShuffle(spark: SparkSession, dir: String, epoch: Int = 1,
+      buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit(epoch.toString), lit(":"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("h", h)
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("bucket"), col("pos"))
+  }
+
   /** Corpus mixing: cap every source at `cap` documents, selected by
     * deterministic hash ORDER (not hash threshold) — a threshold
     * keeps ~pct% but can't hit an exact per-source count; ranking by

@@ -523,20 +523,26 @@ object Similarity {
   def ivfPqIndex(spark: SparkSession, dir: String, k: Int = 16,
       m: Int = 8, ksub: Int = 16): DataFrame =
     Memo.cached(ivfPqCache, (dir, k, m, ksub), spark) {
-      val cents = ivfCentroids(spark, dir, k)
-      val books = pqCodebooks(spark, dir, m, ksub)
-      val sub = books.head.head.length
-      val codes = (0 until m).map { j =>
-        element_at(graft.functions.exprs.ivf_cells(
-          slice(col("embedding"), j * sub + 1, sub), books(j), 1), 1)
-      }
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("label"),
-          element_at(graft.functions.exprs.ivf_cells(col("embedding"), cents, 1), 1)
-            .as("cell"),
-          array(codes: _*).as("codes"))
+      encodeIvfPq(Tables.embeddings(spark, dir),
+        ivfCentroids(spark, dir, k), pqCodebooks(spark, dir, m, ksub))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** One-scan IVF+PQ encode of a (vec_id, label, embedding) frame
+    * with FROZEN centroids/codebooks — shared by the index build and
+    * the append path. */
+  private def encodeIvfPq(vecs: DataFrame, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sub = books.head.head.length
+    val codes = books.indices.map { j =>
+      element_at(graft.functions.exprs.ivf_cells(
+        slice(col("embedding"), j * sub + 1, sub), books(j), 1), 1)
+    }
+    vecs.select(col("vec_id"), col("label"),
+      element_at(graft.functions.exprs.ivf_cells(col("embedding"), cents, 1), 1)
+        .as("cell"),
+      array(codes: _*).as("codes"))
+  }
 
   /** IVF+PQ probe: the query's `nProbe` nearest cells bound the scan
     * (cell pruning), and every surviving row is ADC-scored from its
@@ -563,6 +569,22 @@ object Similarity {
       k: Int = 16, m: Int = 8, ksub: Int = 16): Unit =
     graft.sources.Io.writeParquet(
       ivfPqIndex(spark, dir, k, m, ksub), outPath, Seq("cell"))
+
+  /** APPEND new vectors to a materialized [[writeIvfPqIndex]] table
+    * WITHOUT refitting: codebooks and coarse centroids are frozen
+    * (the standard production index lifecycle — refit is a rare
+    * offline job, ingest is continuous), new rows are encoded with
+    * the existing books in one scan and appended into their cell
+    * directories. Probes over the grown index stay partition-pruned;
+    * quantization error for drifted data grows until the next refit,
+    * which is the documented trade of every frozen-codebook ANN
+    * index. `newVecs` needs (vec_id, label, embedding). */
+  def appendToIvfPqIndex(spark: SparkSession, dir: String,
+      newVecs: DataFrame, indexPath: String, k: Int = 16, m: Int = 8,
+      ksub: Int = 16): Unit =
+    encodeIvfPq(newVecs, ivfCentroids(spark, dir, k),
+      pqCodebooks(spark, dir, m, ksub))
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
 
   /** Probe a [[writeIvfPqIndex]] table: literal IN-list cell filter
     * (partition-pruned — asserted by spec), ADC scoring on codes.

@@ -274,6 +274,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mat == mem)
   }
 
+  test("epoch shuffle: total order per epoch, different epochs permute differently") {
+    val e1 = graft.ext.Sampling.epochShuffle(spark, sf, epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(e1.length == n)
+    // (bucket, pos) is a total order: positions within a bucket are 1..size
+    e1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // deterministic per epoch, different across epochs
+    val e1b = graft.ext.Sampling.epochShuffle(spark, sf, epoch = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.sortBy(_._1).toSeq == e1b.sortBy(_._1).toSeq)
+    val e2 = graft.ext.Sampling.epochShuffle(spark, sf, epoch = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.sortBy(_._1).toSeq != e2.sortBy(_._1).toSeq)
+  }
+
+  test("ivf+pq index append without refit: grown index probes like a full build") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val grown = java.nio.file.Files.createTempDirectory("graft-ivfpq-app").toString + "/idx"
+    graft.sources.Io.writeParquet(
+      Similarity.ivfPqIndex(spark, sf).join(
+        half.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+      grown, Seq("cell"))
+    Similarity.appendToIvfPqIndex(spark, sf, rest, grown)
+    val full = java.nio.file.Files.createTempDirectory("graft-ivfpq-full").toString + "/idx"
+    Similarity.writeIvfPqIndex(spark, sf, full)
+    // same frozen codebooks -> identical probe over grown vs full-build
+    val a = Similarity.ivfPqProbeMaterialized(spark, sf, grown).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = Similarity.ivfPqProbeMaterialized(spark, sf, full).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("approx distinct brackets the exact count within rsd") {
     val approx = Relational.approxDistinct(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_orders")).toMap
