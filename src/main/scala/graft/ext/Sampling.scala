@@ -83,8 +83,12 @@ object Sampling {
     * proportionally likelier — the "sample by token mass" dial a
     * data-mixing pipeline actually wants. Keys are rounded before
     * ordering (ties then break by doc_id) so the selection is
-    * identical in any engine that reproduces the arithmetic. */
+    * identical in any engine that reproduces the arithmetic.
+    * Zero-weight rows (n_chars = 0) get key -Infinity — i.e. they
+    * are never drawn while any positive-weight row remains, which is
+    * exactly weight-0 semantics. */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long").cast("double") + 0.5) / 4294967296.0
     Tables.documents(spark, dir)
@@ -106,6 +110,7 @@ object Sampling {
     * corpus for a fixed epoch. */
   def epochShuffle(spark: SparkSession, dir: String, epoch: Int = 1,
       buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(concat(lit(epoch.toString), lit(":"),
       col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")

@@ -180,6 +180,8 @@ object TextAnalysis {
   def bm25(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("shuffle", "broadcast", "join"),
       k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
