@@ -374,7 +374,13 @@ object TextAnalysis {
     * corpus, no second scan; the tfidf/trigramLm discipline), then
     * one weighted-NLL reduce per doc. Decimal accumulation keeps the
     * average partitioning-stable. Docs with < 3 tokens have no
-    * trigrams and are absent by construction. */
+    * trigrams and are absent by construction. Skew note: the c2
+    * window partitions by prefix, so a mega-prefix's partition holds
+    * its distinct (doc, next) rows — already one row per doc×next,
+    * not per occurrence; if a prefix's continuation set itself
+    * outgrows a partition at extreme scale, pre-aggregate c2/c3 into
+    * broadcast tables instead (the LM table would be materialized at
+    * that scale anyway). */
   def trigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n2 = greatest(size(col("ws")) - 2, lit(0))

@@ -442,6 +442,52 @@ object StreamOps {
       }
   }
 
+  /** Streaming ANN serving — a stream of query vectors scored
+    * against the STATIC IVF+PQ index (the online half of the batch
+    * ANN story): each query computes its `nProbe` nearest coarse
+    * cells scan-side (native `ivf_cells` on the stream rows),
+    * explodes to one row per probed cell, and equi-joins the static
+    * codes table on `cell` — a stream-static broadcast/hash join, so
+    * each micro-batch touches only the probed cells' codes.
+    * Candidates are ADC-scored per row by reconstructing nothing:
+    * the per-subspace dot products come from the frozen codebook
+    * literals (2-D array lookup by code) against the query's own
+    * embedding column, norms from a norm LUT. Streams cannot sort
+    * globally in append mode, so the online contract is RADIUS
+    * search — emit candidates with approx cosine ≥ `minSim`; the
+    * caller ranks its own small result set. */
+  def annServeStream(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      minSim: Double = 0.8): DataFrame = {
+    import graft.ext.Similarity
+    val cents = Similarity.ivfCentroids(spark, dir, k)
+    val books = Similarity.pqCodebooks(spark, dir, m, ksub)
+    val sub = books.head.head.length
+    val idx = Similarity.ivfPqIndex(spark, dir, k, m, ksub)
+    val probed = queries
+      .select(col("query_id"), col("q_emb"),
+        explode(graft.functions.exprs.ivf_cells(col("q_emb"), cents, nProbe))
+          .as("cell"))
+    val dot = (0 until m).map { j =>
+      aggregate(
+        zip_with(
+          element_at(typedLit(books(j)), col("codes").getItem(j) + 1),
+          slice(col("q_emb"), j * sub + 1, sub),
+          (a, b) => a * b.cast("double")),
+        lit(0.0), (s, x) => s + x)
+    }.reduce(_ + _)
+    val nrm = (0 until m).map { j =>
+      element_at(typedLit(books(j).map(c => c.map(x => x * x).sum)),
+        col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val qNorm = sqrt(aggregate(col("q_emb"), lit(0.0),
+      (s, x) => s + x.cast("double") * x.cast("double")))
+    probed.join(idx, Seq("cell"))
+      .withColumn("cos_approx", round(dot / (qNorm * sqrt(nrm)), 6))
+      .filter(col("cos_approx") >= minSim)
+      .select(col("query_id"), col("vec_id"), col("label"), col("cos_approx"))
+  }
+
   /** Watermarked stream-stream interval join: pair each left event
     * with right events for the same key whose timestamp lies in
     * [l.ts - tolerance, l.ts + tolerance]. BOTH sides carry a

@@ -840,7 +840,13 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("bm25: descending positive scores, hit counts bounded by query size") {
-    val rows = TextAnalysis.bm25(spark, sf).collect()
+    val df = TextAnalysis.bm25(spark, sf)
+    // two corpus scans (match branch + scalar avgdl), a global top-N
+    // (no full sort), and exactly one explode
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert("(?s)Generate".r.findAllIn(plan).length == 1, "df branch re-explodes")
+    val rows = df.collect()
     assert(rows.nonEmpty && rows.length <= 20)
     val scores = rows.map(_.getAs[Double]("bm25"))
     assert(scores.forall(_ > 0))
@@ -906,7 +912,10 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("weighted sample: deterministic, sorted, favors heavier docs in aggregate") {
-    val a = graft.ext.Sampling.weightedSample(spark, sf).collect()
+    val df = graft.ext.Sampling.weightedSample(spark, sf)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject")) // global top-k, never a full sort
+    val a = df.collect()
     val b = graft.ext.Sampling.weightedSample(spark, sf).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
     assert(a.length == 50)

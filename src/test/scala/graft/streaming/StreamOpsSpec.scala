@@ -260,6 +260,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ann serve stream: streamed queries score exactly like the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val qrows = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batch = StreamOps.annServeStream(spark, sf,
+      qrows.toSeq.toDF("query_id", "q_emb"), minSim = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.annServeStream(spark, sf,
+      src.toDS().toDF("query_id", "q_emb"), minSim = 0.5)
+      .writeStream.format("memory").queryName("ann_serve")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(qrows(0))
+      q.processAllAvailable()
+      src.addData(qrows(1)) // second query in a later micro-batch
+      q.processAllAvailable()
+      val got = spark.table("ann_serve").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(got == batch, s"stream/batch divergence: ${got.diff(batch)} ${batch.diff(got)}")
+    } finally q.stop()
+  }
+
   test("streaming debounce: burst suppression across batches by data clock") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
