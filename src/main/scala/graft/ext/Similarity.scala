@@ -289,7 +289,7 @@ object Similarity {
   // ---------------------------------------------------------------
 
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[Seq[Seq[Double]]]]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int, Int), Seq[Seq[Seq[Double]]]]
   private val pqIdxCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
 
@@ -300,7 +300,10 @@ object Similarity {
     * Returns m × ksub × (dim/m). */
   def pqCodebooks(spark: SparkSession, dir: String, m: Int = 8,
       ksub: Int = 16, iters: Int = 10, sampleN: Int = 2048): Seq[Seq[Seq[Double]]] =
-    pqCache.getOrElseUpdate((dir, m, ksub), {
+    // the FULL parameterization keys the cache — a (dir, m, ksub)-only
+    // key would hand back stale codebooks to a caller varying
+    // iters/sampleN (ivfCentroids keys the same way)
+    pqCache.getOrElseUpdate((dir, m, ksub, iters, sampleN), {
       val sample = Tables.embeddings(spark, dir)
         .filter(col("vec_id") < sampleN)
         .select(col("vec_id"), col("embedding")).collect()
