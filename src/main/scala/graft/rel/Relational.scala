@@ -918,9 +918,16 @@ object Relational {
     * [[stickinessApprox]] is the sketch path when day×user itself
     * is too big to shuffle. */
   def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    // du feeds THREE branches (anchors, dau, the exploded contrib) —
+    // persisted so "the only pass over raw events" is literally true:
+    // without the barrier Catalyst re-expands the distinct subtree
+    // per branch and the corpus is scanned three times. day×user is
+    // tiny next to the event stream (CacheManager dedupes repeated
+    // calls by plan equality).
     val du = Tables.events(spark, dir)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchors = du.select(col("day")).distinct()
     val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     // a pair active on day d counts toward anchors d..d+6, i.e. the
@@ -949,10 +956,13 @@ object Relational {
     * independent of user count; the explode/semi-join shape matches
     * [[stickiness]] so the plan stays equi-join only. */
   def stickinessApprox(spark: SparkSession, dir: String): DataFrame = {
+    // persisted for the same three-branch reason as [[stickiness]]'s
+    // du — one sketch pass over events, kilobytes per day retained
     val daySk = Tables.events(spark, dir)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val anchors = daySk.select(col("day"))
     val dau = daySk.select(col("day"),
       hll_sketch_estimate(col("sk")).cast("long").as("dau"))
