@@ -563,7 +563,13 @@ object TextAnalysis {
     if (bloomPrefilter) {
       val contam = contaminatedIds(spark, dir, n, evalMax)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.rel.Reduce.bloomAntiJoin(gated, contam, "doc_id")
+      // gated is consumed by BOTH bloom branches (definitely-clean +
+      // maybe); persisting it (metadata columns only, no text) keeps
+      // the documented "two cheap scans" from re-running the gate
+      // window twice over the raw corpus
+      graft.rel.Reduce.bloomAntiJoin(
+        gated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        contam, "doc_id")
     } else
       gated.join(contaminatedIds(spark, dir, n, evalMax),
         Seq("doc_id"), "left_anti")

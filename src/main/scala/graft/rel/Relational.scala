@@ -255,17 +255,24 @@ object Relational {
     * time: a user advances a stage only with a LATER event of the
     * next type. Three per-user min-aggregates chained by user_id —
     * every join and aggregate reuses the same user-hash
-    * partitioning, and stage tables shrink monotonically, so the
-    * whole funnel is one scan plus user-keyed small-table joins. */
+    * partitioning, and stage tables shrink monotonically. Each stage
+    * table feeds TWO consumers (the next stage and its own funnel
+    * count), so v and c are persisted — without the barrier Catalyst
+    * re-expands the chain per consumer and the event stream is
+    * scanned six times instead of once per stage (each stage's scan
+    * is event_type-pruned at the reader). The cached tables are
+    * per-user scalars, tiny at any event volume. */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
     def stageMin(t: String) = ev.filter(col("event_type") === t)
     val v = stageMin("view").groupBy(col("user_id"))
       .agg(min(col("ts")).as("t_view"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = stageMin("click").join(v, "user_id")
       .filter(col("ts") > col("t_view"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p = stageMin("purchase").join(c, "user_id")
       .filter(col("ts") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
