@@ -231,6 +231,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in exactly four 15-min-hop hour windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(
+      Ev(Timestamp.valueOf("2024-01-01 10:31:00"), "click", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 10:32:00"), "view", 1.0))
+    val q = StreamOps.eventsSlidingStream(src.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sliding").collect()
+        .map(r => r.getAs[Timestamp]("win_start").toString -> r.getAs[Long]("n_events"))
+        .sortBy(_._1).toSeq
+      // events at 10:31/10:32 belong to hour windows starting 09:45,
+      // 10:00, 10:15, 10:30 — four overlapping windows, both events in each
+      assert(rows == Seq(
+        "2024-01-01 09:45:00.0" -> 2L, "2024-01-01 10:00:00.0" -> 2L,
+        "2024-01-01 10:15:00.0" -> 2L, "2024-01-01 10:30:00.0" -> 2L), rows.toString)
+    } finally q.stop()
+  }
+
   test("curation stream: gates + cross-batch exact dedup, digests not text downstream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
