@@ -150,6 +150,7 @@ object SparkEntry {
     "q146_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q147_quality_score"  -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
     "q148_epoch_shuffle"  -> ((s, d) => Sampling.epochShuffle(s, d)),
+    "q149_pq_fixed"       -> ((s, d) => Similarity.pqFixedProbe(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1459,6 +1460,50 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
         |    AS INTEGER) AS pos
         |FROM h""".stripMargin,
+    // q149: PQ encode (per-subspace squared-distance argmin, first-min
+    // tie-break = IvfCells' lower-id rule via list_position) + ADC
+    // scoring, reproduced wholesale with the synthetic integer-formula
+    // codebooks. The dists list is written twice (argmin needs it for
+    // position and min; DuckDB lambdas have no let-binding).
+    "q149_pq_fixed" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |enc AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), j ->
+        |      CAST(list_position(
+        |        list_transform(range(0, 4), c ->
+        |          list_sum(list_transform(range(0, 8), i ->
+        |            (CAST(embedding[8*j + i + 1] AS DOUBLE)
+        |              - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))
+        |            * (CAST(embedding[8*j + i + 1] AS DOUBLE)
+        |              - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))))),
+        |        list_min(
+        |          list_transform(range(0, 4), c ->
+        |            list_sum(list_transform(range(0, 8), i ->
+        |              (CAST(embedding[8*j + i + 1] AS DOUBLE)
+        |                - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))
+        |              * (CAST(embedding[8*j + i + 1] AS DOUBLE)
+        |                - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))))))) - 1
+        |        AS INTEGER)) AS codes
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT e.vec_id, e.codes,
+        |    list_sum(list_transform(range(0, 8), j ->
+        |      list_sum(list_transform(range(0, 8), i ->
+        |        CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE)
+        |          * CAST(q.qe[8*j + i + 1] AS DOUBLE))))) AS dot,
+        |    list_sum(list_transform(range(0, 8), j ->
+        |      list_sum(list_transform(range(0, 8), i ->
+        |        CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE)
+        |          * CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE))))) AS nrm,
+        |    sqrt(list_sum(list_transform(q.qe, x ->
+        |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+        |  FROM enc e, q)
+        |SELECT vec_id, codes[1] AS c0, codes[2] AS c1, codes[3] AS c2,
+        |  codes[4] AS c3, codes[5] AS c4, codes[6] AS c5, codes[7] AS c6,
+        |  codes[8] AS c7,
+        |  round(dot / (qn * sqrt(nrm)), 6) AS cos_approx
+        |FROM scored""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -608,6 +608,39 @@ object Similarity {
       .limit(topK)
   }
 
+  /** SQL-oracle-able twin of the PQ path (the jaccard-window
+    * pattern): the Lloyd-FITTED codebooks are data DuckDB cannot
+    * refit, but the encode/ADC MATH is the code under test — so this
+    * twin runs the exact same per-subspace argmin encode and
+    * codes-only ADC scoring with SYNTHETIC integer-formula codebooks
+    * (B(j,c,i) = (5j+3c+2i) mod 7 − 3, exact in doubles) that an
+    * external engine reproduces verbatim. Hash-matching this pins
+    * the whole quantize/score machinery; q142/q144 then differ only
+    * in where the codebooks came from. */
+  def pqFixedBooks(m: Int = 8, ksub: Int = 4,
+      sub: Int = 8): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j => (0 until ksub).map(c => (0 until sub).map(i =>
+      ((j * 5 + c * 3 + i * 2) % 7 - 3).toDouble)))
+
+  def pqFixedProbe(spark: SparkSession, dir: String,
+      queryId: Long = 0L): DataFrame = {
+    val books = pqFixedBooks()
+    val sub = books.head.head.length
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val codes = books.indices.map { j =>
+      element_at(graft.functions.exprs.ivf_cells(
+        slice(col("embedding"), j * sub + 1, sub), books(j), 1), 1)
+    }
+    val codeCols = books.indices.map(j =>
+      col("codes").getItem(j).as(s"c$j"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), array(codes: _*).as("codes"))
+      .select((col("vec_id") +: codeCols :+
+        round(adcCosApprox(books, q), 6).as("cos_approx")): _*)
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector
     * scale = max|x|/127, codes = round(x/scale) ∈ [-127, 127] — 4×
     * smaller storage and the form ANN systems score in at scale. The

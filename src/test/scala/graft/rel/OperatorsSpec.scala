@@ -312,6 +312,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("pq fixed-codebook twin: codes in range, scores agree with a scala re-encode") {
+    val rows = Similarity.pqFixedProbe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent driver-side re-encode of one row with the same books
+    val books = Similarity.pqFixedBooks()
+    val emb = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === rows.head.getLong(0))
+      .select(col("embedding")).head().getSeq[Float](0)
+    (0 until 8).foreach { j =>
+      val d = books(j).map(c => (0 until 8).map(i =>
+        math.pow(emb(8 * j + i).toDouble - c(i), 2)).sum)
+      assert(rows.head.getInt(1 + j) == d.indexOf(d.min))
+    }
+    rows.foreach { r =>
+      (1 to 8).foreach(k => assert(r.getInt(k) >= 0 && r.getInt(k) < 4))
+    }
+  }
+
   test("approx distinct brackets the exact count within rsd") {
     val approx = Relational.approxDistinct(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_orders")).toMap
