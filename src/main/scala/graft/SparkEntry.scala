@@ -151,6 +151,7 @@ object SparkEntry {
     "q147_quality_score"  -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
     "q148_epoch_shuffle"  -> ((s, d) => Sampling.epochShuffle(s, d)),
     "q149_pq_fixed"       -> ((s, d) => Similarity.pqFixedProbe(s, d)),
+    "q150_prefix_join"    -> ((s, d) => Dedup.jaccardJoinPrefix(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1504,6 +1505,24 @@ object SparkEntry {
         |  codes[8] AS c7,
         |  round(dot / (qn * sqrt(nrm)), 6) AS cos_approx
         |FROM scored""".stripMargin,
+    // q150's oracle is the FULL-corpus brute-force shingle join — the
+    // prefix filter is exact, so unlike the LSH paths no bounded
+    // window is needed; the oracle only being quadratic is fine at
+    // gate scale.
+    "q150_prefix_join" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+         |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+         |    END AS sh
+         |  FROM w)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -447,6 +447,53 @@ object Dedup {
     connectedComponents(jaccardVerify(spark, dir, k, threshold))
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
 
+  /** EXACT similarity join by PREFIX FILTERING (PPJoin-style,
+    * Xiao/Wang/Lin/Yu WWW'08): all pairs with token-set Jaccard ≥
+    * `threshold`, sub-quadratic and with NO recall loss — the
+    * deterministic alternative to MinHash/LSH when the answer must
+    * be exact. Each doc's tokens are ordered by GLOBAL frequency
+    * (rarest first, ties by token); for Jaccard ≥ t a pair must
+    * share a token within each side's first |s| − ⌈t·|s|⌉ + 1
+    * tokens (if all common tokens hid in a's suffix, overlap ≤
+    * ⌈t·|a|⌉ − 1 < t·|a| ≤ |a∩b| — contradiction), so candidates
+    * come from an equi-join on PREFIX tokens only. The set elements
+    * are k-SHINGLES (the [[shingleTable]] the LSH paths share —
+    * 1-gram sets are degenerate on small-vocabulary corpora: nearly
+    * every pair passes, so the filter would block nothing), and
+    * blocking on the rarest shingles keeps join groups small.
+    * Candidates then verify exact Jaccard (the same
+    * [[jaccard_sim]]/threshold math as [[jaccardVerify]]).
+    *
+    * Scale notes: correctness needs only a CONSISTENT total order,
+    * so the per-doc ordering sorts by (global count, shingle)
+    * directly — no global rank window funneling the shingle
+    * vocabulary through one partition; the frequency table joins to
+    * the exploded shingles on the shingle key (AQE picks
+    * broadcast/shuffle by its actual size). No all-pairs anywhere,
+    * and the result is EXACTLY the brute-force join's — the oracle
+    * is the FULL corpus, not a bounded window. */
+  def jaccardJoinPrefix(spark: SparkSession, dir: String, k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = shingleTable(spark, dir, k)
+    val exploded = docs
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("t"))
+    val freq = exploded.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val prefix = exploded
+      .join(freq, Seq("t"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("n"), col("t"))))
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("t"), col("doc_id"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(docs, cands, threshold)
+  }
+
   /** Token-set (1-gram) Jaccard over a bounded id range — the
     * SQL-oracle-able all-pairs variant (the LSH path above is the
     * scale path; this one verifies the similarity math). The id

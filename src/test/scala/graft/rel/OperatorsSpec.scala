@@ -824,6 +824,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain == bloom && plain.nonEmpty)
   }
 
+  test("prefix join: exact superset of LSH-verified pairs, same jaccard values") {
+    val exact = Dedup.jaccardJoinPrefix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    exact.keys.foreach { case (a, b) => assert(a < b) }
+    // LSH has recall loss, the prefix filter does not: every verified
+    // LSH pair must appear here with the identical jaccard
+    val lsh = Dedup.jaccardVerify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"pair $pair missing or diverged")
+    }
+  }
+
   test("jaccard verify window twin agrees with the shared verification core") {
     // the twin's all-pairs candidates are a superset of any LSH
     // candidate set inside the window, so every LSH-verified pair in
