@@ -81,6 +81,27 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .foreachBatch((batch: Dataset[T], id: Long) => f(batch, id))
 
+  /** Streaming INDEX INGEST — the online tail of the ANN index
+    * lifecycle (fit offline → build → stream-append → probe): each
+    * micro-batch of new (vec_id, label, embedding) rows is encoded
+    * with the FROZEN centroids/codebooks and appended into the
+    * cell-partitioned IVF+PQ index table
+    * ([[graft.ext.Similarity.appendToIvfPqIndex]]). foreachBatch on
+    * purpose: a partitioned-parquet append is a batch sink
+    * operation, and per-batch it is idempotent-per-file but NOT
+    * exactly-once under retries — production would write
+    * batch-id-suffixed files or an ACID table format; the encode
+    * itself is deterministic so replays write identical rows.
+    * Probes over the growing index stay partition-pruned
+    * throughout. */
+  def indexIngestStream(spark: SparkSession, dir: String,
+      newVecs: DataFrame, indexPath: String, k: Int = 16, m: Int = 8,
+      ksub: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchWriter(newVecs) { (batch, _) =>
+      graft.ext.Similarity.appendToIvfPqIndex(spark, dir, batch,
+        indexPath, k, m, ksub)
+    }
+
   /** Streaming exact-dedup with EXPLICIT keyed state
     * (`flatMapGroupsWithState` — the custom-state API the windowed
     * aggregations above don't need): the first document per content

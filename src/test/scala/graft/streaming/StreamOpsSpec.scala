@@ -283,6 +283,45 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("index ingest stream: streamed appends probe like a one-shot full build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-ing").toString + "/idx"
+    // base index from even ids; odd ids arrive as TWO stream batches
+    graft.sources.Io.writeParquet(
+      graft.ext.Similarity.ivfPqIndex(spark, sf).join(
+        emb.filter(col("vec_id") % 2 === 0).select(col("vec_id")),
+        Seq("vec_id"), "left_semi"),
+      base, Seq("cell"))
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val (b1, b2) = odd.splitAt(odd.length / 2)
+    val src = MemoryStream[(Long, Int, Array[Float])]
+    // AvailableNow drains what exists at start then stops — run the
+    // ingest twice with a shared checkpoint (the periodic-ingest-job
+    // pattern; the checkpoint makes run 2 resume at b1's end instead
+    // of re-appending it)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ing-ck").toString
+    def drain(): Unit = {
+      val q = StreamOps.indexIngestStream(spark, sf,
+        src.toDS().toDF("vec_id", "label", "embedding"), base)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    src.addData(b1.toSeq); drain()
+    src.addData(b2.toSeq); drain()
+    val full = java.nio.file.Files.createTempDirectory("graft-ing-full").toString + "/idx"
+    graft.ext.Similarity.writeIvfPqIndex(spark, sf, full)
+    val a = graft.ext.Similarity.ivfPqProbeMaterialized(spark, sf, base).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = graft.ext.Similarity.ivfPqProbeMaterialized(spark, sf, full).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("ann serve stream: streamed queries score exactly like the batch form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
