@@ -21,7 +21,20 @@ import org.apache.spark.sql.types._
   *    single pass over the shingle array — one expression eval per
   *    row instead of perms × |shingles| interpreted lambda calls.
   *
-  * Both are deterministic pure functions, so results stay
+  * Codegen policy — deliberate, not an omission: [[CosineSim]]
+  * implements `doGenCode` because it runs once per CANDIDATE PAIR in
+  * top-k scoring (millions of cheap calls — the per-call boxing of a
+  * fallback would dominate). The others (MinHashSig, SimHash,
+  * WordShingles, IvfCells, LshBucket, JaccardSim) are per-ROW
+  * expressions whose single eval does hundreds-to-thousands of hash /
+  * distance operations in tight compiled JVM loops inside
+  * `nullSafeEval`; a CodegenFallback there costs one boxed call per
+  * row — noise next to the row's intrinsic work — while hand-written
+  * codegen for array-building loops would add real defect risk for no
+  * measurable win. All stay inside the enclosing stage's generated
+  * code as leaf calls.
+  *
+  * All are deterministic pure functions, so results stay
   * reproducible across partitionings and retries.
   */
 object bridge {
