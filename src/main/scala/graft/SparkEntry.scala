@@ -152,6 +152,8 @@ object SparkEntry {
     "q148_epoch_shuffle"  -> ((s, d) => Sampling.epochShuffle(s, d)),
     "q149_pq_fixed"       -> ((s, d) => Similarity.pqFixedProbe(s, d)),
     "q150_prefix_join"    -> ((s, d) => Dedup.jaccardJoinPrefix(s, d)),
+    "q151_best_copy"      -> ((s, d) => TextAnalysis.bestCopyDedup(s, d)),
+    "q152_manifest"       -> ((s, d) => Sampling.trainingManifest(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1523,6 +1525,74 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
          |      len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7""".stripMargin,
+    "q151_best_copy" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |    md5(array_to_string(list_sort(list_distinct($toks)), ' '))
+         |      AS bow_md5,
+         |    CAST(len($toks) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_distinct($toks)) AS DOUBLE) AS n_distinct,
+         |    CAST(n_chars AS DOUBLE) AS n_chars_d
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, bow_md5,
+         |    1.0 / (1.0 + exp(-(CAST(-3.0 AS DOUBLE)
+         |      + CAST(0.9 AS DOUBLE) * ln(n_tok + 1.0)
+         |      + CAST(2.0 AS DOUBLE)
+         |        * (CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END)
+         |      + CAST(0.1 AS DOUBLE)
+         |        * (CASE WHEN n_tok > 0 THEN n_chars_d / n_tok ELSE 0.0 END))))
+         |      AS score
+         |  FROM f),
+         |r AS (SELECT doc_id, source, score,
+         |    row_number() OVER (PARTITION BY bow_md5
+         |      ORDER BY score DESC, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY bow_md5) AS n_copies
+         |  FROM s)
+         |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+         |  round(score, 6) AS score
+         |FROM r WHERE rk = 1 AND n_copies >= 2""".stripMargin,
+    // q152: the q98 survivor pipeline + q107's histogram budget cutoff
+    // + q148's shard hash, composed end to end — the whole assembly
+    // hash-checked as ONE query.
+    "q152_manifest" ->
+      s"""WITH w AS (SELECT doc_id, n_chars, $toks AS ws, md5(text) AS txt_md5
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_chars, ws, txt_md5,
+         |    CAST(len(ws) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+         |  FROM w),
+         |dedup AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY txt_md5 ORDER BY doc_id) AS dup_rk
+         |  FROM m),
+         |bg AS (SELECT doc_id,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |block AS (SELECT DISTINCT shingle FROM bg WHERE doc_id < 5),
+         |contam AS (SELECT DISTINCT b.doc_id FROM bg b
+         |  WHERE b.doc_id >= 5
+         |    AND b.shingle IN (SELECT shingle FROM block)),
+         |surv AS (
+         |  SELECT m.doc_id, m.n_tok,
+         |    round(CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 3)
+         |      AS score
+         |  FROM m JOIN dedup USING (doc_id)
+         |  WHERE m.doc_id >= 5 AND dup_rk = 1
+         |    AND n_chars >= 100 AND n_tok >= 20
+         |    AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hist AS (SELECT score, SUM(n_tok) AS bucket_tokens
+         |  FROM surv GROUP BY score),
+         |cut AS (SELECT MIN(score) AS cutoff FROM (
+         |  SELECT score, SUM(bucket_tokens) OVER (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist)
+         |  WHERE cum <= 30000),
+         |sel AS (SELECT s.doc_id, s.n_tok FROM surv s, cut
+         |  WHERE s.score >= cut.cutoff)
+         |SELECT CAST(CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)),
+         |      1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS min_doc_id
+         |FROM sel GROUP BY 1""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

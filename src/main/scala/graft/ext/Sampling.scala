@@ -243,6 +243,44 @@ object Sampling {
         round(min(col("score")), 3).as("min_score"))
   }
 
+  /** END-TO-END training-set assembly — the composition a data job
+    * actually ships, every stage the scale-shaped form of its
+    * standalone query: curation (quality gates + exact dedup +
+    * decontamination, [[TextAnalysis.curatedDocs]]) → token-budget
+    * selection over the SURVIVORS (the q107 histogram-cutoff form —
+    * the only ordered window is over a ≤1001-row score histogram,
+    * never the corpus) → deterministic epoch-shuffle shard
+    * assignment ([[epochShuffle]]'s md5 arithmetic). Output is the
+    * per-shard manifest (docs, token mass) a trainer consumes.
+    * Fully portable arithmetic end to end, so the WHOLE pipeline is
+    * one hash-checked query — the capstone gate that the stages
+    * compose correctly, not just pass alone. */
+  def trainingManifest(spark: SparkSession, dir: String,
+      budget: Long = 30000L, epoch: Int = 1, buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val surv = graft.ext.TextAnalysis.curatedDocs(spark, dir)
+      .select(col("doc_id"), col("n_tok"),
+        round(col("n_distinct").cast("double") /
+          col("n_tok").cast("double"), 3).as("score"))
+    val hist = surv.groupBy(col("score"))
+      .agg(sum(col("n_tok")).as("bucket_tokens"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = hist
+      .withColumn("cum", sum(col("bucket_tokens")).over(wCum))
+      .filter(col("cum") <= budget)
+      .agg(min(col("score")).as("cutoff"))
+    val h = conv(substring(md5(concat(lit(epoch.toString), lit(":"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    surv.join(broadcast(cutoff))
+      .filter(col("score") >= col("cutoff"))
+      .withColumn("shard", pmod(h, lit(buckets.toLong)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+
   /** Deterministic contrastive NEGATIVE sampling: K pseudo-random
     * negatives per anchor, reproducible across runs/partitionings/
     * engines (the property `df.sample` can't give — see file header).

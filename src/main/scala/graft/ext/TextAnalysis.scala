@@ -420,11 +420,27 @@ object TextAnalysis {
     * type-token ratio, mean token length. Emits the per-source audit
     * (docs, kept-at-0.5, decimal-stable mean score) a filter job
     * logs before dropping anything. */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreDocs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score") > 0.5).cast("long")).as("n_keep"),
+        round(sum(col("score").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"))
+
+  /** The classifier's per-document forward pass — split out so
+    * downstream operators ([[bestCopyDedup]]) can rank on the raw
+    * score; also carries two dedup digests computed in the same scan:
+    * the exact text md5 and the BAG-OF-WORDS digest (md5 of the
+    * sorted distinct token set — identical for reordered /
+    * repetition-padded copies that byte-level dedup misses). */
+  def qualityScoreDocs(spark: SparkSession, dir: String): DataFrame = {
     val feats = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        tokens(col("text")).as("ws"))
-      .select(col("doc_id"), col("source"),
+        tokens(col("text")).as("ws"), md5(col("text")).as("txt_md5"))
+      .select(col("doc_id"), col("source"), col("txt_md5"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("ws")))))
+          .as("bow_md5"),
         size(col("ws")).cast("double").as("n_tok"),
         size(array_distinct(col("ws"))).cast("double").as("n_distinct"),
         col("n_chars").cast("double").as("n_chars_d"))
@@ -434,13 +450,33 @@ object TextAnalysis {
         when(col("n_tok") > 0, col("n_chars_d") / col("n_tok")).otherwise(0.0))
     val z = lit(-3.0) + lit(0.9) * log(col("n_tok") + 1.0) +
       lit(2.0) * col("ttr") + lit(0.1) * col("mean_tok_len")
-    feats
-      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum((col("score") > 0.5).cast("long")).as("n_keep"),
-        round(sum(col("score").cast("decimal(28,12)")).cast("double") /
-          count(lit(1)), 6).as("mean_score"))
+    feats.withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+      .select(col("doc_id"), col("source"), col("txt_md5"),
+        col("bow_md5"), col("score"))
+  }
+
+  /** Dedup that keeps the BEST copy, not the first: groups documents
+    * by their BAG-OF-WORDS digest (same distinct token set — the
+    * reordered/shuffled-copy class byte-level dedup misses while
+    * still being an EXACT equality grouping, no similarity join) and
+    * keeps the member with the highest [[qualityScoreDocs]] score
+    * (ties → min doc_id) — what a shipped pipeline wants when copies
+    * differ in quality: the longest/cleanest variant survives, not
+    * whichever arrived first. One scan, one digest-partitioned
+    * window; emits the duplicate groups only (kept doc + copy count
+    * + its score) — singletons pass a dedup untouched and would
+    * swamp the audit. */
+  def bestCopyDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bow_md5"))
+    val rankW = w.orderBy(col("score").desc, col("doc_id"))
+    qualityScoreDocs(spark, dir)
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("rk") === 1 && col("n_copies") >= 2)
+      .select(col("doc_id"), col("source"),
+        col("n_copies").cast("long").as("n_copies"),
+        round(col("score"), 6).as("score"))
   }
 
   /** Vocabulary coverage (OOV-rate complement) per language against

@@ -976,6 +976,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("best-copy dedup: kept member is the group argmax, groups are real") {
+    val rows = TextAnalysis.bestCopyDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perDoc = TextAnalysis.qualityScoreDocs(spark, sf).collect()
+      .map(r => (r.getString(3), r.getLong(0), r.getDouble(4)))
+    val groups = perDoc.groupBy(_._1)
+    rows.foreach { r =>
+      val (id, n, score) = (r.getLong(0), r.getAs[Long]("n_copies"),
+        r.getAs[Double]("score"))
+      val g = groups.values.find(_.exists(_._2 == id)).get
+      assert(g.size.toLong == n && n >= 2)
+      // argmax with (score desc, id) tie-break
+      val best = g.minBy(t => (-t._3, t._2))
+      assert(best._2 == id)
+      assert(math.abs(best._3 - score) < 1e-5)
+    }
+  }
+
+  test("training manifest: shards partition the budgeted curated selection") {
+    val rows = graft.ext.Sampling.trainingManifest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) < 8))
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(total > 0 && total <= 30000L)
+    // composing the stages standalone gives the same selected mass:
+    // survivors -> histogram cutoff -> same docs
+    val surv = TextAnalysis.curatedDocs(spark, sf)
+      .select(col("doc_id"), col("n_tok"),
+        round(col("n_distinct").cast("double") / col("n_tok").cast("double"), 3)
+          .as("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hist = surv.groupBy(_._3).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(-_._1)
+    val cum = hist.scanLeft(0.0 -> 0L) { case ((_, c), (s, t)) => s -> (c + t) }.drop(1)
+    val cutoff = cum.filter(_._2 <= 30000L).map(_._1).lastOption
+    val expected = cutoff.map(c => surv.filter(_._3 >= c).map(_._2).sum).getOrElse(0L)
+    assert(total == expected)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      cutoff.map(c => surv.count(_._3 >= c).toLong).getOrElse(0L))
+  }
+
   test("repetition stats: fractions in range, duplicate-free docs score zero dup") {
     val rows = TextAnalysis.repetitionStats(spark, sf).collect()
     assert(rows.nonEmpty)
