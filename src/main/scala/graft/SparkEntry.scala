@@ -154,6 +154,8 @@ object SparkEntry {
     "q150_prefix_join"    -> ((s, d) => Dedup.jaccardJoinPrefix(s, d)),
     "q151_best_copy"      -> ((s, d) => TextAnalysis.bestCopyDedup(s, d)),
     "q152_manifest"       -> ((s, d) => Sampling.trainingManifest(s, d)),
+    "q153_simhash_portable" -> ((s, d) => Dedup.simhashPortable(s, d)),
+    "q154_lsh_fixed"      -> ((s, d) => Similarity.lshFixedBuckets(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1593,6 +1595,37 @@ object SparkEntry {
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
          |  MIN(doc_id) AS min_doc_id
          |FROM sel GROUP BY 1""".stripMargin,
+    // q153 runs the REAL SimHash expression over portable md5-derived
+    // hashes, so the vote/threshold math is hash-gated; production
+    // paths differ only in their xxhash64 inputs.
+    "q153_simhash_portable" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |h AS (SELECT doc_id,
+         |    list_transform(ws, w ->
+         |      CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hs
+         |  FROM t),
+         |s AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 16), i ->
+         |      CASE WHEN list_sum(list_transform(hs, x ->
+         |          CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+         |      AS simhash
+         |  FROM h)
+         |SELECT doc_id, simhash,
+         |  CAST(bit_count(simhash) AS INTEGER) AS n_bits_set
+         |FROM s""".stripMargin,
+    // q154 runs the REAL LshBucket expression with integer-formula
+    // planes; strict sign (> 0) and the ascending dot fold match the
+    // expression's loop exactly.
+    "q154_lsh_fixed" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 12), p ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), d ->
+        |        CAST(embedding[d + 1] AS DOUBLE)
+        |          * CAST((p*3 + d*2) % 7 - 3 AS DOUBLE))) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
+        |    AS bucket
+        |FROM embeddings""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

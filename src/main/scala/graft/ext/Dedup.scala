@@ -532,6 +532,27 @@ object Dedup {
   def simhashFromHashes(hashes: Column, bits: Int = 16): Column =
     graft.functions.exprs.simhash(hashes, bits)
 
+  /** SQL-oracle-able twin of the SimHash signature (the q149
+    * pattern, with a twist: no fixed substitute is even needed —
+    * the native [[graft.functions.SimHash]] expression consumes
+    * whatever hash array it is given, so feeding it PORTABLE
+    * md5-derived token hashes runs the REAL vote/threshold code
+    * under a hash gate; the production paths differ only in using
+    * xxhash64 inputs DuckDB lacks). Output: per-doc 16-bit signature
+    * plus its popcount. */
+  def simhashPortable(spark: SparkSession, dir: String,
+      bits: Int = 16): DataFrame = {
+    val h = (t: Column) =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), transform(col("ws"), t => h(t)).as("hs"))
+      .select(col("doc_id"),
+        simhashFromHashes(col("hs"), bits).as("simhash"))
+      .withColumn("n_bits_set", bit_count(col("simhash")))
+  }
+
   /** SimHash near-dup with HAMMING TOLERANCE: pairs whose `bits`-bit
     * signatures differ in at most `maxDist` bit positions. Pigeonhole
     * banding makes it sub-quadratic: split the signature into `bands`

@@ -641,6 +641,23 @@ object Similarity {
         round(adcCosApprox(books, q), 6).as("cos_approx")): _*)
   }
 
+  /** SQL-oracle-able twin of the LSH bucketing (the q149/q153
+    * pattern): the production planes are xxhash-seeded, but the
+    * bucketing MATH — per-plane dot-product fold + strict-sign bit +
+    * bit-or — is the code under test, so this twin runs the REAL
+    * [[graft.functions.LshBucket]] expression with integer-formula
+    * planes (P(p,d) = (3p+2d) mod 7 − 3, exact in doubles) an
+    * external engine reproduces verbatim. */
+  def lshFixedBuckets(spark: SparkSession, dir: String,
+      bits: Int = 12): DataFrame = {
+    val planes = (0 until bits).map(p => (0 until 64).map(d =>
+      ((p * 3 + d * 2) % 7 - 3).toDouble))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"), planes)
+          .as("bucket"))
+  }
+
   /** Symmetric int8 quantization of the embedding column: per-vector
     * scale = max|x|/127, codes = round(x/scale) ∈ [-127, 127] — 4×
     * smaller storage and the form ANN systems score in at scale. The

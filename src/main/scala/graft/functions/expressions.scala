@@ -30,6 +30,13 @@ object exprs {
   def lsh_bucket(emb: Column, dim: Int, bits: Int): Column =
     bridge.column(LshBucket(bridge.expression(emb), dim, bits))
 
+  /** [[lsh_bucket]] with caller-supplied hyperplanes (bits × dim) —
+    * the oracle-twin hook: the REAL expression's fold/threshold code
+    * runs over planes an external engine can reproduce. */
+  def lsh_bucket_planes(emb: Column, planes: Seq[Seq[Double]]): Column =
+    bridge.column(LshBucket(bridge.expression(emb),
+      planes.head.length, planes.length, planes))
+
   /** Distinct word k-shingles of a token array in one pass (the
     * staged HOF composition's semantics, minus its per-position
     * lambda + slice allocations). */

@@ -238,19 +238,28 @@ case class SimHash(child: Expression, bits: Int)
   * array is 0 under the HOF form but NULL here (nullIntolerant). The
   * embeddings table is fixed dim-64, so query paths never leave the
   * contract. */
-case class LshBucket(child: Expression, dim: Int, bits: Int)
+case class LshBucket(child: Expression, dim: Int, bits: Int,
+    planesOverride: Seq[Seq[Double]] = Nil)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(dim > 0, "dim must be positive")
   require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
+  require(planesOverride.isEmpty ||
+    (planesOverride.length == bits && planesOverride.forall(_.length == dim)),
+    "planesOverride must be bits x dim")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "lsh_bucket"
 
+  // planesOverride (a Seq, so it participates in case-class equality /
+  // plan canonicalization) lets callers inject externally-reproducible
+  // planes — the oracle-twin hook (q154); production paths leave it
+  // empty and get the xxhash-seeded pseudo-random planes.
   @transient private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(bits) { p =>
+    if (planesOverride.nonEmpty) planesOverride.map(_.toArray).toArray
+    else Array.tabulate(bits) { p =>
       Array.tabulate(dim) { d =>
         val h = XXH64.hashInt(p, XXH64.hashInt(d, 42L))
         (((h % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5
