@@ -76,4 +76,26 @@ object Io {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** SCHEMA-EVOLVED read: union the schemas of every file in the
+    * directory (`mergeSchema`) so a table whose writers added columns
+    * over time reads as ONE frame — older files surface the new
+    * columns as NULL. This is the read posture for any long-lived
+    * 100 TB lake table without a catalog-managed table format; the
+    * footer-merge costs one extra metadata pass, so production pins
+    * the merged schema once and passes it explicitly thereafter. */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** RESILIENT read for a lake with damaged files: corrupt or
+    * truncated parquet parts are SKIPPED (logged by Spark) instead of
+    * failing the whole 100 TB job hours in. Opt-in wrapper — silent
+    * row loss is the explicit trade, which is why the default reader
+    * fails fast; use this for forensic/recovery scans, then compact
+    * the survivors ([[compactParquet]]) to quarantine the damage. */
+  def readParquetResilient(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("ignoreCorruptFiles", "true")
+      .option("ignoreMissingFiles", "true")
+      .parquet(path)
 }

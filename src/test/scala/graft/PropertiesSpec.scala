@@ -194,6 +194,66 @@ class PropertiesSpec extends AnyFunSuite {
     expected.foreach { case (g, want) => assert(got(g) == want, s"group $g") }
   }
 
+  test("bloomAntiJoin ≡ plain left_anti for random key sets and fpp") {
+    val spark = TestSpark.init()
+    import spark.implicits._
+    val caseGen = Gen.zip(
+      Gen.listOf(Gen.chooseNum(0L, 40L)),           // big keys, with dups
+      Gen.listOf(Gen.chooseNum(20L, 60L)),          // small keys, overlapping
+      Gen.oneOf(0.01, 0.2, 0.5))                    // incl. high-fpp regimes
+    val cases = scala.collection.mutable.ArrayBuffer.empty[(List[Long], List[Long], Double)]
+    forSamples(caseGen, 40) { c => cases += c }
+    cases.filter(c => c._1.nonEmpty && c._2.nonEmpty).take(12).foreach {
+      case (bigK, smallK, fpp) =>
+        val big = bigK.zipWithIndex.toDF("k", "v")
+        val small = smallK.toDF("k")
+        val got = graft.rel.Reduce.bloomAntiJoin(big, small, "k", fpp = fpp)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+        val want = big.join(small, Seq("k"), "left_anti")
+          .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+        assert(got == want, s"fpp=$fpp big=$bigK small=$smallK")
+    }
+  }
+
+  test("lsh_bucket with injected planes ≡ scalar reference for random vectors") {
+    val spark = TestSpark.init()
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dim = 8
+    val planes: Seq[Seq[Double]] =
+      (0 until 5).map(p => (0 until dim).map(d => ((p * 3 + d * 2) % 7 - 3).toDouble))
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+    forSamples(vecGen, 100) { v => vecs += v }
+    def ref(v: Seq[Float]): Long =
+      (0 until 5).map { p =>
+        var s = 0.0; var d = 0
+        while (d < dim) { s += v(d).toDouble * planes(p)(d); d += 1 }
+        if (s > 0) 1L << p else 0L
+      }.sum
+    val rows = vecs.toSeq.map(v => Tuple1(v.toArray)).toDF("emb")
+      .select(col("emb"),
+        graft.functions.exprs.lsh_bucket_planes(col("emb"), planes).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == ref(r.getSeq[Float](0))))
+  }
+
+  test("weightedSample is invariant under input partitioning") {
+    val spark = TestSpark.init()
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.ext.Sampling.weightedSample(spark, sf, k = 20).collect()
+      .map(_.toSeq).toSeq
+    // the operator reads from dir; partitioning-invariance is exercised
+    // through different shuffle-partition settings
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val b = graft.ext.Sampling.weightedSample(spark, sf, k = 20).collect()
+        .map(_.toSeq).toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("hashBucket is uniform enough and total: every row lands in [0, B)") {
     val spark = TestSpark.init()
     import spark.implicits._

@@ -157,12 +157,30 @@ class JsonlSpec extends AnyFunSuite {
       .write.parquet(s"$dir/batch=1")
     Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
       .write.parquet(s"$dir/batch=2")
-    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    val merged = Io.readParquetEvolved(spark, dir)
     assert(merged.columns.toSet == Set("doc_id", "text", "lang", "batch"))
     val rows = merged.select("doc_id", "lang").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     // old files surface the new column as null — reads never break
     assert(rows(1L).isEmpty && rows(2L).contains("en"))
+  }
+
+  test("resilient read skips a corrupt parquet part instead of failing the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // plant a truncated/garbage part file next to the good one
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.snappy.parquet"),
+      "not a parquet file".getBytes)
+    // default reader fails fast (footer read throws)
+    intercept[Exception] {
+      spark.read.parquet(dir).collect()
+    }
+    val rows = Io.readParquetResilient(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 2L), s"good rows lost: $rows")
   }
 
   test("pretty stringify boundary reaches the prompts (indent=2)") {
