@@ -77,6 +77,28 @@ object Io {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** IDEMPOTENT PARTITION BACKFILL: overwrite ONLY the partitions
+    * present in `df`, leaving every other partition of the table
+    * untouched — `partitionOverwriteMode=dynamic`, the mechanism
+    * behind "reprocess 2024-03-07" on a date-partitioned 100 TB
+    * table (static overwrite mode would drop the whole table first).
+    * The conf is set per-write and restored, so the session's
+    * default stays fail-safe static. Re-running the same backfill is
+    * idempotent: the partition is replaced with identical content. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "dynamic overwrite needs partition columns")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** SCHEMA-EVOLVED read: union the schemas of every file in the
     * directory (`mergeSchema`) so a table whose writers added columns
     * over time reads as ONE frame — older files surface the new

@@ -183,6 +183,29 @@ class JsonlSpec extends AnyFunSuite {
     assert(rows == Seq(1L, 2L), s"good rows lost: $rows")
   }
 
+  test("dynamic partition overwrite backfills one partition, leaves the rest intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-backfill").toString + "/t"
+    val full = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "fr", "c"))
+      .toDF("doc_id", "lang", "text")
+    Io.writeParquet(full, dir, partitionBy = Seq("lang"))
+    // backfill ONLY lang=en with corrected rows
+    val fix = Seq((1L, "en", "a2"), (9L, "en", "z")).toDF("doc_id", "lang", "text")
+    Io.overwritePartitions(fix, dir, Seq("lang"))
+    val got = spark.read.parquet(dir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    // en replaced wholesale, fr untouched
+    assert(got == Seq((1L, "en", "a2"), (3L, "fr", "c"), (9L, "en", "z")))
+    // session default restored (fail-safe static)
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .contains("dynamic"))
+    // idempotent: re-running the same backfill changes nothing
+    Io.overwritePartitions(fix, dir, Seq("lang"))
+    val again = spark.read.parquet(dir).count()
+    assert(again == 3L)
+  }
+
   test("pretty stringify boundary reaches the prompts (indent=2)") {
     val src = Jsonl.read(spark, fixture)
       .withColumn("__graft_id", org.apache.spark.sql.functions.monotonically_increasing_id())
