@@ -156,6 +156,7 @@ object SparkEntry {
     "q152_manifest"       -> ((s, d) => Sampling.trainingManifest(s, d)),
     "q153_simhash_portable" -> ((s, d) => Dedup.simhashPortable(s, d)),
     "q154_lsh_fixed"      -> ((s, d) => Similarity.lshFixedBuckets(s, d)),
+    "q155_triangles"      -> ((s, d) => TextAnalysis.sourceTriangles(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
     "q39_retention"       -> (Relational.retentionCohorts _),
@@ -1626,6 +1627,30 @@ object SparkEntry {
         |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
         |    AS bucket
         |FROM embeddings""".stripMargin,
+    "q155_triangles" ->
+      s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |e AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |deg AS (SELECT source, COUNT(*) AS degree FROM (
+         |    SELECT sa AS source FROM e
+         |    UNION ALL SELECT sb AS source FROM e)
+         |  GROUP BY source),
+         |tri AS (SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+         |  FROM e e1 JOIN e e2 ON e1.sb = e2.sa
+         |    JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),
+         |corners AS (SELECT source, COUNT(*) AS n_triangles FROM (
+         |    SELECT a AS source FROM tri
+         |    UNION ALL SELECT b AS source FROM tri
+         |    UNION ALL SELECT c AS source FROM tri)
+         |  GROUP BY source)
+         |SELECT deg.source, deg.degree,
+         |  COALESCE(corners.n_triangles, 0) AS n_triangles
+         |FROM deg LEFT JOIN corners ON deg.source = corners.source""".stripMargin,
     "q96_corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -663,6 +663,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Provenance-graph TRIANGLE census over the source-overlap graph:
+    * how clustered is the re-crawl structure — a triangle (three
+    * sources pairwise sharing ≥ `minShared` shingles) is the
+    * signature of a common upstream, where a mere edge could be
+    * coincidence. Per source: degree and triangle membership count
+    * (the local clustering signal). The graph has one node per
+    * SOURCE (hundreds at any corpus size — the expensive step is
+    * [[sourceOverlap]]'s edge build, which is the already-audited
+    * shingle join; the triangle join itself runs on the tiny edge
+    * set). The edge table feeds FOUR consumers (three triangle-join
+    * aliases + degree), so it is persisted — without the barrier the
+    * whole shingle-join subtree would re-run per alias (the
+    * re-expansion class PlanAuditSpec guards). */
+  def sourceTriangles(spark: SparkSession, dir: String, n: Int = 4,
+      minShared: Long = 3L): DataFrame = {
+    val e = sourceOverlap(spark, dir, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("source_a").as("sa"), col("source_b").as("sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("sa").as("source"))
+      .unionByName(e.select(col("sb").as("source")))
+      .groupBy(col("source")).agg(count(lit(1)).as("degree"))
+    // oriented triangles (a < b < c by the edge orientation) counted
+    // once; each corner then credits its source
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.sb") === col("e2.sa"))
+      .join(e.as("e3"),
+        col("e3.sa") === col("e1.sa") && col("e3.sb") === col("e2.sb"))
+      .select(col("e1.sa").as("a"), col("e1.sb").as("b"), col("e2.sb").as("c"))
+    val corners = tri.select(explode(array(col("a"), col("b"), col("c")))
+        .as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(corners, Seq("source"), "left")
+      .select(col("source"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Document-length histogram: fixed-width 200-char buckets by
     * floor division — single partial→final agg, no window, no sort;
     * the portable form of width_bucket (which the oracle engine

@@ -1633,6 +1633,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("source triangles: corner credits sum to 3x the triangle count") {
+    val rows = TextAnalysis.sourceTriangles(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles")))
+    assert(rows.nonEmpty)
+    val nSources = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count()
+    rows.foreach { case (_, d, t) =>
+      assert(d >= 1 && d < nSources)
+      // a source in t triangles needs at least enough neighbours:
+      // t <= C(degree, 2)
+      assert(t <= d * (d - 1) / 2, s"t=$t impossible at degree $d")
+    }
+    // every triangle credits exactly three corners
+    assert(rows.map(_._3).sum % 3 == 0)
+  }
+
   test("length histogram partitions the corpus") {
     val rows = TextAnalysis.lengthHistogram(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
