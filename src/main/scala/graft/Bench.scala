@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-pass sample summary. Samples are seconds; a NEGATIVE sample
+    * is the failure sentinel a throwing query records. Returns
+    * (min over successful samples, or -1.0 if every pass failed;
+    * failure count). Pure — spec'd without Spark — because a bench
+    * harness that swallows exceptions silently records ~0 s for a
+    * broken query and IMPROVES the total: failures must be counted,
+    * surfaced in the artifact, and excluded from timing stats. */
+  def summarize(samples: Seq[Double]): (Double, Int) = {
+    val ok = samples.filter(_ >= 0.0)
+    (if (ok.nonEmpty) ok.min else -1.0, samples.length - ok.length)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,6 +20,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,21 +53,30 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.contains))
     }
+    // A throwing query records the NEGATIVE sentinel, never a fake
+    // near-zero time: [[summarize]] counts it as a failure and drops
+    // it from timing stats, and the artifact carries the failure map
+    // so a broken query can't read as a fast run.
     def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name FAILED: $e"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
     }.toMap
     val passes = (1 to nPasses).map(_ => pass())
     val names = selected.map(_._1)
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val mins = names.map(n => n -> passes.map(_(n)).min)
+    val summaries = names.map(n => n -> summarize(passes.map(_(n)))).toMap
+    val mins = names.map(n => n -> summaries(n)._1)
+    val failed = names.map(n => n -> summaries(n)._2).filter(_._2 > 0)
     val medians = names.map { n =>
-      val s = passes.map(_(n)).sorted
-      n -> s(s.size / 2)
+      val s = passes.map(_(n)).filter(_ >= 0.0).sorted
+      n -> (if (s.nonEmpty) s(s.size / 2) else -1.0)
     }.toMap
     val noisy = names.filter { n =>
-      val mn = passes.map(_(n)).min
+      val mn = summaries(n)._1
       mn > 0.05 && medians(n) / mn > 3.0
     }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -63,8 +85,10 @@ object Bench {
       "\"" + n + "\":[" + passes.map(p => f(p(n))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = mins.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"n_passes":$nPasses,"sf":"$sfDir"}"""
+    val failedJson = failed.map { case (n, c) => "\"" + n + "\":" + c }
+      .mkString("{", ",", "}")
+    val total = mins.collect { case (_, v) if v >= 0.0 => v }.sum
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"failed":$failedJson,"n_failed":${failed.map(_._2).sum},"n_passes":$nPasses,"sf":"$sfDir"}"""
     println(line)
     // stdout goes through sbt, which appends its own postlude — also
     // drop the line as a file so the artifact survives log framing

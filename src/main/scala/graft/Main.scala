@@ -45,6 +45,7 @@ object Main {
     val spark = SparkSession.builder()
       .appName("graft-mr-pipe")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // spark-submit injects spark.master as a system property and
       // wins; a bare `java -cp`/sbt invocation falls back to local
       .master(sys.props.getOrElse("spark.master", "local[*]"))

@@ -156,6 +156,9 @@ object SparkEntry {
     "q152_manifest"       -> ((s, d) => Sampling.trainingManifest(s, d)),
     "q153_simhash_portable" -> ((s, d) => Dedup.simhashPortable(s, d)),
     "q154_lsh_fixed"      -> ((s, d) => Similarity.lshFixedBuckets(s, d)),
+    "q156_minhash_portable" -> ((s, d) => Dedup.minhashPortable(s, d)),
+    "q157_phash_near_dup" -> ((s, d) => Multimodal.phashNearDup(s, d)),
+    "q158_cross_modal"    -> ((s, d) => Multimodal.crossModalRetrieve(s, d)),
     "q155_triangles"      -> ((s, d) => TextAnalysis.sourceTriangles(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
@@ -164,25 +167,32 @@ object SparkEntry {
     // dedup [ext]
     "q40_exact_dedup"     -> (Dedup.exactDedup _),
     "q41_jaccard_pairs"   -> ((s, d) => Dedup.jaccardPairs(s, d)),
-    "q42_minhash_lsh"     -> ((s, d) => Dedup.minhashLsh(s, d)),  // xxhash64 → rows-only
+    // q42/q43/q59: the PORTABLE minhash pipeline — same banding /
+    // verify / clustering code as the xxhash64 production path
+    // (which keeps catalog coverage via q78/q103), md5-derived
+    // signature hashes ⇒ fully DuckDB-hash-gated end to end
+    "q42_minhash_lsh"     -> ((s, d) => Dedup.minhashLshPortable(s, d)),
     "q45_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "q47_hash_sample"     -> (Sampling.stratifiedDocs _),
     "q76_train_test"      -> (Sampling.splitCounts _),
     "q48_range_join_binned" -> (Relational.rangeJoinBinned _),
     "q46_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // xxhash64 → rows-only
-    "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerify(s, d)), // rows-only
+    "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerifyPortable(s, d)),
     "q44_simhash"         -> (Dedup.simhashDedup _),              // rows-only
     // similarity search [ext]
     "q50_cosine_topk"     -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q51_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d)),
-    "q52_lsh_index"       -> ((s, d) => Similarity.lshIndexStats(s, d)), // rows-only
-    "q53_ann_probe"       -> ((s, d) => Similarity.annProbe(s, d)),      // rows-only
-    "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(s, d)), // rows-only
+    // q52/q53/q54: the fixed-integer-plane LSH family (q154's planes)
+    // — bucketing + pruned probe + near-dup verify all hash-gated;
+    // the xxhash-seeded production planes keep q55/q56 + specs
+    "q52_lsh_index"       -> ((s, d) => Similarity.lshIndexStatsFixed(s, d)),
+    "q53_ann_probe"       -> ((s, d) => Similarity.annProbeFixed(s, d)),
+    "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupFixed(s, d)),
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),      // rows-only
     "q56_ivf_index"       -> ((s, d) => Similarity.ivfIndexStats(s, d)), // rows-only
     "q57_quantize"        -> (Similarity.quantizeStats _),
     "q58_profile"         -> (graft.ext.Profile.lineitemProfile _),
-    "q59_lsh_clusters"    -> ((s, d) => Dedup.lshDedupClusters(s, d)), // xxhash64 → rows-only
+    "q59_lsh_clusters"    -> ((s, d) => Dedup.lshDedupClustersPortable(s, d)),
     "q77_deduped_corpus"  -> ((s, d) => Dedup.dedupedCorpus(s, d)),
     "q78_fully_deduped"   -> ((s, d) => Dedup.dedupedCorpus(s, d, nearDups = true)), // rows-only
     // instructions-MR pipeline (reference core; stub LLM → rows-only).
@@ -218,6 +228,51 @@ object SparkEntry {
     s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
 
   private val toks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  /** DuckDB fragment: fixed-integer-plane LSH bucket of `embedding`
+    * (the q154 formula — P(p,d) = (3p+2d) mod 7 − 3, strict sign,
+    * ascending dot fold matching LshBucket's loop). */
+  private def fixedBucketSql(bits: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $bits), p ->
+       |    CASE WHEN list_sum(list_transform(range(0, 64), d ->
+       |        CAST(embedding[d + 1] AS DOUBLE)
+       |          * CAST((p*3 + d*2) % 7 - 3 AS DOUBLE))) > 0
+       |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** DuckDB fragment: list_dot_product cosine — matches CosineSim's
+    * left-to-right double fold bit-for-bit (q50/q51 proven). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_dot_product($a, $b) /
+       |    (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))),
+       |    6)""".stripMargin
+
+  /** DuckDB CTE chain shared by q42/q43/q59: 3-shingles → PORTABLE
+    * 32-perm minhash signatures (md5-derived — the q156 arithmetic) →
+    * 8 bands × 4 rows raw-slice band keys → distinct candidate pairs.
+    * Mirrors signaturesPortable + lshCandidatePairs(compressBuckets =
+    * false); valid while no band bucket exceeds maxBucket (the skew
+    * guard's star/salt branch never fires at gate scale). */
+  private val portableCandSql: String =
+    s"""w AS (SELECT doc_id, $toks AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+       |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+       |    END AS sh
+       |  FROM w),
+       |sig AS (SELECT doc_id,
+       |    list_transform(range(0, 32), p ->
+       |      list_min(list_transform(sh, x ->
+       |        CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || x), 1, 15))
+       |          AS BIGINT)))) AS sg
+       |  FROM s),
+       |bnd AS (SELECT doc_id, b,
+       |    array_to_string(list_transform(range(4*b, 4*b + 4), i ->
+       |      CAST(sg[i + 1] AS VARCHAR)), ',') AS bkey
+       |  FROM sig, UNNEST(range(0, 8)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey
+       |    AND a.doc_id < c.doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -556,6 +611,57 @@ object SparkEntry {
         |SELECT hour, event_type, n_events,
         |  round((n_events - mu) / sd, 4) AS z
         |FROM m WHERE sd > 0 AND abs((n_events - mu) / sd) >= 2.0""".stripMargin,
+    // q42/q43/q59: the portable minhash pipeline, hash-gated stage by
+    // stage — candidates, verified edges, then connected components
+    // (q45's recursive-CTE oracle pattern over the verified edge set)
+    "q42_minhash_lsh" ->
+      s"""WITH $portableCandSql
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
+    "q43_jaccard_verify" ->
+      s"""WITH $portableCandSql,
+         |ver AS (SELECT c.doc_a, c.doc_b,
+         |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |          len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+         |              JOIN s sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.7""".stripMargin,
+    "q59_lsh_clusters" ->
+      s"""WITH RECURSIVE $portableCandSql,
+         |ver AS (SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+         |              JOIN s sb ON sb.doc_id = c.doc_b
+         |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.7),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM ver),
+         |reach(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)
+         |SELECT id AS doc_id, MIN(lab) AS rep_id FROM reach GROUP BY id""".stripMargin,
+    // q52/q53/q54: the fixed-plane LSH family over embeddings —
+    // bucket build, pruned probe, and within-bucket near-dup verify
+    "q52_lsh_index" ->
+      s"""WITH b AS (SELECT vec_id, ${fixedBucketSql(12)} AS bucket
+         |  FROM embeddings)
+         |SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+         |FROM b GROUP BY bucket""".stripMargin,
+    "q53_ann_probe" ->
+      s"""WITH b AS (SELECT vec_id, label,
+         |    CAST(embedding AS DOUBLE[]) AS emb, ${fixedBucketSql(6)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("emb", "q_emb")} AS cos_sim
+         |FROM b, q WHERE bucket = q_bucket AND vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q54_embedding_near_dup" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${fixedBucketSql(5)} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  ${cosSql("a.emb", "c.emb")} AS cos_sim
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE ${cosSql("a.emb", "c.emb")} >= 0.3""".stripMargin,
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE
          |d AS (SELECT doc_id, list_distinct($toks) AS tok
@@ -1282,7 +1388,7 @@ object SparkEntry {
          |WHERE doc_id >= 5 AND dup_rk = 1
          |  AND n_chars >= 100 AND n_tok >= 20
          |  AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
-         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |  AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = m.doc_id)
          |GROUP BY source, lang""".stripMargin,
     // q136 = q98 with the bloom anti-join split on the contaminated-id
     // exclusion — results are identical by construction, so the oracle
@@ -1312,7 +1418,7 @@ object SparkEntry {
          |WHERE doc_id >= 5 AND dup_rk = 1
          |  AND n_chars >= 100 AND n_tok >= 20
          |  AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
-         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |  AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = m.doc_id)
          |GROUP BY source, lang""".stripMargin,
     // q137: jaccardVerify's verification math (3-token shingling +
     // exact Jaccard + threshold) on the DETERMINISTIC all-pairs
@@ -1581,14 +1687,15 @@ object SparkEntry {
          |  WHERE m.doc_id >= 5 AND dup_rk = 1
          |    AND n_chars >= 100 AND n_tok >= 20
          |    AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
-         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |    AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = m.doc_id)),
          |hist AS (SELECT score, SUM(n_tok) AS bucket_tokens
          |  FROM surv GROUP BY score),
-         |cut AS (SELECT MIN(score) AS cutoff FROM (
+         |cut AS (SELECT COALESCE(
+         |    MIN(CASE WHEN cum <= 30000 THEN score END), MAX(score)) AS cutoff
+         |  FROM (
          |  SELECT score, SUM(bucket_tokens) OVER (ORDER BY score DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM hist)
-         |  WHERE cum <= 30000),
+         |  FROM hist)),
          |sel AS (SELECT s.doc_id, s.n_tok FROM surv s, cut
          |  WHERE s.score >= cut.cutoff)
          |SELECT CAST(CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)),
@@ -1627,6 +1734,64 @@ object SparkEntry {
         |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
         |    AS bucket
         |FROM embeddings""".stripMargin,
+    // q156 runs the REAL MinHashSig min-selection loop over portable
+    // md5-derived permutation hashes (first 15 hex chars of
+    // md5("<p>:<shingle>") — 60-bit, no BIGINT overflow); production
+    // minhash paths differ only in their xxhash64 inputs. The last
+    // custom-expression math core, now hash-gated.
+    "q156_minhash_portable" -> {
+      val perm = (p: Int) =>
+        s"list_min(list_transform(sh, x -> CAST(('0x' || " +
+          s"substr(md5('$p:' || x), 1, 15)) AS BIGINT))) AS m$p"
+      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+         |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+         |    END AS sh
+         |  FROM w)
+         |SELECT doc_id,
+         |  ${(0 until 8).map(perm).mkString(",\n  ")}
+         |FROM s""".stripMargin
+    },
+    // q157: block-intensity perceptual hash (integer cross-product
+    // threshold — no float mean) + pigeonhole hamming banding + exact
+    // XOR-popcount verify, portable arithmetic end to end
+    "q157_phash_near_dup" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS txt, len(text) AS n
+        |  FROM documents),
+        |blk AS (SELECT media_id, b,
+        |    CAST(len(replace(substring(txt, CAST((b*n)//32 AS INTEGER) + 1,
+        |      CAST(((b+1)*n)//32 - (b*n)//32 AS INTEGER)), ' ', ''))
+        |      AS BIGINT) AS it
+        |  FROM m, UNNEST(range(0, 32)) AS u(b)),
+        |tot AS (SELECT media_id, SUM(it) AS tot FROM blk GROUP BY media_id),
+        |ph AS (SELECT blk.media_id,
+        |    CAST(SUM(CASE WHEN it * 32 > tot
+        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS phash
+        |  FROM blk JOIN tot USING (media_id) GROUP BY blk.media_id),
+        |bnd AS (SELECT media_id, phash, band,
+        |    CAST((phash >> (8 * CAST(band AS INTEGER))) & 255 AS INTEGER) AS bkey
+        |  FROM ph, UNNEST(range(0, 4)) AS u(band)),
+        |pairs AS (SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b,
+        |    CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
+        |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bkey = c.bkey
+        |    AND a.media_id < c.media_id)
+        |SELECT media_a, media_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    // q158: cross-modal retrieval — fixed-plane probe (q53's oracle)
+    // joined back to media bytes + document metadata
+    "q158_cross_modal" ->
+      s"""WITH b AS (SELECT vec_id, label,
+         |    CAST(embedding AS DOUBLE[]) AS emb, ${fixedBucketSql(6)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),
+         |hits AS (SELECT vec_id, ${cosSql("emb", "q_emb")} AS cos_sim
+         |  FROM b, q WHERE bucket = q_bucket AND vec_id <> 0
+         |  ORDER BY cos_sim DESC, vec_id LIMIT 10)
+         |SELECT h.vec_id AS media_id, d.source AS origin, d.lang,
+         |  CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes, h.cos_sim
+         |FROM hits h JOIN documents d ON d.doc_id = h.vec_id""".stripMargin,
     "q155_triangles" ->
       s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
          |sh AS (SELECT DISTINCT source,

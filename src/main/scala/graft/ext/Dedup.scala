@@ -148,7 +148,9 @@ object Dedup {
   /** Unpersist + drop all memoized tables (long-session hygiene). */
   def clearCaches(): Unit = {
     sweep(verifiedCache.values); verifiedCache.clear()
+    sweep(verifiedPortableCache.values); verifiedPortableCache.clear()
     sweep(sigCache.values); sigCache.clear()
+    sweep(sigPortableCache.values); sigPortableCache.clear()
     sweep(shingleCache.values); shingleCache.clear()
     bandSlicePersists.synchronized {
       sweep(bandSlicePersists); bandSlicePersists.clear()
@@ -188,13 +190,23 @@ object Dedup {
       bands, rowsPerBand, maxBucket)
 
   /** The banding + bucket-join core over any (doc_id, sig) table —
-    * split out so the skew guard is testable on synthetic corpora. */
+    * split out so the skew guard is testable on synthetic corpora.
+    *
+    * `compressBuckets`: candidate pairing depends only on EQUALITY of
+    * a band's signature slice; the production path compresses the
+    * slice to one xxhash64 long (8-byte shuffle keys). The portable
+    * path (q42/q43/q59 catalog entries) keeps the RAW comma-joined
+    * slice string so the bucket key is exactly what an external
+    * engine computes — no hash-collision daylight between engines
+    * (~2⁻⁶⁴ per key pair, but the gate should be airtight) at the
+    * cost of wider keys. */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, compressBuckets: Boolean = true): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
+      val sliceKey = concat_ws(",",
+        slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))), lit(b))
+        (if (compressBuckets) xxhash64(sliceKey, lit(b)) else sliceKey)
           .as("bucket"))
     }
     val banded = sig.select(col("doc_id"),
@@ -279,6 +291,57 @@ object Dedup {
     verifyPairs(shingleTable(spark, dir, k).filter(col("doc_id") < maxId),
       cands, threshold)
   }
+
+  // -----------------------------------------------------------------
+  // PORTABLE minhash pipeline (q42/q43/q59): the SAME banding, verify
+  // and clustering code as the xxhash64 production path, but over
+  // [[signaturesPortable]] md5-derived signatures with RAW band-slice
+  // bucket keys — every stage's arithmetic reproducible in DuckDB, so
+  // the ENTIRE LSH dedup pipeline is hash-gated end to end (candidates
+  // → verified edges → connected components). The xxhash64 path stays
+  // the production default (faster hash, 8-byte bucket keys) and keeps
+  // catalog coverage via q78/q103 plus the banding/verify specs.
+  // -----------------------------------------------------------------
+
+  private val sigPortableCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+  private val verifiedPortableCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Double), DataFrame]
+
+  /** doc_id → PORTABLE minhash signature (md5-derived permutation
+    * hashes — see [[graft.functions.MinHashSig]] portable mode),
+    * memoized + persisted exactly like [[signatures]]. */
+  def signaturesPortable(spark: SparkSession, dir: String, k: Int,
+      perms: Int): DataFrame =
+    Memo.cached(sigPortableCache, (dir, k, perms), spark) {
+      shingleTable(spark, dir, k)
+        .select(col("doc_id"),
+          graft.functions.exprs.minhash_sig_portable(col("sh"), perms).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** [[minhashLsh]] over portable signatures + raw slice buckets. */
+  def minhashLshPortable(spark: SparkSession, dir: String,
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      maxBucket: Int = 256): DataFrame =
+    lshCandidatePairs(signaturesPortable(spark, dir, k, bands * rowsPerBand),
+      bands, rowsPerBand, maxBucket, compressBuckets = false)
+
+  /** [[jaccardVerify]] over the portable candidate set — same
+    * [[verifyPairs]] code, memoized like the production edge table. */
+  def jaccardVerifyPortable(spark: SparkSession, dir: String, k: Int = 3,
+      threshold: Double = 0.7): DataFrame =
+    Memo.cached(verifiedPortableCache, (dir, k, threshold), spark) {
+      verifyPairs(shingleTable(spark, dir, k),
+          minhashLshPortable(spark, dir, k), threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** [[lshDedupClusters]] over the portable verified edges. */
+  def lshDedupClustersPortable(spark: SparkSession, dir: String,
+      k: Int = 3, threshold: Double = 0.7): DataFrame =
+    connectedComponents(jaccardVerifyPortable(spark, dir, k, threshold))
+      .select(col("id").as("doc_id"), col("label").as("rep_id"))
 
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node starts labelled with its own
@@ -551,6 +614,27 @@ object Dedup {
       .select(col("doc_id"),
         simhashFromHashes(col("hs"), bits).as("simhash"))
       .withColumn("n_bits_set", bit_count(col("simhash")))
+  }
+
+  /** SQL-oracle-able twin of the MinHash signature (q156, closing the
+    * LAST un-gated custom-expression math core): the REAL
+    * [[graft.functions.MinHashSig]] single-pass min loop runs in
+    * `portable` mode, whose per-(perm, shingle) hashes are md5-derived
+    * (first 15 hex chars of md5("<p>:<shingle>")) — arithmetic DuckDB
+    * reproduces with a list_min/list_transform lambda per permutation.
+    * Production paths ([[signatures]] → q42/q43/q59) differ ONLY in
+    * using xxhash64 inputs DuckDB lacks; the selection math is shared
+    * code, now hash-gated. Output: doc_id + each signature element as
+    * a scalar column (the driver compare cannot hash array cells). */
+  def minhashPortable(spark: SparkSession, dir: String, k: Int = 3,
+      perms: Int = 8): DataFrame = {
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), k).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.exprs.minhash_sig_portable(col("sh"), perms).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until perms).map(p => element_at(col("sig"), p + 1).as(s"m$p")): _*)
   }
 
   /** SimHash near-dup with HAMMING TOLERANCE: pairs whose `bits`-bit

@@ -74,6 +74,103 @@ object Multimodal {
       }(enc)
   }
 
+  /** Block-intensity PERCEPTUAL HASH of the media payload — the
+    * block-mean-hash family (split the "image" into `blocks` equal
+    * regions, threshold each region's mean intensity against the
+    * global mean, one bit per region): robust to small local edits,
+    * unlike the content md5. The stub decode maps payload bytes →
+    * "pixel" text (UTF-8 — same stub contract as [[fakeDecode]]) and
+    * region intensity = non-space character count (ink density).
+    * Thresholding uses the integer cross-product form
+    * `intensity·blocks > total` (≡ intensity > mean) so the bit is
+    * exact integer arithmetic in any engine — no float mean.
+    * One scan, one bounded explode (`blocks` rows/doc), one grouped
+    * sum: chunking-shaped at any scale. */
+  def perceptualHash(spark: SparkSession, dir: String,
+      blocks: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blocks > 0 && blocks <= 63, "blocks must fit a long's bits")
+    val blk = mediaTable(spark, dir)
+      .select(col("media_id"), decode(col("payload"), "UTF-8").as("txt"))
+      .select(col("media_id"), col("txt"), length(col("txt")).as("n"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("b"))
+      // region b = chars (floor(b·n/blocks), floor((b+1)·n/blocks)]
+      .withColumn("start",
+        floor(col("b") * col("n") / lit(blocks)).cast("int") + 1)
+      .withColumn("blen",
+        floor((col("b") + 1) * col("n") / lit(blocks)).cast("int")
+          - floor(col("b") * col("n") / lit(blocks)).cast("int"))
+      .withColumn("it",
+        length(regexp_replace(col("txt").substr(col("start"), col("blen")),
+          " ", "")).cast("long"))
+    val w = Window.partitionBy(col("media_id"))
+    blk
+      .withColumn("tot", sum(col("it")).over(w))
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("it") * blocks > col("tot"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(lit(0L)))
+        .cast("long").as("phash"))
+  }
+
+  /** Perceptual-hash media NEAR-DUP pairs: [[perceptualHash]] +
+    * pigeonhole hamming banding (the [[Dedup.simhashBandPairs]]
+    * discipline — a pair within hamming ≤ bands−1 must agree exactly
+    * on ≥1 of the `bands` disjoint bit slices, so candidates come
+    * from (band, slice) equi-joins, never all-pairs) + exact
+    * XOR-popcount verify. Fully portable arithmetic end to end —
+    * hash-gated (q157). 32 bits in 4 bands of 8 ⇒ guaranteed recall
+    * for maxDist ≤ 3 with 256-value band keys — a 16-bit hash's
+    * 16-value bands turn into mega-buckets (≈N/16 docs each) on a
+    * large corpus and the candidate join goes quadratic; 8-bit bands
+    * keep expected bucket size at N/256 per band. */
+  def phashNearDup(spark: SparkSession, dir: String, blocks: Int = 32,
+      bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(bands > maxDist, "need bands >= maxDist+1 for pigeonhole recall")
+    require(blocks % bands == 0, "bands must evenly slice the hash bits")
+    val sliceBits = blocks / bands
+    val mask = (1L << sliceBits) - 1
+    val ph = perceptualHash(spark, dir, blocks)
+    val banded = ph.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      // mask BEFORE the int cast: an unmasked high slice of a ≥32-bit
+      // hash overflows INT under ANSI mode
+      .withColumn("bkey",
+        expr(s"CAST(shiftright(phash, $sliceBits * CAST(band AS INT))" +
+          s" & ${mask}L AS INT)"))
+      .select(col("media_id"), col("phash"), col("band"), col("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** CROSS-MODAL retrieval, end to end as ONE query (q158): media →
+    * its embedding (`embeddings` keyed by the same id space) →
+    * fixed-plane LSH probe ([[Similarity.annProbeFixed]]: bucket-
+    * pruned candidates, exact cosine top-k) → back to the media's
+    * byte-level metadata and the document's source/lang. The probe
+    * output is k rows, so the metadata joins broadcast the HIT SET
+    * into the scans — at 100 TB the big tables are never shuffled,
+    * each contributes one pruned probe/lookup. */
+  def crossModalRetrieve(spark: SparkSession, dir: String,
+      queryId: Long = 0L, bits: Int = 6, k: Int = 10): DataFrame = {
+    val hits = Similarity.annProbeFixed(spark, dir, queryId, bits, k)
+      .select(col("vec_id"), col("cos_sim"))
+    val meta = mediaMeta(spark, dir)
+      .select(col("media_id"), col("n_bytes"), col("origin"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    meta.join(broadcast(hits), col("media_id") === col("vec_id"))
+      .join(docs, col("doc_id") === col("media_id"))
+      .select(col("media_id"), col("origin"), col("lang"),
+        col("n_bytes"), col("cos_sim"))
+  }
+
   /** Frame-sample analog: slice the payload into fixed-size "frames"
     * and keep every k-th — pure column expressions over binary. The
     * slicing stays in BINARY the whole way (`substr` on a binary

@@ -266,10 +266,17 @@ object Sampling {
       .agg(sum(col("n_tok")).as("bucket_tokens"))
     val wCum = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // If even the top bucket alone exceeds the budget, the strict
+    // cum<=budget cutoff is NULL and the manifest would silently be
+    // EMPTY — an all-or-nothing edge a caller won't expect. Coalesce
+    // to the max score: the top bucket is always selected (bounded
+    // overshoot), and the manifest is never empty while survivors
+    // exist.
     val cutoff = hist
       .withColumn("cum", sum(col("bucket_tokens")).over(wCum))
-      .filter(col("cum") <= budget)
-      .agg(min(col("score")).as("cutoff"))
+      .agg(coalesce(
+        min(when(col("cum") <= budget, col("score"))),
+        max(col("score"))).as("cutoff"))
     val h = conv(substring(md5(concat(lit(epoch.toString), lit(":"),
       col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
     surv.join(broadcast(cutoff))

@@ -649,13 +649,77 @@ object Similarity {
     * planes (P(p,d) = (3p+2d) mod 7 − 3, exact in doubles) an
     * external engine reproduces verbatim. */
   def lshFixedBuckets(spark: SparkSession, dir: String,
-      bits: Int = 12): DataFrame = {
-    val planes = (0 until bits).map(p => (0 until 64).map(d =>
-      ((p * 3 + d * 2) % 7 - 3).toDouble))
+      bits: Int = 12): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        graft.functions.exprs.lsh_bucket_planes(col("embedding"), planes)
-          .as("bucket"))
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+
+  /** Integer-formula hyperplanes P(p,d) = (3p+2d) mod 7 − 3 (exact in
+    * doubles — the q154 twin formula): externally-reproducible planes
+    * for the REAL [[graft.functions.LshBucket]] expression, shared by
+    * every fixed-plane catalog entry. */
+  def fixedPlanes(bits: Int, dim: Int = 64): Seq[Seq[Double]] =
+    (0 until bits).map(p => (0 until dim).map(d =>
+      ((p * 3 + d * 2) % 7 - 3).toDouble))
+
+  /** [[lshIndexStats]] over FIXED integer-formula planes — the q52
+    * catalog entry's oracle-able form: the bucket-build + occupancy
+    * aggregation (the index-build math) hash-gated end to end; the
+    * production xxhash-seeded planes differ only in plane values and
+    * keep spec + q55/q56 coverage. */
+  def lshIndexStatsFixed(spark: SparkSession, dir: String,
+      bits: Int = 12): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+
+  /** [[annProbe]] over FIXED integer-formula planes (q53): bucket the
+    * corpus with the REAL LshBucket expression, score ONLY the query's
+    * bucket with the REAL CosineSim — the whole probe pipeline
+    * (bucketing math + pruned scoring + top-k tiebreak) hash-gated.
+    * 6 planes ⇒ 64 buckets ⇒ ~corpus/64 vectors scored per probe. */
+  def annProbeFixed(spark: SparkSession, dir: String, queryId: Long = 0L,
+      bits: Int = 6, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+    emb.join(broadcast(query),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[embeddingNearDup]] over FIXED integer-formula planes (q54):
+    * within-bucket pair join + exact cosine threshold, all portable
+    * arithmetic — the near-dup pipeline's bucketing AND verification
+    * math hash-gated. 5 planes ⇒ 32 buckets keeps within-bucket pair
+    * counts at the gate scale's density; the production path derives
+    * bits from corpus size ([[bitsForCorpus]]) and keeps rows-only +
+    * spec coverage via q78-style compositions. */
+  def embeddingNearDupFixed(spark: SparkSession, dir: String,
+      bits: Int = 5, threshold: Double = 0.3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+    val a = emb.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** Symmetric int8 quantization of the embedding column: per-vector

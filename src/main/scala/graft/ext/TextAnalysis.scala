@@ -141,19 +141,21 @@ object TextAnalysis {
     * COUNT over the tf table, not a separate aggregate — a groupBy +
     * self-join would re-run the whole scan+explode subtree for the
     * second branch, doubling the dominant cost), then a bounded
-    * per-doc top-N window. N (corpus size) is a driver-side parquet
-    * metadata count, not a per-row subquery. */
+    * per-doc top-N window. N (corpus size) is a 1-row aggregate
+    * broadcast-cross-joined into the plan — lazy, column-pruned, and
+    * ONE job, not a separate eager count() action. */
   def tfidfTop(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val wDf = Window.partitionBy(col("word"))
     val wTop = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word"))
     tf.withColumn("df", count(lit(1)).over(wDf))
-      .withColumn("score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .join(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= topN)
       .select(col("doc_id"), col("word"),
@@ -173,10 +175,11 @@ object TextAnalysis {
     * full posting explosion); df per term is a WINDOW count over
     * that tiny tf table (the tfidf discipline — a groupBy+join-back
     * would re-run the whole scan+explode subtree for the df branch);
-    * only the scalar avgdl needs a second column-pruned pass (at
-    * 100 TB it ships precomputed from [[tokenStats]] instead). Final
-    * score is one |terms|-bounded sum per matching doc + a global
-    * top-N (TakeOrderedAndProject, no full sort). */
+    * the two scalars (avgdl, N) come from ONE shared second pass —
+    * agg(avg(dl), count(*)) broadcast into the score (at 100 TB they
+    * ship precomputed from [[tokenStats]] instead). Final score is
+    * one |terms|-bounded sum per matching doc + a global top-N
+    * (TakeOrderedAndProject, no full sort). */
   def bm25(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("shuffle", "broadcast", "join"),
       k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
@@ -184,10 +187,10 @@ object TextAnalysis {
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
     val avgdl = docs
       .select(size(tokens(col("text"))).cast("double").as("dl"))
-      .agg(avg(col("dl")).as("avgdl"))
+      .agg(avg(col("dl")).as("avgdl"),
+        count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
@@ -197,9 +200,9 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
     tf.withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
-      .withColumn("idf",
-        log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .join(broadcast(avgdl))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("contrib",
         col("idf") * col("tf") * (k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))

@@ -15,6 +15,14 @@ object exprs {
   def minhash_sig(shingles: Column, perms: Int): Column =
     bridge.column(MinHashSig(bridge.expression(shingles), perms))
 
+  /** [[minhash_sig]] with md5-derived permutation hashes — the
+    * oracle-twin hook (q156): the REAL expression's signature-min
+    * loop runs over per-(perm, shingle) hashes an external engine can
+    * reproduce (first 15 hex chars of md5("<p>:<shingle>")). */
+  def minhash_sig_portable(shingles: Column, perms: Int): Column =
+    bridge.column(MinHashSig(bridge.expression(shingles), perms,
+      portable = true))
+
   /** Set Jaccard |A∩B|/|A∪B| over string arrays, one hash-set pass. */
   def jaccard_sim(a: Column, b: Column): Column =
     bridge.column(JaccardSim(bridge.expression(a), bridge.expression(b)))

@@ -58,14 +58,33 @@ object Reduce {
     big.filter(!contained).unionByName(maybe)
   }
 
+  /** One broadcast Bloom filter per DISTINCT (small-side plan, key,
+    * fpp, expectedItems) and session — repeated bloomSemiJoin /
+    * bloomAntiJoin / curatedDocs(bloomPrefilter) calls reuse it
+    * instead of accumulating broadcast variables for the session's
+    * lifetime. Entries bound to a stopped session are destroyed and
+    * rebuilt (the [[graft.ext.Memo]] discipline, applied to
+    * broadcasts). */
+  // keyed on the canonicalized plan OBJECT, not its toString: plan
+  // rendering truncates (LocalRelation data, long field lists), so two
+  // different small sides can print identically and a string key would
+  // hand one of them the other's filter — a false NEGATIVE, the one
+  // failure a Bloom filter must never have. Structural plan equality
+  // includes the data.
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        String, Double, Long),
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])]
+
   /** Shared probe core: a predicate column that is true iff the small
     * side's Bloom filter reports `key` as a possible member. Builds
     * the filter eagerly (one `stat.bloomFilter` aggregation) and
-    * broadcasts it; key-type dispatch matches what `stat.bloomFilter`
-    * itself supports. NULL keys are never "contained": they fail the
-    * positive predicate and pass its negation — the semantics both
-    * joins need (NULL matches nothing in a semi join and survives an
-    * anti join). */
+    * broadcasts it — memoized via [[bloomCache]]; key-type dispatch
+    * matches what `stat.bloomFilter` itself supports. NULL keys are
+    * never "contained": they fail the positive predicate and pass its
+    * negation — the semantics both joins need (NULL matches nothing
+    * in a semi join and survives an anti join). */
   private def bloomContained(big: DataFrame, small: DataFrame,
       key: String, fpp: Double, expectedItems: Option[Long]): Column = {
     import org.apache.spark.sql.types._
@@ -77,10 +96,25 @@ object Reduce {
     if (!supported) throw new IllegalArgumentException(
       s"bloomSemiJoin key '$key' has unsupported type $keyType " +
         "(integral and string keys only, matching stat.bloomFilter)")
-    val n = math.max(expectedItems.getOrElse(
-      small.select(approx_count_distinct(col(key))).head().getLong(0)), 1L)
-    val bf = small.stat.bloomFilter(key, n, fpp)
-    val bfB = big.sparkSession.sparkContext.broadcast(bf)
+    val spark = big.sparkSession
+    val cacheKey = (small.queryExecution.analyzed.canonicalized,
+      key, fpp, expectedItems.getOrElse(-1L))
+    def destroy(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
+      try b.destroy() catch { case _: Throwable => () }
+    val bfB = bloomCache.get(cacheKey) match {
+      case Some((s, b)) if s eq spark => b
+      case stale =>
+        stale.foreach { case (_, b) => bloomCache.remove(cacheKey); destroy(b) }
+        val n = math.max(expectedItems.getOrElse(
+          small.select(approx_count_distinct(col(key))).head().getLong(0)), 1L)
+        val built = spark.sparkContext.broadcast(
+          small.stat.bloomFilter(key, n, fpp))
+        bloomCache.putIfAbsent(cacheKey, (spark, built)) match {
+          case Some((s, winner)) if s eq spark => destroy(built); winner
+          case Some(_) => bloomCache.update(cacheKey, (spark, built)); built
+          case None => built
+        }
+    }
     keyType match {
       case StringType =>
         val f = udf((k: String) => k != null && bfB.value.mightContainString(k))

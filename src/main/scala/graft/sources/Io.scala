@@ -82,21 +82,19 @@ object Io {
     * untouched — `partitionOverwriteMode=dynamic`, the mechanism
     * behind "reprocess 2024-03-07" on a date-partitioned 100 TB
     * table (static overwrite mode would drop the whole table first).
-    * The conf is set per-write and restored, so the session's
-    * default stays fail-safe static. Re-running the same backfill is
-    * idempotent: the partition is replaced with identical content. */
+    * Dynamic mode is requested as a per-write DataFrameWriter OPTION,
+    * which takes precedence over the session conf and is genuinely
+    * scoped to this write — a concurrent write on the same session
+    * keeps the fail-safe static default (a session-conf toggle would
+    * leak dynamic mode into any write racing the window). Re-running
+    * the same backfill is idempotent: the partition is replaced with
+    * identical content. */
   def overwritePartitions(df: DataFrame, path: String,
       partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "dynamic overwrite needs partition columns")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*).parquet(path)
   }
 
   /** SCHEMA-EVOLVED read: union the schemas of every file in the

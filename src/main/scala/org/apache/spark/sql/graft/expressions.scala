@@ -136,9 +136,22 @@ case class JaccardSim(left: Expression, right: Expression)
 }
 
 /** MinHash signature of a string-array column: for each permutation
-  * p ∈ [0, perms), min over XXH64(shingle bytes, seed = p). Single
-  * pass over the array computes the whole signature. */
-case class MinHashSig(child: Expression, perms: Int)
+  * p ∈ [0, perms), min over h_p(shingle). Single pass over the array
+  * computes the whole signature.
+  *
+  * Two hash families behind the SAME min-selection loop:
+  *  - production (`portable = false`): XXH64(shingle bytes, seed = p)
+  *    — the fast path; its internals are not reproducible in DuckDB,
+  *    so queries built on it carry the rows-only gate.
+  *  - `portable = true`: the first 15 hex chars of
+  *    md5("<p>:<shingle>") parsed base-16 (computed as the digest's
+  *    big-endian first 8 bytes >>> 4 — identical by construction, a
+  *    60-bit non-negative long). DuckDB reproduces it exactly with
+  *    `CAST(('0x' || substr(md5(p||':'||s), 1, 15)) AS BIGINT)`, so
+  *    the REAL signature-min code runs under a full hash gate (q156,
+  *    the q153/q154 verification-twin recipe). */
+case class MinHashSig(child: Expression, perms: Int,
+    portable: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(perms > 0, "perms must be positive")
@@ -147,6 +160,32 @@ case class MinHashSig(child: Expression, perms: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
+
+  // one digest instance per task thread — MessageDigest is stateful
+  // and not thread-safe, and per-call getInstance would dominate the
+  // portable hash's cost
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  @transient private lazy val permPrefixBytes: Array[Array[Byte]] =
+    Array.tabulate(perms)(p =>
+      (p.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def portableHash(s: org.apache.spark.unsafe.types.UTF8String,
+      p: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(permPrefixBytes(p))
+    md.update(s.getBytes)
+    val d = md.digest()
+    // big-endian first 8 bytes >>> 4 == parse of the first 15 hex chars
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -157,7 +196,9 @@ case class MinHashSig(child: Expression, perms: Int)
       val s = arr.getUTF8String(i)
       var p = 0
       while (p < perms) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p.toLong)
+        val h =
+          if (portable) portableHash(s, p)
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p.toLong)
         if (h < sig(p)) sig(p) = h
         p += 1
       }

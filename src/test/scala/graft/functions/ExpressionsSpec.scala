@@ -50,6 +50,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(sigs(1) != sigs(3))
   }
 
+  test("minhash_sig portable family is bit-identical to the md5/conv " +
+      "HOF composition (the q156 oracle arithmetic)") {
+    import spark.implicits._
+    val perms = 8
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("", "unicode 日本語", "x y z")),
+      (3L, Seq("solo"))).toDF("id", "sh")
+    // HOF reference: per perm p, min over conv-parsed first 15 hex
+    // chars of md5("<p>:<shingle>") — exactly what DuckDB computes
+    val hofCols = (0 until perms).map { p =>
+      array_min(transform(col("sh"), s =>
+        conv(substring(md5(concat(lit(s"$p:"), s)), 1, 15), 16, 10)
+          .cast("long"))).as(s"h$p")
+    }
+    val rows = df.select(
+      Seq(exprs.minhash_sig_portable(col("sh"), perms).as("sig")) ++
+        hofCols: _*).collect()
+    rows.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      assert(sig.length == perms)
+      (0 until perms).foreach(p => assert(sig(p) == r.getLong(1 + p)))
+      sig.foreach(v => assert(v >= 0L))  // 60-bit: BIGINT-safe in DuckDB
+    }
+  }
+
   test("minhash_sig similarity estimate tracks jaccard") {
     import spark.implicits._
     // two near-identical shingle sets vs one disjoint

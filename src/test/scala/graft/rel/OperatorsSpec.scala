@@ -567,6 +567,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("bytes_kept") == 64L)
   }
 
+  test("perceptual hash: total, deterministic, 32-bit-bounded; " +
+      "identical texts collide") {
+    val ph = graft.ext.Multimodal.perceptualHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph.size == graft.Tables.documents(spark, sf).count())
+    ph.values.foreach(v => assert(v >= 0L && v < (1L << 32)))
+    // identical texts must collide exactly: assert over EVERY dup
+    // group (sf0.001 may have none — then the collision property is
+    // asserted via determinism below)
+    val byText = graft.Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2).collect()
+      .map(_.getSeq[Long](0))
+    byText.foreach(g => assert(g.map(ph).distinct.size == 1))
+    val ph2 = graft.ext.Multimodal.perceptualHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph == ph2)
+  }
+
+  test("phash near-dup: pairs ordered, hamming verified within " +
+      "maxDist, every exact-dup pair recalled, parity with " +
+      "brute-force hamming join") {
+    val pairs = graft.ext.Multimodal.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+    val ph = graft.ext.Multimodal.perceptualHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pigeonhole guarantee (4 bands, maxDist 3): the banded candidate
+    // set loses NO pair within distance — brute-force over collected
+    // hashes must agree exactly
+    val ids = ph.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      h = java.lang.Long.bitCount(ph(ids(i)) ^ ph(ids(j)))
+      if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    assert(pairs.toSet == brute)
+  }
+
+  test("cross-modal retrieval: probe hits carry aligned media + doc " +
+      "metadata, scores sorted within the probe's top-k contract") {
+    val rows = graft.ext.Multimodal.crossModalRetrieve(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text").cast("binary")).as("nb")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3)))
+      .toMap
+    rows.foreach { r =>
+      val (src, lang, nb) = docs(r.getAs[Long]("media_id"))
+      assert(r.getAs[String]("origin") == src)
+      assert(r.getAs[String]("lang") == lang)
+      assert(r.getAs[Int]("n_bytes") == nb)
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
   test("exact percentiles are ordered p25 <= p50 <= p90 per group") {
     val rows = Relational.percentiles(spark, sf).collect()
     assert(rows.length == 3) // A, N, R
@@ -1015,6 +1073,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total == expected)
     assert(rows.map(_.getAs[Long]("n_docs")).sum ==
       cutoff.map(c => surv.count(_._3 >= c).toLong).getOrElse(0L))
+  }
+
+  test("training manifest: budget below the top bucket still selects it " +
+      "(coalesced cutoff, never silently empty)") {
+    // budget=1: no histogram bucket fits, the strict cum<=budget cutoff
+    // is NULL — the coalesce-to-max-score contract selects exactly the
+    // top-score bucket instead of returning an empty manifest
+    val rows = graft.ext.Sampling.trainingManifest(spark, sf, budget = 1L)
+      .collect()
+    assert(rows.nonEmpty)
+    val surv = TextAnalysis.curatedDocs(spark, sf)
+      .select(col("doc_id"), col("n_tok"),
+        round(col("n_distinct").cast("double") / col("n_tok").cast("double"), 3)
+          .as("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val topScore = surv.map(_._3).max
+    val expectedDocs = surv.count(_._3 >= topScore).toLong
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == expectedDocs)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ==
+      surv.filter(_._3 >= topScore).map(_._2).sum)
   }
 
   test("repetition stats: fractions in range, duplicate-free docs score zero dup") {
