@@ -873,9 +873,14 @@ object SparkEntry {
     "q116_source_rank" ->
       s"""WITH RECURSIVE
          |w AS (SELECT source, $toks AS ws FROM documents),
-         |sh AS (SELECT DISTINCT source,
+         |sh0 AS (SELECT DISTINCT source,
          |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
          |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |sh AS (SELECT source, shingle FROM (
+         |    SELECT source, shingle,
+         |      COUNT(*) OVER (PARTITION BY shingle) AS ns
+         |    FROM sh0)
+         |  WHERE ns <= 4),
          |ov AS (SELECT a.source AS src, b.source AS dst,
          |    CAST(COUNT(*) AS DOUBLE) AS wgt
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle
@@ -1794,9 +1799,14 @@ object SparkEntry {
          |FROM hits h JOIN documents d ON d.doc_id = h.vec_id""".stripMargin,
     "q155_triangles" ->
       s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
-         |sh AS (SELECT DISTINCT source,
+         |sh0 AS (SELECT DISTINCT source,
          |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
          |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |sh AS (SELECT source, shingle FROM (
+         |    SELECT source, shingle,
+         |      COUNT(*) OVER (PARTITION BY shingle) AS ns
+         |    FROM sh0)
+         |  WHERE ns <= 4),
          |e AS (SELECT a.source AS sa, b.source AS sb
          |  FROM sh a JOIN sh b
          |    ON a.shingle = b.shingle AND a.source < b.source

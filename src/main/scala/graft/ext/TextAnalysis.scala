@@ -516,7 +516,7 @@ object TextAnalysis {
     * expression — plain strings so an external engine can reproduce
     * them). Guarded: `sequence(1, k)` RUNS DESCENDING when k < 1, so
     * short docs get an explicit empty array. */
-  private def shingleStrings(n: Int): Column = {
+  private[graft] def shingleStrings(n: Int): Column = {
     val k = size(col("ws")) - lit(n - 1)
     when(k >= 1,
       transform(sequence(lit(1), k), i =>
@@ -652,12 +652,27 @@ object TextAnalysis {
     * sources number in the hundreds, not the billions, so the join
     * fan-out is bounded at any corpus size); the corpus is scanned
     * once per side and reduced to DISTINCT (shingle, source) before
-    * the join. */
-  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    * the join.
+    *
+    * HOT-SHINGLE CAP (`maxSources`): shingles present in more than
+    * `maxSources` sources are dropped BEFORE the self-join. A
+    * near-universal shingle (boilerplate, license headers) carries no
+    * pairwise provenance signal — it votes for every pair equally —
+    * yet contributes sources² join rows apiece; at 100 TB millions of
+    * such shingles are pure skewed waste. The cap is a window count
+    * partitioned on the same shingle key the join shuffles on (the
+    * exchange is reused), and the per-shingle row count is already
+    * ≤ #sources, so the window itself cannot skew. */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 4,
+      maxSources: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = Tables.documents(spark, dir)
       .select(col("source"), tokens(col("text")).as("ws"))
       .select(col("source"), explode(shingleStrings(n)).as("shingle"))
       .distinct()
+      .withColumn("ns",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("ns") <= maxSources)
     val a = sh.select(col("shingle"), col("source").as("source_a"))
     val b = sh.select(col("shingle"), col("source").as("source_b"))
     a.join(b, Seq("shingle"))

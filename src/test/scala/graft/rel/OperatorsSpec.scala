@@ -1711,6 +1711,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap hot-shingle cap: shared counts exclude exactly " +
+      "the shingles present in more than maxSources sources") {
+    val nSources = graft.Tables.documents(spark, sf)
+      .select(col("source")).distinct().count().toInt
+    // cap = nSources is a no-op; cap = 2 keeps only source-pair-unique
+    // shingles — recompute both from the raw shingle-source table
+    val shSrc = graft.Tables.documents(spark, sf)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("source"), explode(TextAnalysis.shingleStrings(4))
+        .as("shingle"))
+      .distinct().collect()
+      .map(r => (r.getString(1), r.getString(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def expected(cap: Int): Map[(String, String), Long] =
+      shSrc.valuesIterator.filter(s => s.size >= 2 && s.size <= cap)
+        .flatMap(s => s.toSeq.sorted.combinations(2).map(c => (c(0), c(1))))
+        .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    Seq(2, nSources).foreach { cap =>
+      val got = TextAnalysis.sourceOverlap(spark, sf, maxSources = cap)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_shared"))
+        .toMap
+      assert(got == expected(cap), s"cap=$cap")
+    }
+  }
+
   test("source triangles: corner credits sum to 3x the triangle count") {
     val rows = TextAnalysis.sourceTriangles(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("degree"),
