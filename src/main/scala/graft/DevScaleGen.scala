@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: synthesize an ~N× scaled copy of an sf directory for the
+  * scaling probe behind BASELINE.md's time-vs-sf table. Output lives
+  * INSIDE the repo (`testdata_sf1/` by default) — `/root/testdata` is
+  * driver-owned and read-only.
+  *
+  * Replication that actually tests scaling: raw duplication would make
+  * every copy of a doc an exact/near dup of every other copy, so
+  * pair-producing queries (near-dup joins, overlap matrices) would
+  * grow QUADRATICALLY in the copy count by construction and any
+  * scaling measurement would be meaningless. Instead:
+  *  - documents: copy c rewrites every token t → "t§c" (a per-copy
+  *    vocabulary bijection). Shingle equality inside a copy is exactly
+  *    the original's (dup groups, near-dup pairs, overlap counts all
+  *    preserved per copy) while cross-copy Jaccard is 0 — pair counts
+  *    scale LINEARLY with copies, like a genuinely bigger corpus.
+  *    n_chars is recomputed from the rewritten text.
+  *  - embeddings: deterministic per-(copy, dim) additive jitter so
+  *    cross-copy vectors are neither identical nor perfectly aligned.
+  *  - orders: key-shifted copies with a tiny deterministic price
+  *    jitter (keeps quantile buckets non-degenerate).
+  * Copy 0 is the unmodified original, so sf1 results remain
+  * comparable to sf0.1's on the shared slice. */
+object DevScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "testdata_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val off = 10000000L
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String)(one: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val all = (0 until copies).map(c => one(base, c)).reduce(_ unionByName _)
+      all.repartition(16).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name x$copies -> $out")
+    }
+
+    replicate("documents") { (df, c) =>
+      val txt =
+        if (c == 0) col("text")
+        else concat_ws(" ",
+          transform(filter(split(col("text"), " "), t => length(t) > 0),
+            t => concat(t, lit("§" + c))))
+      df.select((col("doc_id") + lit(c * off)).as("doc_id"),
+        txt.as("text"), col("lang"), col("source"),
+        length(txt).as("n_chars"))
+    }
+
+    replicate("embeddings") { (df, c) =>
+      val emb =
+        if (c == 0) col("embedding")
+        else zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x.cast("double") +
+            (pmod(lit(c * 31) + i * 17, lit(7)) - lit(3)).cast("double") * 0.01)
+            .cast("float"))
+      df.select((col("vec_id") + lit(c * off)).as("vec_id"),
+        emb.as("embedding"), col("label"))
+    }
+
+    replicate("orders") { (df, c) =>
+      df.select((col("o_orderkey") + lit(c * off)).as("o_orderkey"),
+        (col("o_custkey") + lit(c * off)).as("o_custkey"),
+        col("o_orderstatus"),
+        (col("o_totalprice") + lit(c.toDouble) * 0.013).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }
+
+    spark.stop()
+  }
+}
