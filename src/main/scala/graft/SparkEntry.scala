@@ -104,7 +104,8 @@ object SparkEntry {
     "q100_source_overlap" -> ((s, d) => TextAnalysis.sourceOverlap(s, d)),
     "q101_target_mixture" -> ((s, d) => Sampling.targetMixture(s, d)),
     "q102_nearest_asof"   -> (Relational.nearestAsofJoin _),
-    "q103_curated_neardup" -> ((s, d) => TextAnalysis.curatedCorpusNearDup(s, d)), // rows-only: LSH cluster path hashes with xxhash64
+    "q103_curated_neardup" -> ((s, d) =>
+      TextAnalysis.curatedCorpusNearDup(s, d, portable = true)),
     "q104_repetition"     -> (TextAnalysis.repetitionStats _),
     "q105_trigram_lm"     -> ((s, d) => TextAnalysis.trigramLm(s, d)),
     "q106_temperature_mix" -> ((s, d) => Sampling.temperatureWeights(s, d)),
@@ -176,9 +177,12 @@ object SparkEntry {
     "q47_hash_sample"     -> (Sampling.stratifiedDocs _),
     "q76_train_test"      -> (Sampling.splitCounts _),
     "q48_range_join_binned" -> (Relational.rangeJoinBinned _),
-    "q46_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)), // xxhash64 → rows-only
+    // q44/q46: portable md5 token-hash family through the REAL
+    // SimHash vote loop + raw-slice hamming banding — hash-gated;
+    // the xxhash64 family keeps the banding/pigeonhole specs
+    "q46_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDupPortable(s, d)),
     "q43_jaccard_verify"  -> ((s, d) => Dedup.jaccardVerifyPortable(s, d)),
-    "q44_simhash"         -> (Dedup.simhashDedup _),              // rows-only
+    "q44_simhash"         -> ((s, d) => Dedup.simhashDedupPortable(s, d)),
     // similarity search [ext]
     "q50_cosine_topk"     -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q51_knn_batch"       -> ((s, d) => Similarity.knnBatch(s, d)),
@@ -194,7 +198,8 @@ object SparkEntry {
     "q58_profile"         -> (graft.ext.Profile.lineitemProfile _),
     "q59_lsh_clusters"    -> ((s, d) => Dedup.lshDedupClustersPortable(s, d)),
     "q77_deduped_corpus"  -> ((s, d) => Dedup.dedupedCorpus(s, d)),
-    "q78_fully_deduped"   -> ((s, d) => Dedup.dedupedCorpus(s, d, nearDups = true)), // rows-only
+    "q78_fully_deduped"   -> ((s, d) =>
+      Dedup.dedupedCorpus(s, d, nearDups = true, portable = true)),
     // instructions-MR pipeline (reference core; stub LLM → rows-only).
     // Driver-facing outputs are flattened to sortable scalars (the
     // harness canonicalizes rows via a pandas sort, which cannot hash
@@ -273,6 +278,26 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey
        |    AND a.doc_id < c.doc_id)""".stripMargin
+
+  /** [[portableCandSql]] extended through verify, the recursive-CTE
+    * connected components, and the non-representative id set — the
+    * exclusion list q78/q103 subtract (must run under WITH RECURSIVE). */
+  private val portableNonRepSql: String =
+    s"""$portableCandSql,
+       |ver AS (SELECT c.doc_a, c.doc_b
+       |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+       |              JOIN s sb ON sb.doc_id = c.doc_b
+       |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.7),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM ver
+       |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM ver),
+       |reach(id, lab) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+       |nonrep AS (SELECT id FROM (
+       |  SELECT id, MIN(lab) AS rep FROM reach GROUP BY id) t
+       |  WHERE rep <> id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -639,6 +664,83 @@ object SparkEntry {
          |  UNION
          |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)
          |SELECT id AS doc_id, MIN(lab) AS rep_id FROM reach GROUP BY id""".stripMargin,
+    // q44/q46: the portable simhash family — the q153 vote math over
+    // md5 token hashes, then identical-signature clusters (q44) and
+    // raw-slice hamming banding + XOR-popcount verify (q46)
+    "q44_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |h AS (SELECT doc_id,
+         |    list_transform(ws, w ->
+         |      CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)) AS hs
+         |  FROM t),
+         |s AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 16), i ->
+         |      CASE WHEN list_sum(list_transform(hs, x ->
+         |          CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+         |      AS sh
+         |  FROM h)
+         |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size, sh
+         |FROM s GROUP BY sh HAVING COUNT(*) > 1""".stripMargin,
+    "q46_simhash_near_dup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |h AS (SELECT doc_id,
+         |    list_transform(ws, w ->
+         |      CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT)) AS hs
+         |  FROM t),
+         |s AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 48), i ->
+         |      CASE WHEN list_sum(list_transform(hs, x ->
+         |          CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)
+         |      AS sh
+         |  FROM h),
+         |bnd AS (SELECT doc_id, sh, b,
+         |    CAST((sh >> (12 * CAST(b AS INT))) & 4095 AS INTEGER) AS bkey
+         |  FROM s, UNNEST(range(0, 4)) AS u(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.sh, c.sh)) AS INTEGER) AS hamming
+         |  FROM bnd a JOIN bnd c ON a.b = c.b AND a.bkey = c.bkey
+         |    AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+    // q78/q103: exact-dedup / full-curation survivors minus the
+    // portable pipeline's near-dup non-representatives
+    "q78_fully_deduped" ->
+      s"""WITH RECURSIVE $portableNonRepSql,
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM nonrep n WHERE n.id = d.doc_id)""".stripMargin,
+    "q103_curated_neardup" ->
+      s"""WITH RECURSIVE $portableNonRepSql,
+         |cw AS (SELECT doc_id, source, lang, n_chars,
+         |    $toks AS cws, md5(text) AS txt_md5
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, lang, n_chars, cws, txt_md5,
+         |    CAST(len(cws) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(cws)) AS BIGINT) AS n_distinct
+         |  FROM cw),
+         |dedup AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY txt_md5 ORDER BY doc_id)
+         |      AS dup_rk
+         |  FROM m),
+         |bg AS (SELECT doc_id,
+         |    cws[i]||' '||cws[i+1]||' '||cws[i+2]||' '||cws[i+3] AS shingle
+         |  FROM cw, UNNEST(range(1, len(cws)-2)) AS u(i)),
+         |block AS (SELECT DISTINCT shingle FROM bg WHERE doc_id < 5),
+         |contam AS (SELECT DISTINCT b.doc_id FROM bg b
+         |  WHERE b.doc_id >= 5
+         |    AND b.shingle IN (SELECT shingle FROM block))
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+         |FROM m JOIN dedup USING (doc_id)
+         |WHERE doc_id >= 5 AND dup_rk = 1
+         |  AND n_chars >= 100 AND n_tok >= 20
+         |  AND CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
+         |  AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.doc_id = m.doc_id)
+         |  AND NOT EXISTS (SELECT 1 FROM nonrep WHERE nonrep.id = m.doc_id)
+         |GROUP BY source, lang""".stripMargin,
     // q52/q53/q54: the fixed-plane LSH family over embeddings —
     // bucket build, pruned probe, and within-bucket near-dup verify
     "q52_lsh_index" ->

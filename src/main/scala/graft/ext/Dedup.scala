@@ -49,16 +49,21 @@ object Dedup {
     * ([[lshDedupClusters]] anti-join). Both joins move only ids and
     * digests — the text column rides through untouched projections. */
   def dedupedCorpus(spark: SparkSession, dir: String,
-      nearDups: Boolean = false): DataFrame = {
+      nearDups: Boolean = false, portable: Boolean = false): DataFrame = {
     val survivors = Tables.documents(spark, dir)
       .join(exactDedup(spark, dir).select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "semi")
       .select(col("doc_id"), col("lang"))
     if (!nearDups) survivors
-    else survivors.join(
-      lshDedupClusters(spark, dir).filter(col("rep_id") =!= col("doc_id"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_anti")
+    else {
+      val clusters =
+        if (portable) lshDedupClustersPortable(spark, dir)
+        else lshDedupClusters(spark, dir)
+      survivors.join(
+        clusters.filter(col("rep_id") =!= col("doc_id"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }
   }
 
   /** Incremental exact dedup — the daily-ingest pattern: dedupe a new
@@ -660,7 +665,8 @@ object Dedup {
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   def simhashBandPairs(sigs: DataFrame, bits: Int = 48, bands: Int = 4,
-      maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 256,
+      compressBuckets: Boolean = true): DataFrame = {
     require(bands > maxDist, "need bands >= maxDist+1 for pigeonhole recall")
     require(bits % bands == 0, "bits must divide evenly into bands")
     val w = bits / bands
@@ -670,7 +676,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandSlicePersists.synchronized { bandSlicePersists += sliced }
     val cands = lshCandidatePairs(
-      sliced.select(col("doc_id"), col("sig")), bands, 1, maxBucket)
+      sliced.select(col("doc_id"), col("sig")), bands, 1, maxBucket,
+      compressBuckets)
     cands
       .join(sliced.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sliced.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -678,6 +685,40 @@ object Dedup {
         expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Portable md5-derived token hash: the first `hexChars` hex chars
+    * of md5(token) parsed base-16 — the q153 determinism hash,
+    * width-parameterized (8 hex → 32-bit, 12 hex → 48-bit). */
+  private def md5TokenHash(t: Column, hexChars: Int): Column =
+    conv(substring(md5(t), 1, hexChars), 16, 10).cast("long")
+
+  /** [[simhashNearDup]]'s portable twin (q46): 48-bit signatures from
+    * md5-derived token hashes, band slices kept RAW (no xxhash bucket
+    * compression) — the banding + hamming-verify math hash-gated end
+    * to end; the xxhash64 production family keeps the banding specs. */
+  def simhashNearDupPortable(spark: SparkSession, dir: String,
+      bits: Int = 48, maxDist: Int = 3): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => md5TokenHash(t, 12)).as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th"), bits).as("sh"))
+    simhashBandPairs(sigs, bits, bands = 4, maxDist = maxDist,
+      compressBuckets = false)
+  }
+
+  /** [[simhashDedup]]'s portable twin (q44): identical-signature
+    * clusters over the q153 md5 token-hash family. */
+  def simhashDedupPortable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => md5TokenHash(t, 8)).as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keep_id"))
+      .filter(col("cluster_size") > 1)
+      .select(col("keep_id"), col("cluster_size"), col("sh"))
 
   /** Hamming-tolerant simhash near-dup over the documents corpus
     * (48-bit signature of the token-hash votes, distance ≤ 3). */

@@ -633,8 +633,12 @@ object TextAnalysis {
     * the audit equality: docs dropped vs [[curatedCorpus]] ==
     * gate-surviving non-rep members. */
   def curatedCorpusNearDup(spark: SparkSession, dir: String, n: Int = 4,
-      evalMax: Long = 5L, k: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val nonReps = graft.ext.Dedup.lshDedupClusters(spark, dir, k, threshold)
+      evalMax: Long = 5L, k: Int = 3, threshold: Double = 0.7,
+      portable: Boolean = false): DataFrame = {
+    val clusters =
+      if (portable) graft.ext.Dedup.lshDedupClustersPortable(spark, dir, k, threshold)
+      else graft.ext.Dedup.lshDedupClusters(spark, dir, k, threshold)
+    val nonReps = clusters
       .filter(col("rep_id") =!= col("doc_id"))
       .select(col("doc_id"))
     curatedDocs(spark, dir, n, evalMax)
