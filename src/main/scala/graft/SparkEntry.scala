@@ -160,6 +160,8 @@ object SparkEntry {
     "q156_minhash_portable" -> ((s, d) => Dedup.minhashPortable(s, d)),
     "q157_phash_near_dup" -> ((s, d) => Multimodal.phashNearDup(s, d)),
     "q158_cross_modal"    -> ((s, d) => Multimodal.crossModalRetrieve(s, d)),
+    "q159_scene_changes"  -> ((s, d) => Multimodal.sceneChanges(s, d)),
+    "q160_crossmodal_dedup" -> ((s, d) => Multimodal.crossModalNearDup(s, d)),
     "q155_triangles"      -> ((s, d) => TextAnalysis.sourceTriangles(s, d)),
     "q38_funnel"          -> (Relational.funnelStages _),
     "q49_doc_chunks"      -> ((s, d) => TextAnalysis.chunkDocs(s, d)),
@@ -298,6 +300,31 @@ object SparkEntry {
        |nonrep AS (SELECT id FROM (
        |  SELECT id, MIN(lab) AS rep FROM reach GROUP BY id) t
        |  WHERE rep <> id)""".stripMargin
+
+  /** DuckDB CTE chain shared by q157/q160: block-intensity perceptual
+    * hash (32 blocks, integer cross-product threshold) → 4×8-bit
+    * hamming banding → candidate pairs with exact XOR popcount. */
+  private val phashPairsSql: String =
+    """m AS (SELECT doc_id AS media_id, text AS txt, len(text) AS n
+      |  FROM documents),
+      |blk AS (SELECT media_id, b,
+      |    CAST(len(replace(substring(txt, CAST((b*n)//32 AS INTEGER) + 1,
+      |      CAST(((b+1)*n)//32 - (b*n)//32 AS INTEGER)), ' ', ''))
+      |      AS BIGINT) AS it
+      |  FROM m, UNNEST(range(0, 32)) AS u(b)),
+      |tot AS (SELECT media_id, SUM(it) AS tot FROM blk GROUP BY media_id),
+      |ph AS (SELECT blk.media_id,
+      |    CAST(SUM(CASE WHEN it * 32 > tot
+      |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM blk JOIN tot USING (media_id) GROUP BY blk.media_id),
+      |bnd AS (SELECT media_id, phash, band,
+      |    CAST((phash >> (8 * CAST(band AS INTEGER))) & 255 AS INTEGER) AS bkey
+      |  FROM ph, UNNEST(range(0, 4)) AS u(band)),
+      |pairs AS (SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b,
+      |    CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
+      |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bkey = c.bkey
+      |    AND a.media_id < c.media_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1865,27 +1892,29 @@ object SparkEntry {
     // threshold — no float mean) + pigeonhole hamming banding + exact
     // XOR-popcount verify, portable arithmetic end to end
     "q157_phash_near_dup" ->
-      """WITH m AS (SELECT doc_id AS media_id, text AS txt, len(text) AS n
-        |  FROM documents),
-        |blk AS (SELECT media_id, b,
-        |    CAST(len(replace(substring(txt, CAST((b*n)//32 AS INTEGER) + 1,
-        |      CAST(((b+1)*n)//32 - (b*n)//32 AS INTEGER)), ' ', ''))
-        |      AS BIGINT) AS it
-        |  FROM m, UNNEST(range(0, 32)) AS u(b)),
-        |tot AS (SELECT media_id, SUM(it) AS tot FROM blk GROUP BY media_id),
-        |ph AS (SELECT blk.media_id,
-        |    CAST(SUM(CASE WHEN it * 32 > tot
-        |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END)
-        |      AS BIGINT) AS phash
-        |  FROM blk JOIN tot USING (media_id) GROUP BY blk.media_id),
-        |bnd AS (SELECT media_id, phash, band,
-        |    CAST((phash >> (8 * CAST(band AS INTEGER))) & 255 AS INTEGER) AS bkey
-        |  FROM ph, UNNEST(range(0, 4)) AS u(band)),
-        |pairs AS (SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b,
-        |    CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
-        |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bkey = c.bkey
-        |    AND a.media_id < c.media_id)
-        |SELECT media_a, media_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+      s"""WITH $phashPairsSql
+         |SELECT media_a, media_b, hamming FROM pairs
+         |WHERE hamming <= 3""".stripMargin,
+    // q160: multi-signal media near-dup — the q157 phash pairs
+    // full-outer-joined with the q54 embedding-cosine pairs over the
+    // shared id space, agreeing subset labeled
+    "q160_crossmodal_dedup" ->
+      s"""WITH $phashPairsSql,
+         |pp AS (SELECT media_a AS id_a, media_b AS id_b FROM pairs
+         |  WHERE hamming <= 3),
+         |eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${fixedBucketSql(5)} AS bucket
+         |  FROM embeddings),
+         |ep AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |  WHERE ${cosSql("a.emb", "c.emb")} >= 0.3)
+         |SELECT COALESCE(pp.id_a, ep.id_a) AS id_a,
+         |  COALESCE(pp.id_b, ep.id_b) AS id_b,
+         |  CASE WHEN pp.id_a IS NOT NULL AND ep.id_a IS NOT NULL THEN 'both'
+         |       WHEN pp.id_a IS NOT NULL THEN 'phash'
+         |       ELSE 'cosine' END AS evidence
+         |FROM pp FULL OUTER JOIN ep
+         |  ON pp.id_a = ep.id_a AND pp.id_b = ep.id_b""".stripMargin,
     // q158: cross-modal retrieval — fixed-plane probe (q53's oracle)
     // joined back to media bytes + document metadata
     "q158_cross_modal" ->
@@ -1899,6 +1928,28 @@ object SparkEntry {
          |SELECT h.vec_id AS media_id, d.source AS origin, d.lang,
          |  CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes, h.cos_sim
          |FROM hits h JOIN documents d ON d.doc_id = h.vec_id""".stripMargin,
+    // q159: frame differencing — per-frame non-space intensity, lag
+    // delta, integer-exact boundary predicate 2|Δ| >= max(prev, 1)
+    "q159_scene_changes" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS txt, len(text) AS n
+        |  FROM documents),
+        |fr AS (SELECT media_id, CAST((i - 1) // 64 AS INTEGER) AS frame_no,
+        |    CAST(len(replace(substring(txt, CAST(i AS INTEGER), 64), ' ', ''))
+        |      AS BIGINT) AS it
+        |  FROM m, LATERAL (SELECT unnest(range(1, greatest(n,1)+1, 64)) AS i) gs),
+        |d AS (SELECT media_id, frame_no, it,
+        |    lag(it) OVER (PARTITION BY media_id ORDER BY frame_no) AS prev
+        |  FROM fr),
+        |b AS (SELECT media_id,
+        |    CASE WHEN prev IS NULL THEN 0 ELSE abs(it - prev) END AS delta,
+        |    CASE WHEN prev IS NOT NULL
+        |        AND 2 * abs(it - prev) >= greatest(prev, 1) THEN 1 ELSE 0 END
+        |      AS boundary
+        |  FROM d)
+        |SELECT media_id, COUNT(*) AS n_frames,
+        |  CAST(1 + SUM(boundary) AS BIGINT) AS n_scenes,
+        |  CAST(MAX(delta) AS BIGINT) AS max_delta
+        |FROM b GROUP BY media_id""".stripMargin,
     "q155_triangles" ->
       s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
          |sh0 AS (SELECT DISTINCT source,

@@ -130,7 +130,12 @@ object Multimodal {
     require(blocks % bands == 0, "bands must evenly slice the hash bits")
     val sliceBits = blocks / bands
     val mask = (1L << sliceBits) - 1
+    // persisted: the hash table feeds BOTH sides of the band
+    // self-join — without the barrier the scan+explode+window subtree
+    // runs twice (the re-expansion class PlanAuditSpec guards);
+    // CacheManager dedupes repeated calls on the equal plan
     val ph = perceptualHash(spark, dir, blocks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = ph.select(col("media_id"), col("phash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       // mask BEFORE the int cast: an unmasked high slice of a ≥32-bit
@@ -147,6 +152,42 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** SCENE-CHANGE detection — the video-shot-boundary analog (frame
+    * differencing): split the decoded payload into fixed-size frames,
+    * take per-frame intensity (non-space chars, the q157 stub-decode
+    * convention), and mark a boundary wherever the frame-to-frame
+    * delta is ≥ half the previous frame's intensity — in the exact
+    * integer form `2·|Δ| ≥ max(prev, 1)`, no float ratio, so the
+    * predicate is engine-portable. Per media: frame count, scene
+    * count (boundaries + 1), max delta. One scan, a bounded explode
+    * and ONE per-media ordered window (frames per media are bounded
+    * by payload size — the window never sees the corpus). */
+  def sceneChanges(spark: SparkSession, dir: String,
+      frameChars: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = mediaTable(spark, dir)
+      .select(col("media_id"), decode(col("payload"), "UTF-8").as("txt"))
+      .select(col("media_id"), col("txt"),
+        posexplode(sequence(lit(1), greatest(length(col("txt")), lit(1)),
+          lit(frameChars))).as(Seq("frame_no", "start")))
+      .select(col("media_id"), col("frame_no"),
+        length(regexp_replace(
+          col("txt").substr(col("start"), lit(frameChars)), " ", ""))
+          .cast("long").as("it"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    fr.withColumn("prev", lag(col("it"), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(0L)).otherwise(abs(col("it") - col("prev"))))
+      .withColumn("boundary",
+        when(col("prev").isNotNull &&
+          col("delta") * 2 >= greatest(col("prev"), lit(1L)), 1L)
+          .otherwise(0L))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        (sum(col("boundary")) + 1L).cast("long").as("n_scenes"),
+        max(col("delta")).cast("long").as("max_delta"))
   }
 
   /** CROSS-MODAL retrieval, end to end as ONE query (q158): media →
@@ -169,6 +210,28 @@ object Multimodal {
       .join(docs, col("doc_id") === col("media_id"))
       .select(col("media_id"), col("origin"), col("lang"),
         col("n_bytes"), col("cos_sim"))
+  }
+
+  /** CROSS-MODAL near-dup (q160): the multi-signal form a media dedup
+    * pipeline actually ships — a pair is a near-dup candidate if the
+    * content-side perceptual hashes band together ([[phashNearDup]])
+    * OR the embedding-side cosines clear the threshold
+    * ([[Similarity.embeddingNearDupFixed]]), with the agreeing subset
+    * labeled. Both inputs are the already-hash-gated sub-pipelines
+    * over the SAME id space, full-outer-joined on the pair key — each
+    * leg stays sub-quadratic (banding / bucketing), and the join runs
+    * on the tiny pair sets, not the corpora. */
+  def crossModalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = phashNearDup(spark, dir)
+      .select(col("media_a").as("id_a"), col("media_b").as("id_b"),
+        lit(true).as("ph"))
+    val em = Similarity.embeddingNearDupFixed(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(true).as("em"))
+    ph.join(em, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(col("ph").isNotNull && col("em").isNotNull, "both")
+          .when(col("ph").isNotNull, "phash")
+          .otherwise("cosine").as("evidence"))
   }
 
   /** Frame-sample analog: slice the payload into fixed-size "frames"

@@ -625,6 +625,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("scene changes: per-media frame/scene counts match a driver-side " +
+      "recompute of the frame-differencing arithmetic") {
+    val got = graft.ext.Multimodal.sceneChanges(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_scenes"), r.getAs[Long]("max_delta"))).toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == texts.size)
+    texts.foreach { case (id, txt) =>
+      val frames = txt.grouped(64).toSeq match {
+        case Seq() => Seq("")
+        case fs => fs
+      }
+      val it = frames.map(_.count(_ != ' ').toLong)
+      val deltas = it.sliding(2).collect { case Seq(a, b) => (a, (b - a).abs) }.toSeq
+      val scenes = 1L + deltas.count { case (prev, d) => 2 * d >= math.max(prev, 1L) }
+      val maxDelta = (0L +: deltas.map(_._2)).max
+      val (nf, ns, md) = got(id)
+      assert(nf == it.length.toLong, s"doc $id frames")
+      assert(ns == scenes, s"doc $id scenes")
+      assert(md == maxDelta, s"doc $id max delta")
+      assert(ns >= 1 && ns <= nf)
+    }
+  }
+
+  test("cross-modal near-dup: evidence labels exactly reflect the two " +
+      "source pair sets") {
+    val ph = graft.ext.Multimodal.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val em = graft.ext.Similarity.embeddingNearDupFixed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val combined = graft.ext.Multimodal.crossModalNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(combined.keySet == (ph ++ em))
+    combined.foreach { case (pair, ev) =>
+      val expected =
+        if (ph(pair) && em(pair)) "both" else if (ph(pair)) "phash" else "cosine"
+      assert(ev == expected, s"$pair")
+    }
+  }
+
   test("exact percentiles are ordered p25 <= p50 <= p90 per group") {
     val rows = Relational.percentiles(spark, sf).collect()
     assert(rows.length == 3) // A, N, R
