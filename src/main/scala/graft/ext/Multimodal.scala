@@ -87,10 +87,22 @@ object Multimodal {
     * One scan, one bounded explode (`blocks` rows/doc), one grouped
     * sum: chunking-shaped at any scale. */
   def perceptualHash(spark: SparkSession, dir: String,
-      blocks: Int = 32): DataFrame = {
+      blocks: Int = 32): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_id"),
+        graft.functions.exprs.phash(decode(col("payload"), "UTF-8"), blocks)
+          .as("phash"))
+
+  /** The explode+substr+window COMPOSITION of the perceptual hash —
+    * kept ONLY as the semantics reference the native
+    * [[graft.functions.PHash]] expression is spec'd bit-identical
+    * against (it is also the DuckDB oracle's literal shape). Query
+    * paths use [[perceptualHash]]: one pass, no row explosion, no
+    * per-media window shuffle, and stateless ⇒ stream-safe. */
+  def perceptualHashComposed(media: DataFrame, blocks: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(blocks > 0 && blocks <= 63, "blocks must fit a long's bits")
-    val blk = mediaTable(spark, dir)
+    val blk = media
       .select(col("media_id"), decode(col("payload"), "UTF-8").as("txt"))
       .select(col("media_id"), col("txt"), length(col("txt")).as("n"),
         explode(sequence(lit(0), lit(blocks - 1))).as("b"))

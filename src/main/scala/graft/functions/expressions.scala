@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{bridge, CosineSim, IvfCells, JaccardSim, LshBucket, MinHashSig, SimHash, WordShingles}
+import org.apache.spark.sql.graft.{bridge, CosineSim, IvfCells, JaccardSim, LshBucket, MinHashSig, PHash, SimHash, WordShingles}
 
 /** Public Column API over the native expressions (implementation in
   * org.apache.spark.sql.graft — see that file's scaladoc). */
@@ -50,6 +50,12 @@ object exprs {
     * lambda + slice allocations). */
   def word_shingles(toks: Column, k: Int): Column =
     bridge.column(WordShingles(bridge.expression(toks), k))
+
+  /** Block-intensity perceptual hash of a (decoded-payload) string:
+    * `blocks`-bit signature in one pass, no explode/window — and
+    * stateless, so it runs on streams. */
+  def phash(txt: Column, blocks: Int): Column =
+    bridge.column(PHash(bridge.expression(txt), blocks))
 
   /** IVF cell assignment: the `nProbe` nearest centroid ids (squared
     * L2, nearest first) — one fused k × dim loop per row against a

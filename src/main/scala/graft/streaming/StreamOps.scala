@@ -167,6 +167,46 @@ object StreamOps {
     docs.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("contentHash")
 
+  /** STREAMING MEDIA DEDUP: near-identical media collapse to one
+    * representative within the watermark horizon, keyed on the
+    * block-intensity perceptual hash — the content-robust analog of
+    * digest dedup (a re-encoded / lightly-edited copy keeps its
+    * phash where sha2 diverges on the first byte). The hash is the
+    * native [[graft.functions.PHash]] expression: STATELESS per-row
+    * column math (one pass, no window), which is exactly what makes
+    * the same hash usable here and in batch q157 — and the payload is
+    * dropped before the stateful operator, so dedup state carries one
+    * long per surviving hash, never media bytes. Same bounded-state
+    * contract as [[curationStream]]: first ARRIVAL wins, a duplicate
+    * past the horizon passes through. */
+  def mediaDedupStream(media: DataFrame,
+      watermarkDelay: String = "10 minutes", blocks: Int = 32): DataFrame =
+    media
+      .select(col("media_id"), col("ts"),
+        graft.functions.exprs.phash(decode(col("payload"), "UTF-8"), blocks)
+          .as("phash"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("phash")
+
+  /** Hamming-banded phash projection — [[bandedSimhash]]'s media twin:
+    * (media_id, payload) → one ("band:slice", media_id) row per band.
+    * Stateless, so it chains into [[lshCandidateStream]] unchanged for
+    * streaming media NEAR-dup candidates (pairs within hamming ≤
+    * bands−1 share a band slice — the q157 pigeonhole, on a stream). */
+  def bandedPhash(media: DataFrame, blocks: Int = 32,
+      bands: Int = 4): DataFrame = {
+    require(blocks % bands == 0, "bands must evenly slice the hash bits")
+    val w = blocks / bands
+    val ph = graft.functions.exprs.phash(
+      decode(col("payload"), "UTF-8"), blocks)
+    media
+      .select(col("media_id"), ph.as("ph"))
+      .select(col("media_id"), explode(array((0 until bands).map(b =>
+        concat(lit(s"$b:"),
+          pmod(shiftright(col("ph"), b * w), lit(1L << w)))): _*))
+        .as("bucket"))
+  }
+
   /** EVENT-time TTL dedup — the replay-deterministic twin of
     * `dedupStream(ttl = …)`: state ages by the WATERMARK, not the
     * machine clock, so re-running the same input (backfill, recovery,

@@ -386,6 +386,68 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Block-intensity perceptual hash of a string column (the decoded
+  * media payload): split the text into `blocks` equal code-point
+  * ranges, region intensity = non-space character count, output bit b
+  * set iff `intensity_b · blocks > total` (the integer cross-product
+  * form of "above the mean" — no float arithmetic anywhere, so the
+  * value is bit-reproducible in any engine). ONE pass over the
+  * string's code points replaces the explode(blocks)+substr+window
+  * composition — per-row work identical, but no row explosion and NO
+  * per-media window shuffle, and the expression is stateless so the
+  * SAME hash runs on a stream (graft.streaming.StreamOps media dedup)
+  * and in batch (graft.ext.Multimodal.perceptualHash, q157).
+  *
+  * Block boundaries are code-point ranges (floor(b·n/blocks),
+  * floor((b+1)·n/blocks)] — exactly the substr composition's and the
+  * DuckDB oracle's character arithmetic. */
+case class PHash(child: Expression, blocks: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(blocks > 0 && blocks <= 63, "blocks must fit a long's bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "phash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    // code-point array: Spark's substring/length count code points,
+    // and the hash must agree with that composition exactly
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    val its = new Array[Long](blocks)
+    var b = 0
+    while (b < blocks) {
+      val lo = b.toLong * n / blocks       // exclusive of position lo
+      val hi = (b + 1).toLong * n / blocks // inclusive range end
+      var i = lo.toInt
+      var c = 0L
+      while (i < hi) {
+        if (cps(i) != ' ') c += 1
+        i += 1
+      }
+      its(b) = c
+      b += 1
+    }
+    var tot = 0L
+    b = 0
+    while (b < blocks) { tot += its(b); b += 1 }
+    var out = 0L
+    b = 0
+    while (b < blocks) {
+      if (its(b) * blocks > tot) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PHash =
+    copy(child = newChild)
+}
+
 /** IVF (inverted-file) cell assignment: ids of the `nProbe` nearest
   * centroids — squared L2, nearest first — for an array<float>
   * embedding. The centroid matrix is a plan-time constant (fit

@@ -92,6 +92,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(est(sigs(1), sigs(3)) < 0.2)
   }
 
+  test("native phash is bit-identical to the explode+substr+window " +
+      "composition (incl. unicode, spaces-only, empty)") {
+    import spark.implicits._
+    val payloads = Seq(
+      1L -> "hello world this is a block structured payload with words",
+      2L -> "",
+      3L -> "     ",
+      4L -> ("dense" * 50 + " " * 40 + "tail" * 9),
+      5L -> ("日本語のテキスト と spaces " * 7))
+    val media = payloads.toDF("media_id", "txt")
+      .select(col("media_id"), col("txt").cast("binary").as("payload"))
+    val composed = graft.ext.Multimodal.perceptualHashComposed(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = media
+      .select(col("media_id"),
+        exprs.phash(decode(col("payload"), "UTF-8"), 32).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+    // corpus sweep: the real media table, every row identical
+    val sfMedia = graft.ext.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val c2 = graft.ext.Multimodal.perceptualHashComposed(sfMedia)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n2 = graft.ext.Multimodal
+      .perceptualHash(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n2 == c2)
+  }
+
   test("native jaccard_sim equals the array_intersect/union composition") {
     import spark.implicits._
     val df = Seq(

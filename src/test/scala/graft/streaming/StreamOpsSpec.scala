@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, concat_ws}
+import org.apache.spark.sql.functions.{col, concat_ws, decode}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -280,6 +280,67 @@ class StreamOpsSpec extends AnyFunSuite {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"))).sorted.toSeq
       assert(rows == Seq((1L, 25L), (5L, 25L)),
         s"curation stream let the wrong docs through: $rows")
+    } finally q.stop()
+  }
+
+  test("media dedup stream: near-identical payloads collapse by phash " +
+      "across batches, bytes dropped before the stateful operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Byte], Timestamp)]
+    def ts(s: String) = Timestamp.valueOf(s)
+    def bytes(s: String) = s.getBytes("UTF-8")
+    // a "media" with strong block structure; edit inside ONE block
+    // keeps the same phash (near-identical re-encode), a different
+    // layout hashes apart
+    val a = (("dense" * 20 + " ") * 8 + ("  x " * 30)) * 2
+    val aEdit = a.updated(3, 'X').toString
+    val other = ("  y " * 60) + ("packed" * 40)
+    val out = StreamOps.mediaDedupStream(
+      src.toDS().toDF("media_id", "payload", "ts"))
+    assert(!out.schema.fieldNames.contains("payload")) // hash-only state
+    val q = out.writeStream.format("memory").queryName("media_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData((1L, bytes(a), ts("2024-01-01 10:00:00")),
+        (2L, bytes(other), ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      src.addData((3L, bytes(aEdit), ts("2024-01-01 10:01:00"))) // near-dup of 1
+      q.processAllAvailable()
+      val ids = spark.table("media_dedup").collect()
+        .map(_.getAs[Long]("media_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"media dedup kept: $ids")
+      // sanity: the batch expression agrees the pair collides
+      val ph = Seq((1L, bytes(a)), (3L, bytes(aEdit)))
+        .toDF("media_id", "payload")
+        .select(graft.functions.exprs.phash(
+          decode(col("payload"), "UTF-8"), 32)).collect().map(_.getLong(0))
+      assert(ph(0) == ph(1))
+    } finally q.stop()
+  }
+
+  test("banded phash chains into the candidate stream: near-dup media " +
+      "pair against the bucket anchor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Byte])]
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val a = (("dense" * 20 + " ") * 8 + ("  x " * 30)) * 2
+    val aEdit = a.updated(3, 'X').toString
+    val banded = StreamOps.bandedPhash(
+      src.toDS().toDF("media_id", "payload"))
+      .as[(Long, String)].map { case (id, b) => (b, id) }
+    val out = StreamOps.lshCandidateStream(banded)
+    val q = out.writeStream.format("memory").queryName("media_cands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData((1L, bytes(a)))
+      q.processAllAvailable()
+      src.addData((2L, bytes(aEdit)))
+      q.processAllAvailable()
+      val pairs = spark.table("media_cands").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).distinct.toSeq
+      assert(pairs.contains((1L, 2L)), s"candidates: $pairs")
     } finally q.stop()
   }
 
