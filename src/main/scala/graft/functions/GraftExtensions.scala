@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{CosineSim, JaccardSim, LshBucket, MinHashSig, SimHash, WordShingles}
+import org.apache.spark.sql.graft.{CosineSim, JaccardSim, LshBucket, MinHashSig, PHash, SimHash, WordShingles}
 import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions wiring: exposes the native expressions to
@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 3, "lsh_bucket(embedding, dim, bits)")
         LshBucket(children.head,
           intLit(children(1), "lsh_bucket dim"), intLit(children(2), "lsh_bucket bits"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("phash"),
+      new ExpressionInfo(classOf[PHash].getName, "phash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "phash(text, blocks)")
+        PHash(children.head, intLit(children(1), "phash blocks"))
       }))
     e.injectFunction((
       new FunctionIdentifier("word_shingles"),

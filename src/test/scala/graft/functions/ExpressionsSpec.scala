@@ -235,5 +235,12 @@ class ExpressionsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT cosine_sim_t(a.v, a.v) AS c FROM vt a WHERE a.id = 1").collect()
     assert(math.abs(r.head.getDouble(0) - 1.0) < 1e-12)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "phash_t",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.graft.PHash(children.head, 32), "built-in")
+    val p = spark.sql(
+      "SELECT phash_t('dense dense  gap  dense') AS p").collect()
+    assert(p.head.getLong(0) >= 0L && p.head.getLong(0) < (1L << 32))
   }
 }
