@@ -135,35 +135,27 @@ object Multimodal {
     * for maxDist ≤ 3 with 256-value band keys — a 16-bit hash's
     * 16-value bands turn into mega-buckets (≈N/16 docs each) on a
     * large corpus and the candidate join goes quadratic; 8-bit bands
-    * keep expected bucket size at N/256 per band. */
+    * keep expected bucket size at N/256 per band.
+    *
+    * Delegates to [[Dedup.simhashBandPairs]] (raw slice keys), which
+    * carries the star/salt SKEW GUARD: a mass-duplicate media corpus
+    * (every re-encode perceptually identical — exactly what the sf1
+    * scaling probe synthesizes) piles one band bucket past `maxBucket`
+    * and an unguarded self-join goes quadratic in the duplicate count
+    * (measured 327× pair growth at 10× data); the guard emits
+    * star-plus-salted-clique pairs instead — linear in bucket size,
+    * same recall accounting as the text LSH family. The DuckDB oracle
+    * is the full-clique form, exact while no bucket exceeds the cap
+    * (true at gate scale). */
   def phashNearDup(spark: SparkSession, dir: String, blocks: Int = 32,
-      bands: Int = 4, maxDist: Int = 3): DataFrame = {
-    require(bands > maxDist, "need bands >= maxDist+1 for pigeonhole recall")
+      bands: Int = 4, maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
     require(blocks % bands == 0, "bands must evenly slice the hash bits")
-    val sliceBits = blocks / bands
-    val mask = (1L << sliceBits) - 1
-    // persisted: the hash table feeds BOTH sides of the band
-    // self-join — without the barrier the scan+explode+window subtree
-    // runs twice (the re-expansion class PlanAuditSpec guards);
-    // CacheManager dedupes repeated calls on the equal plan
-    val ph = perceptualHash(spark, dir, blocks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = ph.select(col("media_id"), col("phash"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      // mask BEFORE the int cast: an unmasked high slice of a ≥32-bit
-      // hash overflows INT under ANSI mode
-      .withColumn("bkey",
-        expr(s"CAST(shiftright(phash, $sliceBits * CAST(band AS INT))" +
-          s" & ${mask}L AS INT)"))
-      .select(col("media_id"), col("phash"), col("band"), col("bkey"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("media_a"),
-        col("b.media_id").as("media_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
+    val sigs = perceptualHash(spark, dir, blocks)
+      .select(col("media_id").as("doc_id"), col("phash").as("sh"))
+    Dedup.simhashBandPairs(sigs, blocks, bands, maxDist, maxBucket,
+        compressBuckets = false)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
   }
 
   /** SCENE-CHANGE detection — the video-shot-boundary analog (frame
