@@ -1489,9 +1489,14 @@ object SparkEntry {
         |GROUP BY r.lang, c.n_target""".stripMargin,
     "q100_source_overlap" ->
       s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
-         |sh AS (SELECT DISTINCT source,
+         |sh0 AS (SELECT DISTINCT source,
          |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
-         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i))
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |sh AS (SELECT source, shingle FROM (
+         |    SELECT source, shingle,
+         |      COUNT(*) OVER (PARTITION BY shingle) AS ns
+         |    FROM sh0)
+         |  WHERE ns <= 4)
          |SELECT a.source AS source_a, b.source AS source_b,
          |  COUNT(*) AS n_shared
          |FROM sh a JOIN sh b

@@ -670,10 +670,7 @@ object Similarity {
     * keep spec + q55/q56 coverage. */
   def lshIndexStatsFixed(spark: SparkSession, dir: String,
       bits: Int = 12): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
-          fixedPlanes(bits)).as("bucket"))
+    lshFixedBuckets(spark, dir, bits)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
 

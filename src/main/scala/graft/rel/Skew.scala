@@ -58,24 +58,40 @@ object Reduce {
     big.filter(!contained).unionByName(maybe)
   }
 
-  /** One broadcast Bloom filter per DISTINCT (small-side plan, key,
-    * fpp, expectedItems) and session — repeated bloomSemiJoin /
+  /** One broadcast Bloom filter per DISTINCT (context, small-side
+    * plan, key, fpp, expectedItems) — repeated bloomSemiJoin /
     * bloomAntiJoin / curatedDocs(bloomPrefilter) calls reuse it
     * instead of accumulating broadcast variables for the session's
-    * lifetime. Entries bound to a stopped session are destroyed and
-    * rebuilt (the [[graft.ext.Memo]] discipline, applied to
-    * broadcasts). */
-  // keyed on the canonicalized plan OBJECT, not its toString: plan
-  // rendering truncates (LocalRelation data, long field lists), so two
-  // different small sides can print identically and a string key would
-  // hand one of them the other's filter — a false NEGATIVE, the one
-  // failure a Bloom filter must never have. Structural plan equality
-  // includes the data.
-  private val bloomCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    * lifetime.
+    *
+    * Key discipline:
+    *  - the canonicalized plan OBJECT, not its toString — plan
+    *    rendering truncates (LocalRelation data, long field lists),
+    *    so two different small sides can print identically and a
+    *    string key would hand one of them the other's filter: a false
+    *    NEGATIVE, the one failure a Bloom filter must never have
+    *    (caught live by the property suite). Structural plan equality
+    *    includes the data.
+    *  - the owning SparkContext is part of the key, so two live
+    *    sessions/contexts can never collide on an entry.
+    * Lifecycle discipline: entries are NEVER destroy()ed explicitly —
+    * a returned bloomSemiJoin DataFrame captures the broadcast in its
+    * probe UDF, and destroying it under a live plan fails that plan's
+    * next action. Eviction (stopped-context purge on every access,
+    * LRU bound of [[bloomCacheMax]]) only DROPS the map reference;
+    * Spark's ContextCleaner reclaims the broadcast once no plan
+    * references it, which is the correct collection point. */
+  private val bloomCache = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.SparkContext,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         String, Double, Long),
-      (org.apache.spark.sql.SparkSession,
-        org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])]
+      org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
+  private val bloomCacheMax = 64
+
+  /** Drop every cached filter reference (long-session hygiene — the
+    * [[graft.ext.Dedup.clearCaches]] counterpart; reclamation is the
+    * ContextCleaner's, see [[bloomCache]]). */
+  def clearBloomCache(): Unit = bloomCache.synchronized { bloomCache.clear() }
 
   /** Shared probe core: a predicate column that is true iff the small
     * side's Bloom filter reports `key` as a possible member. Builds
@@ -97,23 +113,34 @@ object Reduce {
       s"bloomSemiJoin key '$key' has unsupported type $keyType " +
         "(integral and string keys only, matching stat.bloomFilter)")
     val spark = big.sparkSession
-    val cacheKey = (small.queryExecution.analyzed.canonicalized,
+    val sc = spark.sparkContext
+    val cacheKey = (sc, small.queryExecution.analyzed.canonicalized,
       key, fpp, expectedItems.getOrElse(-1L))
-    def destroy(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
-      try b.destroy() catch { case _: Throwable => () }
-    val bfB = bloomCache.get(cacheKey) match {
-      case Some((s, b)) if s eq spark => b
-      case stale =>
-        stale.foreach { case (_, b) => bloomCache.remove(cacheKey); destroy(b) }
-        val n = math.max(expectedItems.getOrElse(
-          small.select(approx_count_distinct(col(key))).head().getLong(0)), 1L)
-        val built = spark.sparkContext.broadcast(
-          small.stat.bloomFilter(key, n, fpp))
-        bloomCache.putIfAbsent(cacheKey, (spark, built)) match {
-          case Some((s, winner)) if s eq spark => destroy(built); winner
-          case Some(_) => bloomCache.update(cacheKey, (spark, built)); built
-          case None => built
+    def lookup(): Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] =
+      bloomCache.synchronized {
+        // purge entries whose owning context stopped (their broadcasts
+        // died with it; dropping the reference is all that's needed)
+        bloomCache.filterInPlace { case ((c, _, _, _, _), _) => !c.isStopped }
+        bloomCache.remove(cacheKey).map { b =>
+          bloomCache.put(cacheKey, b) // re-insert = LRU touch
+          b
         }
+      }
+    val bfB = lookup().getOrElse {
+      val n = math.max(expectedItems.getOrElse(
+        small.select(approx_count_distinct(col(key))).head().getLong(0)), 1L)
+      val built = sc.broadcast(small.stat.bloomFilter(key, n, fpp))
+      bloomCache.synchronized {
+        bloomCache.get(cacheKey) match {
+          case Some(winner) => winner // raced: drop `built` to the cleaner
+          case None =>
+            bloomCache.put(cacheKey, built)
+            while (bloomCache.size > bloomCacheMax)
+              bloomCache.remove(bloomCache.head._1) // evict eldest (ref-drop only)
+            built
+        }
+      }
     }
     keyType match {
       case StringType =>

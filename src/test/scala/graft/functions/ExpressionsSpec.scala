@@ -111,11 +111,11 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native == composed)
     // corpus sweep: the real media table, every row identical
-    val sfMedia = graft.ext.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val sfMedia = graft.ext.Multimodal.mediaTable(spark, TestSpark.sf)
     val c2 = graft.ext.Multimodal.perceptualHashComposed(sfMedia)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n2 = graft.ext.Multimodal
-      .perceptualHash(spark, "/root/testdata/sf0.001")
+      .perceptualHash(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(n2 == c2)
   }
