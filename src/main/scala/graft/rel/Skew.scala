@@ -93,6 +93,9 @@ object Reduce {
     * ContextCleaner's, see [[bloomCache]]). */
   def clearBloomCache(): Unit = bloomCache.synchronized { bloomCache.clear() }
 
+  private[rel] def bloomCacheSize: Int =
+    bloomCache.synchronized(bloomCache.size)
+
   /** Shared probe core: a predicate column that is true iff the small
     * side's Bloom filter reports `key` as a possible member. Builds
     * the filter eagerly (one `stat.bloomFilter` aggregation) and

@@ -667,6 +667,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom filter cache: bounded under many distinct small sides, " +
+      "evicted entries rebuild correctly") {
+    import spark.implicits._
+    Reduce.clearBloomCache()
+    val big = (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    // 70 distinct small sides (> the 64-entry LRU bound), each a
+    // different plan -> a different cache key
+    (0 until 70).foreach { i =>
+      val small = Seq(i.toLong, (i + 1).toLong).toDF("k")
+      Reduce.bloomSemiJoin(big, small, "k") // builds + caches eagerly
+    }
+    assert(Reduce.bloomCacheSize <= 64, s"cache grew to ${Reduce.bloomCacheSize}")
+    // key 0 was evicted (eldest); a fresh call must rebuild and stay
+    // exactly the plain semi join
+    val small0 = Seq(0L, 1L).toDF("k")
+    val got = Reduce.bloomSemiJoin(big, small0, "k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 1L))
+    Reduce.clearBloomCache()
+    assert(Reduce.bloomCacheSize == 0)
+  }
+
   test("exact percentiles are ordered p25 <= p50 <= p90 per group") {
     val rows = Relational.percentiles(spark, sf).collect()
     assert(rows.length == 3) // A, N, R
