@@ -254,11 +254,13 @@ object SparkEntry {
        |    6)""".stripMargin
 
   /** DuckDB CTE chain shared by q42/q43/q59: 3-shingles → PORTABLE
-    * 32-perm minhash signatures (md5-derived — the q156 arithmetic) →
-    * 8 bands × 4 rows raw-slice band keys → distinct candidate pairs.
-    * Mirrors signaturesPortable + lshCandidatePairs(compressBuckets =
-    * false); valid while no band bucket exceeds maxBucket (the skew
-    * guard's star/salt branch never fires at gate scale). */
+    * 32-perm minhash signatures (ONE md5 per shingle, then the
+    * universal-hash permutation family ((p+1)·hm + p·40503) mod
+    * (2³¹−1) — the q156 arithmetic) → 8 bands × 4 rows raw-slice band
+    * keys → distinct candidate pairs. Mirrors signaturesPortable +
+    * lshCandidatePairs(compressBuckets = false); valid while no band
+    * bucket exceeds maxBucket (the skew guard's star/salt branch
+    * never fires at gate scale). */
   private val portableCandSql: String =
     s"""w AS (SELECT doc_id, $toks AS ws FROM documents),
        |s AS (SELECT doc_id,
@@ -267,12 +269,17 @@ object SparkEntry {
        |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
        |    END AS sh
        |  FROM w),
+       |hp AS (SELECT doc_id,
+       |    list_transform(sh, x ->
+       |      CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+       |        % 2147483647) AS hs
+       |  FROM s),
        |sig AS (SELECT doc_id,
        |    list_transform(range(0, 32), p ->
-       |      list_min(list_transform(sh, x ->
-       |        CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || x), 1, 15))
-       |          AS BIGINT)))) AS sg
-       |  FROM s),
+       |      list_min(list_transform(hs, v ->
+       |        (((2654435761 * (p + 1)) % 2147483647) * v + p * 40503)
+       |          % 2147483647))) AS sg
+       |  FROM hp),
        |bnd AS (SELECT doc_id, b,
        |    array_to_string(list_transform(range(4*b, 4*b + 4), i ->
        |      CAST(sg[i + 1] AS VARCHAR)), ',') AS bkey
@@ -1873,25 +1880,33 @@ object SparkEntry {
         |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
         |    AS bucket
         |FROM embeddings""".stripMargin,
-    // q156 runs the REAL MinHashSig min-selection loop over portable
-    // md5-derived permutation hashes (first 15 hex chars of
-    // md5("<p>:<shingle>") — 60-bit, no BIGINT overflow); production
-    // minhash paths differ only in their xxhash64 inputs. The last
-    // custom-expression math core, now hash-gated.
+    // q156 runs the REAL MinHashSig min-selection loop over the
+    // portable universal-hash family: ONE md5 per shingle, hm = its
+    // 60-bit prefix mod (2^31-1), permutation hash (a_p*hm + p*40503)
+    // mod (2^31-1) with a_p = (2654435761*(p+1)) mod (2^31-1) —
+    // overflow-free BIGINT arithmetic; production minhash paths
+    // differ only in their xxhash64 inputs. The last custom-
+    // expression math core, hash-gated.
     "q156_minhash_portable" -> {
       val perm = (p: Int) =>
-        s"list_min(list_transform(sh, x -> CAST(('0x' || " +
-          s"substr(md5('$p:' || x), 1, 15)) AS BIGINT))) AS m$p"
+        s"list_min(list_transform(hs, v -> " +
+          s"(${org.apache.spark.sql.graft.MinHashSig.mult(p)} * v + " +
+          s"$p * 40503) % 2147483647)) AS m$p"
       s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
          |s AS (SELECT doc_id,
          |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
          |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
          |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
          |    END AS sh
-         |  FROM w)
+         |  FROM w),
+         |hp AS (SELECT doc_id,
+         |    list_transform(sh, x ->
+         |      CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+         |        % 2147483647) AS hs
+         |  FROM s)
          |SELECT doc_id,
          |  ${(0 until 8).map(perm).mkString(",\n  ")}
-         |FROM s""".stripMargin
+         |FROM hp""".stripMargin
     },
     // q157: block-intensity perceptual hash (integer cross-product
     // threshold — no float mean) + pigeonhole hamming banding + exact

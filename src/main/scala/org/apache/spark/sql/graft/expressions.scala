@@ -143,13 +143,24 @@ case class JaccardSim(left: Expression, right: Expression)
   *  - production (`portable = false`): XXH64(shingle bytes, seed = p)
   *    — the fast path; its internals are not reproducible in DuckDB,
   *    so queries built on it carry the rows-only gate.
-  *  - `portable = true`: the first 15 hex chars of
-  *    md5("<p>:<shingle>") parsed base-16 (computed as the digest's
-  *    big-endian first 8 bytes >>> 4 — identical by construction, a
-  *    60-bit non-negative long). DuckDB reproduces it exactly with
-  *    `CAST(('0x' || substr(md5(p||':'||s), 1, 15)) AS BIGINT)`, so
-  *    the REAL signature-min code runs under a full hash gate (q156,
-  *    the q153/q154 verification-twin recipe). */
+  *  - `portable = true`: ONE md5 per shingle, then the classic
+  *    universal-hash permutation family over its 60-bit prefix —
+  *    hm = (first 15 hex chars of md5(shingle), parsed base-16) mod P
+  *    with P = 2³¹−1, and permutation p's hash is
+  *    (a_p·hm + p·40503) mod P with a_p = (2654435761·(p+1)) mod P
+  *    (Knuth's multiplier — a_p spans the full 31-bit range, so every
+  *    permutation WRAPS and the per-p orderings decorrelate). One
+  *    digest per shingle instead of one per (perm, shingle) — 32×
+  *    fewer md5 calls at perms = 32. Two rejected variants, measured:
+  *    Kirsch–Mitzenmacher h1 + p·h2 (h1's high bits dominate — band
+  *    keys collapse toward single-shingle equality, 5× candidate
+  *    volume) and small multipliers a_p = p+1 (no wrap in the
+  *    small-value range minima live in — the global min-hm shingle
+  *    biases every permutation, 2× candidates). Every step is
+  *    overflow-free BIGINT arithmetic (a_p·hm < 2⁶²), so DuckDB
+  *    reproduces it exactly and the REAL signature-min code runs
+  *    under a full hash gate (q156, the q153/q154 verification-twin
+  *    recipe). */
 case class MinHashSig(child: Expression, perms: Int,
     portable: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -169,22 +180,19 @@ case class MinHashSig(child: Expression, perms: Int,
       override def initialValue(): java.security.MessageDigest =
         java.security.MessageDigest.getInstance("MD5")
     }
-  @transient private lazy val permPrefixBytes: Array[Array[Byte]] =
-    Array.tabulate(perms)(p =>
-      (p.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  private def portableHash(s: org.apache.spark.unsafe.types.UTF8String,
-      p: Int): Long = {
+  /** Portable base hash: ONE md5 of the shingle, big-endian first 8
+    * bytes >>> 4 (= first 15 hex chars, 60 bits) mod [[MinHashSig.P]]. */
+  private def portableBase(
+      s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val md = md5Local.get()
     md.reset()
-    md.update(permPrefixBytes(p))
     md.update(s.getBytes)
     val d = md.digest()
-    // big-endian first 8 bytes >>> 4 == parse of the first 15 hex chars
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v >>> 4
+    (v >>> 4) % MinHashSig.P
   }
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -194,13 +202,22 @@ case class MinHashSig(child: Expression, perms: Int,
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      var p = 0
-      while (p < perms) {
-        val h =
-          if (portable) portableHash(s, p)
-          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p.toLong)
-        if (h < sig(p)) sig(p) = h
-        p += 1
+      if (portable) {
+        val hm = portableBase(s)
+        var p = 0
+        while (p < perms) {
+          val h = (MinHashSig.mult(p) * hm + p * MinHashSig.B) % MinHashSig.P
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+      } else {
+        var p = 0
+        while (p < perms) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, p.toLong)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
       }
       i += 1
     }
@@ -209,6 +226,18 @@ case class MinHashSig(child: Expression, perms: Int,
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Universal-hash modulus (2³¹−1, prime), offset, and multiplier
+    * base of the portable permutation family — public so the in-repo
+    * HOF reference and external oracles name the same numbers. */
+  val P: Long = 2147483647L
+  val B: Long = 40503L
+  val A: Long = 2654435761L
+  /** Permutation p's multiplier: (A·(p+1)) mod P — full-31-bit, so
+    * the permutation wraps and per-p orderings decorrelate. */
+  def mult(p: Int): Long = (A * (p + 1)) % P
 }
 
 /** SimHash of a token-hash (long-array) column: per bit b, sum ±1

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -58,12 +58,17 @@ class ExpressionsSpec extends AnyFunSuite {
       (1L, Seq("a b c", "b c d", "c d e")),
       (2L, Seq("", "unicode 日本語", "x y z")),
       (3L, Seq("solo"))).toDF("id", "sh")
-    // HOF reference: per perm p, min over conv-parsed first 15 hex
-    // chars of md5("<p>:<shingle>") — exactly what DuckDB computes
+    // HOF reference: ONE md5 per shingle, hm = 60-bit prefix mod
+    // (2^31-1), perm hash (a_p*hm + p*40503) mod (2^31-1) — exactly
+    // what the DuckDB oracle computes
+    val P = org.apache.spark.sql.graft.MinHashSig.P
+    val B = org.apache.spark.sql.graft.MinHashSig.B
+    val hm = (s: Column) =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
     val hofCols = (0 until perms).map { p =>
+      val ap = org.apache.spark.sql.graft.MinHashSig.mult(p)
       array_min(transform(col("sh"), s =>
-        conv(substring(md5(concat(lit(s"$p:"), s)), 1, 15), 16, 10)
-          .cast("long"))).as(s"h$p")
+        (lit(ap) * hm(s) + lit(p.toLong) * B) % P)).as(s"h$p")
     }
     val rows = df.select(
       Seq(exprs.minhash_sig_portable(col("sh"), perms).as("sig")) ++
@@ -72,7 +77,7 @@ class ExpressionsSpec extends AnyFunSuite {
       val sig = r.getSeq[Long](0)
       assert(sig.length == perms)
       (0 until perms).foreach(p => assert(sig(p) == r.getLong(1 + p)))
-      sig.foreach(v => assert(v >= 0L))  // 60-bit: BIGINT-safe in DuckDB
+      sig.foreach(v => assert(v >= 0L))  // < 2^61: BIGINT-safe in DuckDB
     }
   }
 
