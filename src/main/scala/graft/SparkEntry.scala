@@ -255,9 +255,10 @@ object SparkEntry {
 
   /** DuckDB CTE chain shared by q42/q43/q59: 3-shingles → PORTABLE
     * 32-perm minhash signatures (ONE md5 per shingle, then the
-    * universal-hash permutation family ((p+1)·hm + p·40503) mod
-    * (2³¹−1) — the q156 arithmetic) → 8 bands × 4 rows raw-slice band
-    * keys → distinct candidate pairs. Mirrors signaturesPortable +
+    * universal-hash permutation family (a_p·hm + p·40503) mod (2³¹−1)
+    * with a_p = (2654435761·(p+1)) mod (2³¹−1) — the q156 arithmetic)
+    * → 8 bands × 4 rows raw-slice band keys → distinct candidate
+    * pairs. Mirrors signaturesPortable +
     * lshCandidatePairs(compressBuckets = false); valid while no band
     * bucket exceeds maxBucket (the skew guard's star/salt branch
     * never fires at gate scale). */

@@ -624,9 +624,11 @@ object Dedup {
   /** SQL-oracle-able twin of the MinHash signature (q156, closing the
     * LAST un-gated custom-expression math core): the REAL
     * [[graft.functions.MinHashSig]] single-pass min loop runs in
-    * `portable` mode, whose per-(perm, shingle) hashes are md5-derived
-    * (first 15 hex chars of md5("<p>:<shingle>")) — arithmetic DuckDB
-    * reproduces with a list_min/list_transform lambda per permutation.
+    * `portable` mode — ONE md5 per shingle, then the universal-hash
+    * permutation family (a_p·hm + p·40503) mod (2³¹−1) with Knuth
+    * multipliers a_p (see the expression's scaladoc) — arithmetic
+    * DuckDB reproduces with a list_min/list_transform lambda per
+    * permutation.
     * Production paths ([[signatures]] → q42/q43/q59) differ ONLY in
     * using xxhash64 inputs DuckDB lacks; the selection math is shared
     * code, now hash-gated. Output: doc_id + each signature element as

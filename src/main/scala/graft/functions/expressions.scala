@@ -15,10 +15,13 @@ object exprs {
   def minhash_sig(shingles: Column, perms: Int): Column =
     bridge.column(MinHashSig(bridge.expression(shingles), perms))
 
-  /** [[minhash_sig]] with md5-derived permutation hashes — the
+  /** [[minhash_sig]] with the portable permutation family — the
     * oracle-twin hook (q156): the REAL expression's signature-min
-    * loop runs over per-(perm, shingle) hashes an external engine can
-    * reproduce (first 15 hex chars of md5("<p>:<shingle>")). */
+    * loop runs over hashes an external engine can reproduce (ONE md5
+    * per shingle, hm = first-15-hex-chars mod 2³¹−1, permutation p's
+    * hash = (a_p·hm + p·40503) mod (2³¹−1) with a_p =
+    * (2654435761·(p+1)) mod (2³¹−1) — see
+    * [[org.apache.spark.sql.graft.MinHashSig]]). */
   def minhash_sig_portable(shingles: Column, perms: Int): Column =
     bridge.column(MinHashSig(bridge.expression(shingles), perms,
       portable = true))

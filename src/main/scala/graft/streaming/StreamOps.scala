@@ -189,8 +189,9 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("phash")
 
   /** Hamming-banded phash projection — [[bandedSimhash]]'s media twin:
-    * (media_id, payload) → one ("band:slice", media_id) row per band.
-    * Stateless, so it chains into [[lshCandidateStream]] unchanged for
+    * (media_id, payload) → one (media_id, bucket = "band:slice") row
+    * per band. Stateless; feed [[lshCandidateStream]] (which takes
+    * (bucket, id) pairs — flip the columns, as the spec does) for
     * streaming media NEAR-dup candidates (pairs within hamming ≤
     * bands−1 share a band slice — the q157 pigeonhole, on a stream). */
   def bandedPhash(media: DataFrame, blocks: Int = 32,

@@ -181,6 +181,10 @@ case class MinHashSig(child: Expression, perms: Int,
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  // permutation multipliers hoisted off the (shingle × perm) hot loop
+  @transient private lazy val mults: Array[Long] =
+    Array.tabulate(perms)(MinHashSig.mult)
+
   /** Portable base hash: ONE md5 of the shingle, big-endian first 8
     * bytes >>> 4 (= first 15 hex chars, 60 bits) mod [[MinHashSig.P]]. */
   private def portableBase(
@@ -206,7 +210,7 @@ case class MinHashSig(child: Expression, perms: Int,
         val hm = portableBase(s)
         var p = 0
         while (p < perms) {
-          val h = (MinHashSig.mult(p) * hm + p * MinHashSig.B) % MinHashSig.P
+          val h = (mults(p) * hm + p * MinHashSig.B) % MinHashSig.P
           if (h < sig(p)) sig(p) = h
           p += 1
         }
