@@ -144,9 +144,12 @@ object SparkEntry {
     "q139_tpch_q12"       -> ((s, d) => Relational.shipmodePriority(s, d)),
     "q140_tpch_q21"       -> ((s, d) => Relational.waitingSuppliers(s, d)),
     "q141_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
-    "q142_pq_probe"       -> ((s, d) => Similarity.pqProbe(s, d)),     // rows-only: Lloyd-fitted codebooks, recall-spec'd vs exact top-k
-    "q143_pq_stats"       -> ((s, d) => Similarity.pqIndexStats(s, d)), // rows-only: same codebook dependence
-    "q144_ivfpq_probe"    -> ((s, d) => Similarity.ivfPqProbe(s, d)),  // rows-only: codebooks again; ADC-parity + partition-prune specs
+    // q142/q143/q144: hash-gated via dynamicOracleSql — the byte-
+    // stable Lloyd-fitted codebooks are inlined as literals into
+    // generated DuckDB SQL at Verify time (OracleGen)
+    "q142_pq_probe"       -> ((s, d) => Similarity.pqProbe(s, d)),
+    "q143_pq_stats"       -> ((s, d) => Similarity.pqIndexStats(s, d)),
+    "q144_ivfpq_probe"    -> ((s, d) => Similarity.ivfPqProbe(s, d)),
     "q145_perplexity"     -> ((s, d) => TextAnalysis.trigramPerplexity(s, d)),
     "q146_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "q147_quality_score"  -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
@@ -194,8 +197,10 @@ object SparkEntry {
     "q52_lsh_index"       -> ((s, d) => Similarity.lshIndexStatsFixed(s, d)),
     "q53_ann_probe"       -> ((s, d) => Similarity.annProbeFixed(s, d)),
     "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupFixed(s, d)),
-    "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),      // rows-only
-    "q56_ivf_index"       -> ((s, d) => Similarity.ivfIndexStats(s, d)), // rows-only
+    // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
+    // inlined as literals at Verify time — OracleGen)
+    "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
+    "q56_ivf_index"       -> ((s, d) => Similarity.ivfIndexStats(s, d)),
     "q57_quantize"        -> (Similarity.quantizeStats _),
     "q58_profile"         -> (graft.ext.Profile.lineitemProfile _),
     "q59_lsh_clusters"    -> ((s, d) => Dedup.lshDedupClustersPortable(s, d)),
@@ -333,6 +338,14 @@ object SparkEntry {
       |    CAST(bit_count(xor(a.phash, c.phash)) AS INTEGER) AS hamming
       |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bkey = c.bkey
       |    AND a.media_id < c.media_id)""".stripMargin
+
+  /** DATA-DEPENDENT oracles that cannot be static strings: the
+    * fitted-codebook ANN family's SQL embeds the Lloyd-fitted
+    * centroids/codebooks (byte-stable constants of the data dir) as
+    * literals, so it is generated at Verify time for the gate's dir
+    * and merged into oracle_sql.json alongside [[oracleSql]]. */
+  def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    OracleGen.fittedAnnOracles(spark, dir)
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

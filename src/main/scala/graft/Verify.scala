@@ -41,7 +41,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // Data-dependent oracles (fitted-codebook ANN family) are
+    // generated here — after the Spark dumps, against the same dir —
+    // and merged in. A generation failure must not zero the round's
+    // correctness for every OTHER query, so it degrades to the static
+    // map with a loud stderr line (those queries then read as
+    // no_oracle, never as wrong answers).
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle generation failed: $e")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic).filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
