@@ -78,20 +78,21 @@ object Multimodal {
     * block-mean-hash family (split the "image" into `blocks` equal
     * regions, threshold each region's mean intensity against the
     * global mean, one bit per region): robust to small local edits,
-    * unlike the content md5. The stub decode maps payload bytes →
-    * "pixel" text (UTF-8 — same stub contract as [[fakeDecode]]) and
-    * region intensity = non-space character count (ink density).
+    * unlike the content md5. Runs the native [[graft.functions.PHash]]
+    * DIRECTLY ON THE BINARY payload — region intensity = non-0x20 byte
+    * count per byte range, NO charset decode anywhere — so a real
+    * non-UTF8 blob (JPEG, PCM) hashes byte-exactly; on the gate
+    * corpus's pure-ASCII payloads this is bit-identical to the
+    * code-point form (PHashSpec pins both properties), which is why
+    * the character-arithmetic DuckDB oracle keeps matching.
     * Thresholding uses the integer cross-product form
     * `intensity·blocks > total` (≡ intensity > mean) so the bit is
-    * exact integer arithmetic in any engine — no float mean.
-    * One scan, one bounded explode (`blocks` rows/doc), one grouped
-    * sum: chunking-shaped at any scale. */
+    * exact integer arithmetic in any engine — no float mean. */
   def perceptualHash(spark: SparkSession, dir: String,
       blocks: Int = 32): DataFrame =
     mediaTable(spark, dir)
       .select(col("media_id"),
-        graft.functions.exprs.phash(decode(col("payload"), "UTF-8"), blocks)
-          .as("phash"))
+        graft.functions.exprs.phash(col("payload"), blocks).as("phash"))
 
   /** The explode+substr+window COMPOSITION of the perceptual hash —
     * kept ONLY as the semantics reference the native
@@ -167,12 +168,19 @@ object Multimodal {
     * predicate is engine-portable. Per media: frame count, scene
     * count (boundaries + 1), max delta. One scan, a bounded explode
     * and ONE per-media ordered window (frames per media are bounded
-    * by payload size — the window never sees the corpus). */
+    * by payload size — the window never sees the corpus).
+    *
+    * Byte-safety: the payload is decoded as ISO-8859-1, a BIJECTION
+    * byte ↔ code point U+00-U+FF — every blob round-trips exactly, so
+    * the substr/length frame arithmetic IS byte arithmetic (a UTF-8
+    * decode would mangle non-text bytes); on the gate corpus's ASCII
+    * payloads it is also identical to the UTF-8 reading, which keeps
+    * the character-arithmetic oracle matching. */
   def sceneChanges(spark: SparkSession, dir: String,
       frameChars: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fr = mediaTable(spark, dir)
-      .select(col("media_id"), decode(col("payload"), "UTF-8").as("txt"))
+      .select(col("media_id"), decode(col("payload"), "ISO-8859-1").as("txt"))
       .select(col("media_id"), col("txt"),
         posexplode(sequence(lit(1), greatest(length(col("txt")), lit(1)),
           lit(frameChars))).as(Seq("frame_no", "start")))

@@ -54,11 +54,13 @@ object exprs {
   def word_shingles(toks: Column, k: Int): Column =
     bridge.column(WordShingles(bridge.expression(toks), k))
 
-  /** Block-intensity perceptual hash of a (decoded-payload) string:
-    * `blocks`-bit signature in one pass, no explode/window — and
-    * stateless, so it runs on streams. */
-  def phash(txt: Column, blocks: Int): Column =
-    bridge.column(PHash(bridge.expression(txt), blocks))
+  /** Block-intensity perceptual hash: `blocks`-bit signature in one
+    * pass, no explode/window — and stateless, so it runs on streams.
+    * Takes BINARY (raw-byte intensity, no charset decode — the
+    * byte-safe production media path) or STRING (code-point
+    * intensity, the oracle/text shape); the two coincide on ASCII. */
+  def phash(payload: Column, blocks: Int): Column =
+    bridge.column(PHash(bridge.expression(payload), blocks))
 
   /** IVF cell assignment: the `nProbe` nearest centroid ids (squared
     * L2, nearest first) — one fused k × dim loop per row against a

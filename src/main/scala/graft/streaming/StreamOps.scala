@@ -183,8 +183,8 @@ object StreamOps {
       watermarkDelay: String = "10 minutes", blocks: Int = 32): DataFrame =
     media
       .select(col("media_id"), col("ts"),
-        graft.functions.exprs.phash(decode(col("payload"), "UTF-8"), blocks)
-          .as("phash"))
+        // raw-binary phash: no charset decode — byte-safe for real blobs
+        graft.functions.exprs.phash(col("payload"), blocks).as("phash"))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("phash")
 
@@ -198,8 +198,7 @@ object StreamOps {
       bands: Int = 4): DataFrame = {
     require(blocks % bands == 0, "bands must evenly slice the hash bits")
     val w = blocks / bands
-    val ph = graft.functions.exprs.phash(
-      decode(col("payload"), "UTF-8"), blocks)
+    val ph = graft.functions.exprs.phash(col("payload"), blocks)
     media
       .select(col("media_id"), ph.as("ph"))
       .select(col("media_id"), explode(array((0 until bands).map(b =>

@@ -419,38 +419,57 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** Block-intensity perceptual hash of a string column (the decoded
-  * media payload): split the text into `blocks` equal code-point
-  * ranges, region intensity = non-space character count, output bit b
-  * set iff `intensity_b · blocks > total` (the integer cross-product
-  * form of "above the mean" — no float arithmetic anywhere, so the
-  * value is bit-reproducible in any engine). ONE pass over the
-  * string's code points replaces the explode(blocks)+substr+window
+/** Block-intensity perceptual hash of a media payload: split the
+  * input into `blocks` equal ranges, region intensity = non-space
+  * element count, output bit b set iff `intensity_b · blocks > total`
+  * (the integer cross-product form of "above the mean" — no float
+  * arithmetic anywhere, so the value is bit-reproducible in any
+  * engine). ONE pass replaces the explode(blocks)+substr+window
   * composition — per-row work identical, but no row explosion and NO
   * per-media window shuffle, and the expression is stateless so the
   * SAME hash runs on a stream (graft.streaming.StreamOps media dedup)
   * and in batch (graft.ext.Multimodal.perceptualHash, q157).
   *
-  * Block boundaries are code-point ranges (floor(b·n/blocks),
-  * floor((b+1)·n/blocks)] — exactly the substr composition's and the
-  * DuckDB oracle's character arithmetic. */
+  * TWO input forms:
+  *  - BINARY (the production media path): intensity over RAW BYTES —
+  *    non-0x20 count per byte range — with NO charset decode anywhere,
+  *    so an arbitrary blob (JPEG, PCM, anything non-UTF8) hashes
+  *    byte-exactly. Block boundaries are byte ranges.
+  *  - STRING (the text stand-in / oracle shape): intensity over code
+  *    points, boundaries as code-point ranges (floor(b·n/blocks),
+  *    floor((b+1)·n/blocks)] — exactly the substr composition's and
+  *    the DuckDB oracle's character arithmetic.
+  * On pure-ASCII payloads (one byte per code point — the gate corpus)
+  * the two forms coincide bit-for-bit; PHashSpec pins both that
+  * coincidence and the binary form's stability on non-UTF8 bytes that
+  * a UTF-8 decode would mangle. */
 case class PHash(child: Expression, blocks: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(blocks > 0 && blocks <= 63, "blocks must fit a long's bits")
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(StringType, BinaryType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "phash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val str = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString
-    // code-point array: Spark's substring/length count code points,
-    // and the hash must agree with that composition exactly
-    val cps = str.codePoints().toArray
-    val n = cps.length
+  @transient private lazy val isBinary = child.dataType == BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (isBinary) hashBytes(input.asInstanceOf[Array[Byte]])
+    else {
+      // code-point array: Spark's substring/length count code points,
+      // and the hash must agree with that composition exactly
+      val cps = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.codePoints().toArray
+      hashIntensities(cps.length, i => cps(i) != ' ')
+    }
+
+  private def hashBytes(bytes: Array[Byte]): Long =
+    hashIntensities(bytes.length, i => bytes(i) != 0x20)
+
+  private def hashIntensities(n: Int, ink: Int => Boolean): Long = {
     val its = new Array[Long](blocks)
     var b = 0
     while (b < blocks) {
@@ -459,7 +478,7 @@ case class PHash(child: Expression, blocks: Int)
       var i = lo.toInt
       var c = 0L
       while (i < hi) {
-        if (cps(i) != ' ') c += 1
+        if (ink(i)) c += 1
         i += 1
       }
       its(b) = c

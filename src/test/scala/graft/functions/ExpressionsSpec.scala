@@ -125,6 +125,53 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(n2 == c2)
   }
 
+  test("binary phash is byte-exact on non-UTF8 payloads (no decode " +
+      "mangling) and coincides with the string form on ASCII") {
+    import spark.implicits._
+    // raw blobs a UTF-8 decode would mangle: invalid lead bytes
+    // (0xFF/0xFE), bare continuation bytes (0x80), valid multi-byte
+    // sequences (0xC3 0xA9 = é, 2 bytes -> 1 char), interleaved 0x20
+    val blobs = Seq(
+      1L -> (Array.fill(24)(0xFF.toByte) ++ Array.fill(40)(' '.toByte)),
+      2L -> Array.tabulate(97)(i =>
+        if (i % 5 == 0) 0x20.toByte else (0x80 + i % 64).toByte),
+      3L -> (("é" * 20 + " " * 30 + "x" * 10).getBytes("UTF-8")),
+      4L -> Array[Byte](),
+      5L -> Array.fill(16)(0x20.toByte))
+    val media = blobs.toDF("media_id", "payload")
+    def hashes(c: Column): Map[Long, Long] =
+      media.select(col("media_id"), c.as("ph"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bin = hashes(exprs.phash(col("payload"), 32))
+    // ISO-8859-1 is a byte <-> code-point bijection, so the STRING
+    // form over a latin-1 decode IS byte semantics — the reference
+    // the binary fast path must reproduce bit-for-bit
+    val latin1 = hashes(exprs.phash(decode(col("payload"), "ISO-8859-1"), 32))
+    assert(bin == latin1)
+    // the closed wart, demonstrated twice: (a) on invalid bytes a
+    // UTF-8 decode THROWS in Spark 4 (MALFORMED_CHARACTER_CODING) —
+    // the old path wouldn't mangle a real blob, it would kill the job
+    intercept[RuntimeException] { // SparkRuntimeException: MALFORMED_CHARACTER_CODING
+      media.filter(col("media_id") === 1L)
+        .select(exprs.phash(decode(col("payload"), "UTF-8"), 32)).collect()
+    }
+    // (b) on VALID multi-byte UTF-8 it silently collapses the 2-byte
+    // é sequences, shifting block boundaries — a different hash
+    val utf8of3 = media.filter(col("media_id") === 3L)
+      .select(exprs.phash(decode(col("payload"), "UTF-8"), 32).as("ph"))
+      .collect().head.getLong(0)
+    assert(bin(3L) != utf8of3)
+    // ASCII coincidence (the gate-corpus property): byte form ==
+    // code-point form whenever every code point is one byte
+    val ascii = Seq(6L -> "plain ascii payload with  spaces and words")
+      .toDF("media_id", "txt")
+    val a1 = ascii.select(col("media_id"),
+      exprs.phash(col("txt").cast("binary"), 32).as("ph")).collect().head.getLong(1)
+    val a2 = ascii.select(col("media_id"),
+      exprs.phash(col("txt"), 32).as("ph")).collect().head.getLong(1)
+    assert(a1 == a2)
+  }
+
   test("native jaccard_sim equals the array_intersect/union composition") {
     import spark.implicits._
     val df = Seq(
