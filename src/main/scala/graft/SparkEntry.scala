@@ -227,10 +227,17 @@ object SparkEntry {
     "q72_grouped_reduce"  -> (graft.exec.GroupedReduce.bySource _),
     // multimodal [ext]
     "q60_media_meta"      -> (Multimodal.mediaMeta _),
-    "q61_decode_features" -> ((s, d) => {                         // mapPartitions → rows-only
-      import org.apache.spark.sql.functions.{col, to_json}
-      Multimodal.decodeFeatures(s, d).select(col("media_id"),
-        col("width"), col("height"), to_json(col("feature")).as("feature_json"))
+    // q61: the mapPartitions decode path itself, hash-gated — the
+    // stub codec's arithmetic is portable (unsigned-byte weighted
+    // sums; see Multimodal.fakeDecode), so the oracle reproduces it
+    // from the ASCII text chars; DecodeParitySpec pins the column-
+    // math twin bit-equal on arbitrary non-UTF8 payloads too
+    "q61_decode_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, element_at}
+      Multimodal.decodeFeatures(s, d).select(
+        (col("media_id") +: col("width") +: col("height") +:
+          (0 until 8).map(j =>
+            element_at(col("feature"), j + 1).as(s"f$j"))): _*)
     }),
     "q62_frame_sample"    -> ((s, d) => Multimodal.frameSample(s, d)),
   )
@@ -981,6 +988,25 @@ object SparkEntry {
         |  hex(substring(text, 1, 8)) AS magic_hex,
         |  'image/fake' AS mime, source AS origin
         |FROM documents""".stripMargin,
+    // q61: the stub decode's portable arithmetic (unsigned-byte
+    // weighted sums — Multimodal.fakeDecode) over the payload bytes;
+    // the corpus is ASCII so ascii(char at i) IS the byte at i, and
+    // float features go through double division + a FLOAT cast in
+    // BOTH engines (identical double-then-float rounding)
+    "q61_decode_features" -> {
+      val feat = (0 until 8).map(j =>
+        s"""CAST((COALESCE(list_sum(list_transform(range(1, n + 1), p ->
+           |      CASE WHEN (p - 1) % 8 = $j THEN ascii(text[p]) ELSE 0 END)),
+           |    0) % 997) / 997.0 AS FLOAT) AS f$j""".stripMargin).mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id AS media_id, text, len(text) AS n
+         |  FROM documents)
+         |SELECT media_id,
+         |  CAST(64 + (COALESCE(list_sum(list_transform(range(1, n + 1), p ->
+         |      p * ascii(text[p]))), 0) % 1000000007) % 64 AS INTEGER) AS width,
+         |  CAST(64 + n % 64 AS INTEGER) AS height,
+         |  $feat
+         |FROM t""".stripMargin
+    },
     // q62: the kept-frame aggregate depends only on BYTE LENGTHS, so
     // the oracle reproduces the binary slicing arithmetically
     // (fl = min(frameBytes, n - start + 1)) — DuckDB's substring does

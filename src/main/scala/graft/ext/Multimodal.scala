@@ -51,27 +51,80 @@ object Multimodal {
   /** STUB DECODE: a real build would call an image codec here (e.g.
     * javax.imageio / ffmpeg) inside this per-partition loop. The fake
     * derives deterministic "dimensions" and a feature vector from the
-    * bytes so tests are stable offline. */
+    * bytes so tests are stable offline — in PORTABLE arithmetic
+    * (unsigned-byte weighted sums mod small primes; float values via
+    * double division then a float cast, so both engines round
+    * identically), which is what lets the mapPartitions path itself
+    * be DuckDB-hash-gated (q61) and lets [[decodeFeaturesTwinOf]]
+    * reproduce it in pure column math under a parity spec:
+    *  - width  = 64 + (Σ (i+1)·b_i mod 1000000007) mod 64
+    *  - height = 64 + (n mod 64)
+    *  - feature_j = ((Σ_{i ≡ j (mod 8)} b_i) mod 997) / 997.0
+    * with b_i the UNSIGNED byte at 0-based position i. */
   private def fakeDecode(id: Long, payload: Array[Byte]): Row = {
     val n = payload.length
-    val width = 64 + (math.abs(java.util.Arrays.hashCode(payload)) % 64)
-    val height = 64 + (n % 64)
-    val feature = Array.tabulate(8) { i =>
-      (payload.iterator.zipWithIndex.filter(_._2 % 8 == i).map(_._1.toInt).sum % 997) / 997.0f
+    var ws = 0L
+    val sums = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      val b = payload(i) & 0xFF
+      ws += (i + 1).toLong * b
+      sums(i % 8) += b
+      i += 1
     }
+    val width = 64 + ((ws % 1000000007L) % 64).toInt
+    val height = 64 + (n % 64)
+    val feature = Array.tabulate(8)(j => ((sums(j) % 997).toDouble / 997.0).toFloat)
     Row(id, width, height, feature)
   }
 
   /** Decode + feature-extract via mapPartitions: batch shape is
     * one-partition-at-a-time, codec context per partition. */
-  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeFeaturesOf(
+      mediaTable(spark, dir).select(col("media_id"), col("payload")))
+
+  /** The mapPartitions core over any (media_id, payload: binary)
+    * frame — split out so the twin parity is testable on raw
+    * non-UTF8 fixtures (same pattern as [[frameSampleOf]]). */
+  def decodeFeaturesOf(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featSchema)
-    mediaTable(spark, dir)
+    media
       .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         // per-partition "codec" init would go here
         rows.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
       }(enc)
+  }
+
+  /** Column-math TWIN of [[decodeFeatures]] — the same portable
+    * [[fakeDecode]] arithmetic as declarative expressions (latin-1
+    * decode = byte ↔ code-point bijection, so `ascii` per char IS the
+    * unsigned byte). The mapPartitions form stays the production path
+    * (per-partition codec init is the real contract); this twin
+    * exists so DecodeParitySpec can pin the two bit-equal on
+    * arbitrary — including non-UTF8 — payloads, which is what makes
+    * the q61 oracle's character arithmetic a faithful byte oracle. */
+  def decodeFeaturesTwinOf(media: DataFrame): DataFrame = {
+    // one staged char→byte column (never inline an array build inside
+    // the consuming lambdas — the repo-wide HOF staging rule)
+    val staged = media.select(col("media_id"), col("payload"),
+      transform(split(decode(col("payload"), "ISO-8859-1"), ""),
+        c => ascii(c).cast("long")).as("bs"))
+    val ws = aggregate(
+      transform(col("bs"), (b, i) => b * (i.cast("long") + 1L)),
+      lit(0L), (acc, x) => acc + x)
+    val featCols = (0 until 8).map { j =>
+      val s = aggregate(
+        transform(col("bs"), (b, i) => when(i % 8 === j, b).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+      ((s % 997L).cast("double") / 997.0).cast("float").as(s"f$j")
+    }
+    staged.select(
+      (col("media_id") +:
+        (lit(64) + ((ws % 1000000007L) % 64L).cast("int")).as("width") +:
+        (lit(64) + (length(col("payload")) % 64)).cast("int").as("height") +:
+        featCols): _*)
   }
 
   /** Block-intensity PERCEPTUAL HASH of the media payload — the

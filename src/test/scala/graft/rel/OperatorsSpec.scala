@@ -567,6 +567,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("bytes_kept") == 64L)
   }
 
+  test("decode-features: column-math twin is bit-equal to the " +
+      "mapPartitions path (incl. non-UTF8 payloads)") {
+    import spark.implicits._
+    def collectBoth(media: org.apache.spark.sql.DataFrame) = {
+      val mp = graft.ext.Multimodal.decodeFeaturesOf(media).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getSeq[Float](3).toList))).toMap
+      val tw = graft.ext.Multimodal.decodeFeaturesTwinOf(media).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2),
+            (3 until 11).map(r.getFloat).toList))).toMap
+      (mp, tw)
+    }
+    // full 0..255 byte range, empty, all-space, plain ASCII — the
+    // twin's latin-1 char arithmetic must equal unsigned-byte math
+    // on every one (a UTF-8 reading would throw on blob 1)
+    val blobs = Seq(
+      1L -> Array.tabulate(100)(i => ((i * 37 + 128) % 256).toByte),
+      2L -> Array[Byte](),
+      3L -> Array.fill(64)(0x20.toByte),
+      4L -> "ascii payload with words and  spacing".getBytes("UTF-8"))
+    val (mp, tw) = collectBoth(blobs.toDF("media_id", "payload"))
+    assert(mp == tw)
+    // corpus sweep at test scale
+    val media = graft.ext.Multimodal.mediaTable(spark, sf)
+      .select(col("media_id"), col("payload"))
+    val (mpC, twC) = collectBoth(media)
+    assert(mpC == twC)
+  }
+
   test("perceptual hash: total, deterministic, 32-bit-bounded; " +
       "identical texts collide") {
     val ph = graft.ext.Multimodal.perceptualHash(spark, sf).collect()
