@@ -202,10 +202,20 @@ object Multimodal {
     * is the full-clique form, exact while no bucket exceeds the cap
     * (true at gate scale). */
   def phashNearDup(spark: SparkSession, dir: String, blocks: Int = 32,
-      bands: Int = 4, maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
+      bands: Int = 4, maxDist: Int = 3, maxBucket: Int = 256): DataFrame =
+    phashNearDupOf(mediaTable(spark, dir), blocks, bands, maxDist, maxBucket)
+
+  /** The banding core over any (media_id, payload: binary) frame —
+    * split out so PhashSkewGuardSpec can drive a synthetic
+    * mass-duplicate corpus through THIS exact code path and pin the
+    * guard (pair count ≤ n·maxBucket, star connectivity): nothing in
+    * CI would otherwise fail if the call were reverted to an
+    * unguarded bucket self-join. */
+  def phashNearDupOf(media: DataFrame, blocks: Int = 32, bands: Int = 4,
+      maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
     require(blocks % bands == 0, "bands must evenly slice the hash bits")
-    val sigs = perceptualHash(spark, dir, blocks)
-      .select(col("media_id").as("doc_id"), col("phash").as("sh"))
+    val sigs = media.select(col("media_id").as("doc_id"),
+      graft.functions.exprs.phash(col("payload"), blocks).as("sh"))
     Dedup.simhashBandPairs(sigs, blocks, bands, maxDist, maxBucket,
         compressBuckets = false)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),

@@ -567,6 +567,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("bytes_kept") == 64L)
   }
 
+  test("phash near-dup skew guard: a mass-duplicate media corpus " +
+      "emits O(n·maxBucket) pairs (never the n² clique), keeps the " +
+      "duplicate set connected, and leaves small buckets exact") {
+    import spark.implicits._
+    // the sf1 probe's pathology, synthesized: 2000 byte-identical
+    // payloads (every band bucket holds all 2000 — unguarded, the
+    // candidate join is the 2M-pair clique that grew 327× at 10×
+    // data) plus a small 5-copy group that must stay on the exact
+    // clique path
+    val bigN = 2000
+    val a = "dense payload with words and  gaps repeated ".getBytes("UTF-8")
+    val b = "#################### no spaces at all here #".getBytes("UTF-8")
+    val media = ((0 until bigN).map(i => (i.toLong, a)) ++
+      (0 until 5).map(i => ((bigN + i).toLong, b))).toDF("media_id", "payload")
+    // precondition: the two groups are > maxDist apart, so every
+    // emitted pair is within-group by correctness, not by luck
+    val hs = media.select(col("media_id"),
+        graft.functions.exprs.phash(col("payload"), 32).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(bigN.toLong)) > 3)
+    val maxBucket = 64
+    val pairs = graft.ext.Multimodal
+      .phashNearDupOf(media, maxBucket = maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the guard's bound is PER (band, bucket): star (n-1) + salted
+    // sub-cliques of expected size ≤ maxBucket ⇒ ≤ n·maxBucket pairs
+    // per bucket, and salts are band-independent so the union is ≤
+    // bands·n·maxBucket (= 512k here, observed ≈ 240k — linear in n).
+    // The unguarded clique emits n²/2 ≈ 2M distinct pairs and fails
+    // this bound ~4×; at 10× data it fails it ~40×.
+    val bound = 4 * bigN * maxBucket
+    assert(pairs.length <= bound,
+      s"guard bound violated: ${pairs.length} pairs > $bound")
+    assert(pairs.length >= bigN - 1) // at least the star survives
+    // connectivity: every duplicate reaches every other through the
+    // anchor star — one component over the big group
+    val parent = scala.collection.mutable.Map((0 until bigN).map(i => i.toLong -> i.toLong): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.filter(_._1 < bigN).foreach { case (x, y) => parent(find(x)) = find(y) }
+    assert((0 until bigN).map(i => find(i.toLong)).distinct.size == 1)
+    // small bucket stays exact: the 5-copy group emits its full
+    // 10-pair clique, nothing crosses groups
+    val smallPairs = pairs.filter(_._1 >= bigN)
+    assert(smallPairs.length == 10)
+    assert(pairs.forall { case (x, y) => (x < bigN) == (y < bigN) })
+  }
+
   test("decode-features: column-math twin is bit-equal to the " +
       "mapPartitions path (incl. non-UTF8 payloads)") {
     import spark.implicits._
