@@ -2,16 +2,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Per-pass sample summary. Samples are seconds; a NEGATIVE sample
-    * is the failure sentinel a throwing query records. Returns
-    * (min over successful samples, or -1.0 if every pass failed;
-    * failure count). Pure — spec'd without Spark — because a bench
-    * harness that swallows exceptions silently records ~0 s for a
-    * broken query and IMPROVES the total: failures must be counted,
+    * is the failure sentinel a throwing query records (strictly
+    * negative — see [[failureSentinel]]). Returns (min over
+    * successful samples, or -1.0 if every pass failed; failure
+    * count). Pure — spec'd without Spark — because a bench harness
+    * that swallows exceptions silently records ~0 s for a broken
+    * query and IMPROVES the total: failures must be counted,
     * surfaced in the artifact, and excluded from timing stats. */
   def summarize(samples: Seq[Double]): (Double, Int) = {
     val ok = samples.filter(_ >= 0.0)
     (if (ok.nonEmpty) ok.min else -1.0, samples.length - ok.length)
   }
+
+  /** Failure sentinel for a query that threw after `dt` seconds:
+    * sign-encoded so the per-pass artifact arrays stay valid JSON and
+    * still show HOW LONG the failing attempt ran — but clamped
+    * strictly negative, because a hypothetical dt of exactly 0.0
+    * would sign-encode as -0.0, pass [[summarize]]'s `>= 0.0` filter,
+    * and count a failed pass as a 0-second success. */
+  def failureSentinel(dt: Double): Double = -math.max(dt, 1e-9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,7 +72,7 @@ object Bench {
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+      name -> (if (ok) dt else failureSentinel(dt))
     }.toMap
     val passes = (1 to nPasses).map(_ => pass())
     val names = selected.map(_._1)

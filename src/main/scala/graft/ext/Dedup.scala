@@ -194,6 +194,56 @@ object Dedup {
     lshCandidatePairs(signatures(spark, dir, k, bands * rowsPerBand),
       bands, rowsPerBand, maxBucket)
 
+  // --- bucket-cap observability -----------------------------------
+  // Every banded-pair ORACLE (q42/q43/q46/q59/q78/q103/q157/q160) is
+  // the full-clique form, exact only while no (band, bucket) exceeds
+  // maxBucket — past the cap, lshCandidatePairs silently switches
+  // that bucket to star+salt pairs and the hash gate diverges. The
+  // bucket-stats aggregate already computes every bucket's n, so the
+  // cap check rides the SAME action via Dataset.observe (zero extra
+  // jobs, zero per-row cost) and a once-per-session listener prints a
+  // loud warning the moment any bucket crosses the cap: oracle
+  // divergence becomes a named condition in the log, never a mystery
+  // hash mismatch.
+  private val guardObsId = new java.util.concurrent.atomic.AtomicLong()
+  // weak keys: registration is once per session, and a stopped
+  // session must not be pinned in a static set for the JVM's lifetime
+  private val guardListenerSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  private def guardObserved(stats: DataFrame, maxBucket: Int): DataFrame = {
+    val spark = stats.sparkSession
+    if (guardListenerSessions.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("lsh_guard_")) {
+                val cap = name.substring(name.lastIndexOf('_') + 1).toLong
+                val maxN = if (row.isNullAt(0)) 0L else row.getLong(0)
+                if (maxN > cap) System.err.println(
+                  s"[graft] LSH bucket cap exceeded: largest (band,bucket) " +
+                    s"holds $maxN docs > maxBucket=$cap — the skew guard " +
+                    "switched that bucket to star+salt pairs; any " +
+                    "full-clique DuckDB oracle over this query now " +
+                    "DIVERGES by design (raise maxBucket there, or " +
+                    "expect the hash gate to flag it).")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+    // unique per call: a composed query (e.g. q160) may band twice
+    stats.observe(s"lsh_guard_${guardObsId.incrementAndGet()}_$maxBucket",
+      max(col("n")).as("max_bucket_n"))
+  }
+
   /** The banding + bucket-join core over any (doc_id, sig) table —
     * split out so the skew guard is testable on synthetic corpora.
     *
@@ -217,8 +267,10 @@ object Dedup {
     val banded = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val stats = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor"))
+    val stats = guardObserved(
+      banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor")),
+      maxBucket)
     val tagged = banded.join(stats, Seq("band", "bucket"))
     val small = tagged.filter(col("n") <= maxBucket)
       .select(col("band"), col("bucket"), col("doc_id"))
@@ -419,6 +471,17 @@ object Dedup {
       lastSum = s
       it += 1
     }
+    // Loud, not silent: a cluster chain with diameter > maxIter leaves
+    // labels PARTIALLY propagated — correct-looking output, wrong
+    // components — and the recursive-CTE oracles (q59/q78/q103)
+    // compute exact components, so an unconverged exit breaks gate
+    // parity with no other signal. One-hop propagation needs maxIter
+    // ≥ the cluster diameter; raise it (or switch the call site to a
+    // pointer-doubling variant) if this warning ever fires.
+    if (!converged) System.err.println(
+      s"[graft] connectedComponents exited via maxIter=$maxIter WITHOUT " +
+        "converging: labels are partially propagated and component ids " +
+        "are NOT final (oracle parity will break). Raise maxIter.")
     labels
   }
 

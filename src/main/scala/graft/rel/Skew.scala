@@ -90,7 +90,19 @@ object Reduce {
 
   /** Drop every cached filter reference (long-session hygiene — the
     * [[graft.ext.Dedup.clearCaches]] counterpart; reclamation is the
-    * ContextCleaner's, see [[bloomCache]]). */
+    * ContextCleaner's, see [[bloomCache]]).
+    *
+    * CALL THIS AFTER A DATA REFRESH that changes the small side's
+    * CONTENT behind an unchanged plan (e.g. files overwritten under a
+    * memoized path, a view re-pointed): the cache keys on the
+    * canonicalized PLAN, which cannot see file contents, so a stale
+    * entry would keep serving the pre-refresh filter — and a filter
+    * missing newly-added keys produces Bloom false NEGATIVES, the one
+    * failure mode the probe must never have. (Plans that read new
+    * FILE LISTINGS — fresh `spark.read` of a grown directory —
+    * canonicalize differently and miss the cache naturally; it is the
+    * same-listing-new-bytes overwrite that needs the explicit clear,
+    * alongside [[graft.ext.Dedup.clearCaches]] for the same reason.) */
   def clearBloomCache(): Unit = bloomCache.synchronized { bloomCache.clear() }
 
   private[rel] def bloomCacheSize: Int =

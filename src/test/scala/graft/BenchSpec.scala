@@ -27,4 +27,12 @@ class BenchSpec extends AnyFunSuite {
   test("summarize: zero is a valid (successful) sample") {
     assert(Bench.summarize(Seq(0.0, -1.0)) == ((0.0, 1)))
   }
+
+  test("failureSentinel is strictly negative even for dt = 0.0 " +
+      "(a -0.0 sentinel would count as a 0-second success)") {
+    assert(Bench.failureSentinel(0.0) < 0.0)
+    assert(Bench.summarize(Seq(1.5, Bench.failureSentinel(0.0))) == ((1.5, 1)))
+    // normal failures keep their (negated) elapsed time for the artifact
+    assert(Bench.failureSentinel(2.5) == -2.5)
+  }
 }

@@ -372,6 +372,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clique.length == 5 * 4 / 2)
   }
 
+  test("bucket-cap observation rides the banding action and reports " +
+      "the oversized bucket (oracle-divergence signal)") {
+    import spark.implicits._
+    // 10 identical sigs, cap 4: ONE bucket of 10 > maxBucket — the
+    // same condition that silently flips a full-clique oracle to
+    // star+salt pairs; the observed max-bucket metric must surface it
+    // on the SAME action (no extra job) so the divergence is a named
+    // log condition, not a mystery hash mismatch
+    val sig = (0 until 10).map(i => (i.toLong, Array(1L, 2L, 3L, 4L)))
+      .toDF("doc_id", "sig")
+    val pairs = Dedup.lshCandidatePairs(sig, bands = 1, rowsPerBand = 4,
+      maxBucket = 4, compressBuckets = false)
+    pairs.collect()
+    val guard = pairs.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith("lsh_guard_") =>
+        (name.substring(name.lastIndexOf('_') + 1).toLong, row.getLong(0))
+    }
+    assert(guard.contains((4L, 10L))) // cap 4, largest bucket 10
+  }
+
   test("star-guard expansion: components recover transitive identity over capped buckets") {
     import spark.implicits._
     // degenerate corpus: candidate graph is star+salted-subcliques,
