@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{bridge, CosineSim, IvfCells, JaccardSim, LshBucket, MinHashSig, PHash, SimHash, WordShingles}
+import org.apache.spark.sql.graft.{bridge, CosineSim, IvfCells, JaccardSim, LshBucket, MinHashSig, PHash, SimHash, SimHashGen, WordShingles}
 
 /** Public Column API over the native expressions (implementation in
   * org.apache.spark.sql.graft — see that file's scaladoc). */
@@ -31,9 +31,14 @@ object exprs {
     bridge.column(JaccardSim(bridge.expression(a), bridge.expression(b)))
 
   /** SimHash of a long-array (token hashes): `bits`-bit signature,
-    * one pass over the array. */
+    * one pass over the array. GRAFT_SIMHASH_CODEGEN=1 swaps in the
+    * hand-written-codegen twin — the measurement instrument for the
+    * codegen policy A/B (see the expressions.scala header); the
+    * CodegenFallback form is the measured-equal production default. */
   def simhash(hashes: Column, bits: Int): Column =
-    bridge.column(SimHash(bridge.expression(hashes), bits))
+    if (sys.env.get("GRAFT_SIMHASH_CODEGEN").contains("1"))
+      bridge.column(SimHashGen(bridge.expression(hashes), bits))
+    else bridge.column(SimHash(bridge.expression(hashes), bits))
 
   /** Random-hyperplane LSH bucket of an array<float> embedding:
     * `bits` sign bits over a precomputed deterministic hyperplane

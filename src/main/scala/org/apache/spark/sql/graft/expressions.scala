@@ -34,6 +34,14 @@ import org.apache.spark.sql.types._
   * measurable win. All stay inside the enclosing stage's generated
   * code as leaf calls.
   *
+  * MEASURED (r9, DevTime sf0.1, warm min of 7 reps, [[SimHashGen]] vs
+  * [[SimHash]] via GRAFT_SIMHASH_CODEGEN=1): q44 0.40 s vs 0.40 s —
+  * identical; q46 0.95 s (fallback) vs 1.31 s (codegen) — the
+  * hand-written codegen was consistently ~35% SLOWER on the banded
+  * self-join (inlining the vote loop bloats the stage's generated
+  * method where the fallback keeps it a compact JVM-JIT'd leaf call).
+  * The fallback policy stands on evidence, not an argument.
+  *
   * All are deterministic pure functions, so results stay
   * reproducible across partitionings and retries.
   */
@@ -263,8 +271,18 @@ case class SimHash(child: Expression, bits: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashImpl.hash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** The vote loop shared by [[SimHash]] (CodegenFallback, the
+  * production form) and [[SimHashGen]] (hand-written codegen, the
+  * policy's A/B instrument). */
+private[graft] object SimHashImpl {
+  def hash(arr: ArrayData, bits: Int): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](bits)
     var i = 0
@@ -287,8 +305,58 @@ case class SimHash(child: Expression, bits: Int)
     while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
     out
   }
+}
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash =
+/** [[SimHash]] with hand-written `doGenCode` — the measurement
+  * instrument behind the header's codegen policy: routing the q44/q46
+  * family through this (GRAFT_SIMHASH_CODEGEN=1, see
+  * graft.functions.exprs.simhash) vs the CodegenFallback form
+  * measures what one boxed call per row actually costs next to the
+  * row's |hashes| × bits vote work. Generated code is the same loop
+  * as [[SimHashImpl.hash]] over the UnsafeArrayData accessors;
+  * ExpressionsSpec pins the two forms bit-identical (incl. null
+  * elements). */
+case class SimHashGen(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_gen"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashImpl.hash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+         |int[] $votes = new int[$bits];
+         |final int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) {
+         |    for (int $b = 0; $b < $bits; $b++) $votes[$b] -= 1;
+         |  } else {
+         |    final long $h = $c.getLong($i);
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($votes[$b] > 0) ${ev.value} |= 1L << $b;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashGen =
     copy(child = newChild)
 }
 

@@ -125,6 +125,24 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(n2 == c2)
   }
 
+  test("SimHashGen (codegen A/B instrument) is bit-identical to the " +
+      "CodegenFallback SimHash, incl. null elements and empty arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{SimHash, SimHashGen, bridge}
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](7L, -3L, Long.MaxValue, Long.MinValue)),
+      (2L, Seq[java.lang.Long](null, 0L, null)),
+      (3L, Seq.empty[java.lang.Long]),
+      (4L, (0 until 300).map(i => java.lang.Long.valueOf(i * 2654435761L))))
+    val df = rows.toDF("id", "hs")
+    def vals(mk: org.apache.spark.sql.Column): Map[Long, Long] =
+      df.select(col("id"), mk.as("s")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fb = vals(bridge.column(SimHash(bridge.expression(col("hs")), 48)))
+    val cg = vals(bridge.column(SimHashGen(bridge.expression(col("hs")), 48)))
+    assert(fb == cg)
+  }
+
   test("binary phash is byte-exact on non-UTF8 payloads (no decode " +
       "mangling) and coincides with the string form on ASCII") {
     import spark.implicits._
