@@ -197,6 +197,7 @@ object SparkEntry {
     "q52_lsh_index"       -> ((s, d) => Similarity.lshIndexStatsFixed(s, d)),
     "q53_ann_probe"       -> ((s, d) => Similarity.annProbeFixed(s, d)),
     "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupFixed(s, d)),
+    "q162_multiprobe_lsh" -> ((s, d) => Similarity.multiProbeLsh(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -819,6 +820,20 @@ object SparkEntry {
          |  ${cosSql("a.emb", "c.emb")} AS cos_sim
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |WHERE ${cosSql("a.emb", "c.emb")} >= 0.3""".stripMargin,
+    // q162: multi-probe LSH — the query's bucket plus every 1-flip
+    // neighbor (bits+1 buckets), exact cosine within the probed set
+    "q162_multiprobe_lsh" ->
+      s"""WITH b AS (SELECT vec_id, label,
+         |    CAST(embedding AS DOUBLE[]) AS emb, ${fixedBucketSql(6)} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),
+         |nb AS (SELECT list_prepend(q_bucket,
+         |    list_transform(range(0, 6), p ->
+         |      xor(q_bucket, (CAST(1 AS BIGINT) << CAST(p AS INTEGER))))) AS bks
+         |  FROM q)
+         |SELECT vec_id, label, ${cosSql("emb", "q_emb")} AS cos_sim
+         |FROM b, q, nb WHERE list_contains(nb.bks, b.bucket) AND vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE
          |d AS (SELECT doc_id, list_distinct($toks) AS tok

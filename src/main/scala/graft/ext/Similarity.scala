@@ -695,6 +695,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** MULTI-PROBE LSH (q162): the standard recall booster for
+    * sign-bucket LSH — instead of raising bits (more buckets, less
+    * recall) or lowering bits (bigger scans), the query probes its
+    * OWN bucket plus every bucket at Hamming distance 1 (one sign
+    * flip): `bits`+1 buckets out of 2^bits, so the scan stays
+    * ~(bits+1)/2^bits of the corpus while recall approaches the
+    * 1-bit-error mass of the sign distribution (Lv et al., VLDB'07,
+    * "Multi-Probe LSH"). Runs the REAL LshBucket expression over the
+    * q154 fixed integer planes so the whole probe — bucketing math,
+    * neighbor-bucket enumeration, pruned exact-cosine scoring, top-k
+    * tiebreak — is hash-gated; at scale the bucket list is a literal
+    * IN-list over the partitioned index table (partition-pruned, the
+    * [[lshProbeMaterialized]] shape). */
+  def multiProbeLsh(spark: SparkSession, dir: String, queryId: Long = 0L,
+      bits: Int = 6, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        array((lit(0L) +: (0 until bits).map(b => lit(1L << b))): _*)
+          .as("flips"))
+      .select(col("q_emb"),
+        transform(col("flips"), f =>
+          graft.functions.exprs.lsh_bucket_planes(col("q_emb"),
+            fixedPlanes(bits)).bitwiseXOR(f)).as("q_buckets"))
+    emb.join(broadcast(query),
+        array_contains(col("q_buckets"), col("bucket")) &&
+          col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** [[embeddingNearDup]] over FIXED integer-formula planes (q54):
     * within-bucket pair join + exact cosine threshold, all portable
     * arithmetic — the near-dup pipeline's bucketing AND verification

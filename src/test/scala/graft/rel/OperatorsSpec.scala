@@ -221,6 +221,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(probe.forall(r => r.getAs[Double]("cos_sim") <= 1.0))
   }
 
+  test("multi-probe LSH: recall vs exact top-k dominates the " +
+      "single-bucket probe, and every hit lies in a probed bucket") {
+    val k = 10
+    val exact = Similarity.cosineTopK(spark, sf, k = k).collect()
+      .map(_.getLong(0)).toSet
+    val single = Similarity.annProbeFixed(spark, sf, bits = 6, k = k)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.multiProbeLsh(spark, sf, bits = 6, k = k)
+      .collect().map(_.getLong(0)).toSet
+    // 1-flip probing can only ADD candidates: recall is monotone
+    assert((exact & multi).size >= (exact & single).size)
+    // hits really come from the probed buckets (bucket ∈ {q, q^2^p})
+    val buckets = Similarity.lshFixedBuckets(spark, sf, bits = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qb = buckets(0L)
+    val probed = (Set(qb) ++ (0 until 6).map(p => qb ^ (1L << p))).toSet
+    assert(multi.forall(id => probed.contains(buckets(id))))
+  }
+
   test("materialized LSH index probe is partition-pruned and matches in-session probe") {
     val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
     Similarity.writeLshIndex(spark, sf, idx, bits = 6)
