@@ -143,6 +143,12 @@ object SparkEntry {
     "q138_tpch_q15"       -> ((s, d) => Relational.topSupplier(s, d)),
     "q139_tpch_q12"       -> ((s, d) => Relational.shipmodePriority(s, d)),
     "q140_tpch_q21"       -> ((s, d) => Relational.waitingSuppliers(s, d)),
+    // q161/q163-q165 complete the 22-query TPC-H suite (adapted to
+    // this schema's derived part-supplier relation — no partsupp)
+    "q161_tpch_q2"        -> ((s, d) => Relational.minCostSupplier(s, d)),
+    "q163_tpch_q11"       -> ((s, d) => Relational.importantParts(s, d)),
+    "q164_tpch_q16"       -> ((s, d) => Relational.supplierCounts(s, d)),
+    "q165_tpch_q20"       -> ((s, d) => Relational.dominantSuppliers(s, d)),
     "q141_bm25"           -> ((s, d) => TextAnalysis.bm25(s, d)),
     // q142/q143/q144: hash-gated via dynamicOracleSql — the byte-
     // stable Lloyd-fitted codebooks are inlined as literals into
@@ -305,7 +311,10 @@ object SparkEntry {
   /** [[portableCandSql]] extended through verify, the recursive-CTE
     * connected components, and the non-representative id set — the
     * exclusion list q78/q103 subtract (must run under WITH RECURSIVE). */
-  private val portableNonRepSql: String =
+  /** [[portableCandSql]] extended through jaccard verify and the
+    * recursive-CTE connected components (`reach`) — the shared stem
+    * of q59/q78/q103/q168 (must run under WITH RECURSIVE). */
+  private val portableCompSql: String =
     s"""$portableCandSql,
        |ver AS (SELECT c.doc_a, c.doc_b
        |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
@@ -317,7 +326,10 @@ object SparkEntry {
        |reach(id, lab) AS (
        |  SELECT a, a FROM edges
        |  UNION
-       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)""".stripMargin
+
+  private val portableNonRepSql: String =
+    s"""$portableCompSql,
        |nonrep AS (SELECT id FROM (
        |  SELECT id, MIN(lab) AS rep FROM reach GROUP BY id) t
        |  WHERE rep <> id)""".stripMargin
@@ -1682,6 +1694,77 @@ object SparkEntry {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+    // q161: TPC-H Q2 adapted — supplycost(part, supp) =
+    // MIN(l_extendedprice / l_quantity) from lineitem (no partsupp);
+    // correlated MIN over the region-filtered suppliers; unique
+    // (p_partkey, s_name) tiebreak makes the LIMIT deterministic
+    "q161_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS supplycost
+        |  FROM lineitem GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT partkey, suppkey, supplycost, s_acctbal, s_name, n_name
+        |  FROM ps, supplier, nation, region
+        |  WHERE suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, partkey AS p_partkey,
+        |  p_type, supplycost
+        |FROM rs JOIN part ON partkey = p_partkey
+        |WHERE p_size <= 10 AND p_type = 'SMALL'
+        |  AND supplycost = (SELECT MIN(supplycost) FROM rs r2
+        |                    WHERE r2.partkey = rs.partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // q163: TPC-H Q11 adapted — value(part) = decimal SUM of
+    // l_extendedprice through one nation's suppliers; scalar
+    // threshold = frac × grand total, both decimal-summed so the
+    // comparison is bit-identical across engines
+    "q163_tpch_q11" ->
+      s"""WITH sv AS (
+         |  SELECT l_partkey AS partkey,
+         |    ${dsumSql("l_extendedprice")} AS value
+         |  FROM lineitem, supplier, nation
+         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_7'
+         |  GROUP BY 1)
+         |SELECT partkey, value FROM sv
+         |WHERE value > (SELECT 0.0015 * ${dsumSql("value")} FROM sv)""".stripMargin,
+    // q164: TPC-H Q16 adapted — distinct suppliers per
+    // (brand, type, size) from lineitem pairs; "complaints" =
+    // s_acctbal < 0, excluded via NOT EXISTS (no NOT IN)
+    "q164_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // q165: TPC-H Q20 adapted — "excess stock" = shipped > 0.5 of
+    // the part's 1996 total (nested aggregate subquery); quantities
+    // decimal-summed; the part-name filter is inside the EXISTS but
+    // per-part totals are unaffected by it, matching the Spark
+    // plan's pushed-down form
+    "q165_tpch_q20" ->
+      s"""WITH py AS (
+         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         |    ${dsumSql("l_quantity")} AS supp_qty
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT partkey, ${dsumSql("supp_qty")} AS total_qty
+         |        FROM py GROUP BY 1)
+         |SELECT s_name, s_acctbal FROM supplier, nation
+         |WHERE s_nationkey = n_nationkey
+         |  AND n_name IN ('NATION_3', 'NATION_8', 'NATION_12', 'NATION_20')
+         |  AND EXISTS (SELECT 1 FROM py, tot, part
+         |              WHERE py.suppkey = s_suppkey
+         |                AND py.partkey = tot.partkey
+         |                AND p_partkey = py.partkey AND p_name LIKE 'red%'
+         |                AND supp_qty > 0.5 * total_qty)""".stripMargin,
     // BM25 constants are forced through CAST(... AS DOUBLE) so DuckDB's
     // decimal literals promote to the same IEEE doubles Spark computes
     // with (k1+1 is written 1.2+1.0, matching the Scala evaluation

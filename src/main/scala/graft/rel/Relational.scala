@@ -1539,4 +1539,160 @@ object Relational {
         nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
       .distinct()
   }
+
+  /** TPC-H Q2-shaped (minimum-cost supplier): for each qualifying
+    * part, the supplier(s) in a region offering the lowest supply
+    * cost. ADAPTED to this schema (no partsupp table): the
+    * part-supplier relation and its cost derive from lineitem —
+    * supplycost(part, supp) = MIN(l_extendedprice / l_quantity),
+    * the best observed unit price. The classic correlated
+    * MIN-subquery becomes a window MIN over partkey.
+    *
+    * Scale shape: part and the region-filtered supplier dim both
+    * broadcast BEFORE the pair aggregation, so lineitem is scanned
+    * once and shuffled once — the explicit repartition(l_partkey)
+    * makes that single exchange satisfy BOTH the pair groupBy and
+    * the window's partitionBy (same trick as waitingSuppliers).
+    * The final ORDER BY + LIMIT is TakeOrderedAndProject with a
+    * unique (p_partkey, s_name) tiebreak so the cut is
+    * deterministic. */
+  def minCostSupplier(spark: SparkSession, dir: String,
+      regionName: String = "EUROPE", maxSize: Int = 10,
+      partType: String = "SMALL", topN: Int = 100): DataFrame = {
+    val suppIn = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name")))
+    val partsIn = broadcast(Tables.part(spark, dir)
+      .filter(col("p_size") <= maxSize && col("p_type") === partType)
+      .select(col("p_partkey"), col("p_type")))
+    val pairCost = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .join(partsIn, col("l_partkey") === col("p_partkey"))
+      .join(suppIn, col("l_suppkey") === col("s_suppkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_cost")).as("supplycost"),
+        first(col("p_type")).as("p_type"),
+        first(col("s_name")).as("s_name"),
+        first(col("s_acctbal")).as("s_acctbal"),
+        first(col("n_name")).as("n_name"))
+    val w = Window.partitionBy(col("l_partkey"))
+    pairCost
+      .withColumn("min_cost", min(col("supplycost")).over(w))
+      .filter(col("supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_type"),
+        col("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q11-shaped (important stock): parts whose total traded
+    * value through one nation's suppliers exceeds a fraction of that
+    * nation's total. ADAPTED (no partsupp): value(part) =
+    * SUM(l_extendedprice) over the nation's lineitem. The scalar
+    * threshold subquery is a 1-row aggregate cross-joined back —
+    * a broadcast of three machine words, never a second shuffle of
+    * the fact table. Both the per-part values and the grand total
+    * go through DECIMAL(28,6) so the threshold comparison is
+    * bit-identical across engines. */
+  def importantParts(spark: SparkSession, dir: String,
+      nationName: String = "NATION_7", frac: Double = 0.0015): DataFrame = {
+    val suppIn = broadcast(Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val sv = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(suppIn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(dsum(col("l_extendedprice")).as("value"))
+    val cutoff = sv.agg(
+      (dsum(col("value")) * lit(frac)).as("cutoff"))
+    // 1-row broadcast nested-loop with the predicate AS the join
+    // condition (the q21 aboveAvg pattern) — no cross-join config.
+    sv.join(broadcast(cutoff), col("value") > col("cutoff"))
+      .select(col("partkey"), col("value"))
+  }
+
+  /** TPC-H Q16-shaped (parts/supplier relationship): how many
+    * distinct suppliers serve each (brand, type, size) bucket,
+    * excluding one brand, one type, non-square sizes, and suppliers
+    * flagged "complaints". ADAPTED: the part-supplier relation is
+    * lineitem's (l_partkey, l_suppkey) pairs; the complaints flag
+    * (a comment-field LIKE in classic Q16) is s_acctbal < 0.
+    * COUNT(DISTINCT suppkey) over raw pair rows equals the classic
+    * distinct-pair + count form, so no pre-distinct shuffle is
+    * needed — one scan, broadcast filters, one two-stage distinct
+    * aggregation. The NOT-IN-with-nulls trap is avoided outright:
+    * the exclusion is a broadcast LEFT ANTI join. */
+  def supplierCounts(spark: SparkSession, dir: String,
+      notBrand: String = "Brand#5", notType: String = "MEDIUM",
+      sizes: Seq[Int] = Seq(1, 4, 9, 16, 25, 36, 49)): DataFrame = {
+    val flagged = broadcast(Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+    val partsIn = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") =!= notBrand && col("p_type") =!= notType &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size")))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(partsIn, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20-shaped (potential part promotion): suppliers in the
+    * given nations who DOMINATED a qualifying part's supply in a
+    * year. ADAPTED (no partsupp.availqty): "has excess stock"
+    * becomes "shipped more than `share` of the part's total
+    * quantity that year" — the same nested-aggregate-subquery
+    * analytic shape (per-pair qty vs per-part total) resolved as a
+    * window SUM over one pair aggregation. The part-name prefix
+    * filter broadcasts into the lineitem scan BEFORE any shuffle
+    * (a part's total is unaffected by which parts qualify, so
+    * pushing the filter early is semantics-preserving); the final
+    * supplier lookup is a broadcast semi join on the tiny dominant
+    * set. */
+  def dominantSuppliers(spark: SparkSession, dir: String,
+      namePrefix: String = "red",
+      nations: Seq[String] = Seq("NATION_3", "NATION_8", "NATION_12",
+        "NATION_20"),
+      from: String = "1996-01-01", until: String = "1997-01-01",
+      share: Double = 0.5): DataFrame = {
+    val partsIn = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey")))
+    val pairQty = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(partsIn, col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("supp_qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val dominant = pairQty
+      .withColumn("total_qty",
+        sum(col("supp_qty").cast("decimal(28,6)")).over(w).cast("double"))
+      .filter(col("supp_qty") > lit(share) * col("total_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+  }
 }

@@ -1625,6 +1625,120 @@ class OperatorsSpec extends AnyFunSuite {
     assert(churnedCount == expected)
   }
 
+  test("tpch q2 adapted: winners carry their part's min region cost, one fact scan, deterministic cut") {
+    val df = Relational.minCostSupplier(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // recompute the per-part min unit cost among EUROPE suppliers
+    val euroSupp = graft.Tables.supplier(spark, sf)
+      .join(graft.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, sf)
+        .filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val minCost = graft.Tables.lineitem(spark, sf)
+      .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("supplycost") ==
+        minCost(r.getAs[Long]("p_partkey")))
+      assert(r.getAs[String]("p_type") == "SMALL")
+    }
+    // (p_partkey, s_name) is a unique tiebreak — the LIMIT is stable
+    val keys = rows.map(r =>
+      (r.getAs[Long]("p_partkey"), r.getAs[String]("s_name")))
+    assert(keys.distinct.length == keys.length)
+    // lineitem scanned once: the correlated MIN is a window, not a re-read
+    assert(df.queryExecution.optimizedPlan.collectLeaves()
+      .count(_.output.exists(_.name == "l_shipdate")) == 1)
+  }
+
+  test("tpch q11 adapted: returned parts strictly exceed the nation-share cutoff, complement stays below") {
+    // sf0.001 carries only 10 suppliers and none in the sf0.01
+    // default nation — pin a nation that exists here and a cutoff
+    // the sparse data can clear
+    val (nation, frac) = ("NATION_8", 0.0005)
+    val rows = Relational.importantParts(spark, sf, nationName = nation,
+      frac = frac).collect()
+      .map(r => r.getAs[Long]("partkey") -> r.getAs[Double]("value")).toMap
+    assert(rows.nonEmpty)
+    val sv = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.supplier(spark, sf)
+        .join(graft.Tables.nation(spark, sf)
+          .filter(col("n_name") === nation),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double")
+        .as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cutoff = frac * sv.values.map(BigDecimal(_)).sum.toDouble
+    // tolerance-free membership: the operator's cutoff is decimal-exact,
+    // the recomputation here double-sums, so allow 1 ulp of slack only
+    // for parts AT the boundary (none in this data — assert exact)
+    assert(rows.keySet == sv.filter(_._2 > cutoff).keySet)
+    rows.foreach { case (k, v) => assert(v == sv(k)) }
+  }
+
+  test("tpch q16 adapted: distinct-supplier counts match a recomputation, flagged suppliers excluded") {
+    val got = Relational.supplierCounts(spark, sf).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        r.getAs[Int]("p_size")) -> r.getAs[Long]("supplier_cnt")).toMap
+    assert(got.nonEmpty)
+    val flagged = graft.Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val want = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(graft.Tables.part(spark, sf)
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49)),
+        col("l_partkey") === col("p_partkey"))
+      .collect()
+      .filterNot(r => flagged.contains(r.getAs[Long]("l_suppkey")))
+      .groupBy(r => (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        r.getAs[Int]("p_size")))
+      .view.mapValues(_.map(_.getAs[Long]("l_suppkey")).distinct.length.toLong)
+      .toMap
+    assert(got == want)
+    // none of the groups may have counted a flagged supplier: verified
+    // by the recomputation equality above (want excludes them by set)
+  }
+
+  test("tpch q20 adapted: every returned supplier dominated a red part's 1996 volume") {
+    val rows = Relational.dominantSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val redParts = graft.Tables.part(spark, sf)
+      .filter(col("p_name").startsWith("red"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val pairs = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_partkey").isInCollection(redParts))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(28,6)")).cast("double").as("q"))
+      .collect()
+    val totals = pairs.groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => BigDecimal(r.getDouble(2))).sum.toDouble).toMap
+    val dominantSupps = pairs
+      .filter(r => r.getDouble(2) > 0.5 * totals(r.getLong(0)))
+      .map(_.getLong(1)).toSet
+    val nations = Set("NATION_3", "NATION_8", "NATION_12", "NATION_20")
+    val inNation = graft.Tables.supplier(spark, sf)
+      .join(graft.Tables.nation(spark, sf)
+        .filter(col("n_name").isInCollection(nations)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = inNation.filter(kv => dominantSupps.contains(kv._1))
+      .values.toSet
+    assert(rows.map(_.getAs[String]("s_name")).toSet == want)
+  }
+
   test("incremental distinct: merged day-sketches bracket exact uniques at any cut") {
     val exact = graft.Tables.events(spark, sf)
       .groupBy("event_type")
