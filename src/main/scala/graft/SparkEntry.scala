@@ -204,6 +204,9 @@ object SparkEntry {
     "q53_ann_probe"       -> ((s, d) => Similarity.annProbeFixed(s, d)),
     "q54_embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupFixed(s, d)),
     "q162_multiprobe_lsh" -> ((s, d) => Similarity.multiProbeLsh(s, d)),
+    "q166_pq_refine"      -> ((s, d) => Similarity.pqFixedRefineProbe(s, d)),
+    "q167_ann_recall"     -> ((s, d) => Similarity.annRecallFixed(s, d)),
+    "q168_leakage_split"  -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -264,6 +267,45 @@ object SparkEntry {
        |        CAST(embedding[d + 1] AS DOUBLE)
        |          * CAST((p*3 + d*2) % 7 - 3 AS DOUBLE))) > 0
        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** DuckDB CTE chain shared by q149/q166: the fixed-integer-book
+    * PQ encode (per-subspace argmin, B(j,c,i) = (5j+3c+2i) mod 7 − 3)
+    * and the codes-only ADC score terms (dot, nrm, qn) against
+    * query vec_id = 0. */
+  private val pqFixedScoredSql: String =
+    """q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |enc AS (
+      |  SELECT vec_id,
+      |    list_transform(range(0, 8), j ->
+      |      CAST(list_position(
+      |        list_transform(range(0, 4), c ->
+      |          list_sum(list_transform(range(0, 8), i ->
+      |            (CAST(embedding[8*j + i + 1] AS DOUBLE)
+      |              - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))
+      |            * (CAST(embedding[8*j + i + 1] AS DOUBLE)
+      |              - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))))),
+      |        list_min(
+      |          list_transform(range(0, 4), c ->
+      |            list_sum(list_transform(range(0, 8), i ->
+      |              (CAST(embedding[8*j + i + 1] AS DOUBLE)
+      |                - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))
+      |              * (CAST(embedding[8*j + i + 1] AS DOUBLE)
+      |                - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))))))) - 1
+      |        AS INTEGER)) AS codes
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT e.vec_id, e.codes,
+      |    list_sum(list_transform(range(0, 8), j ->
+      |      list_sum(list_transform(range(0, 8), i ->
+      |        CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE)
+      |          * CAST(q.qe[8*j + i + 1] AS DOUBLE))))) AS dot,
+      |    list_sum(list_transform(range(0, 8), j ->
+      |      list_sum(list_transform(range(0, 8), i ->
+      |        CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE)
+      |          * CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE))))) AS nrm,
+      |    sqrt(list_sum(list_transform(q.qe, x ->
+      |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+      |  FROM enc e, q)""".stripMargin
 
   /** DuckDB fragment: list_dot_product cosine — matches CosineSim's
     * left-to-right double fold bit-for-bit (q50/q51 proven). */
@@ -1862,44 +1904,74 @@ object SparkEntry {
     // codebooks. The dists list is written twice (argmin needs it for
     // position and min; DuckDB lambdas have no let-binding).
     "q149_pq_fixed" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |enc AS (
-        |  SELECT vec_id,
-        |    list_transform(range(0, 8), j ->
-        |      CAST(list_position(
-        |        list_transform(range(0, 4), c ->
-        |          list_sum(list_transform(range(0, 8), i ->
-        |            (CAST(embedding[8*j + i + 1] AS DOUBLE)
-        |              - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))
-        |            * (CAST(embedding[8*j + i + 1] AS DOUBLE)
-        |              - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))))),
-        |        list_min(
-        |          list_transform(range(0, 4), c ->
-        |            list_sum(list_transform(range(0, 8), i ->
-        |              (CAST(embedding[8*j + i + 1] AS DOUBLE)
-        |                - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))
-        |              * (CAST(embedding[8*j + i + 1] AS DOUBLE)
-        |                - CAST((j*5 + c*3 + i*2) % 7 - 3 AS DOUBLE))))))) - 1
-        |        AS INTEGER)) AS codes
-        |  FROM embeddings),
-        |scored AS (
-        |  SELECT e.vec_id, e.codes,
-        |    list_sum(list_transform(range(0, 8), j ->
-        |      list_sum(list_transform(range(0, 8), i ->
-        |        CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE)
-        |          * CAST(q.qe[8*j + i + 1] AS DOUBLE))))) AS dot,
-        |    list_sum(list_transform(range(0, 8), j ->
-        |      list_sum(list_transform(range(0, 8), i ->
-        |        CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE)
-        |          * CAST((j*5 + e.codes[j+1]*3 + i*2) % 7 - 3 AS DOUBLE))))) AS nrm,
-        |    sqrt(list_sum(list_transform(q.qe, x ->
-        |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
-        |  FROM enc e, q)
-        |SELECT vec_id, codes[1] AS c0, codes[2] AS c1, codes[3] AS c2,
-        |  codes[4] AS c3, codes[5] AS c4, codes[6] AS c5, codes[7] AS c6,
-        |  codes[8] AS c7,
-        |  round(dot / (qn * sqrt(nrm)), 6) AS cos_approx
-        |FROM scored""".stripMargin,
+      s"""WITH $pqFixedScoredSql
+         |SELECT vec_id, codes[1] AS c0, codes[2] AS c1, codes[3] AS c2,
+         |  codes[4] AS c3, codes[5] AS c4, codes[6] AS c5, codes[7] AS c6,
+         |  codes[8] AS c7,
+         |  round(dot / (qn * sqrt(nrm)), 6) AS cos_approx
+         |FROM scored""".stripMargin,
+    // q166: PQ shortlist + exact re-rank — the q149 ADC scoring
+    // nominates the top-50 (rounded score, vec_id tiebreak — the
+    // same cut the Spark side takes), then ONLY those ids get an
+    // exact cosine against the query vector and the final top-10
+    // ranks by the exact score
+    "q166_pq_refine" ->
+      s"""WITH $pqFixedScoredSql,
+         |appr AS (SELECT vec_id,
+         |    round(dot / (qn * sqrt(nrm)), 6) AS cos_approx
+         |  FROM scored WHERE vec_id <> 0),
+         |short AS (SELECT vec_id, cos_approx FROM appr
+         |  ORDER BY cos_approx DESC, vec_id LIMIT 50),
+         |qe AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT s.vec_id, s.cos_approx,
+         |  ${cosSql("CAST(e.embedding AS DOUBLE[])", "qe.qv")} AS cos_exact
+         |FROM short s
+         |JOIN embeddings e ON e.vec_id = s.vec_id, qe
+         |ORDER BY cos_exact DESC, s.vec_id LIMIT 10""".stripMargin,
+    // q167: ANN recall@k — exact and in-bucket rankings share one
+    // (cos DESC, vec_id) window order; the approx rank is a running
+    // count of in-bucket rows (ROWS UNBOUNDED PRECEDING), mirroring
+    // the Spark single-pass plan
+    "q167_ann_recall" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${fixedBucketSql(6)} AS bucket
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, emb AS q_emb,
+         |    bucket AS q_bucket
+         |  FROM b WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |sc AS (SELECT qs.query_id, b.vec_id,
+         |    ${cosSql("b.emb", "qs.q_emb")} AS cos_sim,
+         |    b.bucket = qs.q_bucket AS in_bucket
+         |  FROM b, qs WHERE b.vec_id <> qs.query_id),
+         |rk AS (SELECT query_id, vec_id, in_bucket,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rn_exact,
+         |    SUM(CASE WHEN in_bucket THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, vec_id
+         |        ROWS UNBOUNDED PRECEDING) AS rn_in
+         |  FROM sc)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN in_bucket AND rn_in <= 10
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(SUM(CASE WHEN in_bucket AND rn_in <= 10
+         |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS recall
+         |FROM rk WHERE rn_exact <= 10 GROUP BY 1""".stripMargin,
+    // q168: leakage-safe split — the q59 recursive-CC clusters decide
+    // the split for their whole family via md5 of the representative;
+    // singletons hash on their own id (the q76 bucket formula)
+    "q168_leakage_split" ->
+      s"""WITH RECURSIVE $portableCompSql,
+         |comp AS (SELECT id AS doc_id, MIN(lab) AS rep FROM reach
+         |         GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(comp.rep, d.doc_id) AS rep_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(
+         |         CAST(COALESCE(comp.rep, d.doc_id) AS VARCHAR)), 1, 8))
+         |       AS BIGINT) % 100 < 10
+         |    THEN 'test' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id""".stripMargin,
     // q150's oracle is the FULL-corpus brute-force shingle join — the
     // prefix filter is exact, so unlike the LSH paths no bounded
     // window is needed; the oracle only being quadratic is fine at

@@ -61,6 +61,36 @@ object Sampling {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Leakage-safe train/test split (q168): split assignment is
+    * decided per NEAR-DUP CLUSTER, not per document. A plain
+    * per-doc hash split ([[trainTestSplit]]) leaks evaluation
+    * signal whenever a test document's near-duplicate lands in
+    * train — the classic contamination path a q94-style n-gram
+    * decontaminator then has to patch after the fact. Hashing the
+    * cluster REPRESENTATIVE instead keeps every near-dup family on
+    * one side of the boundary by construction; singletons (most of
+    * the corpus) hash on their own id, so the split fraction stays
+    * ~testPct.
+    *
+    * Scale shape: the cluster table is the already-sub-quadratic
+    * LSH pipeline's output (banded candidates → jaccard verify →
+    * min-label components), tiny relative to the corpus; the join
+    * back is a broadcast, and the assignment itself is pure
+    * per-row column math. Portable md5 bucketing end to end, so
+    * the whole chain — clustering included — is hash-gated. */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+      testPct: Int = 10, k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val clusters = graft.ext.Dedup.lshDedupClustersPortable(
+      spark, dir, k, threshold)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+      .withColumn("split",
+        when(hashBucket(col("rep_id")) < testPct, lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** The q47 query: stratified sample of documents by language —
     * half of `en`, a fifth of `fr`, 10% of everything else. */
   def stratifiedDocs(spark: SparkSession, dir: String): DataFrame =

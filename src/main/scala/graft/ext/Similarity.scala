@@ -641,6 +641,81 @@ object Similarity {
         round(adcCosApprox(books, q), 6).as("cos_approx")): _*)
   }
 
+  /** PQ shortlist + EXACT re-rank (q166) — the FAISS
+    * IndexRefineFlat production shape: the ADC scan over compact
+    * codes nominates `shortlist` candidates, and only THOSE rows'
+    * raw vectors are re-read for an exact cosine; the final top-k
+    * ranks by the exact score. This recovers the recall that
+    * quantization error loses at the top-k boundary for the price
+    * of `shortlist` exact scores instead of a full-corpus exact
+    * scan. Scale shape: the shortlist (50 ids) broadcasts into a
+    * hash join against the vector table — the refine step is a
+    * point-lookup join, never a second corpus scan; the corpus-wide
+    * pass touches codes only. Fixed integer-formula books make the
+    * whole chain — encode, ADC, shortlist cut, exact re-rank —
+    * externally reproducible (the q149 recipe); the fitted-book
+    * production path is [[pqProbe]] + the same refine join. */
+  def pqFixedRefineProbe(spark: SparkSession, dir: String,
+      queryId: Long = 0L, shortlist: Int = 50, topK: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val short = pqFixedProbe(spark, dir, queryId)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cos_approx"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
+      .limit(shortlist)
+    val query = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(query))
+      .select(col("vec_id"), col("cos_approx"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_exact"))
+      .orderBy(col("cos_exact").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** ANN recall@k measurement (q167) — "measure, don't guess" as a
+    * first-class operator: for each query, the exact top-k (brute
+    * force) and the fixed-plane single-bucket probe's top-k are
+    * ranked in ONE corpus scan, and recall = |approx ∩ exact| / k.
+    * Both rankings ride one window pass over the same
+    * (query_id, cos desc, vec_id) order: the approx rank is a
+    * running count of in-bucket rows, so no second scan, no
+    * self-join of rankings. This is the audit table an index
+    * deployment watches — recall collapsing after a data shift is
+    * the signal to re-tune `bits` ([[bitsForCorpus]]) or switch to
+    * multi-probe ([[multiProbeLsh]]). */
+  def annRecallFixed(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L), k: Int = 10,
+      bits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"),
+        (col("bucket") === col("q_bucket")).as("in_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rn_exact", row_number().over(w))
+      .withColumn("rn_in",
+        sum(when(col("in_bucket"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rn_exact") <= k)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum((col("in_bucket") && col("rn_in") <= k).cast("long"))
+          .as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
+
   /** SQL-oracle-able twin of the LSH bucketing (the q149/q153
     * pattern): the production planes are xxhash-seeded, but the
     * bucketing MATH — per-plane dot-product fold + strict-sign bit +

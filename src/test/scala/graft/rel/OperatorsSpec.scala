@@ -240,6 +240,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(multi.forall(id => probed.contains(buckets(id))))
   }
 
+  test("pq refine: exact re-rank recovers every true neighbour the shortlist retains") {
+    val k = 10
+    val refined = Similarity.pqFixedRefineProbe(spark, sf, topK = k).collect()
+    assert(refined.length == k)
+    // cos_exact really is the exact cosine (brute-force recompute)
+    val exactAll = Similarity.cosineTopK(spark, sf, k = 499).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    refined.foreach { r =>
+      assert(r.getAs[Double]("cos_exact") == exactAll(r.getLong(0)))
+    }
+    // refine guarantee: any true top-k member that survived into the
+    // shortlist MUST be in the refined top-k (the exact score ranks it)
+    val shortIds = Similarity.pqFixedProbe(spark, sf)
+      .filter(col("vec_id") =!= 0L)
+      .orderBy(col("cos_approx").desc, col("vec_id")).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val trueTopK = Similarity.cosineTopK(spark, sf, k = k).collect()
+      .map(_.getLong(0)).toSet
+    val refinedIds = refined.map(_.getLong(0)).toSet
+    assert((trueTopK & shortIds).subsetOf(refinedIds))
+    // and refine can only improve on the raw ADC top-k cut
+    val adcCut = Similarity.pqFixedProbe(spark, sf)
+      .filter(col("vec_id") =!= 0L)
+      .orderBy(col("cos_approx").desc, col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSet
+    assert((trueTopK & refinedIds).size >= (trueTopK & adcCut).size)
+  }
+
+  test("ann recall: harness numbers match an independent per-query recompute") {
+    val rows = Similarity.annRecallFixed(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    rows.values.foreach { case (ne, nh, rec) =>
+      assert(ne == 10L && nh >= 0L && nh <= ne)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec == math.rint(nh.toDouble / ne * 10000) / 10000)
+    }
+    // cross-check query 0 against the standalone probe + brute force
+    val exact0 = Similarity.cosineTopK(spark, sf, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx0 = Similarity.annProbeFixed(spark, sf, queryId = 0L,
+      bits = 6, k = 10).collect().map(_.getLong(0)).toSet
+    assert(rows(0L)._2 == (exact0 & approx0).size.toLong)
+  }
+
+  test("leakage-safe split: no near-dup family straddles the train/test boundary") {
+    val rows = graft.ext.Sampling.leakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("split")))
+    assert(rows.length == 500)
+    // every member of a cluster carries its family's split
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $rep straddles the split")
+    }
+    // clusters really are the LSH pipeline's (spot-check: every doc of
+    // a multi-doc cluster shares the recomputed rep)
+    val clusters = graft.ext.Dedup.lshDedupClustersPortable(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, rep, _) =>
+      assert(rep == clusters.getOrElse(doc, doc))
+    }
+    // both sides populated (the bucket formula itself is pinned by
+    // the q76/q47 specs — hashBucket is the shared implementation)
+    assert(rows.map(_._3).toSet == Set("train", "test"))
+  }
+
   test("materialized LSH index probe is partition-pruned and matches in-session probe") {
     val idx = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
     Similarity.writeLshIndex(spark, sf, idx, bits = 6)
