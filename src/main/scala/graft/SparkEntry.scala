@@ -207,6 +207,11 @@ object SparkEntry {
     "q166_pq_refine"      -> ((s, d) => Similarity.pqFixedRefineProbe(s, d)),
     "q167_ann_recall"     -> ((s, d) => Similarity.annRecallFixed(s, d)),
     "q168_leakage_split"  -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
+    // q169/q170: portable-math sketch twins of the engine-internal
+    // HLL (q29/q133) and CMS (q122) paths — the sketch ARITHMETIC
+    // hash-gated, leaving only Spark's own register formats rows-only
+    "q169_kmv_distinct"   -> ((s, d) => Relational.kmvDistinct(s, d)),
+    "q170_cms_portable"   -> ((s, d) => graft.ext.Profile.cmsPortableHitters(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -1929,6 +1934,44 @@ object SparkEntry {
          |FROM short s
          |JOIN embeddings e ON e.vec_id = s.vec_id, qe
          |ORDER BY cos_exact DESC, s.vec_id LIMIT 10""".stripMargin,
+    // q169: KMV distinct — k smallest distinct md5 hashes per group;
+    // exact below k, (k−1)·2³²/h_k at k (pure order statistics —
+    // the portable twin of the rows-only HLL paths)
+    "q169_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |rk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |topk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    MAX(h) AS hk
+        |  FROM rk WHERE rn <= 64 GROUP BY 1)
+        |SELECT event_type, n_kept,
+        |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |        ELSE 63 * 4294967296.0 / CAST(hk AS DOUBLE) END, 4)
+        |    AS est_users
+        |FROM topk""".stripMargin,
+    // q170: portable CMS — (row, bucket) counters over one token
+    // scan, candidate estimate = MIN of its depth counters
+    "q170_cms_portable" ->
+      s"""WITH w AS (SELECT $toks AS ws FROM documents),
+         |t AS (SELECT unnest(ws) AS tok FROM w),
+         |e AS (SELECT tok, r,
+         |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+         |      1, 8)) AS BIGINT) % 256 AS b
+         |  FROM t, UNNEST(range(0, 4)) AS u(r)),
+         |counters AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT tok FROM t),
+         |cb AS (SELECT tok, r,
+         |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+         |      1, 8)) AS BIGINT) % 256 AS b
+         |  FROM cand, UNNEST(range(0, 4)) AS u(r))
+         |SELECT tok, MIN(c) AS est_count
+         |FROM cb JOIN counters USING (r, b)
+         |GROUP BY tok ORDER BY est_count DESC, tok LIMIT 10""".stripMargin,
     // q167: ANN recall@k — exact and in-bucket rankings share one
     // (cos DESC, vec_id) window order; the approx rank is a running
     // count of in-bucket rows (ROWS UNBOUNDED PRECEDING), mirroring

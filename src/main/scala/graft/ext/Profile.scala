@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -78,5 +78,42 @@ object Profile {
     watchlist.map(w => (w, cms.estimateCount(w)))
       .toDF("token", "est_count")
       .orderBy(col("token"))
+  }
+
+  /** Count–min heavy hitters with PORTABLE hash rows (q170) — the
+    * sketch-MATH twin of [[cmsTokenCounts]] (whose
+    * `stat.countMinSketch` internals DuckDB cannot reproduce):
+    * depth × width counters where row r's hash is the md5-bucket of
+    * "r:token" (the q76/q47 portable family), the counter table is a
+    * (row, bucket) COUNT over one token scan, and each candidate's
+    * estimate is the MIN of its depth counters — CMS's one-sided
+    * guarantee (est ≥ truth, ≤ truth + collision mass) holds row for
+    * row, and every number is reproducible arithmetic.
+    *
+    * Scale shape: the counter table is depth·width rows REGARDLESS of
+    * corpus size (that is the point of CMS) and broadcasts into the
+    * candidate probe; the token stream is scanned once for counters
+    * and once for the candidate set — no per-token global state. */
+  def cmsPortableHitters(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 256, topN: Int = 10): DataFrame = {
+    def bucket(r: Column, t: Column): Column =
+      pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), t)),
+        1, 8), 16, 10).cast("long"), lit(width.toLong))
+    val rowsLit = array((0 until depth).map(lit): _*)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+    val counters = toks
+      .select(col("tok"), explode(rowsLit).as("r"))
+      .withColumn("b", bucket(col("r"), col("tok")))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    toks.distinct()
+      .select(col("tok"), explode(rowsLit).as("r"))
+      .withColumn("b", bucket(col("r"), col("tok")))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("tok"))
+      .agg(min(col("c")).as("est_count"))
+      .orderBy(col("est_count").desc, col("tok"))
+      .limit(topN)
   }
 }

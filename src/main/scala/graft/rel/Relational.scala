@@ -911,6 +911,38 @@ object Relational {
         count(lit(1)).as("n_day_sketches"))
   }
 
+  /** K-minimum-values distinct estimator (q169) — the PORTABLE
+    * sketch twin of the HLL paths (q29/q133): where Spark's HLL++
+    * registers are engine-internal and gate rows-only, KMV's math is
+    * pure order statistics an external engine reproduces verbatim.
+    * h(user) = first 8 hex of md5 in [0, 2³²); keep the k smallest
+    * DISTINCT hashes per group; when fewer than k exist the count is
+    * EXACT, otherwise est = (k−1)·2³² / h_k (the classic KMV
+    * estimator, σ ≈ 1/√(k−2)).
+    *
+    * Scale shape: the raw stream reduces to distinct
+    * (group, hash) FIRST (one shuffle, map-side partial); the
+    * per-group k-smallest cut is a bounded window over that reduced
+    * table. KMV is mergeable — union two min-sets, re-take the k
+    * smallest — so per-partition / per-day sketch tables compose
+    * exactly like the q133 HLL table. */
+  def kmvDistinct(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long")
+    val hashes = Tables.events(spark, dir)
+      .select(col("event_type"), h.as("h")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(col("event_type"), col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("hk").cast("double")),
+          4).as("est_users"))
+  }
+
   /** DAU / trailing-7-day WAU stickiness — the engagement staple.
     * Distinct (day, user) pairs reduce the event stream FIRST (the
     * only pass over raw events). The trailing window is then made

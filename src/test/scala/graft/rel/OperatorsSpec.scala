@@ -2050,6 +2050,50 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("portable cms: one-sided error, estimates bracket exact counts of the reported hitters") {
+    val est = graft.ext.Profile.cmsPortableHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_count")).toMap
+    assert(est.size == 10)
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val total = toks.count()
+    val exact = toks.filter(col("tok").isin(est.keys.toSeq: _*))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (w, e) =>
+      val t = exact.getOrElse(w, 0L)
+      // CMS hard guarantee: never under-counts
+      assert(e >= t, s"$w: portable CMS under-counted ($e < $t)")
+      // collision mass: expected (total − t)/width per row, min over
+      // depth rows — allow 8× the expectation as the deterministic bound
+      assert(e <= t + 8 * total / 256 + 1,
+        s"$w: est $e far above exact $t (total $total)")
+    }
+  }
+
+  test("kmv distinct: exact below k, bracketed at k, portable hash order statistics") {
+    val rows = Relational.kmvDistinct(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("est_users"))).toMap
+    assert(rows.nonEmpty)
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(rows.keySet == exact.keySet)
+    rows.foreach { case (t, (kept, e)) =>
+      val x = exact(t)
+      if (kept < 64) {
+        // below the sketch size the count is EXACT (modulo md5
+        // collisions, absent at this cardinality)
+        assert(e == kept.toDouble && kept == x, s"$t: $e vs exact $x")
+      } else {
+        // KMV σ ≈ 1/√(k−2) ≈ 12.7% at k=64 — allow 4σ
+        assert(math.abs(e - x) <= 0.51 * x,
+          s"$t: est $e outside bracket of exact $x")
+      }
+    }
+  }
+
   test("incremental agg merge is indistinguishable from full recompute at any cut") {
     val full = Relational.incrementalDailyAgg(spark, sf, cut = "1900-01-01")
       .collect()
