@@ -414,6 +414,14 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] =
     OracleGen.fittedAnnOracles(spark, dir)
 
+  /** The [[dynamicOracleSql]] key set WITHOUT a session (for catalog
+    * tooling): these five are hash-gated like any static oracle, the
+    * SQL is just generated per data dir. Keep in lockstep with
+    * [[graft.OracleGen.fittedAnnOracles]]. */
+  val dynamicOracleNames: Set[String] = Set(
+    "q55_ivf_probe", "q56_ivf_index", "q142_pq_probe",
+    "q143_pq_stats", "q144_ivfpq_probe")
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
