@@ -212,6 +212,10 @@ object SparkEntry {
     // hash-gated, leaving only Spark's own register formats rows-only
     "q169_kmv_distinct"   -> ((s, d) => Relational.kmvDistinct(s, d)),
     "q170_cms_portable"   -> ((s, d) => graft.ext.Profile.cmsPortableHitters(s, d)),
+    // q171: the day-sketch MERGE path — its oracle is q169's
+    // single-pass SQL, so the hash gate itself proves merge ≡ full
+    "q171_incr_kmv"       -> ((s, d) => Relational.incrementalKmv(s, d)),
+    "q172_hist_quantiles" -> ((s, d) => Relational.histogramQuantiles(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -311,6 +315,27 @@ object SparkEntry {
       |    sqrt(list_sum(list_transform(q.qe, x ->
       |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
       |  FROM enc e, q)""".stripMargin
+
+  /** DuckDB: single-pass KMV distinct estimate per event_type — the
+    * shared oracle of q169 (direct) and q171 (day-sketch merge; KMV
+    * mergeability makes the merged state identical to this
+    * single-pass form, so one SQL gates both). */
+  private val kmvSql: String =
+    """WITH h AS (SELECT DISTINCT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) AS h
+      |  FROM events),
+      |rk AS (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h),
+      |topk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    MAX(h) AS hk
+      |  FROM rk WHERE rn <= 64 GROUP BY 1)
+      |SELECT event_type, n_kept,
+      |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      |        ELSE 63 * 4294967296.0 / CAST(hk AS DOUBLE) END, 4)
+      |    AS est_users
+      |FROM topk""".stripMargin
 
   /** DuckDB fragment: list_dot_product cosine — matches CosineSim's
     * left-to-right double fold bit-for-bit (q50/q51 proven). */
@@ -1945,22 +1970,38 @@ object SparkEntry {
     // q169: KMV distinct — k smallest distinct md5 hashes per group;
     // exact below k, (k−1)·2³²/h_k at k (pure order statistics —
     // the portable twin of the rows-only HLL paths)
-    "q169_kmv_distinct" ->
-      """WITH h AS (SELECT DISTINCT event_type,
-        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) AS h
-        |  FROM events),
-        |rk AS (SELECT event_type, h,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-        |  FROM h),
-        |topk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
-        |    MAX(h) AS hk
-        |  FROM rk WHERE rn <= 64 GROUP BY 1)
-        |SELECT event_type, n_kept,
-        |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
-        |        ELSE 63 * 4294967296.0 / CAST(hk AS DOUBLE) END, 4)
-        |    AS est_users
-        |FROM topk""".stripMargin,
+    "q169_kmv_distinct" -> kmvSql,
+    // q171: incremental KMV — the day-sketch merge reconstructs the
+    // single-pass min-set exactly, so the SAME single-pass oracle
+    // gates it: a hash match here IS the proof that merge ≡ full
+    "q171_incr_kmv" -> kmvSql,
+    // q172: mergeable equi-width histogram quantiles — bucket counts
+    // over broadcast per-group bounds, cumulative crossing +
+    // in-bucket linear interpolation, all reproducible arithmetic
+    "q172_hist_quantiles" ->
+      """WITH li AS (SELECT l_returnflag, l_extendedprice AS x
+        |  FROM lineitem),
+        |bounds AS (SELECT l_returnflag AS g, MIN(x) AS lo, MAX(x) AS hi,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM li GROUP BY 1),
+        |binned AS (SELECT l_returnflag, b, CAST(COUNT(*) AS BIGINT) AS c,
+        |    ANY_VALUE(lo) AS lo, ANY_VALUE(w) AS w, ANY_VALUE(n) AS n
+        |  FROM (SELECT l_returnflag, x, lo, n,
+        |          (hi - lo) / 100 AS w,
+        |          LEAST(99, FLOOR((x - lo) / ((hi - lo) / 100))) AS b
+        |        FROM li JOIN bounds ON l_returnflag = g)
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY l_returnflag
+        |    ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM binned)
+        |SELECT l_returnflag, p,
+        |  round(lo + w * (CAST(b AS DOUBLE) +
+        |    (p * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
+        |      / CAST(c AS DOUBLE)), 6) AS est
+        |FROM cum, UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |  CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS u(p)
+        |WHERE CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE)
+        |  AND CAST(cum - c AS DOUBLE) < p * CAST(n AS DOUBLE)""".stripMargin,
     // q170: portable CMS — (row, bucket) counters over one token
     // scan, candidate estimate = MIN of its depth counters
     "q170_cms_portable" ->

@@ -92,10 +92,18 @@ object Profile {
     *
     * Scale shape: the counter table is depth·width rows REGARDLESS of
     * corpus size (that is the point of CMS) and broadcasts into the
-    * candidate probe; the token stream is scanned once for counters
-    * and once for the candidate set — no per-token global state. */
+    * candidate probe. Honesty about the default: probing EVERY
+    * distinct token (candidates = None) re-derives what a plain
+    * groupBy-count gives — it exists to hash-gate the sketch math at
+    * gate scale. The production path passes a bounded `candidates`
+    * watchlist (the q122 shape: "how often did each of these K
+    * tokens appear in 100 TB"), where the corpus is scanned ONCE for
+    * counters and the probe costs K·depth lookups against the
+    * broadcast table. */
   def cmsPortableHitters(spark: SparkSession, dir: String,
-      depth: Int = 4, width: Int = 256, topN: Int = 10): DataFrame = {
+      depth: Int = 4, width: Int = 256, topN: Int = 10,
+      candidates: Option[Seq[String]] = None): DataFrame = {
+    import spark.implicits._
     def bucket(r: Column, t: Column): Column =
       pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), t)),
         1, 8), 16, 10).cast("long"), lit(width.toLong))
@@ -107,7 +115,11 @@ object Profile {
       .withColumn("b", bucket(col("r"), col("tok")))
       .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).as("c"))
-    toks.distinct()
+    val cand = candidates match {
+      case Some(ws) => ws.toDF("tok")
+      case None     => toks.distinct()
+    }
+    cand
       .select(col("tok"), explode(rowsLit).as("r"))
       .withColumn("b", bucket(col("r"), col("tok")))
       .join(broadcast(counters), Seq("r", "b"))

@@ -943,6 +943,48 @@ object Relational {
           4).as("est_users"))
   }
 
+  /** Incremental distinct maintenance with a PORTABLE mergeable
+    * sketch (q171) — the hash-gated upgrade of the q133 HLL
+    * day-sketch pattern: per (event_type, day) keep a KMV min-set
+    * (the k smallest distinct md5 hashes); merging day sketches =
+    * union the min-sets and re-take the k smallest. A globally
+    * k-smallest hash is k-smallest within its own day too, so the
+    * merge reconstructs EXACTLY the state one scan over all days
+    * would build — the oracle is therefore the single-pass q169 SQL,
+    * and hash-matching it PROVES merge ≡ full recompute (what q133
+    * can only spec-assert, since HLL registers aren't portable).
+    * At scale: day tables are ≤ k longs per group-day, the daily
+    * append touches one day of events, and the merge is a window
+    * over k·days rows per group. */
+  def incrementalKmv(spark: SparkSession, dir: String,
+      cut: String = "2024-01-20", k: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        h.as("h"))
+    val wDay = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("h"))
+    def sketch(df: DataFrame): DataFrame =
+      df.distinct()
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") <= k)
+        .select(col("event_type"), col("day"), col("h"))
+    val base  = sketch(ev.filter(col("day") <  lit(cut).cast("timestamp")))
+    val delta = sketch(ev.filter(col("day") >= lit(cut).cast("timestamp")))
+    val wAll = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    base.unionByName(delta)
+      .select(col("event_type"), col("h")).distinct()
+      .withColumn("rn", row_number().over(wAll))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(col("event_type"), col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("hk").cast("double")),
+          4).as("est_users"))
+  }
+
   /** DAU / trailing-7-day WAU stickiness — the engagement staple.
     * Distinct (day, user) pairs reduce the event stream FIRST (the
     * only pass over raw events). The trailing window is then made
@@ -1434,6 +1476,53 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** Mergeable equi-width histogram quantiles (q172) — the PORTABLE
+    * twin of the [[quantileBucketsApprox]] sketch path: per-group
+    * counts in `bins` fixed-width buckets over the group's [min, max]
+    * are trivially mergeable (vector addition across partitions /
+    * days), and the p-quantile is linear interpolation inside the
+    * bucket where the cumulative count crosses p·N. Unlike the
+    * KLL-style approx_percentile sketch (whose internals DuckDB
+    * cannot replay) every number here is reproducible arithmetic —
+    * hash-gated end to end.
+    *
+    * Scale shape: pass 1 is a 3-value-per-group aggregate (min, max,
+    * count) broadcast back; pass 2 is one groupBy over (group,
+    * bucket) — `bins` rows per group regardless of data size; the
+    * crossing search is a window over those tiny tables. Error is
+    * bounded by bucket width (range/bins), the classic
+    * fixed-histogram trade. */
+  def histogramQuantiles(spark: SparkSession, dir: String,
+      bins: Int = 100,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val bounds = li.groupBy(col("l_returnflag").as("g"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+    val binned = li
+      .join(broadcast(bounds), col("l_returnflag") === col("g"))
+      .withColumn("w", (col("hi") - col("lo")) / bins)
+      .withColumn("b",
+        least(lit((bins - 1).toLong), floor((col("x") - col("lo")) / col("w"))))
+      .groupBy(col("l_returnflag"), col("b"))
+      .agg(count(lit(1)).as("c"),
+        first(col("lo")).as("lo"), first(col("w")).as("w"),
+        first(col("n")).as("n"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.withColumn("cum", sum(col("c")).over(wCum))
+    cum
+      .select(col("*"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("target", col("p") * col("n").cast("double"))
+      .filter(col("cum").cast("double") >= col("target") &&
+        (col("cum") - col("c")).cast("double") < col("target"))
+      .select(col("l_returnflag"), col("p"),
+        round(col("lo") + col("w") * (col("b").cast("double") +
+          (col("target") - (col("cum") - col("c")).cast("double")) /
+            col("c").cast("double")), 6).as("est"))
   }
 
   /** SCD2 (slowly-changing-dimension type 2) period build from an
