@@ -48,11 +48,14 @@ object Verify {
     // map with a loud stderr line (those queries then read as
     // no_oracle, never as wrong answers).
     val dynamic =
-      try SparkEntry.dynamicOracleSql(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] dynamic oracle generation failed: $e")
-        Map.empty[String, String]
-      }
+      if (!SparkEntry.dynamicOracleNames.exists(selected))
+        Map.empty[String, String] // subset run excludes the fitted-ANN
+      else
+        try SparkEntry.dynamicOracleSql(spark, sfDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] dynamic oracle generation failed: $e")
+          Map.empty[String, String]
+        }
     val json = (SparkEntry.oracleSql ++ dynamic).filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

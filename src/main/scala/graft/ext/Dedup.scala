@@ -438,7 +438,8 @@ object Dedup {
     * stays local: right for local[N] and for the bench. */
   def connectedComponents(edges: DataFrame, src: String = "doc_a",
       dst: String = "doc_b", maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      failOnNonConvergence: Boolean = true): DataFrame = {
     checkpointDir.foreach(d =>
       edges.sparkSession.sparkContext.setCheckpointDir(d))
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
@@ -471,17 +472,23 @@ object Dedup {
       lastSum = s
       it += 1
     }
-    // Loud, not silent: a cluster chain with diameter > maxIter leaves
+    // FAIL, not warn: a cluster chain with diameter > maxIter leaves
     // labels PARTIALLY propagated — correct-looking output, wrong
-    // components — and the recursive-CTE oracles (q59/q78/q103)
-    // compute exact components, so an unconverged exit breaks gate
-    // parity with no other signal. One-hop propagation needs maxIter
-    // ≥ the cluster diameter; raise it (or switch the call site to a
-    // pointer-doubling variant) if this warning ever fires.
-    if (!converged) System.err.println(
-      s"[graft] connectedComponents exited via maxIter=$maxIter WITHOUT " +
-        "converging: labels are partially propagated and component ids " +
-        "are NOT final (oracle parity will break). Raise maxIter.")
+    // components — and every downstream consumer (the recursive-CTE
+    // oracles q59/q78/q103, the q168 leakage-safe split) silently
+    // inherits the wrong ids. Partially-propagated labels are a wrong
+    // answer, so the default is to throw; callers that can tolerate
+    // approximate components (none in this repo) opt out explicitly.
+    // One-hop propagation needs maxIter ≥ the cluster diameter; raise
+    // it (or switch to pointer-doubling) if this ever fires.
+    if (!converged) {
+      val msg =
+        s"connectedComponents exited via maxIter=$maxIter WITHOUT " +
+          "converging: labels are partially propagated and component " +
+          "ids are NOT final. Raise maxIter."
+      if (failOnNonConvergence) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] $msg")
+    }
     labels
   }
 

@@ -104,12 +104,19 @@ object Profile {
       depth: Int = 4, width: Int = 256, topN: Int = 10,
       candidates: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
+    // row-r hash of a token = the repo's ONE portable-hash primitive
+    // over the salted key "r:token" — oracle stays in lockstep with
+    // every other md5-bucket consumer (q47/q76/q168)
     def bucket(r: Column, t: Column): Column =
-      pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), t)),
-        1, 8), 16, 10).cast("long"), lit(width.toLong))
+      graft.ext.Sampling.hashBucket(
+        concat(r.cast("string"), lit(":"), t), width)
     val rowsLit = array((0 until depth).map(lit): _*)
+    // persisted: with candidates = None this frame feeds BOTH the
+    // counter build and the candidate set — without the barrier the
+    // tokenize+explode subtree runs twice (the stickiness lesson)
     val toks = Tables.documents(spark, dir)
       .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .persist()
     val counters = toks
       .select(col("tok"), explode(rowsLit).as("r"))
       .withColumn("b", bucket(col("r"), col("tok")))
@@ -119,12 +126,16 @@ object Profile {
       case Some(ws) => ws.toDF("tok")
       case None     => toks.distinct()
     }
+    // LEFT join: an empty (r, b) cell is PROOF of absence — a
+    // watchlist token the corpus never produced must report
+    // est_count = 0 (an inner join would silently drop it, or worse,
+    // min() over only its non-empty cells would inflate the estimate)
     cand
       .select(col("tok"), explode(rowsLit).as("r"))
       .withColumn("b", bucket(col("r"), col("tok")))
-      .join(broadcast(counters), Seq("r", "b"))
+      .join(broadcast(counters), Seq("r", "b"), "left")
       .groupBy(col("tok"))
-      .agg(min(col("c")).as("est_count"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
       .orderBy(col("est_count").desc, col("tok"))
       .limit(topN)
   }

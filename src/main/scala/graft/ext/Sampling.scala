@@ -74,9 +74,13 @@ object Sampling {
     *
     * Scale shape: the cluster table is the already-sub-quadratic
     * LSH pipeline's output (banded candidates → jaccard verify →
-    * min-label components), tiny relative to the corpus; the join
-    * back is a broadcast, and the assignment itself is pure
-    * per-row column math. Portable md5 bucketing end to end, so
+    * min-label components). Its SIZE is data-dependent — one row per
+    * document touched by any near-dup edge, which on a dup-heavy
+    * web corpus is a large fraction of the corpus — so the join back
+    * is deliberately NOT a forced broadcast: it runs as a plain
+    * equi-join and AQE downgrades it to a broadcast only when the
+    * cluster table actually measures small. The assignment itself is
+    * pure per-row column math. Portable md5 bucketing end to end, so
     * the whole chain — clustering included — is hash-gated. */
   def leakageSafeSplit(spark: SparkSession, dir: String,
       testPct: Int = 10, k: Int = 3,
@@ -84,7 +88,7 @@ object Sampling {
     val clusters = graft.ext.Dedup.lshDedupClustersPortable(
       spark, dir, k, threshold)
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
       .withColumn("split",
         when(hashBucket(col("rep_id")) < testPct, lit("test"))

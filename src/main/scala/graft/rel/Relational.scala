@@ -926,14 +926,18 @@ object Relational {
     * table. KMV is mergeable — union two min-sets, re-take the k
     * smallest — so per-partition / per-day sketch tables compose
     * exactly like the q133 HLL table. */
-  def kmvDistinct(spark: SparkSession, dir: String,
-      k: Int = 64): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8),
-      16, 10).cast("long")
-    val hashes = Tables.events(spark, dir)
-      .select(col("event_type"), h.as("h")).distinct()
+  /** Portable 32-bit hash (first 8 md5 hex chars) — the same
+    * primitive as `Sampling.hashBucket` without the modulus; shared
+    * by both KMV paths so the DuckDB oracles stay in lockstep. */
+  private def md5Hash32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Shared KMV estimator tail: distinct (event_type, h) rows →
+    * k-smallest cut → (event_type, n_kept, est_users). */
+  private def kmvEstimate(hashes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    hashes.withColumn("rn", row_number().over(w))
+    hashes.distinct()
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
@@ -942,6 +946,11 @@ object Relational {
           .otherwise(lit((k - 1) * 4294967296.0) / col("hk").cast("double")),
           4).as("est_users"))
   }
+
+  def kmvDistinct(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame =
+    kmvEstimate(Tables.events(spark, dir)
+      .select(col("event_type"), md5Hash32(col("user_id")).as("h")), k)
 
   /** Incremental distinct maintenance with a PORTABLE mergeable
     * sketch (q171) — the hash-gated upgrade of the q133 HLL
@@ -958,11 +967,9 @@ object Relational {
     * over k·days rows per group. */
   def incrementalKmv(spark: SparkSession, dir: String,
       cut: String = "2024-01-20", k: Int = 64): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8),
-      16, 10).cast("long")
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
-        h.as("h"))
+        md5Hash32(col("user_id")).as("h"))
     val wDay = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("h"))
     def sketch(df: DataFrame): DataFrame =
@@ -972,17 +979,8 @@ object Relational {
         .select(col("event_type"), col("day"), col("h"))
     val base  = sketch(ev.filter(col("day") <  lit(cut).cast("timestamp")))
     val delta = sketch(ev.filter(col("day") >= lit(cut).cast("timestamp")))
-    val wAll = Window.partitionBy(col("event_type")).orderBy(col("h"))
-    base.unionByName(delta)
-      .select(col("event_type"), col("h")).distinct()
-      .withColumn("rn", row_number().over(wAll))
-      .filter(col("rn") <= k)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
-      .select(col("event_type"), col("n_kept"),
-        round(when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(lit((k - 1) * 4294967296.0) / col("hk").cast("double")),
-          4).as("est_users"))
+    kmvEstimate(
+      base.unionByName(delta).select(col("event_type"), col("h")), k)
   }
 
   /** DAU / trailing-7-day WAU stickiness — the engagement staple.

@@ -88,6 +88,36 @@ class OperatorsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect().isEmpty)
   }
 
+  test("connected components: non-convergence at maxIter THROWS by default, warns only on opt-out") {
+    import spark.implicits._
+    // a 9-hop chain needs more than 2 one-hop rounds: label 1 cannot
+    // reach node 10 — partially-propagated ids are a wrong answer
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // explicit opt-out returns the partial labels (and warns)
+    val partial = Dedup.connectedComponents(chain, maxIter = 2,
+      failOnNonConvergence = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.nonEmpty && partial.values.toSet.size > 1)
+    // ample iterations: same chain converges and no longer throws
+    val full = Dedup.connectedComponents(chain, maxIter = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 10L).forall(full(_) == 1L))
+  }
+
+  test("portable cms watchlist: a token the corpus never produced reports est_count 0, not absence") {
+    val rows = graft.ext.Profile.cmsPortableHitters(spark, sf,
+      candidates = Some(Seq("the", "zzz_never_in_corpus"))).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_count")).toMap
+    assert(rows.keySet == Set("the", "zzz_never_in_corpus"))
+    // empty cells are proof of absence — the estimate must be 0
+    assert(rows("zzz_never_in_corpus") == 0L)
+    assert(rows("the") > 0L)
+  }
+
   test("near-dup clusters: reps are component minima, edges stay intra-cluster") {
     val edges = Dedup.jaccardPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
