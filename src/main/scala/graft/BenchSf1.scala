@@ -22,7 +22,12 @@ object BenchSf1 {
   val probeQueries: Seq[String] = Seq(
     "q42_minhash_lsh", "q44_simhash", "q46_simhash_near_dup",
     "q95_quantile_buckets", "q100_source_overlap", "q116_source_rank",
-    "q150_prefix_join", "q157_phash_near_dup", "q159_scene_changes")
+    "q150_prefix_join", "q157_phash_near_dup", "q159_scene_changes",
+    // r9 additions: the leakage split runs the WHOLE portable LSH
+    // cluster pipeline (band → verify → CC → join back), and the
+    // histogram quantiles ride lineitem, the one table that actually
+    // grows with sf — both plans could hide super-linear steps
+    "q168_leakage_split", "q172_hist_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -79,6 +79,18 @@ object DevScaleGen {
         col("o_orderdate"), col("o_orderpriority"))
     }
 
+    // the fact table, for probes that ride lineitem (q172): key-shifted
+    // copies with the same tiny deterministic price jitter as orders so
+    // per-group histograms stay non-degenerate across copies
+    replicate("lineitem") { (df, c) =>
+      df.select((col("l_orderkey") + lit(c * off)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (col("l_extendedprice") + lit(c.toDouble) * 0.017).as("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }
+
     spark.stop()
   }
 }

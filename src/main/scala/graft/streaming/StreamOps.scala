@@ -152,6 +152,49 @@ object StreamOps {
       }
   }
 
+  /** Streaming KMV distinct-user estimation — the q169 mergeable
+    * sketch as STREAM STATE: per event_type the state is the k
+    * smallest distinct portable hashes seen so far (≤ k longs), and
+    * folding a micro-batch in is union + re-take-k — the same KMV
+    * mergeability that makes q171's day-table merge exact makes the
+    * streaming state EXACTLY the batch sketch over the stream's
+    * prefix at every micro-batch (spec: parity with
+    * `Relational.kmvDistinct` on identical rows). Contrast with the
+    * windowed-aggregation ops: approx distincts over an unbounded
+    * stream need either this (tiny exact-merge state) or HLL; KMV's
+    * portability means the streaming estimate can be hash-compared
+    * against any other engine's.
+    *
+    * Hashing runs JVM-side (MessageDigest md5, first 8 hex chars) —
+    * bit-identical to the Column-level `md5Hash32`/DuckDB formula.
+    * Update-mode output: one row per touched event_type per batch. */
+  def kmvDistinctStream(events: Dataset[(String, Long)],
+      k: Int = 64): Dataset[(String, Long, Double)] = {
+    import events.sparkSession.implicits._
+    def h32(userId: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(userId.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[Array[Long]]) =>
+          val old = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (old ++ rows.map(r => h32(r._2))).distinct.sorted.take(k)
+          state.update(merged)
+          val nKept = merged.length.toLong
+          // same HALF_UP 4-dp rounding as the batch estimator's round()
+          val est =
+            if (nKept < k) nKept.toDouble
+            else BigDecimal((k - 1) * 4294967296.0 / merged.last)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (key, nKept, est)
+      }
+  }
+
   /** Streaming dedup via the BUILT-IN `dropDuplicatesWithinWatermark`
     * — the prefer-built-ins counterpart to the custom-state
     * [[dedupStream]]: state is bounded by the watermark with no

@@ -751,6 +751,37 @@ class StreamOpsSpec extends AnyFunSuite {
       s"state did not survive restart: $rows")
   }
 
+  test("streaming kmv state equals the batch sketch over the same rows (merge across batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // feed the REAL events table in two micro-batches — the state
+    // fold must land on exactly the batch operator's estimates
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val src = MemoryStream[(String, Long)]
+    val q = StreamOps.kmvDistinctStream(src.toDS())
+      .toDF("event_type", "n_kept", "est_users")
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode(OutputMode.Update()).start()
+    src.addData(b1.toSeq: _*); q.processAllAvailable()
+    src.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    // last update per key is the final state
+    val streamed = spark.table("kmv").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    val batch = graft.rel.Relational.kmvDistinct(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("est_users"))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, (kept, est)) =>
+      assert((kept, est) == batch(t), s"$t: stream $kept/$est vs batch ${batch(t)}")
+    }
+  }
+
   test("foreachBatch writer drains a stream through a batch transform") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
