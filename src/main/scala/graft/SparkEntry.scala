@@ -216,6 +216,10 @@ object SparkEntry {
     // single-pass SQL, so the hash gate itself proves merge ≡ full
     "q171_incr_kmv"       -> ((s, d) => Relational.incrementalKmv(s, d)),
     "q172_hist_quantiles" -> ((s, d) => Relational.histogramQuantiles(s, d)),
+    // q173: the resize member of the decode/extract/resize/sample
+    // media family — the mapPartitions path itself is gated (portable
+    // stub arithmetic, the q61 recipe)
+    "q173_resize_stub"    -> ((s, d) => Multimodal.resizeStub(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -1114,6 +1118,27 @@ object SparkEntry {
          |  $feat
          |FROM t""".stripMargin
     },
+    // q173: 1-D stub resize — byte p lands in bucket
+    // floor(p·32/n), output = floor of bucket mean; character
+    // arithmetic is a faithful byte oracle for the same reason as
+    // q61 (ASCII corpus; the non-UTF8 case is parity-spec'd)
+    "q173_resize_stub" ->
+      """WITH t AS (SELECT doc_id AS media_id, text, len(text) AS n
+        |  FROM documents)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_bytes,
+        |  array_to_string(list_transform(range(0, 32), j ->
+        |    CASE WHEN list_sum(list_transform(range(1, n + 1), p ->
+        |        CASE WHEN FLOOR((p - 1) * 32.0 / n) = j THEN 1 ELSE 0 END)) = 0
+        |      THEN 0
+        |      ELSE CAST(FLOOR(
+        |        CAST(list_sum(list_transform(range(1, n + 1), p ->
+        |          CASE WHEN FLOOR((p - 1) * 32.0 / n) = j
+        |            THEN ascii(text[p]) ELSE 0 END)) AS DOUBLE)
+        |        / CAST(list_sum(list_transform(range(1, n + 1), p ->
+        |          CASE WHEN FLOOR((p - 1) * 32.0 / n) = j THEN 1 ELSE 0 END))
+        |          AS DOUBLE)) AS INTEGER)
+        |    END), ',') AS resized
+        |FROM t""".stripMargin,
     // q62: the kept-frame aggregate depends only on BYTE LENGTHS, so
     // the oracle reproduces the binary slicing arithmetically
     // (fl = min(frameBytes, n - start + 1)) — DuckDB's substring does

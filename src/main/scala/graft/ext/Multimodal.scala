@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -125,6 +125,99 @@ object Multimodal {
         (lit(64) + ((ws % 1000000007L) % 64L).cast("int")).as("width") +:
         (lit(64) + (length(col("payload")) % 64)).cast("int").as("height") +:
         featCols): _*)
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("resized", ArrayType(IntegerType))))
+
+  /** STUB RESIZE core: the payload as a 1-D intensity stream
+    * downsampled to `target` values — byte p (0-based) lands in
+    * bucket floor(p·target / n), each output is the floor of its
+    * bucket's mean (an empty bucket, possible only when n < target,
+    * emits 0). All boundary and mean arithmetic evaluates in IEEE
+    * double (p·target integer-valued hence exact; divisions
+    * correctly rounded) so the JVM loop, the column twin, and the
+    * DuckDB oracle agree bit for bit. A real build would call the
+    * codec's scaler here, per-partition init as in
+    * [[decodeFeaturesOf]]. */
+  private def fakeResize(id: Long, payload: Array[Byte],
+      target: Int): Row = {
+    val n = payload.length
+    val sums = new Array[Long](target)
+    val cnts = new Array[Long](target)
+    var p = 0
+    while (p < n) {
+      val k = math.floor(p.toDouble * target / n).toInt
+      sums(k) += (payload(p) & 0xFF)
+      cnts(k) += 1
+      p += 1
+    }
+    val out = Array.tabulate(target)(k =>
+      if (cnts(k) == 0) 0
+      else math.floor(sums(k).toDouble / cnts(k)).toInt)
+    Row(id, n, out)
+  }
+
+  /** Resize via mapPartitions (q173) — the missing member of the
+    * decode / feature-extract / RESIZE / frame-sample family: same
+    * production contract as [[decodeFeaturesOf]] (binary in,
+    * per-partition codec init point, fixed-shape output), stub
+    * arithmetic portable enough to hash-gate the mapPartitions path
+    * itself. */
+  def resizeStub(spark: SparkSession, dir: String,
+      target: Int = 32): DataFrame =
+    resizeStubOf(
+      mediaTable(spark, dir).select(col("media_id"), col("payload")),
+      target)
+      // gate form: arrays serialize to a comma-joined string (the q64
+      // convention — the compare harness sorts rows by every column)
+      .select(col("media_id"), col("n_bytes"),
+        array_join(col("resized"), ",").as("resized"))
+
+  def resizeStubOf(media: DataFrame, target: Int = 32): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizeSchema)
+    media
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition scaler init would go here
+        rows.map(r => fakeResize(r.getLong(0), r.getAs[Array[Byte]](1), target))
+      }(enc)
+  }
+
+  /** Column-math TWIN of [[resizeStubOf]] (the q61 twin pattern):
+    * latin-1 split turns bytes into code points, the bucket index
+    * and bucket mean are the same double arithmetic — exists so the
+    * parity spec can pin the mapPartitions path bit-equal on
+    * arbitrary (including non-UTF8) payloads. */
+  def resizeTwinOf(media: DataFrame, target: Int = 32): DataFrame = {
+    val staged = media.select(col("media_id"), col("payload"),
+      transform(split(decode(col("payload"), "ISO-8859-1"), ""),
+        c => ascii(c).cast("long")).as("bs"))
+      // BYTE length, not split size: split of an empty string yields
+      // [""] — a stray ascii("")=0 pseudo-byte. greatest(n,1) keeps
+      // ANSI division happy; the pseudo-byte then lands in bucket 0
+      // contributing 0/1, whose floor-mean is 0 — exactly the
+      // mapPartitions all-zero output for an empty payload
+      .withColumn("n", length(col("payload")))
+      .withColumn("bk",
+        transform(col("bs"), (_, i) =>
+          floor(i.cast("double") * target /
+            greatest(col("n"), lit(1)).cast("double")).cast("int")))
+    def bucketAgg(j: Int, value: (Column, Column) => Column): Column =
+      aggregate(
+        zip_with(col("bs"), col("bk"), (b, k) =>
+          when(k === j, value(b, k)).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    val outs = (0 until target).map { j =>
+      val s = bucketAgg(j, (b, _) => b)
+      val c = bucketAgg(j, (_, _) => lit(1L))
+      when(c === 0L, lit(0))
+        .otherwise(floor(s.cast("double") / c.cast("double")).cast("int"))
+    }
+    staged.select(col("media_id"), col("n").as("n_bytes"),
+      array(outs: _*).as("resized"))
   }
 
   /** Block-intensity PERCEPTUAL HASH of the media payload — the

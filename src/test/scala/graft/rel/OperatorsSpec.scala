@@ -781,6 +781,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mpC == twC)
   }
 
+  test("resize stub: column-math twin is bit-equal to the mapPartitions path (incl. non-UTF8, empty)") {
+    import spark.implicits._
+    def collectBoth(media: org.apache.spark.sql.DataFrame) = {
+      val mp = graft.ext.Multimodal.resizeStubOf(media).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getSeq[Int](2).toList))).toMap
+      val tw = graft.ext.Multimodal.resizeTwinOf(media).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getSeq[Int](2).toList))).toMap
+      (mp, tw)
+    }
+    val blobs = Seq(
+      1L -> Array.tabulate(100)(i => ((i * 37 + 128) % 256).toByte),
+      2L -> Array[Byte](),                       // empty: all-zero output
+      3L -> Array.tabulate(7)(i => (i * 40).toByte), // n < target: sparse buckets
+      4L -> "ascii payload with words and  spacing".getBytes("UTF-8"))
+    val (mp, tw) = collectBoth(blobs.toDF("media_id", "payload"))
+    assert(mp == tw)
+    mp.values.foreach { case (_, out) =>
+      assert(out.length == 32 && out.forall(v => v >= 0 && v <= 255))
+    }
+    // downsample really averages: a constant payload resizes to its value
+    val const = Seq(9L -> Array.fill(640)(200.toByte))
+      .toDF("media_id", "payload")
+    val (mpC, _) = collectBoth(const)
+    assert(mpC(9L)._2.forall(_ == 200))
+    // corpus sweep
+    val media = graft.ext.Multimodal.mediaTable(spark, sf)
+      .select(col("media_id"), col("payload"))
+    val (mpS, twS) = collectBoth(media)
+    assert(mpS == twS)
+  }
+
   test("perceptual hash: total, deterministic, 32-bit-bounded; " +
       "identical texts collide") {
     val ph = graft.ext.Multimodal.perceptualHash(spark, sf).collect()
