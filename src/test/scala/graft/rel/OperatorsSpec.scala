@@ -812,6 +812,15 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("media_id"), col("payload"))
     val (mpS, twS) = collectBoth(media)
     assert(mpS == twS)
+    // randomized sweep: 50 seeded arbitrary-length arbitrary-byte
+    // payloads in one frame — property-style coverage of the
+    // boundary arithmetic (lengths straddle the target on both sides)
+    val rnd = new scala.util.Random(42)
+    val fuzz = (100L until 150L).map { id =>
+      id -> Array.fill(rnd.nextInt(90))(rnd.nextInt(256).toByte)
+    }
+    val (mpF, twF) = collectBoth(fuzz.toDF("media_id", "payload"))
+    assert(mpF == twF)
   }
 
   test("perceptual hash: total, deterministic, 32-bit-bounded; " +
