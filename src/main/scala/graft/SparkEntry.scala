@@ -220,6 +220,8 @@ object SparkEntry {
     // media family — the mapPartitions path itself is gated (portable
     // stub arithmetic, the q61 recipe)
     "q173_resize_stub"    -> ((s, d) => Multimodal.resizeStub(s, d)),
+    "q174_pack_offsets"   -> ((s, d) => Sampling.packedSequences(s, d)),
+    "q175_curriculum"     -> ((s, d) => Sampling.curriculumOrder(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2353,6 +2355,49 @@ object SparkEntry {
          |SELECT source, CAST(FLOOR(cum_before / 300.0) AS INTEGER) AS bin,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY source, bin""".stripMargin,
+    // q174: q97's window extended to the loader artifact — per-bin
+    // ordered doc list + in-bin token offsets (list(... ORDER BY) is
+    // the DuckDB twin of array_sort over (off, doc_id) structs)
+    "q174_pack_offsets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS cum_before
+         |  FROM t),
+         |b AS (
+         |  SELECT source, doc_id,
+         |    CAST(FLOOR(cum_before / 300.0) AS INTEGER) AS bin,
+         |    cum_before - CAST(FLOOR(cum_before / 300.0) AS BIGINT) * 300
+         |      AS off
+         |  FROM c)
+         |SELECT source, bin, COUNT(*) AS n_docs,
+         |  array_to_string(list(doc_id ORDER BY off, doc_id), ',') AS doc_ids,
+         |  array_to_string(list(off ORDER BY off, doc_id), ',') AS offsets
+         |FROM b GROUP BY source, bin""".stripMargin,
+    // q175: exact-percentile tier boundaries broadcast back (q95
+    // pattern), epoch-hash shard + rank within (tier, bucket) (q148
+    // pattern) — the curriculum delivery order
+    "q175_curriculum" ->
+      """WITH c AS (SELECT quantile_cont(n_chars, 0.25) AS c1,
+        |    quantile_cont(n_chars, 0.5) AS c2,
+        |    quantile_cont(n_chars, 0.75) AS c3
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    1 + CAST(n_chars > c1 AS INTEGER)
+        |      + CAST(n_chars > c2 AS INTEGER)
+        |      + CAST(n_chars > c3 AS INTEGER) AS tier,
+        |    CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM documents, c)
+        |SELECT doc_id, tier, CAST(h % 8 AS INTEGER) AS bucket,
+        |  CAST(row_number() OVER (PARTITION BY tier, h % 8
+        |    ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM t""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -357,6 +357,74 @@ object Sampling {
       .select(col("anchor_id"), col("slot"), col("neg_id"))
   }
 
+  /** Packed sequences WITH offsets (q174) — the artifact a training
+    * loader actually consumes: [[packBins]] (q97) audits how full
+    * the bins are; this emits, per (source, bin), the ORDERED doc
+    * list and each doc's token offset inside the bin — the
+    * boundaries an attention mask / position-id reset needs. Same
+    * single partitioned-window pass as q97 (cumulative tokens per
+    * source in id order — parallel across sources, never a global
+    * window); the in-bin lists assemble in one groupBy via
+    * array_sort on (offset, doc_id) structs, so the order is
+    * deterministic under any partitioning. Arrays serialize
+    * comma-joined for the gate (the q64 convention). */
+  def packedSequences(spark: SparkSession, dir: String,
+      budget: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_before",
+        sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin",
+        floor(col("cum_before") / lit(budget.toDouble)).cast("int"))
+      .withColumn("off",
+        (col("cum_before") - col("bin").cast("long") * budget).cast("long"))
+    val ordered = array_sort(collect_list(struct(col("off"), col("doc_id"))))
+    packed
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(ordered,
+          s => s.getField("doc_id").cast("string")), ",").as("doc_ids"),
+        array_join(transform(ordered,
+          s => s.getField("off").cast("string")), ",").as("offsets"))
+  }
+
+  /** Curriculum ordering (q175): the easy-first training-delivery
+    * order — tier documents by a difficulty proxy (length quartiles)
+    * and shuffle reproducibly WITHIN each tier per epoch. Scale
+    * discipline: tiers come from ONE exact-percentile aggregate
+    * broadcast back as three comparisons (the q95 pattern — never a
+    * global ntile, which funnels the corpus through one partition),
+    * and the in-tier order is the q148 epoch-hash shard pattern
+    * ((tier, bucket) windows in parallel; a reader drains tiers
+    * ascending, then buckets, then pos). Deterministic per epoch,
+    * different across epochs, reproducible in any engine. */
+  def curriculumOrder(spark: SparkSession, dir: String, epoch: Int = 1,
+      buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val cuts = d.agg(
+      expr("percentile(n_chars, 0.25)").as("c1"),
+      expr("percentile(n_chars, 0.5)").as("c2"),
+      expr("percentile(n_chars, 0.75)").as("c3"))
+    val h = conv(substring(md5(concat(lit(epoch.toString), lit(":"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    d.join(broadcast(cuts))
+      .select(col("doc_id"),
+        (lit(1) + (col("n_chars") > col("c1")).cast("int")
+          + (col("n_chars") > col("c2")).cast("int")
+          + (col("n_chars") > col("c3")).cast("int")).as("tier"),
+        h.as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("tier"), col("bucket"))
+          .orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("tier"), col("bucket"), col("pos"))
+  }
+
   /** Length-bucketed inference batching: group documents into
     * fixed-size batches WITHIN coarse length buckets so each batch
     * pads to its own max, not the corpus max — the standard serving /

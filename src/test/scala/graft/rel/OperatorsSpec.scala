@@ -2166,6 +2166,62 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packed sequences: offsets reconstruct the q97 bins exactly, in-bin order is monotone") {
+    import graft.ext.Sampling
+    val budget = 300
+    val rows = Sampling.packedSequences(spark, sf, budget).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(rows.nonEmpty)
+    // bins and doc counts agree with the q97 audit on the same data
+    val audit = Sampling.packBins(spark, sf, budget).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.view.mapValues(_._1).toMap == audit)
+    rows.foreach { case ((src, bin), (n, ids, offs)) =>
+      val idList = ids.split(",").map(_.toLong)
+      val offList = offs.split(",").map(_.toLong)
+      assert(idList.length == n && offList.length == n)
+      // offsets live inside the bin and increase with the doc order
+      assert(offList.forall(o => o >= 0 && o < budget))
+      assert(offList.zip(offList.tail).forall { case (a, b) => a <= b },
+        s"$src/$bin offsets not monotone")
+      // ids ascend (packing is id-order within source)
+      assert(idList.zip(idList.tail).forall { case (a, b) => a < b })
+    }
+  }
+
+  test("curriculum order: tiers are length quartiles, pos dense per shard, epochs differ") {
+    import graft.ext.Sampling
+    val rows = Sampling.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.length == 500)
+    // tiers recompute from exact quartiles of n_chars
+    val chars = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qs = graft.Tables.documents(spark, sf)
+      .agg(expr("percentile(n_chars, array(0.25, 0.5, 0.75))")).head()
+      .getSeq[Double](0)
+    rows.foreach { case (id, tier, _, _) =>
+      val m = chars(id).toDouble
+      val want = 1 + qs.count(m > _)
+      assert(tier == want, s"doc $id tier $tier != $want")
+    }
+    // pos is dense 1..n within every (tier, bucket) shard
+    rows.groupBy(r => (r._2, r._3)).foreach { case (k, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length), s"shard $k")
+    }
+    // a different epoch is a genuinely different permutation
+    val e2 = Sampling.curriculumOrder(spark, sf, epoch = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    val e1 = rows.map(r => r._1 -> (r._3, r._4)).toMap
+    assert(e1 != e2)
+    // but tiers are epoch-invariant (difficulty doesn't move)
+    val e2tiers = Sampling.curriculumOrder(spark, sf, epoch = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == e2tiers)
+  }
+
   test("incremental kmv: any cut merges to the identical estimate, day sketches stay bounded") {
     val full = Relational.kmvDistinct(spark, sf).collect()
       .map(r => r.getString(0) ->
