@@ -222,6 +222,13 @@ object SparkEntry {
     "q173_resize_stub"    -> ((s, d) => Multimodal.resizeStub(s, d)),
     "q174_pack_offsets"   -> ((s, d) => Sampling.packedSequences(s, d)),
     "q175_curriculum"     -> ((s, d) => Sampling.curriculumOrder(s, d)),
+    // q176: SemDeDup over fixed integer-formula centroids — cell
+    // assignment (REAL IvfCells argmin), within-cell pair cosine,
+    // and the keep-low-centroid-similarity drop rule all hash-gated
+    "q176_semdedup"       -> ((s, d) => Similarity.semDedupFixed(s, d)),
+    "q177_dsir_weights"   -> ((s, d) => Sampling.importanceWeights(s, d)),
+    "q178_dup_ngrams"     -> ((s, d) => TextAnalysis.dupNgramStats(s, d)),
+    "q179_label_outliers" -> ((s, d) => Similarity.labelOutliers(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2398,6 +2405,114 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY tier, h % 8
         |    ORDER BY h, doc_id) AS INTEGER) AS pos
         |FROM t""".stripMargin,
+    // q176: fixed-centroid SemDeDup — the IvfCells argmin (ascending
+    // squared-diff fold, first-position tie), centroid cosine, and
+    // within-cell pair cosine all reproduced verbatim; 0.1 is CAST
+    // to DOUBLE so both engines multiply the identical literals
+    "q176_semdedup" ->
+      s"""WITH cs AS (SELECT vec_id, embedding,
+         |    CAST(list_position(
+         |      list_transform(range(0, 8), c ->
+         |        list_sum(list_transform(range(0, 64), d ->
+         |          (CAST(embedding[d+1] AS DOUBLE)
+         |             - CAST(0.1 AS DOUBLE)*CAST((c*5 + d*3) % 11 - 5 AS DOUBLE))
+         |          * (CAST(embedding[d+1] AS DOUBLE)
+         |             - CAST(0.1 AS DOUBLE)*CAST((c*5 + d*3) % 11 - 5 AS DOUBLE))))),
+         |      list_min(
+         |        list_transform(range(0, 8), c ->
+         |          list_sum(list_transform(range(0, 64), d ->
+         |            (CAST(embedding[d+1] AS DOUBLE)
+         |               - CAST(0.1 AS DOUBLE)*CAST((c*5 + d*3) % 11 - 5 AS DOUBLE))
+         |            * (CAST(embedding[d+1] AS DOUBLE)
+         |               - CAST(0.1 AS DOUBLE)*CAST((c*5 + d*3) % 11 - 5 AS DOUBLE))))))) - 1
+         |      AS INTEGER) AS cell
+         |  FROM embeddings),
+         |cc AS (SELECT vec_id, embedding, cell,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |        list_transform(range(0, 64), d ->
+         |        CAST(0.1 AS DOUBLE)*CAST((cell*5 + d*3) % 11 - 5 AS DOUBLE))) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |         CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(
+         |         list_transform(range(0, 64), d ->
+         |           CAST(0.1 AS DOUBLE)*CAST((cell*5 + d*3) % 11 - 5 AS DOUBLE)),
+         |         list_transform(range(0, 64), d ->
+         |           CAST(0.1 AS DOUBLE)*CAST((cell*5 + d*3) % 11 - 5 AS DOUBLE))))), 6)
+         |      AS cent_sim
+         |  FROM cs),
+         |drp AS (SELECT DISTINCT a.vec_id FROM cc a JOIN cc b
+         |  ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |    AND (b.cent_sim < a.cent_sim
+         |         OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+         |SELECT cc.vec_id, cell, cent_sim, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM cc LEFT JOIN drp d ON cc.vec_id = d.vec_id""".stripMargin,
+    // q177: DSIR importance weights — portable md5 token buckets,
+    // add-one smoothed log-likelihood ratio, decimal per-doc sum
+    "q177_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
+         |  FROM (SELECT doc_id, lang, unnest($toks) AS tok FROM documents)),
+         |h AS (SELECT b, COUNT(*) AS n_bg,
+         |    SUM(CAST(lang = 'en' AS BIGINT)) AS n_tgt
+         |  FROM tk GROUP BY b),
+         |t AS (SELECT SUM(n_bg) AS t_bg, SUM(n_tgt) AS t_tgt FROM h),
+         |r AS (SELECT b,
+         |    ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(t_tgt + 64 AS DOUBLE))
+         |      - ln(CAST(n_bg + 1 AS DOUBLE) / CAST(t_bg + 64 AS DOUBLE)) AS lr
+         |  FROM h, t),
+         |db AS (SELECT doc_id, b, COUNT(*) AS n FROM tk GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+         |  round(CAST(SUM(CAST(n * lr AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |    AS dsir_weight
+         |FROM db JOIN r USING (b) GROUP BY doc_id""".stripMargin,
+    // q178: per-doc duplicated-n-gram fraction — distinct 3-shingles
+    // (empty for < 3 tokens), one df aggregate, one join back
+    "q178_dup_ngrams" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN len(ws) >= 3 THEN
+         |      list_distinct(list_transform(range(1, len(ws) - 1),
+         |        i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+         |    ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM w),
+         |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+         |c AS (SELECT shingle, COUNT(*) AS df FROM e GROUP BY shingle),
+         |d AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(SUM(CAST(c.df >= 2 AS BIGINT)) AS BIGINT) AS n_dup
+         |  FROM e JOIN c USING (shingle) GROUP BY e.doc_id)
+         |SELECT doc_id, COALESCE(n_shingles, 0) AS n_shingles,
+         |  COALESCE(n_dup, 0) AS n_dup,
+         |  round(CASE WHEN COALESCE(n_shingles, 0) > 0
+         |    THEN CAST(n_dup AS DOUBLE) / n_shingles ELSE 0.0 END, 6)
+         |    AS dup_frac
+         |FROM documents LEFT JOIN d USING (doc_id)""".stripMargin,
+    // q179: per-label centroid outliers — the centroid is the exact
+    // decimal SUM vector (cosine is scale-invariant), so no float
+    // accumulation order can leak into the gate
+    "q179_label_outliers" ->
+      """WITH s AS (SELECT label, p AS pos,
+        |    SUM(CAST(round(CAST(embedding[p+1] AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) AS sm
+        |  FROM embeddings, UNNEST(range(0, 64)) AS u(p)
+        |  GROUP BY label, p),
+        |cent AS (SELECT label, list(CAST(sm AS DOUBLE) ORDER BY pos) AS cent
+        |  FROM s GROUP BY label),
+        |sc AS (SELECT vec_id, e.label,
+        |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |         CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(c.cent, c.cent))), 6) AS cent_cos
+        |  FROM embeddings e JOIN cent c ON e.label = c.label)
+        |SELECT vec_id, label, cent_cos,
+        |  CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY cent_cos, vec_id) AS INTEGER) AS rk,
+        |  CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY cent_cos, vec_id) AS BIGINT)
+        |    <= GREATEST(CAST(1 AS BIGINT),
+        |         CAST(ceil(CAST(COUNT(*) OVER (PARTITION BY label) AS DOUBLE)
+        |           * CAST(0.05 AS DOUBLE)) AS BIGINT)) AS is_outlier
+        |FROM sc""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -236,6 +236,46 @@ object Sampling {
           .as("eff_docs"))
   }
 
+  /** DSIR-style importance weights (q177) — Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"
+    * (arXiv:2302.03169): each document scores the log-likelihood
+    * ratio of a TARGET unigram distribution (the `targetLang` slice
+    * stands in for the target domain) against the RAW corpus
+    * distribution, over hashed token buckets (`buckets`-way portable
+    * md5 bucket — [[hashBucket]], so the features are reproducible
+    * outside Spark) with add-one smoothing. Resampling proportional
+    * to exp(weight) tilts a 100 TB crawl toward the target domain;
+    * the weight itself is the audit column. Plan shape: ONE
+    * exploded-token pass feeds both histograms (a `buckets`-row
+    * aggregate — broadcast back), a second pass scores documents;
+    * per-doc terms sum in DECIMAL(28,12) so the score is
+    * shuffle-stable (the q145 log-determinism recipe). */
+  def importanceWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en", buckets: Int = 64): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("tok"), buckets).as("b"))
+    val hist = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_bg"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
+    val tot = hist.agg(sum(col("n_bg")).as("t_bg"),
+      sum(col("n_tgt")).as("t_tgt"))
+    val ratio = hist.join(broadcast(tot)) // buckets × 1-row totals
+      .select(col("b"),
+        (log((col("n_tgt") + 1).cast("double") /
+            (col("t_tgt") + buckets).cast("double")) -
+          log((col("n_bg") + 1).cast("double") /
+            (col("t_bg") + buckets).cast("double"))).as("lr"))
+    toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tok"),
+        round(sum((col("n") * col("lr")).cast("decimal(28,12)"))
+          .cast("double"), 6).as("dsir_weight"))
+  }
+
   /** Token-budget corpus selection, two-phase so no global sort ever
     * touches the corpus: (1) docs reduce to a SCORE-BUCKET histogram
     * (type-token ratio rounded to 3 decimals → ≤ 1001 buckets —

@@ -738,6 +738,101 @@ object Similarity {
     (0 until bits).map(p => (0 until dim).map(d =>
       ((p * 3 + d * 2) % 7 - 3).toDouble))
 
+  /** Integer-formula IVF centroids scaled into the embedding table's
+    * value range — C(c,d) = 0.1·((c·5 + d·3) mod 11 − 5). Both
+    * engines evaluate the identical product of the identical double
+    * literals, so cell assignment is bit-reproducible externally
+    * (the [[fixedPlanes]] recipe); the 0.1 scale puts centroids at
+    * the corpus's own magnitude (values ∈ [−0.53, 0.46]), which is
+    * what keeps the cells BALANCED — measured 186..339 of 2000 at
+    * sf0.1 across k=8 — instead of collapsing into whichever
+    * centroid has the smallest norm. */
+  def fixedCentroids(k: Int = 8, dim: Int = 64): Seq[Seq[Double]] =
+    (0 until k).map(c => (0 until dim).map(d =>
+      0.1 * ((c * 5 + d * 3) % 11 - 5)))
+
+  /** SemDeDup (q176) — semantic dedup through clustered embeddings
+    * (Abbas et al. 2023, arXiv:2303.09540): embeddings are assigned
+    * to k-means cells, pairwise cosine runs WITHIN cells only, and
+    * pairs at or above `tau` mark semantic duplicates. Keep rule,
+    * the paper's keep-low-centroid-similarity policy made per-pair
+    * and deterministic: a row is dropped when some cell-mate within
+    * `tau` has strictly lower centroid cosine (lower vec_id breaking
+    * ties) — the minimum of every duplicate group always survives,
+    * so no group is emptied. Fixed integer-formula centroids make
+    * the whole chain externally reproducible (the q149/q154 recipe);
+    * the production path swaps in [[ivfCentroids]]' Lloyd fit with
+    * an identical plan. Scale shape: pair work is within-cell only —
+    * SemDeDup's own design, k grows with the corpus so cells stay
+    * bounded (the paper runs 50k cells; pathological cells would
+    * route through the q157 star/salt guard) — the centroid table
+    * broadcasts, cell assignment is one scan, and the self-join
+    * shuffles on cell. */
+  def semDedupFixed(spark: SparkSession, dir: String, k: Int = 8,
+      tau: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val cents = fixedCentroids(k)
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "cent")
+    // cell via the REAL IvfCells argmin + centroid cosine in one scan
+    val cs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        element_at(
+          graft.functions.exprs.ivf_cells(col("embedding"), cents, 1), 1)
+          .as("cell"))
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosineHof(col("embedding"), col("cent")), 6).as("cent_sim"))
+    val a = cs.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("cent_sim").as("sa"))
+    val b = cs.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("cent_sim").as("sb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("va") =!= col("vb"))
+      .filter(round(cosine(col("ea"), col("eb")), 6) >= tau)
+      .filter(col("sb") < col("sa") ||
+        (col("sb") === col("sa") && col("vb") < col("va")))
+      .select(col("va").as("vec_id")).distinct()
+      .withColumn("d", lit(true))
+    cs.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cent_sim"),
+        coalesce(col("d"), lit(false)).as("is_dup"))
+  }
+
+  /** Per-label embedding outliers (q179) — prototypicality pruning
+    * (the SemDeDup-family "least-prototypical first" audit): every
+    * vector scores cosine against its OWN label's centroid and the
+    * bottom `pct` per label are flagged for review/drop. Cosine is
+    * scale-invariant, so the "centroid" is the exact decimal SUM
+    * vector — components accumulate as DECIMAL(28,6) of round(x, 6),
+    * exact in ANY row order, making the score shuffle-stable and
+    * oracle-reproducible without ever dividing by n. Plan shape: one
+    * exploded pass builds 64·n_labels tiny sum rows (partial
+    * aggregation map-side), the centroid table broadcasts back, one
+    * scan scores; the rank is a per-label window. */
+  def labelOutliers(spark: SparkSession, dir: String,
+      pct: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(round(col("x").cast("double"), 6).cast("decimal(28,6)")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        p => p.getField("s").cast("double")).as("cent"))
+    val w = Window.partitionBy(col("label"))
+    emb.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosineHof(col("embedding"), col("cent")), 6).as("cent_cos"))
+      .withColumn("rk", row_number()
+        .over(w.orderBy(col("cent_cos").asc, col("vec_id"))).cast("int"))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("vec_id"), col("label"), col("cent_cos"), col("rk"),
+        (col("rk") <= greatest(lit(1L), ceil(col("n") * lit(pct))))
+          .as("is_outlier"))
+  }
+
   /** [[lshIndexStats]] over FIXED integer-formula planes — the q52
     * catalog entry's oracle-able form: the bucket-build + occupancy
     * aggregation (the index-build math) hash-gated end to end; the

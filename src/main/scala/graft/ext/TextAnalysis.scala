@@ -667,6 +667,37 @@ object TextAnalysis {
     * partitioned on the same shingle key the join shuffles on (the
     * exchange is reused), and the per-shingle row count is already
     * ≤ #sources, so the window itself cannot skew. */
+  /** Cross-document duplicated n-gram stats (q178) — the per-document
+    * duplication audit of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" (arXiv:2107.06499), at
+    * n-gram rather than suffix granularity: for each document, the
+    * fraction of its DISTINCT n-gram shingles that also appear in
+    * another document. High-fraction docs are the boilerplate /
+    * template mass that whole-doc near-dedup misses when the
+    * documents differ overall. Sub-quadratic by construction — one
+    * shingle aggregate (n_docs per shingle; map-side partial
+    * aggregation absorbs hot shingles, there is NO pair explosion to
+    * guard) and one join back. At 100 TB the join key drops to a
+    * 64-bit shingle hash (collision-tolerant for an audit); plain
+    * strings keep the oracle exact here. Short docs (< n tokens)
+    * carry zero shingles and report dup_frac 0. */
+  def dupNgramStats(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode_outer(array_distinct(shingleStrings(n))).as("shingle"))
+    val counts = sh.filter(col("shingle").isNotNull)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(counts, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("shingle")).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(when(col("n_shingles") > 0,
+          col("n_dup").cast("double") / col("n_shingles")).otherwise(0.0), 6)
+          .as("dup_frac"))
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 4,
       maxSources: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window

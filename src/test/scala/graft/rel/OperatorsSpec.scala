@@ -2347,4 +2347,97 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_chars") < (b + 1) * 200L)
     }
   }
+
+  test("semdedup: full coverage, cells from the fixed argmin, group minima survive") {
+    val rows = Similarity.semDedupFixed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == graft.Tables.embeddings(spark, sf).count())
+    // every cell's least-prototypical row (min cent_sim, vec_id tie)
+    // is never dropped — the keep rule's invariant: no duplicate
+    // group can be emptied
+    rows.groupBy(_._2).foreach { case (cell, g) =>
+      val keeper = g.minBy(r => (r._3, r._1))
+      assert(!keeper._4, s"cell $cell dropped its minimum ${keeper._1}")
+    }
+    // dropped rows really have a cell-mate at-or-above tau with a
+    // strictly lower (cent_sim, vec_id) — recomputed from raw vectors
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCell = rows.groupBy(_._2)
+    rows.filter(_._4).foreach { case (id, cell, sim, _) =>
+      val mate = byCell(cell).exists { case (id2, _, sim2, _) =>
+        id2 != id && (sim2 < sim || (sim2 == sim && id2 < id)) &&
+          BigDecimal(cos(emb(id), emb(id2)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.35")
+      }
+      assert(mate, s"dropped $id has no qualifying cell-mate")
+    }
+  }
+
+  test("dsir weights: target slice scores highest, token counts exact") {
+    import graft.ext.Sampling
+    val w = Sampling.importanceWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(w.size == docs.length)
+    // n_tok is the exact whitespace token count
+    docs.foreach { case (id, _, text) =>
+      assert(w(id)._1 == text.split(" ").count(_.nonEmpty), s"doc $id")
+    }
+    // the en target slice averages above every other language —
+    // the whole point of importance weighting
+    val byLang = docs.groupBy(_._2).view
+      .mapValues(g => g.map(d => w(d._1)._2).sum / g.length).toMap
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(byLang("en") > m, s"en ${byLang("en")} !> $l $m")
+    }
+  }
+
+  test("dup ngrams: exact per-doc recompute of df>=2 shingle fractions") {
+    val got = TextAnalysis.dupNgramStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    val df = sh.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    assert(got.size == docs.length)
+    sh.foreach { case (id, s) =>
+      val nDup = s.count(df(_) >= 2)
+      assert(got(id)._1 == s.size, s"doc $id n_shingles")
+      assert(got(id)._2 == nDup, s"doc $id n_dup")
+      val want = if (s.isEmpty) BigDecimal(0)
+        else BigDecimal(nDup.toDouble / s.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(got(id)._3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP) == want, s"doc $id dup_frac")
+    }
+  }
+
+  test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
+    val rows = Similarity.labelOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+        r.getBoolean(4)))
+    assert(rows.length == graft.Tables.embeddings(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (label, g) =>
+      // rk is dense 1..n and ordered by (cent_cos, vec_id)
+      val sorted = g.sortBy(r => (r._3, r._1))
+      assert(sorted.map(_._4).toSeq == (1 to g.length), s"label $label ranks")
+      val wantOut = math.max(1L, math.ceil(g.length * 0.05).toLong)
+      assert(g.count(_._5) == wantOut, s"label $label outlier count")
+      // flagged rows are exactly the lowest-cosine prefix
+      assert(sorted.takeWhile(_._5).length == wantOut, s"label $label prefix")
+    }
+  }
 }
