@@ -229,6 +229,8 @@ object SparkEntry {
     "q177_dsir_weights"   -> ((s, d) => Sampling.importanceWeights(s, d)),
     "q178_dup_ngrams"     -> ((s, d) => TextAnalysis.dupNgramStats(s, d)),
     "q179_label_outliers" -> ((s, d) => Similarity.labelOutliers(s, d)),
+    "q180_source_kl"      -> ((s, d) => Sampling.sourceKl(s, d)),
+    "q181_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2513,6 +2515,55 @@ object SparkEntry {
         |         CAST(ceil(CAST(COUNT(*) OVER (PARTITION BY label) AS DOUBLE)
         |           * CAST(0.05 AS DOUBLE)) AS BIGINT)) AS is_outlier
         |FROM sc""".stripMargin,
+    // q180: smoothed per-source KL from the corpus distribution —
+    // summed over the full source × observed-bucket grid so
+    // zero-count cells carry their smoothed mass
+    "q180_source_kl" ->
+      s"""WITH tk AS (SELECT source,
+         |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
+         |  FROM (SELECT source, unnest($toks) AS tok FROM documents)),
+         |sb AS (SELECT source, b, COUNT(*) AS n_sb FROM tk GROUP BY source, b),
+         |st AS (SELECT source, SUM(n_sb) AS n_s FROM sb GROUP BY source),
+         |bt AS (SELECT b, SUM(n_sb) AS n_cb FROM sb GROUP BY b),
+         |ct AS (SELECT SUM(n_cb) AS n_c, COUNT(*) AS n_obs FROM bt),
+         |g AS (SELECT st.source, st.n_s, bt.b, bt.n_cb,
+         |    COALESCE(sb.n_sb, 0) AS n_sb
+         |  FROM st CROSS JOIN bt
+         |  LEFT JOIN sb ON sb.source = st.source AND sb.b = bt.b),
+         |tm AS (SELECT source, n_s,
+         |    (CAST(n_sb + 1 AS DOUBLE) / CAST(n_s + n_obs AS DOUBLE))
+         |      * ln((CAST(n_sb + 1 AS DOUBLE) / CAST(n_s + n_obs AS DOUBLE))
+         |          / (CAST(n_cb + 1 AS DOUBLE) / CAST(n_c + n_obs AS DOUBLE)))
+         |      AS term
+         |  FROM g, ct)
+         |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tok,
+         |  round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+         |FROM tm GROUP BY source""".stripMargin,
+    // q181: split-half centroid drift — exact decimal sum vectors per
+    // (label, half), double cosine (the q179 centroid recipe)
+    "q181_centroid_drift" ->
+      """WITH s AS (SELECT label, p AS pos,
+        |    COALESCE(SUM(CAST(round(CAST(embedding[p+1] AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) FILTER (vec_id % 2 = 0),
+        |      CAST(0 AS DECIMAL(28,6))) AS sa,
+        |    COALESCE(SUM(CAST(round(CAST(embedding[p+1] AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) FILTER (vec_id % 2 <> 0),
+        |      CAST(0 AS DECIMAL(28,6))) AS sb
+        |  FROM embeddings, UNNEST(range(0, 64)) AS u(p)
+        |  GROUP BY label, p),
+        |cent AS (SELECT label,
+        |    list(CAST(sa AS DOUBLE) ORDER BY pos) AS ca,
+        |    list(CAST(sb AS DOUBLE) ORDER BY pos) AS cb
+        |  FROM s GROUP BY label),
+        |cnt AS (SELECT label,
+        |    CAST(SUM(CAST(vec_id % 2 = 0 AS BIGINT)) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(vec_id % 2 <> 0 AS BIGINT)) AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY label)
+        |SELECT cnt.label, n_a, n_b,
+        |  round(list_dot_product(ca, cb) /
+        |    (sqrt(list_dot_product(ca, ca)) * sqrt(list_dot_product(cb, cb))),
+        |    6) AS drift_cos
+        |FROM cnt JOIN cent ON cnt.label = cent.label""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -257,23 +257,90 @@ object Sampling {
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), col("lang"),
         hashBucket(col("tok"), buckets).as("b"))
+    toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(importanceRatioTable(toks, targetLang, buckets)),
+        Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tok"),
+        round(sum((col("n") * col("lr")).cast("decimal(28,12)"))
+          .cast("double"), 6).as("dsir_weight"))
+  }
+
+  /** The (bucket, log-likelihood-ratio) table behind
+    * [[importanceWeights]] — `buckets` rows, the model artifact a
+    * scoring job broadcasts (batch) or collects into a literal map
+    * (streaming — [[importanceRatios]]). `toks` must carry
+    * (lang, b) per token occurrence. */
+  private def importanceRatioTable(toks: DataFrame, targetLang: String,
+      buckets: Int): DataFrame = {
     val hist = toks.groupBy(col("b"))
       .agg(count(lit(1)).as("n_bg"),
         sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_tgt"))
     val tot = hist.agg(sum(col("n_bg")).as("t_bg"),
       sum(col("n_tgt")).as("t_tgt"))
-    val ratio = hist.join(broadcast(tot)) // buckets × 1-row totals
+    hist.join(broadcast(tot)) // buckets × 1-row totals
       .select(col("b"),
         (log((col("n_tgt") + 1).cast("double") /
             (col("t_tgt") + buckets).cast("double")) -
           log((col("n_bg") + 1).cast("double") /
             (col("t_bg") + buckets).cast("double"))).as("lr"))
-    toks.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-      .join(broadcast(ratio), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_tok"),
-        round(sum((col("n") * col("lr")).cast("decimal(28,12)"))
-          .cast("double"), 6).as("dsir_weight"))
+  }
+
+  /** The fitted DSIR model as a driver-side map: bucket → log ratio,
+    * `buckets` entries collected from the reference corpus — the
+    * bounded model artifact (64 doubles, the Lloyd-fit altitude) a
+    * STREAMING scorer captures as a literal
+    * ([[graft.streaming.StreamOps.dsirScoreStream]]). Buckets absent
+    * from the reference corpus are absent here; scorers treat them
+    * as lr = 0 (no evidence either way). */
+  def importanceRatios(spark: SparkSession, dir: String,
+      targetLang: String = "en", buckets: Int = 64): Map[Long, Double] = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("lang"), hashBucket(col("tok"), buckets).as("b"))
+    importanceRatioTable(toks, targetLang, buckets).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Per-source distribution drift (q180): smoothed KL divergence of
+    * each source's hashed-unigram distribution from the corpus-wide
+    * one — the mixture monitor a curation pipeline watches so a
+    * source that shifts (new crawl, format change, spam influx)
+    * surfaces as a KL jump BEFORE it pollutes the mix. Same portable
+    * md5 buckets and add-one smoothing as [[importanceWeights]].
+    * The sum runs over the full source × observed-bucket GRID
+    * (n_sources · `buckets` rows — constant-size, broadcast), so
+    * zero-count cells contribute their smoothed mass and the result
+    * is a true KL ≥ 0, not a support-truncated one; per-source terms
+    * sum in DECIMAL(28,12) (the q145 recipe). */
+  def sourceKl(spark: SparkSession, dir: String, buckets: Int = 64): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("source"), hashBucket(col("tok"), buckets).as("b"))
+    // sb is the whole corpus reduced to <= n_sources·buckets rows and
+    // feeds three aggregates plus the grid join — persist it so the
+    // corpus is scanned ONCE, not once per consumer
+    val sb = toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("n_sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcTot = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+    val bktTot = sb.groupBy(col("b")).agg(sum(col("n_sb")).as("n_cb"))
+    val corpTot = bktTot.agg(sum(col("n_cb")).as("n_c"),
+      count(lit(1)).as("n_obs"))
+    // smoothing mass = the OBSERVED grid width, not `buckets`: a small
+    // vocabulary fills few buckets, and smoothing by 64 would leave
+    // both distributions summing < 1 (KL could then go negative)
+    val ps = (coalesce(col("n_sb"), lit(0L)) + 1).cast("double") /
+      (col("n_s") + col("n_obs")).cast("double")
+    val pc = (col("n_cb") + 1).cast("double") /
+      (col("n_c") + col("n_obs")).cast("double")
+    srcTot.crossJoin(broadcast(bktTot)) // grid: n_sources × ≤buckets
+      .join(sb, Seq("source", "b"), "left")
+      .join(broadcast(corpTot))
+      .select(col("source"), col("n_s"), (ps * log(ps / pc)).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tok"),
+        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+          .as("kl"))
   }
 
   /** Token-budget corpus selection, two-phase so no global sort ever

@@ -833,6 +833,42 @@ object Similarity {
           .as("is_outlier"))
   }
 
+  /** Split-half embedding drift (q181) — the regression monitor for
+    * an embedding pipeline: per label, the cosine between the
+    * centroid of one half of the corpus (even vec_ids) and the other
+    * (odd). Re-embedding jobs, model upgrades, and data shifts all
+    * surface as a drift_cos drop per label before any downstream
+    * index degrades; in production the halves are "yesterday's
+    * embeddings" vs "today's" on the same id space. Centroids are
+    * the exact decimal SUM vectors (the q179 recipe — cosine is
+    * scale-invariant, sums are order-exact), so the metric is
+    * shuffle-stable and oracle-reproducible. One exploded pass, two
+    * FILTERed sums per (label, pos) — 64·n_labels tiny rows. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dec = round(col("x").cast("double"), 6).cast("decimal(28,6)")
+    val cent = emb
+      .select(col("label"), (col("vec_id") % 2 === 0).as("ev"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(coalesce(sum(when(col("ev"), dec)), lit(0).cast("decimal(28,6)"))
+          .as("sa"),
+        coalesce(sum(when(!col("ev"), dec)), lit(0).cast("decimal(28,6)"))
+          .as("sb"))
+      .groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sa")))),
+          p => p.getField("sa").cast("double")).as("ca"),
+        transform(array_sort(collect_list(struct(col("pos"), col("sb")))),
+          p => p.getField("sb").cast("double")).as("cb"))
+    val counts = emb.groupBy(col("label"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_b"))
+    counts.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(cosineHof(col("ca"), col("cb")), 6).as("drift_cos"))
+  }
+
   /** [[lshIndexStats]] over FIXED integer-formula planes — the q52
     * catalog entry's oracle-able form: the bucket-build + occupancy
     * aggregation (the index-build math) hash-gated end to end; the

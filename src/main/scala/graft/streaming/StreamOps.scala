@@ -431,6 +431,43 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** STREAMING DSIR scoring — the serving half of
+    * [[graft.ext.Sampling.importanceWeights]]: documents arriving on
+    * a stream are scored against a FIXED fitted model (the 64-entry
+    * bucket → log-ratio map from
+    * [[graft.ext.Sampling.importanceRatios]], captured as a literal —
+    * at 100 TB/day the model is still 64 doubles). Entirely
+    * STATELESS: tokens → portable md5 buckets → per-bucket counts ×
+    * log-ratios, all inside the micro-batch scan — no watermark, no
+    * state store, unbounded throughput. Bit-parity with the batch
+    * scorer by construction: the same (count × lr) products cast to
+    * DECIMAL(28,12) and summed exactly (array order is
+    * deterministic), so a doc scores identically whether it arrives
+    * in a batch job or any micro-batch split (spec-pinned). Buckets
+    * outside the fitted map score 0 (no evidence). */
+  def dsirScoreStream(docs: DataFrame, ratios: Map[Long, Double],
+      buckets: Int = 64): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val m = typedlit(ratios)
+    docs
+      .withColumn("ws", toks)
+      .withColumn("bs", transform(col("ws"), t =>
+        pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong))))
+      .select(col("doc_id"), col("ts"),
+        size(col("ws")).cast("long").as("n_tok"),
+        round(aggregate(array_distinct(col("bs")),
+          lit(0).cast("decimal(28,12)"),
+          // re-cast: decimal + decimal widens to (29,12), but the
+          // lambda must return the accumulator's exact type (the sum
+          // of <=64 bounded terms can't overflow 28 digits)
+          (acc, b) => (acc +
+            (size(filter(col("bs"), x => x === b)) *
+              coalesce(element_at(m, b), lit(0.0))).cast("decimal(28,12)"))
+            .cast("decimal(28,12)"))
+          .cast("double"), 6).as("dsir_weight"))
+  }
+
   /** SimHash band-bucket projection for the streaming near-dup
     * prefilter: (doc_id, text) → one (bucket, doc_id) row per band,
     * bucket = "band:slice". STATELESS (pure column math over the

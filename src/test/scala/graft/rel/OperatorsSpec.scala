@@ -2425,6 +2425,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("source kl: nonnegative (Gibbs), exact token totals, every source covered") {
+    import graft.ext.Sampling
+    val rows = Sampling.sourceKl(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_._1).toSet == docs.map(_._1).toSet)
+    val wantTok = docs.groupBy(_._1).view
+      .mapValues(_.map(_._2.split(" ").count(_.nonEmpty).toLong).sum).toMap
+    rows.foreach { case (s, nTok, kl) =>
+      assert(nTok == wantTok(s), s"source $s token total")
+      // smoothed KL over the full grid is a true divergence: >= 0,
+      // up to the 6-decimal rounding of the reported value
+      assert(kl >= -1e-6, s"source $s kl $kl negative")
+    }
+  }
+
+  test("centroid drift: exact decimal recompute per label, halves partition the corpus") {
+    val rows = Similarity.centroidDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    assert(rows.map(_._1).toSet == emb.map(_._2).toSet)
+    def sumVec(vs: Seq[Seq[Float]]): Seq[Double] =
+      (0 until 64).map(p => vs.map(v =>
+        BigDecimal(v(p).toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble)
+    rows.foreach { case (label, nA, nB, drift) =>
+      val g = emb.filter(_._2 == label)
+      val (ev, od) = g.partition(_._1 % 2 == 0)
+      assert(nA == ev.length && nB == od.length, s"label $label halves")
+      val (ca, cb) = (sumVec(ev.map(_._3)), sumVec(od.map(_._3)))
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val want = BigDecimal(dot /
+        (math.sqrt(ca.map(x => x * x).sum) * math.sqrt(cb.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(drift - want) < 2e-6, s"label $label $drift != $want")
+      assert(math.abs(drift) <= 1.0)
+    }
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),

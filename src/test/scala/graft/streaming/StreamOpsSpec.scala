@@ -794,4 +794,37 @@ class StreamOpsSpec extends AnyFunSuite {
     q.awaitTermination(30000)
     assert(seen.get() == 1L)
   }
+
+  test("dsir score stream: micro-batch splits score bit-identically to the batch model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = TestSpark.sf
+    val ratios = graft.ext.Sampling.importanceRatios(spark, sf)
+    assert(ratios.size <= 64 && ratios.nonEmpty)
+    val batch = graft.ext.Sampling.importanceWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamOps.dsirScoreStream(
+      src.toDS().toDF("doc_id", "text", "ts"), ratios)
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // an arbitrary split must not change a single score: the op is
+      // stateless, every doc's weight is a pure function of (text, model)
+      val (h1, h2) = docs.splitAt(docs.length / 3)
+      src.addData(h1.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(h2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tok"), r.getAs[Double]("dsir_weight"))).toMap
+      assert(got.size == docs.length)
+      assert(got == batch, "stream scores diverge from the batch scorer")
+    } finally q.stop()
+  }
 }
