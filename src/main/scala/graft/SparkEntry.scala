@@ -231,6 +231,8 @@ object SparkEntry {
     "q179_label_outliers" -> ((s, d) => Similarity.labelOutliers(s, d)),
     "q180_source_kl"      -> ((s, d) => Sampling.sourceKl(s, d)),
     "q181_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
+    "q182_dup_spans"      -> ((s, d) => TextAnalysis.dupSpanStats(s, d)),
+    "q183_knn_hubness"    -> ((s, d) => Similarity.knnHubness(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2564,6 +2566,45 @@ object SparkEntry {
         |    (sqrt(list_dot_product(ca, ca)) * sqrt(list_dot_product(cb, cb))),
         |    6) AS drift_cos
         |FROM cnt JOIN cent ON cnt.label = cent.label""".stripMargin,
+    // q182: duplicated-span coverage — positional 5-shingles, cross-
+    // doc shingles via COUNT(DISTINCT doc_id) >= 2, covered-position
+    // union as range-unnest + COUNT(DISTINCT). 1- vs 0-based start
+    // offsets don't matter: only the covered-position COUNT is kept
+    "q182_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+         |s AS (SELECT doc_id, i,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+         |      AS shingle
+         |  FROM w, UNNEST(range(1, len(ws) - 3)) AS u(i)),
+         |c AS (SELECT shingle FROM s GROUP BY shingle
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_cov
+         |  FROM (SELECT s.doc_id, unnest(range(s.i, s.i + 5)) AS p
+         |        FROM s JOIN c USING (shingle))
+         |  GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tok,
+         |  COALESCE(n_cov, 0) AS n_cov,
+         |  round(CASE WHEN len(ws) > 0
+         |    THEN CAST(COALESCE(n_cov, 0) AS DOUBLE) / len(ws)
+         |    ELSE 0.0 END, 6) AS dup_span_frac
+         |FROM w LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // q183: bucketed k-NN in-degree — fixed-plane buckets, in-bucket
+    // cosine ranking, hub flag at in_degree >= 2k (k = 5)
+    "q183_knn_hubness" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${fixedBucketSql(6)} AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM p),
+         |ind AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS in_degree
+         |  FROM r WHERE rn <= 5 GROUP BY nid)
+         |SELECT e.vec_id, e.bucket, COALESCE(in_degree, 0) AS in_degree,
+         |  COALESCE(in_degree, 0) >= 10 AS is_hub
+         |FROM e LEFT JOIN ind ON e.vec_id = ind.nid""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -833,6 +833,47 @@ object Similarity {
           .as("is_outlier"))
   }
 
+  /** k-NN-graph hubness audit (q183) — the standard ANN health
+    * metric (Radovanović et al., JMLR'10): in high dimensions some
+    * vectors ("hubs") appear in a disproportionate share of other
+    * points' k-NN lists, which skews retrieval diversity and
+    * near-dup clustering. Here the graph is the bucketed
+    * approximation the engine actually serves (fixed-plane LSH
+    * buckets — [[annProbeFixed]]'s shape): within each bucket every
+    * vector ranks its bucket-mates by cosine, the top `k` form its
+    * neighbor list, and the audit reports each vector's IN-degree
+    * (how many neighbor lists it joined). Hubs are flagged at
+    * in_degree ≥ 2k. Work is within-bucket only (~(N/2^bits)² per
+    * bucket — the same bound every probe pays); one window pass
+    * ranks, one aggregate counts. */
+  def knnHubness(spark: SparkSession, dir: String, bits: Int = 6,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+    val a = emb.select(col("bucket"), col("vec_id").as("qid"),
+      col("embedding").as("qe"))
+    val b = emb.select(col("bucket"), col("vec_id").as("nid"),
+      col("embedding").as("ne"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val indeg = a.join(b, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("nid"))
+      .agg(count(lit(1)).as("in_degree"))
+    emb.select(col("vec_id"), col("bucket"))
+      .join(indeg.withColumnRenamed("nid", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .withColumn("is_hub", col("in_degree") >= 2L * k)
+  }
+
   /** Split-half embedding drift (q181) — the regression monitor for
     * an embedding pipeline: per label, the cosine between the
     * centroid of one half of the corpus (even vec_ids) and the other

@@ -698,6 +698,42 @@ object TextAnalysis {
           .as("dup_frac"))
   }
 
+  /** Duplicated-SPAN coverage (q182) — the positional refinement of
+    * [[dupNgramStats]], the shape of Lee et al.'s exact-substring
+    * dedup: which token POSITIONS of each document sit inside some
+    * n-gram that also occurs in another document. That coverage
+    * fraction is what span-removal dedup would actually delete
+    * (overlapping duplicated n-grams merge by position, so a long
+    * shared passage counts once, not once per n-gram). Plan shape:
+    * positional shingles (posexplode — one scan), cross-doc shingles
+    * via one countDistinct aggregate, a semi join back, and the
+    * covered-position union as explode(sequence(i, i+n−1)) →
+    * countDistinct — set algebra in columns, no interval-merge UDF.
+    * The n× position blow-up is bounded and scan-local; everything
+    * after the semi join carries (doc_id, position) longs only. */
+  def dupSpanStats(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+    val sh = base.select(col("doc_id"),
+      posexplode(shingleStrings(n)).as(Seq("i", "shingle")))
+    val dup = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("shingle"))
+    val cov = sh.join(dup, Seq("shingle"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + n - 1)).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("n_cov"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+        round(when(col("n_tok") > 0,
+          coalesce(col("n_cov"), lit(0L)).cast("double") / col("n_tok"))
+          .otherwise(0.0), 6).as("dup_span_frac"))
+  }
+
   def sourceOverlap(spark: SparkSession, dir: String, n: Int = 4,
       maxSources: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -2468,6 +2468,53 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup spans: exact positional recompute of cross-doc 5-gram coverage") {
+    val got = TextAnalysis.dupSpanStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    def grams(ws: Array[String]) =
+      ws.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toArray
+    val df = docs.flatMap { case (id, ws) => grams(ws).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, ws) =>
+      val cov = grams(ws).zipWithIndex.collect {
+        case (g, i) if df(g) >= 2 => i until (i + 5)
+      }.flatten.toSet
+      assert(got(id)._1 == ws.length, s"doc $id n_tok")
+      assert(got(id)._2 == cov.size, s"doc $id n_cov")
+      val want = if (ws.isEmpty) BigDecimal(0)
+        else BigDecimal(cov.size.toDouble / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(got(id)._3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP) == want, s"doc $id frac")
+    }
+    // overlap-merge really bites: coverage is below the naive
+    // n-grams-times-n upper bound for at least one doc
+    assert(got.values.exists(v => v._2 > 0 && v._2 < v._1))
+  }
+
+  test("knn hubness: in-degree conservation over bucket top-k lists") {
+    val rows = Similarity.knnHubness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val bucketOf = Similarity.lshFixedBuckets(spark, sf, bits = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == bucketOf.size)
+    rows.foreach { case (id, bucket, deg, hub) =>
+      assert(bucket == bucketOf(id), s"vec $id bucket")
+      assert(hub == (deg >= 10L), s"vec $id hub flag")
+    }
+    // every vector emits min(k, |bucket|-1) out-edges; in-degrees
+    // must sum to exactly that edge total
+    val sizes = bucketOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val wantEdges = bucketOf.values
+      .map(b => math.min(5, sizes(b) - 1).toLong).sum
+    assert(rows.map(_._3).sum == wantEdges, "in-degree conservation")
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
