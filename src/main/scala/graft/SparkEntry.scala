@@ -233,6 +233,10 @@ object SparkEntry {
     "q181_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
     "q182_dup_spans"      -> ((s, d) => TextAnalysis.dupSpanStats(s, d)),
     "q183_knn_hubness"    -> ((s, d) => Similarity.knnHubness(s, d)),
+    "q184_entity_res"     -> ((s, d) => graft.ext.Linkage.entityResolution(s, d)),
+    "q185_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    "q186_gap_fill"       -> ((s, d) => Relational.gapFillDaily(s, d)),
+    "q187_ewma"           -> ((s, d) => Relational.ewmaDaily(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2605,6 +2609,89 @@ object SparkEntry {
          |SELECT e.vec_id, e.bucket, COALESCE(in_degree, 0) AS in_degree,
          |  COALESCE(in_degree, 0) >= 10 AS is_hub
          |FROM e LEFT JOIN ind ON e.vec_id = ind.nid""".stripMargin,
+    // q184: blocking (nation, segment) → levenshtein<=1 match →
+    // transitive closure — exact recursive-CTE components, q59 shape
+    "q184_entity_res" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT a.c_custkey AS ca, b.c_custkey AS cb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (SELECT ca AS a, cb AS b FROM e0
+        |          UNION ALL SELECT cb AS a, ca AS b FROM e0),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+        |comp AS (SELECT id, MIN(lab) AS entity_id FROM reach GROUP BY id),
+        |sz AS (SELECT entity_id, COUNT(*) AS n_members
+        |       FROM comp GROUP BY entity_id)
+        |SELECT comp.id AS c_custkey, comp.entity_id, sz.n_members
+        |FROM comp JOIN sz USING (entity_id)""".stripMargin,
+    // q185: postings capped at the first 20 doc_ids per term —
+    // same row_number()<=cap contract as the Spark side
+    "q185_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+         |c AS (SELECT word, COUNT(*) AS cf FROM t GROUP BY word),
+         |p AS (SELECT DISTINCT word, doc_id FROM t),
+         |d AS (SELECT word, COUNT(*) AS df FROM p GROUP BY word),
+         |capped AS (SELECT word, doc_id FROM (
+         |    SELECT word, doc_id,
+         |      row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+         |    FROM p) WHERE rn <= 20),
+         |post AS (SELECT word,
+         |    array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+         |  FROM capped GROUP BY word)
+         |SELECT d.word, d.df, c.cf, post.postings
+         |FROM d JOIN c USING (word) JOIN post USING (word)""".stripMargin,
+    // q186: dense date spine via generate_series; decimal-plane daily
+    // sum so fill values are order-independent exact
+    "q186_gap_fill" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue,
+         |    COUNT(*) AS n_orders
+         |  FROM orders GROUP BY 1),
+         |bounds AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         |    max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds)
+         |SELECT s.day AS day, d.revenue IS NULL AS is_gap,
+         |  COALESCE(d.revenue, 0.0) AS revenue_filled,
+         |  COALESCE(d.n_orders, 0) AS n_orders,
+         |  last_value(d.revenue IGNORE NULLS) OVER (ORDER BY s.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS revenue_locf
+         |FROM spine s LEFT JOIN daily d ON s.day = d.day""".stripMargin,
+    // q187: fixed 8-tap 0.5^k kernel, left-associated additions with
+    // exact power-of-two literal weights — bit-identical IEEE doubles
+    // on both engines, so no round() is needed (or wanted)
+    "q187_ewma" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bounds AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         |    max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         |g AS (SELECT s.day AS day, COALESCE(d.revenue, 0.0) AS x
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day),
+         |l AS (SELECT day, x,
+         |    row_number() OVER (ORDER BY day) AS rn,
+         |    lag(x, 1) OVER (ORDER BY day) AS l1,
+         |    lag(x, 2) OVER (ORDER BY day) AS l2,
+         |    lag(x, 3) OVER (ORDER BY day) AS l3,
+         |    lag(x, 4) OVER (ORDER BY day) AS l4,
+         |    lag(x, 5) OVER (ORDER BY day) AS l5,
+         |    lag(x, 6) OVER (ORDER BY day) AS l6,
+         |    lag(x, 7) OVER (ORDER BY day) AS l7
+         |  FROM g)
+         |SELECT day, x AS revenue_filled,
+         |  (x + l1 * 0.5 + l2 * 0.25 + l3 * 0.125 + l4 * 0.0625
+         |     + l5 * 0.03125 + l6 * 0.015625 + l7 * 0.0078125)
+         |    / 1.9921875 AS ewma8
+         |FROM l WHERE rn >= 8""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

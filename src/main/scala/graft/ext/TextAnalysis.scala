@@ -799,4 +799,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
+
+  /** Materialized inverted index: per term, document frequency,
+    * corpus frequency, and the first `cap` postings (doc_ids
+    * ascending, comma-joined — a STRING, deliberately: postings are
+    * an index artifact, not a relational column, and a bounded string
+    * survives any sink). The scale contract is per-term state
+    * BOUNDED AT `cap`: postings come from a row_number()≤cap filter
+    * over distinct (word, doc_id) pairs, never an unbounded
+    * collect_list over a hot term's full posting list — at 100 TB a
+    * stopword's postings are the corpus itself, and an unbounded
+    * collect is an executor OOM. All three aggregates (df, cf,
+    * postings) hash-partition on `word`, so the assembling joins are
+    * co-located zero-exchange under AQE. */
+  def invertedIndex(spark: SparkSession, dir: String, cap: Int = 20)
+      : DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val cf = toks.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+    val pairs = toks.select(col("word"), col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = pairs.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("word")).orderBy(col("doc_id"))
+    val postings = pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("word"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))),
+          d => d.cast("string"))).as("postings"))
+    df.join(cf, "word").join(postings, "word")
+      .select(col("word"), col("df"), col("cf"), col("postings"))
+  }
 }

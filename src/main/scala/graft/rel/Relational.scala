@@ -300,6 +300,71 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Time-series gap fill: daily order revenue re-gridded onto a
+    * dense date spine (min..max order date), with zero-fill and
+    * last-observation-carried-forward columns — the resample step
+    * every downstream time-series consumer (drift monitors, EWMA,
+    * forecasting) assumes. The spine comes from ONE 1-row min/max
+    * aggregate exploded into dates — the only driver-sized object;
+    * the daily aggregate is a single scan with map-side partial agg,
+    * and the spine join broadcasts the daily table never the spine?
+    * No: the spine (thousands of rows for years of data) LEFT-joins
+    * the daily aggregate — both tiny relative to the fact table, so
+    * the join cost is noise; the fact table is touched exactly once.
+    * LOCF is a running `last(ignoreNulls)` window ordered by day —
+    * a single-partition window here, fine because the grid is
+    * days-not-rows sized (decades ≈ 10⁴ rows); re-grid by (series,
+    * day) and partition the window by series when there are many
+    * series. Revenue uses the decimal-plane sum so the fill values
+    * are order-independent exact. */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val spine = Tables.orders(spark, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        col("revenue").isNull.as("is_gap"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue_filled"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        last(col("revenue"), ignoreNulls = true).over(w).as("revenue_locf"))
+  }
+
+  /** Exponentially-weighted moving average over the gap-filled daily
+    * revenue: a FIXED 8-day half-life-1 kernel (weights 0.5^k,
+    * k=0..7) written as one explicit left-associated expression —
+    * lag() terms added in a fixed order — so the arithmetic is
+    * bit-identical on any engine that evaluates IEEE doubles
+    * left-to-right (the hash gate depends on this; a true recursive
+    * EWMA or a floating `sum() over ()` would be
+    * summation-order-dependent). Only rows with a full 8-day window
+    * are emitted, making the kernel mass a compile-time constant
+    * (255/128) rather than a data-dependent denominator. Windows are
+    * over the DAY grid (10⁴ rows for decades), not the fact table —
+    * the heavy lifting stays in gapFillDaily's one scan. */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val x = (k: Int) =>
+      if (k == 0) col("revenue_filled")
+      else lag(col("revenue_filled"), k).over(w) * lit(math.pow(0.5, k))
+    val kernel = (1 to 7).foldLeft(x(0))((acc, k) => acc + x(k))
+    gapFillDaily(spark, dir)
+      .select(col("day"), col("revenue_filled"),
+        (kernel / lit(255.0 / 128.0)).as("ewma8"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") >= 8)
+      // no round(): both sides compute the identical IEEE double, and
+      // a round() could only INTRODUCE a half-way-mode discrepancy
+      .select(col("day"), col("revenue_filled"), col("ewma8"))
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP/CUBE
     * specialize: (status, priority), (priority), grand total.
     * Catalyst expands all sets into ONE Expand + hash aggregate —

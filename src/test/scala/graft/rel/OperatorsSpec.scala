@@ -2515,6 +2515,106 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == wantEdges, "in-degree conservation")
   }
 
+  test("entity resolution: exact union-find recompute, guard throws") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val recs = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Number](2).longValue(), r.getString(3)))
+    val edges = recs.groupBy(r => (r._3, r._4)).values.toSeq.flatMap {
+      block =>
+        block.toSeq.flatMap(a => block.toSeq.collect {
+          case b if a._1 < b._1 && lev(a._2, b._2) <= 1 => (a._1, b._1)
+        })
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = ids.map(id => id -> find(id)).toMap
+    val sizes = want.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = graft.ext.Linkage.entityResolution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == ids.length)
+    got.foreach { case (id, ent, n) =>
+      assert(ent == want(id), s"cust $id entity")
+      assert(n == sizes(want(id)).toLong, s"cust $id size")
+    }
+    // the blocking guard fails fast instead of running a quadratic join
+    val recDf = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    intercept[IllegalArgumentException] {
+      graft.ext.Linkage.blockedPairs(recDf, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"), maxBlock = 1)
+    }
+  }
+
+  test("inverted index: df/cf exact, postings capped sorted prefix") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val cf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val post = docs.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = TextAnalysis.invertedIndex(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == cf.size)
+    got.foreach { case (w, df, c, p) =>
+      assert(df == post(w).length.toLong, s"term $w df")
+      assert(c == cf(w).toLong, s"term $w cf")
+      assert(p == post(w).take(20).mkString(","), s"term $w postings")
+    }
+  }
+
+  test("gap fill: dense spine, zero-filled gaps, LOCF carries forward") {
+    val rows = Relational.gapFillDaily(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getBoolean(1), r.getDouble(2),
+        r.getLong(3), r.get(4)))
+      .sortBy(_._1.getTime)
+    // dense: consecutive days differ by exactly 86400 s (UTC session)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._1.getTime - a._1.getTime == 86400000L, s"gap after ${a._1}")
+    case _ => ()
+    }
+    assert(rows.exists(_._2), "spine has at least one gap day")
+    var lastSeen: Option[java.lang.Double] = None
+    rows.foreach { case (day, isGap, filled, n, locf) =>
+      assert(isGap == (n == 0L), s"$day gap flag")
+      if (isGap) assert(filled == 0.0, s"$day zero fill")
+      else lastSeen = Some(Double.box(filled))
+      assert(locf == lastSeen.orNull, s"$day locf")
+    }
+  }
+
+  test("ewma: exact fixed-order kernel recompute over the filled grid") {
+    val filled = Relational.gapFillDaily(spark, sf).collect()
+      .map(r => (r.getDate(0).getTime, r.getDouble(2)))
+      .sortBy(_._1).map(_._2)
+    val got = Relational.ewmaDaily(spark, sf).collect()
+      .map(r => (r.getDate(0).getTime, r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == filled.length - 7)
+    got.zipWithIndex.foreach { case ((_, x, ewma), i) =>
+      val t = i + 7 // index into the filled grid
+      assert(x == filled(t))
+      var acc = filled(t)
+      for (k <- 1 to 7) acc += filled(t - k) * math.pow(0.5, k)
+      assert(ewma == acc / 1.9921875, s"row $i ewma")
+    }
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
