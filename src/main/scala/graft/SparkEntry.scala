@@ -237,6 +237,10 @@ object SparkEntry {
     "q185_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "q186_gap_fill"       -> ((s, d) => Relational.gapFillDaily(s, d)),
     "q187_ewma"           -> ((s, d) => Relational.ewmaDaily(s, d)),
+    "q188_containment"    -> ((s, d) => Dedup.containmentVerifyPortable(s, d)),
+    "q189_markov"         -> ((s, d) => Relational.markovTransitions(s, d)),
+    "q190_hybrid_rrf"     -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "q191_rolling_zscore" -> ((s, d) => Relational.rollingZscore(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2692,6 +2696,108 @@ object SparkEntry {
          |     + l5 * 0.03125 + l6 * 0.015625 + l7 * 0.0078125)
          |    / 1.9921875 AS ewma8
          |FROM l WHERE rn >= 8""".stripMargin,
+    // q188: asymmetric containment over the portable candidates —
+    // |∩| / min(|A|,|B|), contained side = the smaller shingle set
+    "q188_containment" ->
+      s"""WITH $portableCandSql,
+         |ver AS (SELECT c.doc_a, c.doc_b,
+         |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |          least(len(sa.sh), len(sb.sh)), 4) AS containment,
+         |    CASE WHEN len(sa.sh) <= len(sb.sh) THEN c.doc_a
+         |         ELSE c.doc_b END AS contained_id
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+         |              JOIN s sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, containment, contained_id
+         |FROM ver WHERE containment >= 0.8""".stripMargin,
+    // q189: first-order transition matrix; p = exact-long count over
+    // exact-long row total — one division, deterministic
+    "q189_markov" ->
+      """WITH nx AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |pairs AS (SELECT event_type, next_type, COUNT(*) AS n
+        |  FROM nx WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type)
+        |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(CAST(n AS BIGINT))
+        |    OVER (PARTITION BY event_type) AS DOUBLE) AS p
+        |FROM pairs""".stripMargin,
+    // q190: RRF fusion of the BM25 top-100 (q141 math) and cosine
+    // top-100 (q50 math) candidate lists; ranks cast to INTEGER to
+    // match Spark's row_number type
+    "q190_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, $toks AS ws FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n FROM lens),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+         |  WHERE term IN ('shuffle', 'broadcast', 'join')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+         |  FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    ln((CAST(s.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |      * tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)
+         |      / (tf.tf + CAST(1.2 AS DOUBLE)
+         |          * (1.0 - CAST(0.75 AS DOUBLE)
+         |             + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS contrib
+         |  FROM tf JOIN df USING (term) JOIN lens l ON tf.doc_id = l.doc_id,
+         |    stats s),
+         |bm AS (SELECT doc_id,
+         |    round(CAST(SUM(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6)
+         |      AS bm25
+         |  FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 100),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex FROM bm),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+         |      FROM embeddings WHERE vec_id = 0),
+         |cs AS (SELECT vec_id AS doc_id,
+         |    ${cosSql("CAST(embedding AS DOUBLE[])", "q_emb")} AS cos_sim
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY cos_sim DESC, vec_id LIMIT 100),
+         |dense AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS r_dense FROM cs)
+         |SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         |  COALESCE(1.0 / (60 + r_lex), 0.0)
+         |    + COALESCE(1.0 / (60 + r_dense), 0.0) AS rrf,
+         |  r_lex, r_dense
+         |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin,
+    // q191: 28-day rolling z-score from exact decimal-plane window
+    // moments; z is NULL (not NaN) on a zero-variance window
+    "q191_rolling_zscore" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bounds AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         |    max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         |g AS (SELECT s.day AS day, COALESCE(d.revenue, 0.0)
+         |    AS revenue_filled,
+         |    CAST(CAST(COALESCE(d.revenue, 0.0) AS DECIMAL(18,2)) * 100
+         |      AS BIGINT) AS c
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day),
+         |m AS (SELECT day, revenue_filled, CAST(c AS DOUBLE) AS cd,
+         |    row_number() OVER (ORDER BY day) AS rn,
+         |    CAST(CAST(SUM(c)
+         |      OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS DOUBLE) AS s1c,
+         |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+         |      OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE) AS s2c
+         |  FROM g),
+         |zz AS (SELECT day, revenue_filled, cd,
+         |    s1c / 28.0 AS meanc,
+         |    sqrt((s2c - s1c * s1c / 28.0) / 27.0) AS sdc
+         |  FROM m WHERE rn >= 28)
+         |SELECT day, revenue_filled,
+         |  meanc / 100.0 AS mean28, sdc / 100.0 AS sd28,
+         |  (cd - meanc) / (CASE WHEN sdc <> 0.0 THEN sdc END) AS z,
+         |  abs((cd - meanc) / (CASE WHEN sdc <> 0.0 THEN sdc END)) > 3.0
+         |    AS is_anomaly
+         |FROM zz""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

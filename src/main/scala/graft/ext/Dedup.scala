@@ -400,6 +400,41 @@ object Dedup {
     connectedComponents(jaccardVerifyPortable(spark, dir, k, threshold))
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
 
+  /** Asymmetric CONTAINMENT dedup: C = |S(A)∩S(B)| / min(|S(A)|,
+    * |S(B)|) over the same portable-LSH candidate pairs — catches the
+    * subset-duplicate Jaccard misses (a paragraph quoted whole inside
+    * a longer doc scores near-1 containment but low Jaccard, because
+    * the union is dominated by the host). The standard companion
+    * check to symmetric near-dup in web-corpus curation (Broder's
+    * containment). Same scale shape as [[jaccardVerifyPortable]]:
+    * banded candidates (skew-guarded), id-keyed verify joins, no
+    * text movement — and the same caveat that LSH recall is tuned
+    * for Jaccard, so low-Jaccard/high-containment pairs only surface
+    * when the small doc's shingles still dominate enough bands; a
+    * recall-complete containment index would band on the SMALL set's
+    * shingles only (documented trade, not needed at gate scale). */
+  def containmentPairs(docs: DataFrame, cands: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / least(size(col("sh_a")), size(col("sh_b"))), 4).as("containment"),
+        when(size(col("sh_a")) <= size(col("sh_b")), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_id"))
+      .filter(col("containment") >= threshold)
+
+  /** q188: containment-verified pairs over the portable candidates
+    * (hash-gated end to end — candidates, intersection, asymmetric
+    * denominator, contained-side pick). */
+  def containmentVerifyPortable(spark: SparkSession, dir: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame =
+    containmentPairs(shingleTable(spark, dir, k),
+      minhashLshPortable(spark, dir, k), threshold)
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node starts labelled with its own
     * id; each round a node takes the min of its label and its

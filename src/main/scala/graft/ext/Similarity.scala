@@ -1056,4 +1056,39 @@ object Similarity {
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion: fuse a lexical
+    * (BM25) top-`legN` list with a dense (cosine) top-`legN` list as
+    * score = Σ 1/(kRrf + rank) — the standard fusion for RAG serving
+    * (Cormack et al.; the shape ElasticSearch/OpenSearch hybrid
+    * search ships). Deliberately fuses bounded CANDIDATE LISTS, not
+    * full-corpus rankings: each leg is a top-N (the lexical leg a
+    * TakeOrderedAndProject over docs-with-hits, the dense leg the
+    * one-scan broadcast-query top-k), so the fusion join touches
+    * 2·legN rows no matter the corpus size — a full-corpus rank
+    * would be a global sort of everything. Ranks are deterministic
+    * ((score desc, id) tie-break) and the fused score is two exact
+    * IEEE divisions added in fixed order, so the whole pipeline
+    * hash-gates. Docs present in only one leg keep that leg's
+    * contribution (full outer + coalesce 0). */
+  def hybridRrf(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("shuffle", "broadcast", "join"),
+      queryId: Long = 0L, kRrf: Int = 60, legN: Int = 100,
+      topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25(spark, dir, terms, topN = legN)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+    val dense = cosineTopK(spark, dir, queryId, k = legN)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))).as("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_dense")), lit(0.0)))
+          .as("rrf"),
+        col("r_lex"), col("r_dense"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topN)
+  }
 }

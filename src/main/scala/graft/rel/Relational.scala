@@ -365,6 +365,79 @@ object Relational {
       .select(col("day"), col("revenue_filled"), col("ewma8"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * streams: P(next event type | event type), the session-path
+    * primitive behind "what do users do after X" product analytics.
+    * One scan: a user-partitioned lead() window (shuffles once on
+    * user_id, the same key every sessionization query here reuses),
+    * then a tiny (from,to)-keyed aggregate. The probability is one
+    * division of two exact longs — deterministic, so the matrix
+    * hash-gates. Terminal events (a user's last) emit no transition
+    * by construction (lead is null). */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("event_type"))
+    pairs.select(col("event_type"), col("next_type"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(totals)
+        .cast("double")).as("p"))
+  }
+
+  /** Rolling z-score anomaly detection over the gap-filled daily
+    * revenue: 28-day trailing mean/std with EXACT decimal-plane
+    * moments (window sums of DECIMAL values and their DECIMAL
+    * squares are associative and exact, so mean and variance come
+    * out bit-identical on any engine; a double window-sum would be
+    * summation-order-dependent and unhashable). Variance uses the
+    * sum-of-squares identity evaluated in a fixed expression order
+    * from the two exact sums. Only full 28-day windows are emitted.
+    * The window runs over the DAY grid (10⁴ rows for decades) — the
+    * fact table was reduced by gapFillDaily's one scan; partition by
+    * series for the many-series case. */
+  def rollingZscore(spark: SparkSession, dir: String, win: Int = 28,
+      zFlag: Double = 3.0): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val frame = w.rowsBetween(-(win - 1), Window.currentRow)
+    val x = col("revenue_filled")
+    val n = lit(win.toDouble)
+    gapFillDaily(spark, dir)
+      // integer-CENT moments: revenue is an exact cent amount, so
+      // cents are exact BIGINTs, the window sums are exact integers
+      // (squares through a (19,0)² decimal — a cent square crosses
+      // int64 around sf0.1), and every →double conversion is ONE
+      // correctly-rounded step on either engine. The first cut summed
+      // scale-4 decimals instead, and DuckDB's two-step
+      // decimal→double (int/10^s) double-rounds a last ULP away from
+      // the JVM's single-rounded BigDecimal.doubleValue.
+      .select(col("day"), x,
+        (x.cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .select(col("day"), x,
+        row_number().over(w).as("rn"),
+        sum(col("c")).over(frame).cast("double").as("s1c"),
+        sum((col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")))
+          .over(frame).cast("double").as("s2c"),
+        col("c").cast("double").as("cd"))
+      .filter(col("rn") >= win)
+      .select(col("day"), x, col("cd"),
+        (col("s1c") / n).as("meanc"),
+        sqrt((col("s2c") - col("s1c") * col("s1c") / n) / (n - 1.0))
+          .as("sdc"))
+      // null (not NaN) z on a zero-variance window: NaN round-trips
+      // engines/sinks inconsistently, SQL NULL does not
+      .select(col("day"), x,
+        (col("meanc") / 100.0).as("mean28"),
+        (col("sdc") / 100.0).as("sd28"),
+        ((col("cd") - col("meanc")) /
+          when(col("sdc") =!= 0.0, col("sdc"))).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > zFlag)
+  }
+
   /** Explicit GROUPING SETS — the general form ROLLUP/CUBE
     * specialize: (status, priority), (priority), grand total.
     * Catalyst expands all sets into ONE Expand + hash aggregate —

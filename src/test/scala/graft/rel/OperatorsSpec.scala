@@ -2615,6 +2615,107 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment: exact asymmetric recompute, contained side is smaller") {
+    def shingles(ws: Array[String]): Set[String] =
+      if (ws.length < 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    val sh = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        shingles(r.getString(1).split(" ").filter(_.nonEmpty))).toMap
+    val got = Dedup.containmentVerifyPortable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty, "no containment pairs at sf0.001")
+    got.foreach { case (a, b, c, cid) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val want = BigDecimal(
+        sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(c).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP) == want, s"pair ($a,$b)")
+      assert(c >= 0.8, s"pair ($a,$b) below threshold")
+      assert(cid == (if (sa.size <= sb.size) a else b), s"pair ($a,$b) side")
+      // containment dominates jaccard — the reason this op exists
+      val jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(c >= jac - 1e-9, s"pair ($a,$b) containment < jaccard")
+    }
+  }
+
+  test("markov transitions: exact recompute, rows sum to 1 per from-type") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    val want = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      g.sortBy(e => (e._3, e._4)).map(_._2).sliding(2)
+        .collect { case w if w.length == 2 => (w(0), w(1)) }
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val totals = want.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val got = Relational.markovTransitions(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == want.size)
+    got.foreach { case (k, n, p) =>
+      assert(n == want(k), s"$k count")
+      assert(p == n.toDouble / totals(k._1).toDouble, s"$k probability")
+    }
+    got.groupBy(_._1._1).foreach { case (from, g) =>
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-9, s"$from rows sum to 1")
+    }
+  }
+
+  test("hybrid rrf: fusion of the two leg rankings, ordered and bounded") {
+    val lex = TextAnalysis.bm25(spark, sf, topN = 100).collect()
+      .map(r => r.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val dense = Similarity.cosineTopK(spark, sf, k = 100).collect()
+      .map(r => r.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val want = (lex.keySet ++ dense.keySet).map { id =>
+      id -> (lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(50)
+    val got = Similarity.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gid, gs), (wid, ws)) =>
+      assert(gid == wid && gs == ws, s"rank mismatch: got ($gid,$gs)")
+    }
+    // both legs actually contribute to the fused head
+    assert(got.exists(g => lex.contains(g._1) && !dense.contains(g._1)) ||
+      got.exists(g => !lex.contains(g._1) && dense.contains(g._1)) ||
+      got.exists(g => lex.contains(g._1) && dense.contains(g._1)))
+  }
+
+  test("rolling z-score: exact cent-moment recompute over the grid") {
+    val filled = Relational.gapFillDaily(spark, sf).collect()
+      .map(r => (r.getDate(0).getTime, r.getDouble(2)))
+      .sortBy(_._1).map(_._2)
+    val cents = filled.map(v =>
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+      .map(_.toLongExact)
+    val got = Relational.rollingZscore(spark, sf).collect()
+      .map(r => (r.getDate(0).getTime, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .sortBy(_._1)
+    assert(got.length == filled.length - 27)
+    got.zipWithIndex.foreach { case ((_, x, mean, sd, z), i) =>
+      val t = i + 27
+      assert(x == filled(t))
+      val w = (t - 27 to t).map(cents)
+      val s1 = w.sum.toDouble
+      val s2 = w.map(c => BigDecimal(c) * BigDecimal(c)).sum.toDouble
+      val meanc = s1 / 28.0
+      val sdc = math.sqrt((s2 - s1 * s1 / 28.0) / 27.0)
+      assert(mean == meanc / 100.0, s"row $i mean")
+      assert(sd == sdc / 100.0, s"row $i sd")
+      if (sdc == 0.0) assert(z.isEmpty, s"row $i z should be null")
+      else assert(z.contains((cents(t).toDouble - meanc) / sdc), s"row $i z")
+    }
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
