@@ -241,6 +241,10 @@ object SparkEntry {
     "q189_markov"         -> ((s, d) => Relational.markovTransitions(s, d)),
     "q190_hybrid_rrf"     -> ((s, d) => Similarity.hybridRrf(s, d)),
     "q191_rolling_zscore" -> ((s, d) => Relational.rollingZscore(s, d)),
+    "q192_k_anonymity"    -> ((s, d) => graft.ext.Profile.kAnonymity(s, d)),
+    "q193_session_paths"  -> ((s, d) => Relational.sessionPaths(s, d)),
+    "q194_chi_square"     -> ((s, d) => graft.ext.Profile.chiSquareCells(s, d)),
+    "q195_zipf_fit"       -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2798,6 +2802,100 @@ object SparkEntry {
          |  abs((cd - meanc) / (CASE WHEN sdc <> 0.0 THEN sdc END)) > 3.0
          |    AS is_anomaly
          |FROM zz""".stripMargin,
+    // q192: QI-group sizes; the flag is per group, exact counts
+    "q192_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_bucket,
+        |  COUNT(*) AS n, COUNT(*) >= 5 AS k_anonymous
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+    // q193: q19's session assignment + an ORDER BY inside string_agg
+    // (the Spark side sorts structs inside the collected array)
+    "q193_session_paths" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts, event_type,
+        |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM g)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, session_id)
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
+    // q194: per-cell chi-square — expected from window totals over
+    // exact longs, contribution a fixed IEEE chain (a single summed
+    // statistic would be summation-order-dependent; cells are not)
+    "q194_chi_square" ->
+      """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+        |    COUNT(*) AS n FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, o_orderstatus, n,
+        |  CAST(CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS DOUBLE)
+        |    * CAST(CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE) AS expected,
+        |  (CAST(n AS DOUBLE)
+        |    - CAST(CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |        AS DOUBLE)
+        |      * CAST(CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |        AS DOUBLE)
+        |      / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE))
+        |  * (CAST(n AS DOUBLE)
+        |    - CAST(CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |        AS DOUBLE)
+        |      * CAST(CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |        AS DOUBLE)
+        |      / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE))
+        |  / (CAST(CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |        AS DOUBLE)
+        |      * CAST(CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |        AS DOUBLE)
+        |      / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE)) AS contrib
+        |FROM cells""".stripMargin,
+    // q195: regression sums over nano-scaled integer ln surrogates —
+    // exact integers sum order-independently; every →double step is
+    // single-rounded; the closed form is a fixed IEEE chain (a plain
+    // double SUM — and even a running window sum, which this engine
+    // evaluates through a re-associating segment tree — is not
+    // cross-engine stable)
+    "q195_zipf_fit" ->
+      s"""WITH f AS (SELECT word, COUNT(*) AS n
+         |  FROM (SELECT unnest($toks) AS word FROM documents)
+         |  GROUP BY word),
+         |r AS (SELECT row_number() OVER (ORDER BY n DESC, word) AS rank,
+         |    n FROM f),
+         |xy AS (SELECT
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1.0e9) AS BIGINT) AS xi,
+         |    CAST(round(ln(CAST(n AS DOUBLE)) * 1.0e9) AS BIGINT) AS yi
+         |  FROM r),
+         |a AS (SELECT COUNT(*) AS n_terms,
+         |    CAST(SUM(xi) AS BIGINT) AS sxi, CAST(SUM(yi) AS BIGINT) AS syi,
+         |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+         |      AS sxyi,
+         |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+         |      AS sxxi
+         |  FROM xy)
+         |SELECT n_terms,
+         |  (CAST(n_terms AS DOUBLE) * (CAST(sxyi AS DOUBLE) / 1.0e18)
+         |     - (CAST(sxi AS DOUBLE) / 1.0e9) * (CAST(syi AS DOUBLE) / 1.0e9))
+         |  / (CAST(n_terms AS DOUBLE) * (CAST(sxxi AS DOUBLE) / 1.0e18)
+         |     - (CAST(sxi AS DOUBLE) / 1.0e9) * (CAST(sxi AS DOUBLE) / 1.0e9))
+         |    AS slope,
+         |  ((CAST(syi AS DOUBLE) / 1.0e9)
+         |   - ((CAST(n_terms AS DOUBLE) * (CAST(sxyi AS DOUBLE) / 1.0e18)
+         |       - (CAST(sxi AS DOUBLE) / 1.0e9) * (CAST(syi AS DOUBLE) / 1.0e9))
+         |      / (CAST(n_terms AS DOUBLE) * (CAST(sxxi AS DOUBLE) / 1.0e18)
+         |         - (CAST(sxi AS DOUBLE) / 1.0e9)
+         |           * (CAST(sxi AS DOUBLE) / 1.0e9)))
+         |     * (CAST(sxi AS DOUBLE) / 1.0e9))
+         |  / CAST(n_terms AS DOUBLE) AS intercept
+         |FROM a""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -139,4 +139,47 @@ object Profile {
       .orderBy(col("est_count").desc, col("tok"))
       .limit(topN)
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple — the release
+    * gate for any dataset that leaves the pipeline (a record is
+    * re-identifiable when its QI combination is shared by fewer than
+    * k rows). QIs here: (nation, market segment, account-balance
+    * kilobucket). ONE groupBy — the audit costs a single shuffle on
+    * the QI tuple at any scale; the flag is per GROUP, so the result
+    * is |QI-space|-sized, not row-sized. Generalization (coarser
+    * buckets) is the dial when too many groups fail. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anonymous", col("n") >= k)
+
+  /** Pearson chi-square contingency between order priority and order
+    * status, emitted PER CELL (observed, expected, contribution):
+    * the per-cell form is deterministic — a single total would sum
+    * float contributions in engine-dependent order — and more useful
+    * anyway (the big cells ARE the finding). Expected counts come
+    * from window totals over exact longs (order-independent), and
+    * each contribution is a fixed chain of IEEE ops, so the whole
+    * table hash-gates. One scan, one small shuffle; the window runs
+    * over the |priorities|×|statuses| cell table, not the fact
+    * table. */
+  def chiSquareCells(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = sum(col("n")).over(Window.partitionBy(col("o_orderpriority")))
+    val colT = sum(col("n")).over(Window.partitionBy(col("o_orderstatus")))
+    val grand = sum(col("n")).over(Window.partitionBy())
+    cells
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        (rowT.cast("double") * colT.cast("double") / grand.cast("double"))
+          .as("expected"))
+      .withColumn("contrib",
+        (col("n").cast("double") - col("expected"))
+          * (col("n").cast("double") - col("expected")) / col("expected"))
+  }
 }

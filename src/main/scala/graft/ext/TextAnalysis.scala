@@ -800,6 +800,48 @@ object TextAnalysis {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Zipf-law fit of the corpus frequency distribution: least-squares
+    * slope/intercept of ln(freq) on ln(rank) — the one-number
+    * diagnostic for "does this corpus look like natural language"
+    * (natural text ≈ −1; boilerplate/spam corpora bend it). The
+    * regression sums are taken over NANO-SCALED INTEGER surrogates
+    * (round(ln·10⁹) as long; the cross products through a (19,0)²
+    * decimal): exact integers sum order-independently, every →double
+    * conversion is one correctly-rounded step, and the closed-form
+    * fit is then a fixed IEEE chain — bit-identical across engines.
+    * (Two rejected designs: a plain double SUM is summation-order-
+    * dependent; a RUNNING window sum pins the order in principle but
+    * the oracle engine evaluates cumulative frames through a segment
+    * tree, which re-associates the additions.) The quantization
+    * perturbs each ln by ≤5e-10 — noise four orders below the fit's
+    * own residuals. One scan → vocab-sized agg; the rank window runs
+    * over the vocabulary table only. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val wr = Window.orderBy(col("n").desc, col("word"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val agg = freq
+      .select(row_number().over(wr).as("rank"), col("n"))
+      .select(
+        round(log(col("rank").cast("double")) * 1e9, 0).cast("long").as("xi"),
+        round(log(col("n").cast("double")) * 1e9, 0).cast("long").as("yi"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("xi")).as("sxi"), sum(col("yi")).as("syi"),
+        sum(dec(col("xi")) * dec(col("yi"))).as("sxyi"),
+        sum(dec(col("xi")) * dec(col("xi"))).as("sxxi"))
+    val r = col("n_terms").cast("double")
+    val sx = col("sxi").cast("double") / 1e9
+    val sy = col("syi").cast("double") / 1e9
+    val sxy = col("sxyi").cast("double") / 1e18
+    val sxx = col("sxxi").cast("double") / 1e18
+    val slope = (r * sxy - sx * sy) / (r * sxx - sx * sx)
+    agg.select(col("n_terms"), slope.as("slope"),
+      ((sy - slope * sx) / r).as("intercept"))
+  }
+
   /** Materialized inverted index: per term, document frequency,
     * corpus frequency, and the first `cap` postings (doc_ids
     * ascending, comma-joined — a STRING, deliberately: postings are

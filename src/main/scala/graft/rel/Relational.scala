@@ -365,6 +365,40 @@ object Relational {
       .select(col("day"), col("revenue_filled"), col("ewma8"))
   }
 
+  /** Top session paths: the ordered event-type string of each
+    * 30-minute session ("view>click>purchase"), counted corpus-wide —
+    * the path-mining companion to [[markovTransitions]] (full
+    * sequences, not one-hop probabilities). Session assignment is
+    * the same gap-split window as [[sessionize]]; the path is built
+    * by sorting each session's (ts, event_id, type) structs INSIDE
+    * the aggregated array — collect_list order is
+    * partitioning-dependent, array_sort makes it canonical — so the
+    * result is deterministic and hash-gates. Paths are bounded by
+    * session length; the final count is a tiny path-keyed agg. */
+  def sessionPaths(spark: SparkSession, dir: String, topN: Int = 25)
+      : DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(us, 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
   /** First-order Markov transition matrix over per-user event
     * streams: P(next event type | event type), the session-path
     * primitive behind "what do users do after X" product analytics.

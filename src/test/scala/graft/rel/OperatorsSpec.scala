@@ -2716,6 +2716,103 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity: exact QI group sizes, flag at k=5, partition covers") {
+    val custs = graft.Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        math.floor(r.getDouble(2) / 1000.0).toInt))
+    val want = custs.groupBy(identity(_)).view.mapValues(_.length.toLong).toMap
+    val got = graft.ext.Profile.kAnonymity(spark, sf).collect()
+      .map(r => ((r.getAs[Number](0).longValue(), r.getString(1),
+        r.getInt(2)), r.getLong(3), r.getBoolean(4)))
+    assert(got.length == want.size)
+    got.foreach { case (k, n, flag) =>
+      assert(n == want(k), s"group $k size")
+      assert(flag == (n >= 5L), s"group $k flag")
+    }
+    assert(got.map(_._2).sum == custs.length.toLong, "groups cover all rows")
+    assert(got.exists(!_._3), "audit finds at least one risky group")
+  }
+
+  test("session paths: exact gap-split path recompute") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getString(3)))
+    val paths = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e._3 - prev > 1800000L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._4
+        prev = e._3
+      }
+      sessions.map(_.mkString(">"))
+    }
+    val want = paths.groupBy(identity(_)).view
+      .mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(25)
+    val got = Relational.sessionPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == want.map { case (p, n) => (p, n) })
+  }
+
+  test("chi-square cells: exact marginals, contributions, coverage") {
+    val cells = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val grand = cells.values.sum.toDouble
+    val got = graft.ext.Profile.chiSquareCells(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == cells.size)
+    got.foreach { case (k, n, e, c) =>
+      assert(n == cells(k), s"$k observed")
+      val want = rowT(k._1).toDouble * colT(k._2).toDouble / grand
+      assert(e == want, s"$k expected")
+      assert(c == (n.toDouble - want) * (n.toDouble - want) / want,
+        s"$k contribution")
+    }
+    // expected counts respect the marginals they came from
+    got.groupBy(_._1._1).foreach { case (p, g) =>
+      assert(math.abs(g.map(_._3).sum - rowT(p).toDouble) < 1e-6,
+        s"$p expected-row total")
+    }
+  }
+
+  test("zipf fit: slope matches a local least-squares on the same surrogates") {
+    val freq = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity(_)).view.mapValues(_.length).toSeq
+      .sortBy { case (w, n) => (-n, w) }
+    val xs = freq.indices.map(i =>
+      math.round(math.log((i + 1).toDouble) * 1e9))
+    val ys = freq.map(f => math.round(math.log(f._2.toDouble) * 1e9))
+    val r = freq.length.toDouble
+    val sx = xs.sum.toDouble / 1e9
+    val sy = ys.sum.toDouble / 1e9
+    val sxy = xs.zip(ys).map { case (a, b) =>
+      BigInt(a) * BigInt(b) }.sum.toDouble / 1e18
+    val sxx = xs.map(a => BigInt(a) * BigInt(a)).sum.toDouble / 1e18
+    val slope = (r * sxy - sx * sy) / (r * sxx - sx * sx)
+    val row = TextAnalysis.zipfFit(spark, sf).collect().head
+    assert(row.getLong(0) == freq.length.toLong)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-9, "slope")
+    assert(math.abs(row.getDouble(2) - (sy - slope * sx) / r) < 1e-9,
+      "intercept")
+    // a token corpus should be Zipf-ish: decisively negative slope
+    assert(row.getDouble(1) < -0.1, "slope sign")
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
