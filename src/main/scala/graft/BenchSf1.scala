@@ -27,7 +27,12 @@ object BenchSf1 {
     // cluster pipeline (band → verify → CC → join back), and the
     // histogram quantiles ride lineitem, the one table that actually
     // grows with sf — both plans could hide super-linear steps
-    "q168_leakage_split", "q172_hist_quantiles")
+    "q168_leakage_split", "q172_hist_quantiles",
+    // late-r9 additions: the blocked-join linkage (per-block work is
+    // the quadratic risk), containment over the banded candidates,
+    // the capped-postings inverted index, and the two-leg RRF fusion
+    "q184_entity_res", "q188_containment", "q185_inverted_index",
+    "q190_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

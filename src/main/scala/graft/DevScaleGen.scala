@@ -71,6 +71,24 @@ object DevScaleGen {
         emb.as("embedding"), col("label"))
     }
 
+    // customer, for the entity-resolution probe (q184): names in copy
+    // c>0 get a TWO-char suffix "§cc", so any cross-copy name pair is
+    // ≥2 edits apart and can never match at maxDist=1 — match pairs
+    // (and CC components) scale linearly with copies, same philosophy
+    // as the documents vocabulary bijection. Block keys are left
+    // unchanged: blocks grow 10× (each block still joins within
+    // itself), which is exactly the stress the blocked join should
+    // absorb linearly in pair OUTPUT but quadratically in per-block
+    // WORK — the thing the probe is there to measure.
+    replicate("customer") { (df, c) =>
+      val name =
+        if (c == 0) col("c_name")
+        else concat(col("c_name"), lit("§" + c + c))
+      df.select((col("c_custkey") + lit(c * off)).as("c_custkey"),
+        name.as("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    }
+
     replicate("orders") { (df, c) =>
       df.select((col("o_orderkey") + lit(c * off)).as("o_orderkey"),
         (col("o_custkey") + lit(c * off)).as("o_custkey"),

@@ -245,6 +245,8 @@ object SparkEntry {
     "q193_session_paths"  -> ((s, d) => Relational.sessionPaths(s, d)),
     "q194_chi_square"     -> ((s, d) => graft.ext.Profile.chiSquareCells(s, d)),
     "q195_zipf_fit"       -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "q196_json_audit"     -> ((s, d) => Relational.jsonPropsAudit(s, d)),
+    "q197_cohort_ltv"     -> ((s, d) => Relational.cohortLtv(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2896,6 +2898,35 @@ object SparkEntry {
          |     * (CAST(sxi AS DOUBLE) / 1.0e9))
          |  / CAST(n_terms AS DOUBLE) AS intercept
          |FROM a""".stripMargin,
+    // q196: JSON payload audit — unparseable rows surface as the
+    // bucket = -1 row instead of vanishing
+    "q196_json_audit" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT COALESCE(CAST(k // 10 AS INTEGER), -1) AS k_bucket,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
+    // q197: q39's cohort grid with decimal-plane weekly and running
+    // cumulative value (the LTV curve)
+    "q197_cohort_ltv" ->
+      s"""WITH w AS (SELECT user_id, value,
+         |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY 1),
+         |g AS (SELECT f.cohort_week,
+         |    CAST(date_diff('day', f.cohort_week, w.wk) / 7 AS INTEGER)
+         |      AS week_offset,
+         |    COUNT(DISTINCT w.user_id) AS n_users,
+         |    SUM(CAST(value AS DECIMAL(28,6))) AS wv
+         |  FROM w JOIN f ON w.user_id = f.user_id
+         |  GROUP BY 1, 2)
+         |SELECT cohort_week, week_offset, n_users,
+         |  CAST(wv AS DOUBLE) AS week_value,
+         |  CAST(SUM(wv) OVER (PARTITION BY cohort_week ORDER BY week_offset
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS cum_value
+         |FROM g""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -50,23 +50,60 @@ object Linkage {
     a.join(b, cond)
   }
 
-  /** q184 core: resolve customer records into entities. Records are
-    * blocked on (c_nationkey, c_mktsegment); two records match when
-    * their names are within `maxDist` edits (codegen'd levenshtein);
-    * matches close transitively via connected components. Output is
-    * one row per customer in a multi-record entity: its canonical
-    * representative (min custkey in the component) and the entity
-    * size. Deterministic, so the DuckDB recursive-CTE oracle
-    * hash-gates the whole pipeline end to end. */
+  /** Deletion-neighborhood keys of `name`: the string itself plus
+    * every single-character deletion (SymSpell's index). Two strings
+    * at edit distance ≤ 1 ALWAYS share a key (substitution → the
+    * deletion at the edited position coincides; insertion/deletion →
+    * the longer string's deletion equals the shorter string), so an
+    * equi-join on these keys is a RECALL-COMPLETE candidate generator
+    * for lev ≤ 1 — unlike attribute blocking, whose recall is
+    * whatever the block key happens to give. */
+  def deletionKeys(name: Column): Column =
+    concat(array(name),
+      transform(sequence(lit(1), length(name)), i =>
+        concat(name.substr(lit(1), i - 1),
+          name.substr(i + 1, length(name)))))
+
+  /** q184 core: resolve customer records into entities. Candidates
+    * come from an equi-join on (attribute block × deletion-
+    * neighborhood key): the name blows up into ~len(name) keys, each
+    * shared only by near-identical names, so candidate blocks stay
+    * O(alphabet)-sized no matter how many records share a coarse
+    * attribute block — the property that survives 10× data where a
+    * plain (nation, segment) block join grows its per-block work
+    * quadratically (the sf1 probe's q184 row measures exactly this).
+    * The `maxBucket` stats pass still fails fast on a degenerate
+    * corpus (everyone named the same). Matches verify with codegen'd
+    * levenshtein ≤ maxDist and close transitively via connected
+    * components; output is one row per customer in a multi-record
+    * entity with its canonical representative (min custkey) and
+    * entity size. Deterministic end to end, so the recursive-CTE
+    * oracle hash-gates candidates, verify, and closure. */
   def entityResolution(spark: SparkSession, dir: String,
-      maxDist: Int = 1, maxBlock: Int = 512): DataFrame = {
+      maxDist: Int = 1, maxBucket: Int = 256): DataFrame = {
     val recs = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_mktsegment"))
-    val edges = blockedPairs(recs, "c_custkey",
-      Seq("c_nationkey", "c_mktsegment"), maxBlock)
-      .filter(levenshtein(col("c_name_a"), col("c_name_b")) <= maxDist)
-      .select(col("c_custkey_a").as("doc_a"), col("c_custkey_b").as("doc_b"))
+    val keys = recs
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), explode(deletionKeys(col("c_name"))).as("k"))
+    val biggest = keys
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(biggest <= maxBucket,
+      s"hottest deletion-key bucket has $biggest records (> maxBucket=" +
+        s"$maxBucket): a mass-duplicate name corpus — dedup exact names " +
+        "first instead of joining the hot bucket")
+    val a = keys.select(col("c_custkey").as("ca"), col("c_name").as("na"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"), col("k"))
+    val b = keys.select(col("c_custkey").as("cb"), col("c_name").as("nb"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"), col("k"))
+    val edges = a.join(b, Seq("nk", "seg", "k"))
+      .filter(col("ca") < col("cb"))
+      .select(col("ca"), col("cb"), col("na"), col("nb")).distinct()
+      .filter(levenshtein(col("na"), col("nb")) <= maxDist)
+      .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
     val comps = Dedup.connectedComponents(edges)
     val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     comps.join(sizes, "label")

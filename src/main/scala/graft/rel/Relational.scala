@@ -365,6 +365,55 @@ object Relational {
       .select(col("day"), col("revenue_filled"), col("ewma8"))
   }
 
+  /** Semi-structured audit of the events `props` JSON column:
+    * extract `$.k`, bucket it, and report per-bucket volume, user
+    * reach, and range — plus the unparseable rows as their own
+    * `bucket = -1` row (a malformed-payload RATE is the first thing
+    * an ingest gate wants from a JSON column, and dropping those rows
+    * silently is how bad payloads go unnoticed). get_json_object is
+    * a per-row codegen'd expression — one scan, no UDF, and the
+    * bucket agg is a tiny shuffle. Floor-division bucketing (values
+    * are non-negative; a general signed bucket needs explicit floor —
+    * int `/` truncates toward zero on one engine and rounds on the
+    * other's double cast). */
+  def jsonPropsAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(coalesce(floor(col("k") / 10).cast("int"), lit(-1))
+        .as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** Cohort lifetime value: [[retentionCohorts]]' weekly grid with
+    * the money attached — per (cohort_week, week_offset), active
+    * users, that week's value, and the RUNNING cumulative value (the
+    * LTV curve). The cumulative sum runs on the DECIMAL plane inside
+    * a cohort-partitioned window ordered by offset, so it is exact
+    * and order-independent; the window operates on the tiny
+    * (cohort × offset) grid, never the event stream. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+    val first = w.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val grid = w.join(first, "user_id")
+      .select(col("user_id"), col("value"), col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(28,6)")).as("wv"))
+    val cum = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.select(col("cohort_week"), col("week_offset"), col("n_users"),
+      col("wv").cast("double").as("week_value"),
+      sum(col("wv")).over(cum).cast("double").as("cum_value"))
+  }
+
   /** Top session paths: the ordered event-type string of each
     * 30-minute session ("view>click>purchase"), counted corpus-wide —
     * the path-mining companion to [[markovTransitions]] (full

@@ -2813,6 +2813,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getDouble(1) < -0.1, "slope sign")
   }
 
+  test("json audit: exact bucket recompute, full event coverage") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("props")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val parsed = ev.map { case (u, p) =>
+      val m = """"k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(p)
+      (u, m.map(_.group(1).toInt))
+    }
+    val want = parsed.groupBy {
+      case (_, Some(k)) => k / 10
+      case _ => -1
+    }
+    val got = Relational.jsonPropsAudit(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getAs[Number](3), r.getAs[Number](4)))
+    assert(got.length == want.size)
+    got.foreach { case (b, n, u, mn, mx) =>
+      val g = want(b)
+      assert(n == g.length.toLong, s"bucket $b events")
+      assert(u == g.map(_._1).distinct.length.toLong, s"bucket $b users")
+      if (b >= 0) {
+        assert(mn.intValue() == g.flatMap(_._2).min, s"bucket $b min")
+        assert(mx.intValue() == g.flatMap(_._2).max, s"bucket $b max")
+      }
+    }
+    assert(got.map(_._2).sum == ev.length.toLong, "buckets cover all rows")
+  }
+
+  test("cohort ltv: cumulative value is the running sum of week values") {
+    val rows = Relational.cohortLtv(spark, sf).collect()
+      .map(r => (r.getDate(0).getTime, r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cw, g) =>
+      val sorted = g.sortBy(_._2)
+      // offsets start at 0 (the cohort's own week is its first active
+      // week by construction)
+      assert(sorted.head._2 == 0, s"cohort $cw first offset")
+      var cum = BigDecimal(0)
+      sorted.foreach { case (_, off, n, wv, cv) =>
+        assert(n > 0, s"cohort $cw offset $off users")
+        cum += BigDecimal(wv)
+        assert(math.abs(cv - cum.toDouble) < 1e-6,
+          s"cohort $cw offset $off cumulative")
+      }
+    }
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
