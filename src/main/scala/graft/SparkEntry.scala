@@ -247,6 +247,9 @@ object SparkEntry {
     "q195_zipf_fit"       -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "q196_json_audit"     -> ((s, d) => Relational.jsonPropsAudit(s, d)),
     "q197_cohort_ltv"     -> ((s, d) => Relational.cohortLtv(s, d)),
+    "q198_kn_bigrams"     -> ((s, d) => TextAnalysis.knBigrams(s, d)),
+    "q199_burstiness"     -> ((s, d) => TextAnalysis.burstiness(s, d)),
+    "q200_source_gini"    -> ((s, d) => TextAnalysis.sourceGini(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2927,6 +2930,56 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          |    AS cum_value
          |FROM g""".stripMargin,
+    // q198: KN-smoothed bigrams — continuation counts via windows
+    // over the bigram table; P_kn is one fixed IEEE chain per row
+    "q198_kn_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |bg0 AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+         |  FROM t, UNNEST(range(1, len(ws))) AS u(i)),
+         |bg AS (SELECT w1, w2, COUNT(*) AS c FROM bg0 GROUP BY 1, 2),
+         |x AS (SELECT w1, w2, c,
+         |    CAST(SUM(c) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         |    COUNT(*) OVER (PARTITION BY w1) AS n1fw,
+         |    COUNT(*) OVER (PARTITION BY w2) AS n1bw,
+         |    COUNT(*) OVER () AS nall
+         |  FROM bg)
+         |SELECT w1, w2, c,
+         |  (greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE))
+         |   + (0.75 * CAST(n1fw AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |     * (CAST(n1bw AS DOUBLE) / CAST(nall AS DOUBLE)) AS p_kn
+         |FROM x ORDER BY c DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q199: Church/Gale burstiness — exact integer moments, one
+    // IEEE chain per term
+    "q199_burstiness" ->
+      s"""WITH pd AS (SELECT doc_id, word, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest($toks) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |a AS (SELECT word, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS cf,
+         |    CAST(SUM(c * c) AS BIGINT) AS s2 FROM pd GROUP BY word)
+         |SELECT word, df, cf,
+         |  (CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |   - (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |     * (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+         |  / (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS vmr
+         |FROM a, nd WHERE cf >= 10""".stripMargin,
+    // q200: Gini of token mass over sources — exact integers until
+    // one final division
+    "q200_source_gini" ->
+      s"""WITH s AS (SELECT source,
+         |    CAST(SUM(len($toks)) AS BIGINT) AS x
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i
+         |  FROM s),
+         |a AS (SELECT COUNT(*) AS n_sources,
+         |    CAST(SUM(x) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(i * x) AS BIGINT) AS iwx FROM r)
+         |SELECT n_sources, total_tokens,
+         |  (2.0 * CAST(iwx AS DOUBLE)
+         |    - CAST(n_sources + 1 AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+         |  / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+         |    AS gini
+         |FROM a""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

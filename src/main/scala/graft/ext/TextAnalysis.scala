@@ -842,6 +842,105 @@ object TextAnalysis {
       ((sy - slope * sx) / r).as("intercept"))
   }
 
+  /** Kneser-Ney–smoothed bigram probabilities (fixed discount
+    * D = 0.75) — the LM-data counterpart of the MLE trigram LM
+    * (q105): KN backs off to CONTINUATION counts ("in how many
+    * contexts does w2 appear") rather than raw unigram frequency,
+    * the smoothing that actually works for corpus scoring.
+    * Everything derives from exact integer counts (bigram counts,
+    * context totals, distinct-continuation counts via windows over
+    * the bigram TABLE, never the corpus), and P_kn is one fixed IEEE
+    * chain per row — deterministic, hash-gated. One corpus scan
+    * builds the bigram table; the windows and joins that follow run
+    * on |V|²-bounded aggregates. */
+  def knBigrams(spark: SparkSession, dir: String, discount: Double = 0.75,
+      topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(posexplode(col("ws")).as(Seq("i", "w1")), col("ws"))
+      .select(col("w1"),
+        // get(): 0-based and null past the end (element_at throws
+        // under ANSI for an out-of-bounds index)
+        get(col("ws"), col("i") + 1).as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val byW1 = Window.partitionBy(col("w1"))
+    val byW2 = Window.partitionBy(col("w2"))
+    val all = Window.partitionBy()
+    bg.select(col("w1"), col("w2"), col("c"),
+        sum(col("c")).over(byW1).as("c1"),
+        count(lit(1)).over(byW1).as("n1fw"),
+        count(lit(1)).over(byW2).as("n1bw"),
+        count(lit(1)).over(all).as("nAll"))
+      .select(col("w1"), col("w2"), col("c"),
+        ((greatest(col("c").cast("double") - discount, lit(0.0))
+          / col("c1").cast("double"))
+          + (lit(discount) * col("n1fw").cast("double")
+            / col("c1").cast("double"))
+            * (col("n1bw").cast("double") / col("nAll").cast("double")))
+          .as("p_kn"))
+      .orderBy(col("c").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Term burstiness: variance-to-mean ratio of a term's per-document
+    * count over ALL documents (zeros included) — Church/Gale's
+    * dispersion diagnostic (content words are bursty, VMR ≫ 1;
+    * function words are Poisson-ish, VMR ≈ 1; generated/boilerplate
+    * text flattens the profile). Moments come from exact integer
+    * sums (Σc, Σc² per term; zeros contribute nothing, so the docs
+    * that lack the term never materialize) and the VMR is a fixed
+    * IEEE chain — hash-gated. One scan → (doc, term) counts →
+    * term-keyed agg. */
+  def burstiness(spark: SparkSession, dir: String, minCf: Long = 10L)
+      : DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("cf") >= minCf)
+      .join(broadcast(nDocs))
+      .select(col("word"), col("df"), col("cf"),
+        ((col("s2").cast("double") / col("n_docs").cast("double")
+          - (col("cf").cast("double") / col("n_docs").cast("double"))
+            * (col("cf").cast("double") / col("n_docs").cast("double")))
+          / (col("cf").cast("double") / col("n_docs").cast("double")))
+          .as("vmr"))
+  }
+
+  /** Gini coefficient of token mass across sources — the one-number
+    * "is my corpus mix dominated by a few sources" diagnostic
+    * (0 = perfectly even, →1 = one source is the corpus). Computed
+    * ENTIRELY on exact integers until one final expression: source
+    * totals are exact longs, the rank weighting Σ i·xᵢ is an exact
+    * long (ranked ascending by (tokens, source) — deterministic
+    * tie-break), and gini = (2Σi·xᵢ − (n+1)Σx) / (nΣx) is one IEEE
+    * division — hash-gated with no summation-order exposure. The
+    * rank window runs over the SOURCE table (dozens of rows). */
+  def sourceGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("tok"))
+      .select(col("source"), size(col("tok")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("x"))
+    val wr = Window.orderBy(col("x"), col("source"))
+    bySource
+      .select(col("x"), row_number().over(wr).cast("long").as("i"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("iwx"))
+      .select(col("n_sources"), col("total_tokens"),
+        ((lit(2.0) * col("iwx").cast("double")
+          - (col("n_sources") + 1).cast("double")
+            * col("total_tokens").cast("double"))
+          / (col("n_sources").cast("double")
+            * col("total_tokens").cast("double"))).as("gini"))
+  }
+
   /** Materialized inverted index: per term, document frequency,
     * corpus frequency, and the first `cap` postings (doc_ids
     * ascending, comma-joined — a STRING, deliberately: postings are

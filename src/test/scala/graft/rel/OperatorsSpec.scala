@@ -2861,6 +2861,75 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kn bigrams: exact recompute, probabilities in (0,1], mass backs off") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val bg = docs.flatMap(ws => ws.sliding(2).collect {
+      case w if w.length == 2 => (w(0), w(1))
+    }).groupBy(identity(_)).view.mapValues(_.length.toLong).toMap
+    val c1 = bg.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1fw = bg.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1bw = bg.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nAll = bg.size.toDouble
+    val got = TextAnalysis.knBigrams(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == math.min(50, bg.size))
+    got.foreach { case (k, c, p) =>
+      assert(c == bg(k), s"$k count")
+      val want = math.max(c - 0.75, 0.0) / c1(k._1) +
+        (0.75 * n1fw(k._1) / c1(k._1)) * (n1bw(k._2) / nAll)
+      assert(math.abs(p - want) < 1e-12, s"$k p_kn")
+      assert(p > 0.0 && p <= 1.0, s"$k p range")
+    }
+  }
+
+  test("burstiness: exact VMR recompute; bursty beats flat") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val n = docs.length.toDouble
+    val perTerm = docs.flatMap(ws =>
+        ws.groupBy(identity(_)).view.mapValues(_.length.toLong).toSeq)
+      .groupBy(_._1).view.mapValues { cs =>
+        (cs.length.toLong, cs.map(_._2).sum, cs.map(c => c._2 * c._2).sum)
+      }.toMap
+    val got = TextAnalysis.burstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (w, df, cf, vmr) =>
+      val (wdf, wcf, ws2) = perTerm(w)
+      assert(df == wdf && cf == wcf, s"$w counts")
+      assert(cf >= 10L, s"$w below minCf")
+      val mean = wcf.toDouble / n
+      val want = (ws2.toDouble / n - mean * mean) / mean
+      assert(math.abs(vmr - want) < 1e-9, s"$w vmr")
+      assert(vmr > 0.0, s"$w vmr sign")
+    }
+    assert(perTerm.filter(_._2._2 < 10L).keySet
+      .intersect(got.map(_._1).toSet).isEmpty, "minCf filter")
+  }
+
+  test("source gini: exact integer recompute, in [0,1)") {
+    val xs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).split(" ").count(_.nonEmpty).toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (s, x) => (x, s) }.map(_._2)
+    val n = xs.length.toLong
+    val total = xs.sum
+    val iwx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val want = (2.0 * iwx - (n + 1).toDouble * total) / (n.toDouble * total)
+    val row = TextAnalysis.sourceGini(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == total)
+    assert(row.getDouble(2) == want)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
