@@ -2902,12 +2902,18 @@ object SparkEntry {
          |  / CAST(n_terms AS DOUBLE) AS intercept
          |FROM a""".stripMargin,
     // q196: JSON payload audit — unparseable rows surface as the
-    // bucket = -1 row instead of vanishing
+    // NULL-bucket row instead of vanishing. json_valid guard +
+    // TRY_CAST mirror Spark's null-on-malformed get_json_object +
+    // try_cast (a plain CAST would abort the oracle on the exact rows
+    // the audit exists to count), and floor() (not //, which
+    // truncates toward zero) keeps negative payloads in the same
+    // bucket on both engines.
     "q196_json_audit" ->
       """WITH e AS (SELECT user_id,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |    TRY_CAST(CASE WHEN json_valid(props)
+        |      THEN json_extract_string(props, '$.k') END AS INTEGER) AS k
         |  FROM events)
-        |SELECT COALESCE(CAST(k // 10 AS INTEGER), -1) AS k_bucket,
+        |SELECT CAST(floor(k / 10.0) AS INTEGER) AS k_bucket,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1""".stripMargin,

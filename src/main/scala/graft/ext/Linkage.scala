@@ -81,12 +81,23 @@ object Linkage {
     * oracle hash-gates candidates, verify, and closure. */
   def entityResolution(spark: SparkSession, dir: String,
       maxDist: Int = 1, maxBucket: Int = 256): DataFrame = {
+    // the single-deletion neighborhood is recall-complete ONLY for
+    // lev ≤ 1; a maxDist ≥ 2 caller would get silently dropped
+    // matches (order-k neighborhoods or q-gram blocking are the
+    // generalizations) — refuse rather than under-recall
+    require(maxDist >= 0 && maxDist <= 1,
+      s"deletion-neighborhood candidates are recall-complete only for " +
+        s"maxDist <= 1 (got $maxDist)")
     val recs = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_mktsegment"))
+    // persisted: three consumers (the guard stats pass and both legs
+    // of the candidate self-join) would otherwise each re-scan the
+    // records and re-explode ~len(name) deletion keys per row
     val keys = recs
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"), explode(deletionKeys(col("c_name"))).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val biggest = keys
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
       .agg(count(lit(1)).as("n"))

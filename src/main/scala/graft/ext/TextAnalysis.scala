@@ -955,22 +955,26 @@ object TextAnalysis {
     * co-located zero-exchange under AQE. */
   def invertedIndex(spark: SparkSession, dir: String, cap: Int = 20)
       : DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // ONE corpus scan: per-(word, doc) counts carry everything —
+    // df = rows per word, cf = Σ counts, postings from the capped
+    // rank filter (Spark plans it as WindowGroupLimit: the per-group
+    // top-cap is pre-pruned map-side before the window sort)
+    val wd = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-    val cf = toks.groupBy(col("word")).agg(count(lit(1)).as("cf"))
-    val pairs = toks.select(col("word"), col("doc_id")).distinct()
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = pairs.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = wd.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("word")).orderBy(col("doc_id"))
-    val postings = pairs
+    val postings = wd
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .groupBy(col("word"))
       .agg(concat_ws(",",
         transform(sort_array(collect_list(col("doc_id"))),
           d => d.cast("string"))).as("postings"))
-    df.join(cf, "word").join(postings, "word")
+    stats.join(postings, "word")
       .select(col("word"), col("df"), col("cf"), col("postings"))
   }
 }

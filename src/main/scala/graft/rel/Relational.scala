@@ -318,13 +318,18 @@ object Relational {
     * series. Revenue uses the decimal-plane sum so the fill values
     * are order-independent exact. */
   def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the spine bounds derive from the daily aggregate
+    // itself (its min/max day == the fact table's), so the fact
+    // table really is scanned exactly once — without the barrier the
+    // bounds consumer would re-expand the aggregate subtree into a
+    // second orders scan
     val daily = Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(dsum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
-    val spine = Tables.orders(spark, dir)
-      .agg(min(to_date(col("o_orderdate"))).as("lo"),
-        max(to_date(col("o_orderdate"))).as("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 day"))).as("day"))
     val w = Window.orderBy(col("day"))
@@ -368,20 +373,30 @@ object Relational {
   /** Semi-structured audit of the events `props` JSON column:
     * extract `$.k`, bucket it, and report per-bucket volume, user
     * reach, and range — plus the unparseable rows as their own
-    * `bucket = -1` row (a malformed-payload RATE is the first thing
-    * an ingest gate wants from a JSON column, and dropping those rows
-    * silently is how bad payloads go unnoticed). get_json_object is
-    * a per-row codegen'd expression — one scan, no UDF, and the
-    * bucket agg is a tiny shuffle. Floor-division bucketing (values
-    * are non-negative; a general signed bucket needs explicit floor —
-    * int `/` truncates toward zero on one engine and rounds on the
-    * other's double cast). */
+    * NULL-bucket row (a malformed-payload RATE is the first thing an
+    * ingest gate wants from a JSON column, and dropping those rows
+    * silently is how bad payloads go unnoticed; NULL, not a -1
+    * sentinel, because floor-bucketed negative payloads legitimately
+    * occupy every negative bucket id). get_json_object is a per-row
+    * codegen'd expression — one scan, no UDF, and the bucket agg is
+    * a tiny shuffle. Floor-division bucketing: int `/` truncates
+    * toward zero on one engine and `//` on the other, so signed
+    * values need explicit floor to agree. */
   def jsonPropsAudit(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    jsonPropsAuditOf(Tables.events(spark, dir))
+
+  /** [[jsonPropsAudit]]'s core over any (user_id, props) relation —
+    * separated so the malformed-payload contract is spec-testable on
+    * fixtures the clean testdata doesn't contain. */
+  def jsonPropsAuditOf(events: DataFrame): DataFrame =
+    events
+      // try_cast, not cast: under ANSI a non-integer payload value
+      // ({"k":"abc"}) would THROW mid-scan; the audit's whole point
+      // is that malformed payloads land in the -1 bucket instead of
+      // killing (or silently skewing) the job
       .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .groupBy(coalesce(floor(col("k") / 10).cast("int"), lit(-1))
-        .as("k_bucket"))
+        get_json_object(col("props"), "$.k").try_cast("int").as("k"))
+      .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         min(col("k")).as("min_k"),
@@ -426,16 +441,7 @@ object Relational {
     * session length; the final count is a tiny path-keyed agg. */
   def sessionPaths(spark: SparkSession, dir: String, topN: Int = 25)
       : DataFrame = {
-    val us = unix_micros(col("ts"))
-    val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("prev_us", lag(us, 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum(col("new_session")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionIds(Tables.events(spark, dir))
       .groupBy(col("user_id"), col("session_id"))
       .agg(array_join(
         transform(
@@ -570,16 +576,28 @@ object Relational {
     * user_id shared by the windows and the first groupBy. Gap math
     * in integer microseconds so the oracle (ns-precision DuckDB)
     * and Spark (µs timestamps) agree exactly. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** The session-assignment core shared by [[sessionize]] and
+    * [[sessionPaths]] (and mirrored by their oracles): lag → gap
+    * boundary flag → prefix-sum session id, all per user in one
+    * window shuffle. The 30-minute gap lives HERE, once — the two
+    * consumers and their SQL twins must agree on the session
+    * definition or they quietly mine different sessions. */
+  def withSessionIds(events: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
     val us = unix_micros(col("ts"))
     val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_us", lag(us, 1).over(w))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "new_session")
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    withSessionIds(Tables.events(spark, dir))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         dsum(col("value")).as("session_value"))

@@ -254,6 +254,52 @@ class PropertiesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  // precision is NOT claimed here: distance-2 pairs CAN share a
+  // deletion key (e.g. "abc"/"bca" both contain "bc"); q184's
+  // levenshtein verify is what filters those — this property pins
+  // the recall half of the contract, which has no later safety net
+  test("deletion-neighborhood: expression matches reference; any lev<=1 pair shares a key") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def delKeys(s: String): Set[String] =
+      Set(s) ++ s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    val spark = TestSpark.init()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the Catalyst expression agrees with the local reference on
+    // random strings
+    val strGen = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val samples = scala.collection.mutable.ArrayBuffer[String]()
+    forSamples(strGen, 100)(samples += _)
+    val fromExpr = samples.toSeq.toDF("s")
+      .select(col("s"), graft.ext.Linkage.deletionKeys(col("s")).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    samples.foreach(s => assert(fromExpr(s) == delKeys(s), s"keys of '$s'"))
+    // recall: mutate each sample by one random edit — the pair must
+    // share a key (this is the guarantee q184's candidates rest on)
+    val editGen = Gen.zip(strGen, Gen.chooseNum(0, 2), Gen.chooseNum(0, 999),
+      Gen.alphaNumChar)
+    forSamples(editGen, 200) { case (s, kind, posSeed, ch) =>
+      val pos = posSeed % s.length
+      val t = kind match {
+        case 0 => s.substring(0, pos) + ch + s.substring(pos + 1) // sub
+        case 1 => s.substring(0, pos) + ch + s.substring(pos)     // ins
+        case _ if s.length > 1 => s.substring(0, pos) + s.substring(pos + 1)
+        case _ => s // deleting the only char would make it empty; skip
+      }
+      assert(lev(s, t) <= 1)
+      assert(delKeys(s).intersect(delKeys(t)).nonEmpty,
+        s"'$s' ~ '$t' share no deletion key")
+    }
+  }
+
   test("hashBucket is uniform enough and total: every row lands in [0, B)") {
     val spark = TestSpark.init()
     import spark.implicits._

@@ -2683,10 +2683,13 @@ class OperatorsSpec extends AnyFunSuite {
     got.zip(want).foreach { case ((gid, gs), (wid, ws)) =>
       assert(gid == wid && gs == ws, s"rank mismatch: got ($gid,$gs)")
     }
-    // both legs actually contribute to the fused head
-    assert(got.exists(g => lex.contains(g._1) && !dense.contains(g._1)) ||
-      got.exists(g => !lex.contains(g._1) && dense.contains(g._1)) ||
-      got.exists(g => lex.contains(g._1) && dense.contains(g._1)))
+    // both legs actually contribute: each leg's #1 makes the fused
+    // head (an empty or broken leg cannot satisfy this)
+    assert(lex.nonEmpty && dense.nonEmpty, "a retrieval leg is empty")
+    val lexTop = lex.find(_._2 == 1).get._1
+    val denseTop = dense.find(_._2 == 1).get._1
+    assert(got.exists(_._1 == lexTop), "lexical top-1 missing from fusion")
+    assert(got.exists(_._1 == denseTop), "dense top-1 missing from fusion")
   }
 
   test("rolling z-score: exact cent-moment recompute over the grid") {
@@ -2839,6 +2842,27 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
     assert(got.map(_._2).sum == ev.length.toLong, "buckets cover all rows")
+  }
+
+  test("json audit: malformed payloads land in the NULL bucket, negatives floor") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, """{"k": 42}"""),    // clean → bucket 4
+      (2L, """not json"""),     // malformed → NULL bucket
+      (3L, """{"k": "abc"}"""), // non-integer value → NULL bucket
+      (4L, """{"x": 7}"""),     // key absent → NULL bucket
+      (5L, """{"k": -5}""")     // negative → floor(-0.5) = bucket -1
+    ).toDF("user_id", "props")
+    val got = Relational.jsonPropsAuditOf(fx).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
+        (r.getLong(1), r.getAs[Number](3)))
+      .toMap
+    assert(got(Some(4))._1 == 1L, "clean row bucketed")
+    assert(got(Some(4))._2.intValue() == 42)
+    assert(got(Some(-1))._1 == 1L, "negative floors to its own bucket")
+    assert(got(Some(-1))._2.intValue() == -5)
+    assert(got(None)._1 == 3L, "malformed + absent + non-int rows counted")
+    assert(got(None)._2 == null, "no min_k for unparseable rows")
   }
 
   test("cohort ltv: cumulative value is the running sum of week values") {
