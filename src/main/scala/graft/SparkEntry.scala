@@ -250,6 +250,9 @@ object SparkEntry {
     "q198_kn_bigrams"     -> ((s, d) => TextAnalysis.knBigrams(s, d)),
     "q199_burstiness"     -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "q200_source_gini"    -> ((s, d) => TextAnalysis.sourceGini(s, d)),
+    "q201_key_skew"       -> ((s, d) => graft.ext.Profile.joinKeySkew(s, d)),
+    "q202_join_estimate"  -> ((s, d) => graft.ext.Profile.joinEstimate(s, d)),
+    "q203_fd_audit"       -> ((s, d) => graft.ext.Profile.fdAudit(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -2986,6 +2989,78 @@ object SparkEntry {
          |  / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))
          |    AS gini
          |FROM a""".stripMargin,
+    // q201: per-key count distribution per candidate join key —
+    // percentiles over the per-key COUNT table, q58's
+    // quantile_cont-with-round precedent
+    "q201_key_skew" ->
+      """WITH kv AS (
+        |  SELECT 'l_suppkey' AS col, CAST(l_suppkey AS BIGINT) AS key
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS BIGINT) FROM orders),
+        |c AS (SELECT col, key, COUNT(*) AS n FROM kv GROUP BY 1, 2)
+        |SELECT col, COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  MAX(n) AS max_n,
+        |  round(quantile_cont(n, 0.5), 4) AS p50_n,
+        |  round(quantile_cont(n, 0.99), 4) AS p99_n,
+        |  round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |    AS top_share,
+        |  CAST(MAX(n) AS DOUBLE) > round(quantile_cont(n, 0.5), 4) * 20.0
+        |    AS salt_recommended
+        |FROM c GROUP BY col""".stripMargin,
+    // q202: per-bucket histogram join estimate next to the exact
+    // per-bucket join cardinality (count products, never row pairs)
+    "q202_join_estimate" ->
+      """WITH o AS (SELECT CAST(o_orderkey % 64 AS INTEGER) AS bucket,
+        |    o_orderkey AS key FROM orders),
+        |l AS (SELECT CAST(l_orderkey % 64 AS INTEGER) AS bucket,
+        |    l_orderkey AS key FROM lineitem),
+        |os AS (SELECT bucket, COUNT(*) AS n_o,
+        |    COUNT(DISTINCT key) AS d_o FROM o GROUP BY 1),
+        |ls AS (SELECT bucket, COUNT(*) AS n_l,
+        |    COUNT(DISTINCT key) AS d_l FROM l GROUP BY 1),
+        |act AS (SELECT oc.bucket,
+        |    CAST(SUM(oc.c_o * lc.c_l) AS BIGINT) AS actual
+        |  FROM (SELECT bucket, key, COUNT(*) AS c_o FROM o
+        |        GROUP BY 1, 2) oc
+        |  JOIN (SELECT bucket, key, COUNT(*) AS c_l FROM l
+        |        GROUP BY 1, 2) lc
+        |    ON oc.bucket = lc.bucket AND oc.key = lc.key
+        |  GROUP BY 1)
+        |SELECT COALESCE(os.bucket, ls.bucket) AS bucket,
+        |  COALESCE(n_o, 0) AS n_o, COALESCE(n_l, 0) AS n_l,
+        |  COALESCE(d_o, 0) AS d_o, COALESCE(d_l, 0) AS d_l,
+        |  COALESCE(actual, 0) AS actual,
+        |  CASE WHEN greatest(COALESCE(d_o, 0), COALESCE(d_l, 0)) > 0
+        |    THEN CAST(COALESCE(n_o, 0) AS DOUBLE)
+        |      * CAST(COALESCE(n_l, 0) AS DOUBLE)
+        |      / CAST(greatest(COALESCE(d_o, 0), COALESCE(d_l, 0)) AS DOUBLE)
+        |    ELSE 0.0 END AS est
+        |FROM os FULL OUTER JOIN ls ON os.bucket = ls.bucket
+        |LEFT JOIN act ON COALESCE(os.bucket, ls.bucket) = act.bucket"""
+        .stripMargin,
+    // q203: approximate functional-dependency audit — exact integers
+    // plus one rate division per FD
+    "q203_fd_audit" -> {
+      def fdSql(table: String, lhs: String, rhs: String): String =
+        s"""SELECT '$lhs->$rhs' AS fd, COUNT(*) AS n_lhs_values,
+           |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+           |    AS rows_in_violation,
+           |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           |  round(CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate
+           |FROM (SELECT $lhs AS lhs, COUNT(DISTINCT $rhs) AS n_rhs,
+           |        COUNT(*) AS n_rows FROM $table GROUP BY 1)""".stripMargin
+      Seq(fdSql("lineitem", "l_orderkey", "l_returnflag"),
+        fdSql("lineitem", "l_orderkey", "l_linestatus"),
+        fdSql("lineitem", "l_partkey", "l_returnflag"),
+        fdSql("orders", "o_custkey", "o_orderpriority"))
+        .mkString("\nUNION ALL\n")
+    },
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -156,6 +156,112 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .withColumn("k_anonymous", col("n") >= k)
 
+  /** Join-key skew diagnosis — the "should I salt this join" report
+    * a 100 TB shuffle plan starts from: per candidate key column,
+    * the per-key count distribution (keys, rows, max, exact median
+    * and p99) plus the top-key share and a salt recommendation flag
+    * (max > 20× median). The key columns of ONE table are unpivoted
+    * into (col, key) pairs plan-side so each table is scanned once
+    * regardless of how many keys it contributes; the heavy work is
+    * one (col, key) aggregate — the same shuffle a real join on that
+    * key would pay, which is exactly the distribution being
+    * measured. Percentiles run over the per-key COUNT table (|keys|
+    * rows), not the fact table. */
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    def keyCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col"), col(c).cast("long").as("key"))): _*))
+          .as("kv"))
+        .groupBy(col("kv.col").as("col"), col("kv.key").as("key"))
+        .agg(count(lit(1)).as("n"))
+    val counts =
+      keyCounts(Tables.lineitem(spark, dir), Seq("l_suppkey", "l_partkey"))
+        .unionByName(
+          keyCounts(Tables.orders(spark, dir), Seq("o_custkey")))
+    counts.groupBy(col("col"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99_n"))
+      .select(col("col"), col("n_keys"), col("n_rows"), col("max_n"),
+        col("p50_n"), col("p99_n"),
+        round(col("max_n").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top_share"),
+        (col("max_n").cast("double") > col("p50_n") * 20.0)
+          .as("salt_recommended"))
+  }
+
+  /** Histogram join-size estimation vs truth, per bucket — the
+    * System-R-style estimator an optimizer (or a capacity planner
+    * sizing a 100 TB shuffle) runs on summaries instead of data:
+    * hash keys into B buckets, estimate |A ⋈ B| per bucket as
+    * nₐ·n_b / max(dₐ, d_b), and join the ACTUAL per-bucket join
+    * cardinality next to it. Everything is exact integers except the
+    * one estimate division per bucket; rows stay per-bucket so no
+    * float sum crosses engines. The actual-count leg joins orders
+    * and lineitem pre-aggregated per (bucket, key) — count products,
+    * never row pairs. */
+  def joinEstimate(spark: SparkSession, dir: String, buckets: Int = 64)
+      : DataFrame = {
+    def perBucket(df: DataFrame, key: String) =
+      df.select(pmod(col(key), lit(buckets)).cast("int").as("bucket"),
+        col(key).as("key"))
+    val o = perBucket(Tables.orders(spark, dir), "o_orderkey")
+    val l = perBucket(Tables.lineitem(spark, dir), "l_orderkey")
+    val oStats = o.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_o"), countDistinct(col("key")).as("d_o"))
+    val lStats = l.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_l"), countDistinct(col("key")).as("d_l"))
+    val actual = o.groupBy(col("bucket"), col("key"))
+      .agg(count(lit(1)).as("c_o"))
+      .join(l.groupBy(col("bucket"), col("key"))
+        .agg(count(lit(1)).as("c_l")), Seq("bucket", "key"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c_o") * col("c_l")).as("actual"))
+    oStats.join(lStats, Seq("bucket"), "full_outer")
+      .join(actual, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_o"), lit(0L)).as("n_o"),
+        coalesce(col("n_l"), lit(0L)).as("n_l"),
+        coalesce(col("d_o"), lit(0L)).as("d_o"),
+        coalesce(col("d_l"), lit(0L)).as("d_l"),
+        coalesce(col("actual"), lit(0L)).as("actual"))
+      .withColumn("est",
+        when(greatest(col("d_o"), col("d_l")) > 0,
+          col("n_o").cast("double") * col("n_l").cast("double")
+            / greatest(col("d_o"), col("d_l")).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Approximate functional-dependency audit: for candidate A→B
+    * pairs, how many A-values map to >1 B-value and what fraction of
+    * rows they cover — the profiling pass that discovers real-world
+    * "almost keys" (schema inference, normalization candidates,
+    * anomaly flags). Two aggregates per pair, both on the SAME
+    * (lhs, rhs)-then-lhs reduction path, unioned plan-side; exact
+    * integers plus one rate division. */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs).as("lhs"))
+        .agg(countDistinct(col(rhs)).as("n_rhs"), count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_lhs_values"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n_rhs") > 1, col("n_rows")).otherwise(0L))
+            .as("rows_in_violation"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs_values"),
+          col("n_violating"), col("rows_in_violation"), col("n_rows"),
+          round(col("n_violating").cast("double")
+            / col("n_lhs_values").cast("double"), 6).as("violation_rate"))
+    val li = Tables.lineitem(spark, dir)
+    one(li, "l_orderkey", "l_returnflag")
+      .unionByName(one(li, "l_orderkey", "l_linestatus"))
+      .unionByName(one(li, "l_partkey", "l_returnflag"))
+      .unionByName(one(Tables.orders(spark, dir),
+        "o_custkey", "o_orderpriority"))
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

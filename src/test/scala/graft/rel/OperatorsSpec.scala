@@ -2954,6 +2954,85 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) < 1.0)
   }
 
+  test("key skew: exact per-key distribution stats for every audited column") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).collect()
+    val oc = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).collect().map(_.getAs[Number](0).longValue())
+    val dists = Map(
+      "l_suppkey" -> li.map(_.getAs[Number](0).longValue()),
+      "l_partkey" -> li.map(_.getAs[Number](1).longValue()),
+      "o_custkey" -> oc)
+    val got = graft.ext.Profile.joinKeySkew(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(7))).toMap
+    assert(got.keySet == dists.keySet)
+    dists.foreach { case (c, ks) =>
+      val counts = ks.groupBy(identity(_)).map(_._2.length.toLong)
+      val (nKeys, nRows, maxN, _) = got(c)
+      assert(nKeys == counts.size.toLong, s"$c keys")
+      assert(nRows == ks.length.toLong, s"$c rows")
+      assert(maxN == counts.max, s"$c max")
+    }
+  }
+
+  test("join estimate: per-bucket truth is exact, estimate is the SR formula") {
+    val ok = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val lk = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    def hist(ks: Array[Long]) = ks.groupBy(k => (k % 64).toInt)
+    val oh = hist(ok); val lh = hist(lk)
+    val got = graft.ext.Profile.joinEstimate(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got.size == (oh.keySet ++ lh.keySet).size)
+    got.foreach { case (b, (nO, nL, dO, dL, actual, est)) =>
+      val os = oh.getOrElse(b, Array.empty[Long])
+      val ls = lh.getOrElse(b, Array.empty[Long])
+      assert(nO == os.length.toLong && nL == ls.length.toLong, s"b$b sizes")
+      assert(dO == os.distinct.length.toLong &&
+        dL == ls.distinct.length.toLong, s"b$b distincts")
+      val lCounts = ls.groupBy(identity(_)).map(kv => kv._1 -> kv._2.length)
+      val wantActual = os.groupBy(identity(_))
+        .map { case (k, g) => g.length.toLong * lCounts.getOrElse(k, 0) }.sum
+      assert(actual == wantActual, s"b$b actual")
+      val dMax = math.max(dO, dL)
+      val wantEst = if (dMax > 0) nO.toDouble * nL.toDouble / dMax else 0.0
+      assert(est == wantEst, s"b$b estimate")
+      // the estimator is sane where histograms exist: nonzero truth
+      // implies nonzero estimate
+      if (actual > 0) assert(est > 0.0, s"b$b zero estimate for real join")
+    }
+  }
+
+  test("fd audit: exact violation recompute; rates bounded; coarse FD violates") {
+    val got = graft.ext.Profile.fdAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(got.size == 4)
+    // exact recompute of one violating FD
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val per = li.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).distinct.length, g.length)).toMap
+    val (nLhs, nViol, rowsViol, nRows, rate) = got("l_orderkey->l_returnflag")
+    assert(nLhs == per.size.toLong)
+    assert(nViol == per.values.count(_._1 > 1).toLong)
+    assert(rowsViol == per.values.collect {
+      case (d, n) if d > 1 => n.toLong }.sum)
+    assert(nRows == li.length.toLong)
+    assert(rate == BigDecimal(nViol.toDouble / nLhs.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // l_partkey appears across many orders with mixed flags: the
+    // coarse FD must show violations while rates stay in [0,1]
+    got.values.foreach { case (_, v, _, _, r) =>
+      assert(r >= 0.0 && r <= 1.0 && (v == 0L) == (r == 0.0))
+    }
+    assert(got("l_partkey->l_returnflag")._2 > 0L, "coarse FD violates")
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
