@@ -253,6 +253,8 @@ object SparkEntry {
     "q201_key_skew"       -> ((s, d) => graft.ext.Profile.joinKeySkew(s, d)),
     "q202_join_estimate"  -> ((s, d) => graft.ext.Profile.joinEstimate(s, d)),
     "q203_fd_audit"       -> ((s, d) => graft.ext.Profile.fdAudit(s, d)),
+    "q204_label_medoids"  -> ((s, d) => Similarity.labelMedoids(s, d)),
+    "q205_trimmed_mean"   -> ((s, d) => Relational.trimmedMean(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3061,6 +3063,42 @@ object SparkEntry {
         fdSql("orders", "o_custkey", "o_orderpriority"))
         .mkString("\nUNION ALL\n")
     },
+    // q204: per-label medoid — argmax of decimal-plane Σ rounded-cos
+    // (a double sum would be order-dependent); (total desc, id)
+    // tie-break pins the pick
+    "q204_label_medoids" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT a.label, a.vec_id AS id_a,
+         |    CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) AS cos
+         |  FROM e a JOIN e b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |t AS (SELECT label, id_a, SUM(cos) AS total_cos,
+         |    COUNT(*) AS n_peers FROM p GROUP BY 1, 2),
+         |r AS (SELECT label, id_a, total_cos, n_peers,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY total_cos DESC, id_a) AS rn FROM t)
+         |SELECT label, id_a AS medoid_id, n_peers,
+         |  CAST(total_cos AS DOUBLE) / CAST(n_peers AS DOUBLE) AS avg_cos
+         |FROM r WHERE rn = 1""".stripMargin,
+    // q205: trimmed (not winsorized) mean — survivors are original
+    // 2-decimal prices so the decimal mean is exact; boundaries are
+    // the q95-precedent interpolated percentiles
+    "q205_trimmed_mean" ->
+      s"""WITH b AS (SELECT o_orderpriority,
+         |    quantile_cont(o_totalprice, 0.05) AS p05,
+         |    quantile_cont(o_totalprice, 0.95) AS p95
+         |  FROM orders GROUP BY 1)
+         |SELECT o.o_orderpriority, COUNT(*) AS n,
+         |  ${dsumSql("o_totalprice")} / COUNT(*) AS raw_mean,
+         |  CAST(SUM(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95
+         |    THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS DOUBLE)
+         |  / CAST(SUM(CASE WHEN o_totalprice >= p05 AND o_totalprice <= p95
+         |    THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean
+         |FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+         |GROUP BY o.o_orderpriority""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -1057,6 +1057,42 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Per-label MEDOIDS — coreset/prototype selection: the member
+    * vector with the highest total cosine similarity to its
+    * label-mates (the set-representative herding/medoid picks, the
+    * step that turns a cluster into one exemplar for distillation or
+    * labeling). Within-label all-pairs is the honest cost and it is
+    * BOUNDED BY LABEL SIZE, not corpus size — the same contract as
+    * every banded family here (at 100 TB you IVF-partition labels
+    * first; the join stays per-partition). The per-candidate total
+    * runs over ROUNDED cosines on the decimal plane: a double Σcos
+    * would be summation-order-dependent, and the argmax must be
+    * stable for the hash gate; the (total desc, vec_id) tie-break
+    * pins ties. */
+  def labelMedoids(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val totals = a.join(b, Seq("label"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("label"), col("id_a"),
+        round(cosine(col("emb_a"), col("emb_b")), 6)
+          .cast("decimal(18,6)").as("cos"))
+      .groupBy(col("label"), col("id_a"))
+      .agg(sum(col("cos")).as("total_cos"), count(lit(1)).as("n_peers"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("total_cos").desc, col("id_a"))
+    totals
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("id_a").as("medoid_id"), col("n_peers"),
+        (col("total_cos").cast("double") / col("n_peers").cast("double"))
+          .as("avg_cos"))
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion: fuse a lexical
     * (BM25) top-`legN` list with a dense (cosine) top-`legN` list as
     * score = Σ 1/(kRrf + rank) — the standard fusion for RAG serving

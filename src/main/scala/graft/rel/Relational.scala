@@ -370,6 +370,40 @@ object Relational {
       .select(col("day"), col("revenue_filled"), col("ewma8"))
   }
 
+  /** Robust aggregation: per-priority 5%-trimmed mean of order value
+    * beside the raw mean — the outlier-resistant statistic a metrics
+    * pipeline wants when a few whale orders (or corrupt rows) drag
+    * the mean. Trimmed, not winsorized, deliberately: the survivors
+    * are all original 2-decimal prices, so the decimal-plane mean is
+    * exact and order-independent, whereas winsorizing would inject
+    * interpolated full-precision boundary values whose →decimal
+    * rounding is a cross-engine tie hazard. Boundaries are exact
+    * interpolated percentiles per group (the q95 precedent: both
+    * engines interpolate sorted doubles identically); the exact sort
+    * is per GROUP and swaps to approx_percentile at real scale, as
+    * q95 documents. Two scans: one for boundaries, one filtered
+    * aggregate (the boundary table is broadcast back). */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+    Tables.orders(spark, dir)
+      .join(broadcast(bounds), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        davg(col("o_totalprice")).as("raw_mean"),
+        sum(when(col("o_totalprice") >= col("p05") &&
+            col("o_totalprice") <= col("p95"), 1L).otherwise(0L))
+          .as("n_kept"),
+        (sum(when(col("o_totalprice") >= col("p05") &&
+            col("o_totalprice") <= col("p95"), col("o_totalprice"))
+          .otherwise(lit(null)).cast("decimal(28,6)")).cast("double") /
+          sum(when(col("o_totalprice") >= col("p05") &&
+            col("o_totalprice") <= col("p95"), 1L).otherwise(0L))
+            .cast("double")).as("trimmed_mean"))
+  }
+
   /** Semi-structured audit of the events `props` JSON column:
     * extract `$.k`, bucket it, and report per-bucket volume, user
     * reach, and range — plus the unparseable rows as their own

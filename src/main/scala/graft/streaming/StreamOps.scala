@@ -391,6 +391,28 @@ object StreamOps {
       .select(col("win.start").as("hour"), col("event_type"),
         col("n_events"), round(col("z_raw"), 4).as("z"))
 
+  /** Streaming twin of the q196 JSON-payload audit: per event-time
+    * hour, total rows vs rows whose `props` fails to yield an integer
+    * `$.k` — the live malformed-payload-rate monitor an ingest gate
+    * alerts on (the batch audit finds the damage after the fact; this
+    * finds the deploy that caused it while it is happening). Same
+    * try_cast core as the batch op — a plain ANSI cast would kill the
+    * stream on the exact rows being counted. Watermarked tumbling
+    * window: state is one row per (hour), bounded. */
+  def jsonAuditStream(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        get_json_object(col("props"), "$.k").try_cast("int").as("k"))
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_malformed"))
+      .select(col("win.start").as("hour"), col("n_events"),
+        col("n_malformed"),
+        (col("n_malformed").cast("double") / col("n_events").cast("double"))
+          .as("malformed_rate"))
+
   /** Per-type baseline (mu, sd of hourly counts) for [[anomalyStream]],
     * fit batch-side from a historical events table. */
   def typeBaseline(events: DataFrame): DataFrame =

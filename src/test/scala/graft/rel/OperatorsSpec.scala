@@ -3033,6 +3033,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("l_partkey->l_returnflag")._2 > 0L, "coarse FD violates")
   }
 
+  test("label medoids: the pick maximizes decimal-plane total cosine in its label") {
+    val embs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): BigDecimal = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val byLabel = embs.groupBy(_._2)
+    val got = graft.ext.Similarity.labelMedoids(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (label, members) =>
+      val totals = members.map { case (id, _, v) =>
+        id -> members.collect { case (oid, _, ov) if oid != id =>
+          cos(v, ov) }.sum
+      }
+      val want = totals.minBy { case (id, t) => (-t, id) }
+      val (gotId, nPeers, avgCos) = got(label)
+      assert(gotId == want._1, s"label $label medoid")
+      assert(nPeers == members.length.toLong - 1, s"label $label peers")
+      assert(math.abs(avgCos - (want._2 / nPeers).toDouble) < 1e-9,
+        s"label $label avg")
+    }
+  }
+
+  test("trimmed mean: survivors inside exact fences; robust to the tails") {
+    val prices = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def pct(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = s(rank.toInt)
+      val hi = s(math.min(rank.toInt + 1, s.length - 1))
+      lo + (rank - rank.toInt) * (hi - lo)
+    }
+    val got = Relational.trimmedMean(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == prices.keySet)
+    prices.foreach { case (prio, xs) =>
+      val (n, rawMean, nKept, trimmed) = got(prio)
+      assert(n == xs.length.toLong, s"$prio n")
+      val (p05, p95) = (pct(xs, 0.05), pct(xs, 0.95))
+      val kept = xs.filter(x => x >= p05 && x <= p95)
+      assert(nKept == kept.length.toLong, s"$prio kept")
+      val wantTrim = (kept.map(x => BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+        / BigDecimal(kept.length)).toDouble
+      assert(math.abs(trimmed - wantTrim) < 1e-6, s"$prio trimmed")
+      // trimming really moved the statistic (tails exist)
+      assert(nKept < n, s"$prio nothing trimmed")
+      assert(math.abs(rawMean - trimmed) > 1e-9, s"$prio identical means")
+    }
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),

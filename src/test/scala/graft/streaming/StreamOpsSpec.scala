@@ -549,6 +549,33 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows == Seq((1L, Some("gold")), (3L, None)))
   }
 
+  test("json audit stream: per-hour malformed rate, bad payloads don't kill the query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.jsonAuditStream(src.toDF().toDF("ts", "props"))
+      .writeStream.format("memory").queryName("json_audit")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), """{"k": 7}"""),
+      (Timestamp.valueOf("2024-01-01 10:15:00"), """not json"""),
+      (Timestamp.valueOf("2024-01-01 10:25:00"), """{"k": "abc"}"""),
+      (Timestamp.valueOf("2024-01-01 10:35:00"), """{"k": 42}"""))
+    q.processAllAvailable()
+    // push the watermark past the window end (two nudges: watermark
+    // from batch N gates emission at batch N+1)
+    src.addData((Timestamp.valueOf("2024-01-01 14:30:00"), """{"k": 1}"""))
+    q.processAllAvailable()
+    src.addData((Timestamp.valueOf("2024-01-01 14:40:00"), """{"k": 1}"""))
+    q.processAllAvailable()
+    val rows = spark.table("json_audit").collect()
+      .map(r => (r.getAs[Timestamp]("hour").toString,
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_malformed"),
+        r.getAs[Double]("malformed_rate"))).toSeq
+    q.stop()
+    assert(rows == Seq(("2024-01-01 10:00:00.0", 4L, 2L, 0.5)))
+  }
+
   test("anomaly stream flags only deviant closed windows against the static baseline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
