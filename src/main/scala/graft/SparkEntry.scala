@@ -255,6 +255,8 @@ object SparkEntry {
     "q203_fd_audit"       -> ((s, d) => graft.ext.Profile.fdAudit(s, d)),
     "q204_label_medoids"  -> ((s, d) => Similarity.labelMedoids(s, d)),
     "q205_trimmed_mean"   -> ((s, d) => Relational.trimmedMean(s, d)),
+    "q206_heaps_fit"      -> ((s, d) => TextAnalysis.heapsFit(s, d)),
+    "q207_inter_arrival"  -> ((s, d) => Relational.interArrival(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3099,6 +3101,65 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS DOUBLE) AS trimmed_mean
          |FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
          |GROUP BY o.o_orderpriority""".stripMargin,
+    // q206: Heaps' law — distinct-so-far as first-occurrence running
+    // integer sums; ln-ln fit via the q195 nano-scaled surrogates
+    "q206_heaps_fit" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS word FROM t),
+         |pd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM t),
+         |fo AS (SELECT first_doc, COUNT(*) AS n_new FROM
+         |    (SELECT word, MIN(doc_id) AS first_doc FROM tok GROUP BY word)
+         |  GROUP BY first_doc),
+         |curve AS (SELECT pd.doc_id,
+         |    CAST(SUM(pd.n_tok) OVER (ORDER BY pd.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens,
+         |    CAST(SUM(COALESCE(fo.n_new, 0)) OVER (ORDER BY pd.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_vocab
+         |  FROM pd LEFT JOIN fo ON pd.doc_id = fo.first_doc),
+         |xy AS (SELECT
+         |    CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1.0e9) AS BIGINT)
+         |      AS xi,
+         |    CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1.0e9) AS BIGINT)
+         |      AS yi
+         |  FROM curve WHERE cum_tokens > 0 AND cum_vocab > 0),
+         |a AS (SELECT COUNT(*) AS n_points,
+         |    CAST(SUM(xi) AS BIGINT) AS sxi, CAST(SUM(yi) AS BIGINT) AS syi,
+         |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+         |      AS sxyi,
+         |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+         |      AS sxxi
+         |  FROM xy)
+         |SELECT n_points,
+         |  (CAST(n_points AS DOUBLE) * (CAST(sxyi AS DOUBLE) / 1.0e18)
+         |     - (CAST(sxi AS DOUBLE) / 1.0e9) * (CAST(syi AS DOUBLE) / 1.0e9))
+         |  / (CAST(n_points AS DOUBLE) * (CAST(sxxi AS DOUBLE) / 1.0e18)
+         |     - (CAST(sxi AS DOUBLE) / 1.0e9) * (CAST(sxi AS DOUBLE) / 1.0e9))
+         |    AS beta,
+         |  ((CAST(syi AS DOUBLE) / 1.0e9)
+         |   - ((CAST(n_points AS DOUBLE) * (CAST(sxyi AS DOUBLE) / 1.0e18)
+         |       - (CAST(sxi AS DOUBLE) / 1.0e9) * (CAST(syi AS DOUBLE) / 1.0e9))
+         |      / (CAST(n_points AS DOUBLE) * (CAST(sxxi AS DOUBLE) / 1.0e18)
+         |         - (CAST(sxi AS DOUBLE) / 1.0e9)
+         |           * (CAST(sxi AS DOUBLE) / 1.0e9)))
+         |     * (CAST(sxi AS DOUBLE) / 1.0e9))
+         |  / CAST(n_points AS DOUBLE) AS intercept
+         |FROM a""".stripMargin,
+    // q207: log2 gap buckets via bin()-string bit length — pure
+    // integer semantics (float log2 is a ulp off at exact powers of
+    // two, which are exactly the boundaries)
+    "q207_inter_arrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(length(bin(gap_us + 1)) - 1 AS INTEGER) AS bucket,
+        |  COUNT(*) AS n, min(gap_us) AS min_gap_us,
+        |  max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL AND gap_us >= 0
+        |GROUP BY 1, 2""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -941,6 +941,59 @@ object TextAnalysis {
             * col("total_tokens").cast("double"))).as("gini"))
   }
 
+  /** Heaps'-law fit — [[zipfFit]]'s companion: vocabulary growth
+    * V(n) ≈ K·n^β against cumulative token count, the diagnostic for
+    * "is new data still adding new vocabulary" (corpus saturation;
+    * dedup/curation bends β). The growth curve needs distinct-so-far,
+    * which distributes cleanly as FIRST OCCURRENCES: each word's
+    * minimum doc_id is one agg, the per-doc count of first
+    * occurrences joins the per-doc token counts, and two running
+    * integer window sums give (cum_tokens, cum_vocab) per prefix —
+    * all exact longs, order-free. The ln-ln least squares reuses the
+    * nano-scaled integer-surrogate recipe (see zipfFit for why
+    * neither a double SUM nor a running double sum survives the
+    * cross-engine gate). Windows run over the per-doc table. */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long")
+        .as("n_tok"))
+    val firsts = toks.groupBy(col("word"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
+    val run = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perDoc
+      .join(firsts, perDoc("doc_id") === firsts("first_doc"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .select(col("doc_id"),
+        sum(col("n_tok")).over(run).as("cum_tokens"),
+        sum(col("n_new")).over(run).as("cum_vocab"))
+      .filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val agg = curve
+      .select(
+        round(log(col("cum_tokens").cast("double")) * 1e9, 0).cast("long")
+          .as("xi"),
+        round(log(col("cum_vocab").cast("double")) * 1e9, 0).cast("long")
+          .as("yi"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("xi")).as("sxi"), sum(col("yi")).as("syi"),
+        sum(dec(col("xi")) * dec(col("yi"))).as("sxyi"),
+        sum(dec(col("xi")) * dec(col("xi"))).as("sxxi"))
+    val r = col("n_points").cast("double")
+    val sx = col("sxi").cast("double") / 1e9
+    val sy = col("syi").cast("double") / 1e9
+    val sxy = col("sxyi").cast("double") / 1e18
+    val sxx = col("sxxi").cast("double") / 1e18
+    val slope = (r * sxy - sx * sy) / (r * sxx - sx * sx)
+    agg.select(col("n_points"), slope.as("beta"),
+      ((sy - slope * sx) / r).as("intercept"))
+  }
+
   /** Materialized inverted index: per term, document frequency,
     * corpus frequency, and the first `cap` postings (doc_ids
     * ascending, comma-joined — a STRING, deliberately: postings are

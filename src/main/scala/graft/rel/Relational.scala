@@ -370,6 +370,33 @@ object Relational {
       .select(col("day"), col("revenue_filled"), col("ewma8"))
   }
 
+  /** Inter-arrival time distribution per event type: log2-bucketed
+    * histogram of the gap (in integer microseconds) between a user's
+    * consecutive events — the traffic-model view (burst vs poisson
+    * vs dead air) that sizes streaming watermarks and session gaps.
+    * One user-partitioned lag window (the sessionization shuffle),
+    * then a tiny (type, bucket) agg; gaps and bucket ids are exact
+    * integers (floor(log2) via the bit length of the µs gap), so the
+    * histogram hash-gates with no float exposure. */
+  def interArrival(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .withColumn("gap_us", us - lag(us, 1).over(w))
+      .filter(col("gap_us").isNotNull && col("gap_us") >= 0)
+      // floor(log2(gap+1)) as the bit length minus one — bin() string
+      // length, pure integer semantics. NOT float log2: Spark lowers
+      // log2 to log(x)/log(2), which is off-by-a-ulp at exact powers
+      // of two — precisely the bucket boundaries
+      .withColumn("bucket",
+        (length(bin(col("gap_us") + 1)) - 1).cast("int"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
   /** Robust aggregation: per-priority 5%-trimmed mean of order value
     * beside the raw mean — the outlier-resistant statistic a metrics
     * pipeline wants when a few whale orders (or corrupt rows) drag

@@ -3095,6 +3095,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("heaps fit: exact growth-curve recompute, beta in (0,1)") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    var cumTok = 0L
+    val pts = docs.flatMap { case (_, ws) =>
+      cumTok += ws.length
+      seen ++= ws
+      if (cumTok > 0 && seen.nonEmpty) Some((cumTok, seen.size.toLong))
+      else None
+    }
+    val xs = pts.map(p => math.round(math.log(p._1.toDouble) * 1e9))
+    val ys = pts.map(p => math.round(math.log(p._2.toDouble) * 1e9))
+    val r = pts.length.toDouble
+    val sx = xs.sum.toDouble / 1e9
+    val sy = ys.sum.toDouble / 1e9
+    val sxy = xs.zip(ys).map { case (a, b) =>
+      BigInt(a) * BigInt(b) }.sum.toDouble / 1e18
+    val sxx = xs.map(a => BigInt(a) * BigInt(a)).sum.toDouble / 1e18
+    val beta = (r * sxy - sx * sy) / (r * sxx - sx * sx)
+    val row = TextAnalysis.heapsFit(spark, sf).collect().head
+    assert(row.getLong(0) == pts.length.toLong)
+    assert(math.abs(row.getDouble(1) - beta) < 1e-9, "beta")
+    // vocabulary grows sublinearly in tokens on a natural-ish corpus
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 1.0, "beta range")
+  }
+
+  test("inter-arrival: exact gap histogram, bucket is the bit length") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 +
+          (r.getTimestamp(2).getNanos / 1000) % 1000, r.getLong(3)))
+    val gaps = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._4))
+      s.sliding(2).collect { case w if w.length == 2 =>
+        (w(1)._2, w(1)._3 - w(0)._3) }
+    }.filter(_._2 >= 0)
+    val want = gaps.map { case (t, gap) =>
+      (t, 63 - java.lang.Long.numberOfLeadingZeros(gap + 1))
+    }.groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val got = Relational.interArrival(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length == want.size)
+    got.foreach { case (k, n, mn, mx) =>
+      assert(n == want(k), s"$k count")
+      // min/max really live inside the bucket's gap range
+      assert((1L << k._2) <= mn + 1 && mx + 1 < (1L << (k._2 + 1)), s"$k range")
+    }
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
