@@ -3075,13 +3075,20 @@ object SparkEntry {
          |    CAST(${cosSql("a.v", "b.v")} AS DECIMAL(18,6)) AS cos
          |  FROM e a JOIN e b
          |    ON a.label = b.label AND a.vec_id <> b.vec_id),
-         |t AS (SELECT label, id_a, SUM(cos) AS total_cos,
+         |t0 AS (SELECT label, id_a, SUM(cos) AS total_cos,
          |    COUNT(*) AS n_peers FROM p GROUP BY 1, 2),
+         |t AS (SELECT e.label, e.vec_id AS id_a,
+         |    COALESCE(t0.total_cos, CAST(0 AS DECIMAL(18,6))) AS total_cos,
+         |    COALESCE(t0.n_peers, 0) AS n_peers
+         |  FROM e LEFT JOIN t0
+         |    ON e.label = t0.label AND e.vec_id = t0.id_a),
          |r AS (SELECT label, id_a, total_cos, n_peers,
          |    row_number() OVER (PARTITION BY label
          |      ORDER BY total_cos DESC, id_a) AS rn FROM t)
-         |SELECT label, id_a AS medoid_id, n_peers,
-         |  CAST(total_cos AS DOUBLE) / CAST(n_peers AS DOUBLE) AS avg_cos
+         |SELECT label, id_a AS medoid_id, CAST(n_peers AS BIGINT) AS n_peers,
+         |  CASE WHEN n_peers > 0
+         |    THEN CAST(total_cos AS DOUBLE) / CAST(n_peers AS DOUBLE)
+         |  END AS avg_cos
          |FROM r WHERE rn = 1""".stripMargin,
     // q205: trimmed (not winsorized) mean — survivors are original
     // 2-decimal prices so the decimal mean is exact; boundaries are

@@ -207,16 +207,21 @@ object Profile {
     def perBucket(df: DataFrame, key: String) =
       df.select(pmod(col(key), lit(buckets)).cast("int").as("bucket"),
         col(key).as("key"))
-    val o = perBucket(Tables.orders(spark, dir), "o_orderkey")
-    val l = perBucket(Tables.lineitem(spark, dir), "l_orderkey")
-    val oStats = o.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_o"), countDistinct(col("key")).as("d_o"))
-    val lStats = l.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_l"), countDistinct(col("key")).as("d_l"))
-    val actual = o.groupBy(col("bucket"), col("key"))
-      .agg(count(lit(1)).as("c_o"))
-      .join(l.groupBy(col("bucket"), col("key"))
-        .agg(count(lit(1)).as("c_l")), Seq("bucket", "key"))
+    // each fact table is scanned ONCE: the per-(bucket, key) counts
+    // are the finest summary, and the per-bucket histogram stats
+    // (n = Σ count, d = rows) derive from them — persisted for their
+    // two consumers (stats + the actual-join leg)
+    val oc = perBucket(Tables.orders(spark, dir), "o_orderkey")
+      .groupBy(col("bucket"), col("key")).agg(count(lit(1)).as("c_o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lc = perBucket(Tables.lineitem(spark, dir), "l_orderkey")
+      .groupBy(col("bucket"), col("key")).agg(count(lit(1)).as("c_l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oStats = oc.groupBy(col("bucket"))
+      .agg(sum(col("c_o")).as("n_o"), count(lit(1)).as("d_o"))
+    val lStats = lc.groupBy(col("bucket"))
+      .agg(sum(col("c_l")).as("n_l"), count(lit(1)).as("d_l"))
+    val actual = oc.join(lc, Seq("bucket", "key"))
       .groupBy(col("bucket"))
       .agg(sum(col("c_o") * col("c_l")).as("actual"))
     oStats.join(lStats, Seq("bucket"), "full_outer")
@@ -242,24 +247,33 @@ object Profile {
     * (lhs, rhs)-then-lhs reduction path, unioned plan-side; exact
     * integers plus one rate division. */
   def fdAudit(spark: SparkSession, dir: String): DataFrame = {
-    def one(df: DataFrame, lhs: String, rhs: String): DataFrame =
-      df.groupBy(col(lhs).as("lhs"))
-        .agg(countDistinct(col(rhs)).as("n_rhs"), count(lit(1)).as("n_rows"))
-        .agg(count(lit(1)).as("n_lhs_values"),
-          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
-          sum(when(col("n_rhs") > 1, col("n_rows")).otherwise(0L))
-            .as("rows_in_violation"),
-          sum(col("n_rows")).as("n_rows"))
-        .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs_values"),
-          col("n_violating"), col("rows_in_violation"), col("n_rows"),
-          round(col("n_violating").cast("double")
-            / col("n_lhs_values").cast("double"), 6).as("violation_rate"))
+    // all FDs sharing one LHS fold into ONE grouped aggregate (one
+    // scan, one shuffle on that key) — per-RHS distinct counts are
+    // side-by-side columns, and each FD's rollup reads the persisted
+    // grouped table instead of re-scanning the fact table
+    def multi(df: DataFrame, lhs: String, rhss: Seq[String]): DataFrame = {
+      val grouped = df.groupBy(col(lhs).as("lhs"))
+        .agg(count(lit(1)).as("n_rows"),
+          rhss.map(r => countDistinct(col(r)).as(s"d_$r")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rhss.map { r =>
+        grouped
+          .agg(count(lit(1)).as("n_lhs_values"),
+            sum(when(col(s"d_$r") > 1, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col(s"d_$r") > 1, col("n_rows")).otherwise(0L))
+              .as("rows_in_violation"),
+            sum(col("n_rows")).as("n_rows"))
+          .select(lit(s"$lhs->$r").as("fd"), col("n_lhs_values"),
+            col("n_violating"), col("rows_in_violation"), col("n_rows"),
+            round(col("n_violating").cast("double")
+              / col("n_lhs_values").cast("double"), 6).as("violation_rate"))
+      }.reduce(_ unionByName _)
+    }
     val li = Tables.lineitem(spark, dir)
-    one(li, "l_orderkey", "l_returnflag")
-      .unionByName(one(li, "l_orderkey", "l_linestatus"))
-      .unionByName(one(li, "l_partkey", "l_returnflag"))
-      .unionByName(one(Tables.orders(spark, dir),
-        "o_custkey", "o_orderpriority"))
+    multi(li, "l_orderkey", Seq("l_returnflag", "l_linestatus"))
+      .unionByName(multi(li, "l_partkey", Seq("l_returnflag")))
+      .unionByName(multi(Tables.orders(spark, dir),
+        "o_custkey", Seq("o_orderpriority")))
   }
 
   /** Pearson chi-square contingency between order priority and order

@@ -1076,20 +1076,30 @@ object Similarity {
       col("embedding").as("emb_a"))
     val b = emb.select(col("label"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"))
-    val totals = a.join(b, Seq("label"))
+    val pairTotals = a.join(b, Seq("label"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("label"), col("id_a"),
         round(cosine(col("emb_a"), col("emb_b")), 6)
           .cast("decimal(18,6)").as("cos"))
       .groupBy(col("label"), col("id_a"))
       .agg(sum(col("cos")).as("total_cos"), count(lit(1)).as("n_peers"))
+    // LEFT from the full member list: a single-member label has no
+    // pairs, but it still has a medoid — itself (n_peers 0, avg_cos
+    // null). An inner shape would silently drop rare classes.
+    val totals = emb.select(col("label"), col("vec_id").as("id_a"))
+      .join(pairTotals, Seq("label", "id_a"), "left")
+      .select(col("label"), col("id_a"),
+        coalesce(col("total_cos"), lit(0).cast("decimal(18,6)"))
+          .as("total_cos"),
+        coalesce(col("n_peers"), lit(0L)).as("n_peers"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("total_cos").desc, col("id_a"))
     totals
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("label"), col("id_a").as("medoid_id"), col("n_peers"),
-        (col("total_cos").cast("double") / col("n_peers").cast("double"))
+        when(col("n_peers") > 0,
+          col("total_cos").cast("double") / col("n_peers").cast("double"))
           .as("avg_cos"))
   }
 

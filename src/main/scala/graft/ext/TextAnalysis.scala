@@ -955,11 +955,17 @@ object TextAnalysis {
     * cross-engine gate). Windows run over the per-doc table. */
   def heapsFit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long")
-        .as("n_tok"))
+    // tokenize ONCE: the staged ws array feeds both the explode leg
+    // (first occurrences) and the size leg (per-doc counts) —
+    // persisted for its two consumers, the multi-consumer pattern
+    // used throughout (an unstaged form re-runs the tokenizer per
+    // consumer over the full corpus)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("doc_id"), explode(col("ws")).as("word"))
+    val perDoc = base
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"))
     val firsts = toks.groupBy(col("word"))
       .agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))

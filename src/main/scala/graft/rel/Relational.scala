@@ -453,7 +453,7 @@ object Relational {
     events
       // try_cast, not cast: under ANSI a non-integer payload value
       // ({"k":"abc"}) would THROW mid-scan; the audit's whole point
-      // is that malformed payloads land in the -1 bucket instead of
+      // is that malformed payloads land in the NULL bucket instead of
       // killing (or silently skewing) the job
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").try_cast("int").as("k"))
@@ -631,18 +631,14 @@ object Relational {
         dsum(col("value")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
-  /** Sessionization (gap > 30 min) — batch analog of
-    * mapGroupsWithState session windows: lag → boundary flag →
-    * prefix-sum session id → per-user session stats. One shuffle on
-    * user_id shared by the windows and the first groupBy. Gap math
-    * in integer microseconds so the oracle (ns-precision DuckDB)
-    * and Spark (µs timestamps) agree exactly. */
   /** The session-assignment core shared by [[sessionize]] and
     * [[sessionPaths]] (and mirrored by their oracles): lag → gap
     * boundary flag → prefix-sum session id, all per user in one
     * window shuffle. The 30-minute gap lives HERE, once — the two
     * consumers and their SQL twins must agree on the session
-    * definition or they quietly mine different sessions. */
+    * definition or they quietly mine different sessions. Gap math in
+    * integer microseconds so the oracle (ns-precision DuckDB) and
+    * Spark (µs timestamps) agree exactly. */
   def withSessionIds(events: DataFrame,
       gapUs: Long = 1800000000L): DataFrame = {
     val us = unix_micros(col("ts"))
@@ -657,6 +653,10 @@ object Relational {
       .drop("prev_us", "new_session")
   }
 
+  /** Sessionization (gap > 30 min) — batch analog of
+    * mapGroupsWithState session windows: [[withSessionIds]] →
+    * per-user session stats. One shuffle on user_id shared by the
+    * assignment windows and the first groupBy. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     withSessionIds(Tables.events(spark, dir))
       .groupBy(col("user_id"), col("session_id"))
