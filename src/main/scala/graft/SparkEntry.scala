@@ -257,6 +257,8 @@ object SparkEntry {
     "q205_trimmed_mean"   -> ((s, d) => Relational.trimmedMean(s, d)),
     "q206_heaps_fit"      -> ((s, d) => TextAnalysis.heapsFit(s, d)),
     "q207_inter_arrival"  -> ((s, d) => Relational.interArrival(s, d)),
+    "q208_cluster_sizes"  -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
+    "q209_attribution"    -> ((s, d) => Relational.touchAttribution(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3166,6 +3168,39 @@ object SparkEntry {
         |  COUNT(*) AS n, min(gap_us) AS min_gap_us,
         |  max(gap_us) AS max_gap_us
         |FROM g WHERE gap_us IS NOT NULL AND gap_us >= 0
+        |GROUP BY 1, 2""".stripMargin,
+    // q208: dup-cluster size histogram over the portable LSH
+    // components — pure reuse of the q59 recursive stem
+    "q208_cluster_sizes" ->
+      s"""WITH RECURSIVE $portableCompSql,
+         |comp AS (SELECT id, MIN(lab) AS rep FROM reach GROUP BY id),
+         |cs AS (SELECT rep, COUNT(*) AS cluster_size FROM comp GROUP BY rep)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+         |FROM cs GROUP BY cluster_size""".stripMargin,
+    // q209: first/last-touch attribution via running ignore-nulls
+    // window firsts — no self-join
+    "q209_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type IN ('view', 'click') THEN event_type END
+        |      AS touch
+        |  FROM events),
+        |t AS (SELECT event_type, value,
+        |    first_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS first_touch,
+        |    last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_touch
+        |  FROM e)
+        |SELECT first_touch, last_touch, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,

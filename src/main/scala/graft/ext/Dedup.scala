@@ -427,6 +427,21 @@ object Dedup {
           .otherwise(col("doc_b")).as("contained_id"))
       .filter(col("containment") >= threshold)
 
+  /** Duplicate-cluster size histogram — the curation REPORT on top of
+    * the cluster machinery: how much of the corpus sits in dup
+    * clusters of size 2, 3, …, and how many rows dedup would remove
+    * at each size (cluster_size − 1 survivors removed per cluster).
+    * Pure reuse of the portable hash-gated pipeline; the histogram
+    * itself is two tiny aggregates over the components table. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String,
+      k: Int = 3, threshold: Double = 0.7): DataFrame =
+    lshDedupClustersPortable(spark, dir, k, threshold)
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_removable"))
+
   /** q188: containment-verified pairs over the portable candidates
     * (hash-gated end to end — candidates, intersection, asymmetric
     * denominator, contained-side pick). */

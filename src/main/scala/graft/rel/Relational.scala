@@ -397,6 +397,31 @@ object Relational {
         max(col("gap_us")).as("max_gap_us"))
   }
 
+  /** Touch attribution: for every purchase, credit the user's FIRST
+    * and LAST preceding engagement (view/click) — the two classic
+    * marketing-attribution models, resolved in one user-partitioned
+    * window pass (running first/last over the engagement prefix; no
+    * self-join, no per-purchase scan). Emits per (first_touch,
+    * last_touch) pair: purchases and decimal-exact value — the
+    * attribution matrix. Purchases with no preceding engagement
+    * surface as the (null, null) row rather than vanishing. */
+  def touchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("event_type").isin("view", "click"),
+      col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+        col("event_id"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("attributed_value"))
+  }
+
   /** Robust aggregation: per-priority 5%-trimmed mean of order value
     * beside the raw mean — the outlier-resistant statistic a metrics
     * pipeline wants when a few whale orders (or corrupt rows) drag

@@ -3150,6 +3150,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster size histogram: consistent with the cluster table") {
+    val comps = Dedup.lshDedupClustersPortable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = comps.groupBy(_._2).values.map(_.size)
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.clusterSizeHistogram(spark, sf).collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (size, (nc, nd, nr)) =>
+      assert(nc == want(size), s"size $size clusters")
+      assert(nd == size.toLong * nc, s"size $size docs")
+      assert(nr == (size - 1).toLong * nc, s"size $size removable")
+      assert(size >= 2, "components have at least two members")
+    }
+    assert(got.values.map(_._2).sum == comps.length.toLong, "doc coverage")
+  }
+
+  test("touch attribution: exact running first/last recompute, value conserved") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getTimestamp(3).getTime * 1000 +
+          (r.getTimestamp(3).getNanos / 1000) % 1000, r.getLong(4)))
+    val rows = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val s = g.sortBy(e => (e._4, e._5))
+      var firstT: Option[String] = None
+      var lastT: Option[String] = None
+      s.flatMap { e =>
+        if (e._2 == "view" || e._2 == "click") {
+          if (firstT.isEmpty) firstT = Some(e._2)
+          lastT = Some(e._2)
+        }
+        if (e._2 == "purchase") Some(((firstT, lastT), e._3)) else None
+      }
+    }
+    val want = rows.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.map(v => BigDecimal(v._2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum)
+    }.toMap
+    val got = Relational.touchAttribution(spark, sf).collect()
+      .map(r => ((Option(r.getString(0)), Option(r.getString(1))),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.length == want.size)
+    got.foreach { case (k, n, v) =>
+      assert(n == want(k)._1, s"$k purchases")
+      assert(math.abs(v - want(k)._2.toDouble) < 1e-6, s"$k value")
+    }
+    // every purchase is attributed exactly once (value conservation)
+    val totalPurchases = ev.count(_._2 == "purchase").toLong
+    assert(got.map(_._2).sum == totalPurchases, "purchase conservation")
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
