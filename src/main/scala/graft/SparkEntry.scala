@@ -259,6 +259,9 @@ object SparkEntry {
     "q207_inter_arrival"  -> ((s, d) => Relational.interArrival(s, d)),
     "q208_cluster_sizes"  -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "q209_attribution"    -> ((s, d) => Relational.touchAttribution(s, d)),
+    "q210_conversion_lat" -> ((s, d) => Relational.conversionLatency(s, d)),
+    "q211_basket_lift"    -> ((s, d) => Relational.basketLift(s, d)),
+    "q212_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3202,6 +3205,62 @@ object SparkEntry {
         |    AS attributed_value
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1, 2""".stripMargin,
+    // q210: first-view → first-purchase latency percentiles over the
+    // converting-users table (quantile_cont + round, q58 precedent)
+    "q210_conversion_lat" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |lat AS (SELECT e.user_id, MIN(e.us) - MIN(v.t_view) AS lat_us
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > v.t_view
+        |  GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_converted,
+        |  round(quantile_cont(lat_us, 0.5), 4) AS p50_us,
+        |  round(quantile_cont(lat_us, 0.9), 4) AS p90_us,
+        |  round(quantile_cont(lat_us, 0.99), 4) AS p99_us
+        |FROM lat""".stripMargin,
+    // q211: within-basket pair mining — support/confidence/lift from
+    // exact counts, bounded by basket size
+    "q211_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS part FROM lineitem),
+        |no AS (SELECT COUNT(*) AS n_orders FROM orders),
+        |m AS (SELECT part, COUNT(*) AS n_part FROM items GROUP BY 1),
+        |p AS (SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab, ma.n_part AS n_a, mb.n_part AS n_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(ma.n_part AS DOUBLE) AS conf_a_to_b,
+        |  CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(ma.n_part AS DOUBLE) * CAST(mb.n_part AS DOUBLE))
+        |    AS lift
+        |FROM p JOIN m ma ON p.part_a = ma.part
+        |       JOIN m mb ON p.part_b = mb.part, no
+        |ORDER BY n_ab DESC, part_a, part_b LIMIT 25""".stripMargin,
+    // q212: RFM quartile census — ntile with customer tie-break (q74
+    // precedent), recency anchored to the corpus max date
+    "q212_rfm_segments" ->
+      s"""WITH per AS (SELECT o_custkey,
+         |    MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         |    COUNT(*) AS freq, ${dsumSql("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT o_custkey,
+         |    date_diff('day', last_day, MAX(last_day) OVER ())
+         |      AS recency_days,
+         |    freq, monetary FROM per),
+         |q AS (SELECT
+         |    CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey)
+         |      AS INTEGER) AS r,
+         |    CAST(ntile(4) OVER (ORDER BY freq, o_custkey)
+         |      AS INTEGER) AS f,
+         |    CAST(ntile(4) OVER (ORDER BY monetary, o_custkey)
+         |      AS INTEGER) AS m
+         |  FROM t)
+         |SELECT r, f, m, COUNT(*) AS n_customers
+         |FROM q GROUP BY 1, 2, 3""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -422,6 +422,97 @@ object Relational {
         dsum(col("value")).as("attributed_value"))
   }
 
+  /** Conversion latency: per converting user, the µs gap between
+    * first view and first subsequent purchase, summarized as exact
+    * interpolated percentiles (p50/p90/p99) plus the conversion
+    * count — the "how long does the funnel take" companion to
+    * [[funnelStages]]' "how many make it". Two per-user min-aggs on
+    * the same user_id partitioning; the percentile runs over the
+    * CONVERTING-USERS table. Gaps are integer microseconds. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts"))
+        .as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("us") > col("t_view"))
+      .groupBy(col("user_id"))
+      .agg((min(col("us")) - first(col("t_view"))).as("lat_us"))
+    lat.agg(count(lit(1)).as("n_converted"),
+      round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
+      round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"),
+      round(expr("percentile(lat_us, 0.99)"), 4).as("p99_us"))
+  }
+
+  /** Market-basket association rules over order lineitems: for part
+    * pairs co-occurring in an order, support, directional confidence
+    * and lift — the classic retail co-occurrence mining shape. The
+    * pair join is WITHIN-ORDER (self-join on l_orderkey over the
+    * deduped (order, part) table, a < b), so candidate work is
+    * Σ items_per_order² — bounded by basket size, never corpus
+    * quadratic, the same bounded-blocks contract as the linkage and
+    * medoid families. Counts are exact longs; confidence and lift
+    * are fixed IEEE chains per pair; top pairs by (n_ab desc, a, b).
+    * The deduped item table is persisted for its three consumers
+    * (two join legs + the per-part margins). */
+  def basketLift(spark: SparkSession, dir: String, topN: Int = 25)
+      : DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("n_orders"))
+    val margins = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+    val pairs = items.select(col("okey"), col("part").as("part_a"))
+      .join(items.select(col("okey"), col("part").as("part_b")), "okey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(margins.select(col("part").as("part_a"),
+        col("n_part").as("n_a")), "part_a")
+      .join(margins.select(col("part").as("part_b"),
+        col("n_part").as("n_b")), "part_b")
+      .join(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("conf_a_to_b"),
+        (col("n_ab").cast("double") * col("n_orders").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
+  /** RFM segmentation: per customer, recency (days since last
+    * order), frequency (orders) and monetary (decimal-exact spend),
+    * each quartile-coded by ntile with a customer-key tie-break so
+    * the segmentation is deterministic; output is the segment-code
+    * census (64 possible R·F·M cells). One orders scan; the ntile
+    * windows run over the per-customer table. Recency anchors to the
+    * corpus max date — self-contained and reproducible. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val anchor = Window.partitionBy()
+    def quart(c: Column) = ntile(4).over(
+      Window.orderBy(c, col("o_custkey")))
+    per
+      .withColumn("recency_days",
+        datediff(max(col("last_day")).over(anchor), col("last_day")))
+      .select(col("o_custkey"),
+        quart(col("recency_days")).as("r"),
+        quart(col("freq")).as("f"),
+        quart(col("monetary")).as("m"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** Robust aggregation: per-priority 5%-trimmed mean of order value
     * beside the raw mean — the outlier-resistant statistic a metrics
     * pipeline wants when a few whale orders (or corrupt rows) drag

@@ -3205,6 +3205,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == totalPurchases, "purchase conservation")
   }
 
+  test("conversion latency: exact converting-user gap recompute") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 +
+          (r.getTimestamp(2).getNanos / 1000) % 1000))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val lats = ev.filter(_._2 == "purchase").groupBy(_._1).toSeq.flatMap {
+      case (u, ps) => firstView.get(u).flatMap { tv =>
+        val after = ps.map(_._3).filter(_ > tv)
+        if (after.nonEmpty) Some(after.min - tv) else None
+      }
+    }.sorted
+    def pct(p: Double): Double = {
+      val rank = p * (lats.length - 1)
+      val lo = lats(rank.toInt).toDouble
+      val hi = lats(math.min(rank.toInt + 1, lats.length - 1)).toDouble
+      BigDecimal(lo + (rank - rank.toInt) * (hi - lo))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val row = Relational.conversionLatency(spark, sf).collect().head
+    assert(row.getLong(0) == lats.length.toLong)
+    assert(math.abs(row.getDouble(1) - pct(0.5)) < 1e-4, "p50")
+    assert(math.abs(row.getDouble(2) - pct(0.9)) < 1e-4, "p90")
+    assert(row.getDouble(1) <= row.getDouble(2) &&
+      row.getDouble(2) <= row.getDouble(3), "monotone percentiles")
+  }
+
+  test("basket lift: exact pair counts, margins, and lift formula") {
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).distinct
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    val margins = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = items.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val ps = basket.map(_._2).sorted.toSeq
+      ps.flatMap(a => ps.collect { case b if a < b => (a, b) })
+    }.groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val want = pairCounts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(25)
+    val got = Relational.basketLift(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((k, nAb, nA, nB, conf, lift), (wk, wn)) =>
+      assert(k == wk && nAb == wn, s"pair order/count at $k")
+      assert(nA == margins(k._1) && nB == margins(k._2), s"$k margins")
+      assert(conf == nAb.toDouble / nA.toDouble, s"$k confidence")
+      assert(lift == nAb.toDouble * nOrders.toDouble /
+        (nA.toDouble * nB.toDouble), s"$k lift")
+    }
+  }
+
+  test("rfm segments: census covers all customers, codes in 1..4") {
+    val rows = Relational.rfmSegments(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3)))
+    val nCust = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._2).sum == nCust, "census coverage")
+    rows.foreach { case ((r, f, m), n) =>
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4)
+      assert(n > 0L)
+    }
+    // quartiles are balanced: each R code holds ~nCust/4 customers
+    val byR = rows.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    byR.values.foreach(c =>
+      assert(math.abs(c - nCust / 4.0) <= 1.0, s"unbalanced quartile: $byR"))
+  }
+
   test("label outliers: dense ranks per label, exactly ceil(5%) flagged") {
     val rows = Similarity.labelOutliers(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
