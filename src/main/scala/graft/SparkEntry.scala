@@ -262,6 +262,9 @@ object SparkEntry {
     "q210_conversion_lat" -> ((s, d) => Relational.conversionLatency(s, d)),
     "q211_basket_lift"    -> ((s, d) => Relational.basketLift(s, d)),
     "q212_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
+    "q213_ks_drift"       -> ((s, d) => Sampling.ksDrift(s, d)),
+    "q214_seq_patterns"   -> ((s, d) => Relational.seqPatterns(s, d)),
+    "q215_inclusion_deps" -> ((s, d) => graft.ext.Profile.inclusionDeps(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3261,6 +3264,116 @@ object SparkEntry {
          |  FROM t)
          |SELECT r, f, m, COUNT(*) AS n_customers
          |FROM q GROUP BY 1, 2, 3""".stripMargin,
+    // q213: two-sample KS — per-(source,length) counts, cumulative
+    // windows over the bounded length grid; both ECDFs are divisions
+    // of exact longs so the max gap is IEEE-identical cross-engine
+    "q213_ks_drift" ->
+      """WITH sv AS (SELECT source, n_chars, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+        |  FROM sv GROUP BY 1),
+        |vals AS (SELECT n_chars, CAST(SUM(c) AS BIGINT) AS c_v
+        |  FROM sv GROUP BY 1),
+        |vc AS (SELECT n_chars, CAST(SUM(c_v) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_all FROM vals),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM sv),
+        |grid AS (SELECT st.source, st.n_s, vc.n_chars, vc.cum_all,
+        |    COALESCE(sv.c, 0) AS c
+        |  FROM st CROSS JOIN vc LEFT JOIN sv
+        |    ON sv.source = st.source AND sv.n_chars = vc.n_chars),
+        |cum AS (SELECT source, n_s, cum_all,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_s
+        |  FROM grid)
+        |SELECT source, n_s AS n_docs,
+        |  round(MAX(abs(CAST(cum_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+        |    - CAST(cum_all - cum_s AS DOUBLE)
+        |      / CAST(n_tot - n_s AS DOUBLE))), 6) AS ks
+        |FROM cum, tot WHERE n_tot > n_s
+        |GROUP BY source, n_s""".stripMargin,
+    // q214: gapped sequential 2-patterns — a precedes b in a session
+    // iff min_pos(a) < max_pos(b); positions are user-wide (valid
+    // within a session since they stay monotonic), the q193 session
+    // definition verbatim
+    "q214_seq_patterns" ->
+      """WITH g AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, event_type, us,
+        |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM g),
+        |p AS (SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS p
+        |  FROM s),
+        |spans AS (SELECT user_id, session_id, event_type,
+        |    MIN(p) AS first_p, MAX(p) AS last_p
+        |  FROM p GROUP BY 1, 2, 3),
+        |tot AS (SELECT COUNT(*) AS n_total FROM
+        |  (SELECT DISTINCT user_id, session_id FROM spans))
+        |SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  round(CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |    AS support
+        |FROM spans a
+        |JOIN spans b ON a.user_id = b.user_id
+        |  AND a.session_id = b.session_id
+        |  AND a.event_type <> b.event_type AND a.first_p < b.last_p, tot
+        |GROUP BY a.event_type, b.event_type, n_total""".stripMargin,
+    // q215: inclusion dependencies — the oracle takes the PAIRWISE
+    // self-join route over the distinct (value, attr) table, an
+    // independent algorithm from the Spark side's SINDY
+    // attribute-set explode; counts agree iff both are exact
+    "q215_inclusion_deps" ->
+      """WITH ua AS (
+        |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v,
+        |    'customer.c_custkey' AS attr FROM customer
+        |    WHERE c_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(c_nationkey AS BIGINT),
+        |    'customer.c_nationkey' FROM customer
+        |    WHERE c_nationkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(o_orderkey AS BIGINT),
+        |    'orders.o_orderkey' FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(o_custkey AS BIGINT),
+        |    'orders.o_custkey' FROM orders WHERE o_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(l_orderkey AS BIGINT),
+        |    'lineitem.l_orderkey' FROM lineitem WHERE l_orderkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(l_partkey AS BIGINT),
+        |    'lineitem.l_partkey' FROM lineitem WHERE l_partkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(l_suppkey AS BIGINT),
+        |    'lineitem.l_suppkey' FROM lineitem WHERE l_suppkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(s_suppkey AS BIGINT),
+        |    'supplier.s_suppkey' FROM supplier WHERE s_suppkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(s_nationkey AS BIGINT),
+        |    'supplier.s_nationkey' FROM supplier
+        |    WHERE s_nationkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(p_partkey AS BIGINT),
+        |    'part.p_partkey' FROM part WHERE p_partkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(n_nationkey AS BIGINT),
+        |    'nation.n_nationkey' FROM nation WHERE n_nationkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(n_regionkey AS BIGINT),
+        |    'nation.n_regionkey' FROM nation WHERE n_regionkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT CAST(r_regionkey AS BIGINT),
+        |    'region.r_regionkey' FROM region WHERE r_regionkey IS NOT NULL),
+        |pairs AS (SELECT a.attr AS lhs, b.attr AS rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM ua a JOIN ua b ON a.v = b.v AND a.attr <> b.attr
+        |  GROUP BY 1, 2),
+        |na AS (SELECT attr, CAST(COUNT(*) AS BIGINT) AS n_lhs
+        |  FROM ua GROUP BY 1)
+        |SELECT lhs, rhs, n_lhs, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / CAST(n_lhs AS DOUBLE), 6)
+        |    AS containment,
+        |  n_shared = n_lhs AS is_ind
+        |FROM pairs JOIN na ON lhs = attr""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -276,6 +276,54 @@ object Profile {
         "o_custkey", Seq("o_orderpriority")))
   }
 
+  /** Cross-table inclusion-dependency discovery (q215) — the
+    * foreign-key profiling companion to [[fdAudit]]'s within-table
+    * FDs: for every directed pair of candidate key columns, what
+    * fraction of the LHS's distinct values appear in the RHS
+    * (containment 1.0 = a true IND, the FK candidate). Runs the
+    * SINDY shape (Kruse et al., BTW 2015): all columns reduce to one
+    * distinct (value, attribute) table, ONE groupBy(value) builds
+    * each value's attribute set, and a bounded double-explode of
+    * those sets (≤ |attrs|² rows per value, |attrs| = 13 here) counts
+    * co-occurrences — no per-pair table scans, no pairwise joins
+    * over data; cost is one distinct + one shuffle regardless of how
+    * many columns are profiled. Pairs sharing zero values don't
+    * appear (their containment is 0 by absence). All counts exact. */
+  def inclusionDeps(spark: SparkSession, dir: String): DataFrame = {
+    def attr(df: DataFrame, table: String, c: String): DataFrame =
+      df.select(col(c).cast("long").as("v"),
+          lit(s"$table.$c").as("attr"))
+        .filter(col("v").isNotNull).distinct()
+    val ua = Seq(
+      attr(Tables.customer(spark, dir), "customer", "c_custkey"),
+      attr(Tables.customer(spark, dir), "customer", "c_nationkey"),
+      attr(Tables.orders(spark, dir), "orders", "o_orderkey"),
+      attr(Tables.orders(spark, dir), "orders", "o_custkey"),
+      attr(Tables.lineitem(spark, dir), "lineitem", "l_orderkey"),
+      attr(Tables.lineitem(spark, dir), "lineitem", "l_partkey"),
+      attr(Tables.lineitem(spark, dir), "lineitem", "l_suppkey"),
+      attr(Tables.supplier(spark, dir), "supplier", "s_suppkey"),
+      attr(Tables.supplier(spark, dir), "supplier", "s_nationkey"),
+      attr(Tables.part(spark, dir), "part", "p_partkey"),
+      attr(Tables.nation(spark, dir), "nation", "n_nationkey"),
+      attr(Tables.nation(spark, dir), "nation", "n_regionkey"),
+      attr(Tables.region(spark, dir), "region", "r_regionkey"))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = ua.groupBy(col("v"))
+      .agg(collect_set(col("attr")).as("atts"))
+      .select(explode(col("atts")).as("lhs"), col("atts"))
+      .select(col("lhs"), explode(col("atts")).as("rhs"))
+      .filter(col("lhs") =!= col("rhs"))
+      .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("n_shared"))
+    val na = ua.groupBy(col("attr")).agg(count(lit(1)).as("n_lhs"))
+    pairs.join(broadcast(na), pairs("lhs") === na("attr"))
+      .select(col("lhs"), col("rhs"), col("n_lhs"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / col("n_lhs").cast("double"), 6).as("containment"),
+        (col("n_shared") === col("n_lhs")).as("is_ind"))
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

@@ -343,6 +343,49 @@ object Sampling {
           .as("kl"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift (q213): each source's
+    * document-length ECDF against the REST of the corpus, D =
+    * max |F_s − F_rest| — [[sourceKl]]'s continuous companion (KL
+    * watches the token mix; KS watches a numeric marginal, the
+    * classic "did this crawl's length distribution shift" monitor).
+    * One corpus scan reduces to per-(source, length) counts; from
+    * there everything runs on the tiny source × observed-length GRID
+    * (lengths are a bounded domain — ≤ ~10⁵ distinct values no
+    * matter how many rows), so the per-source cumulative windows and
+    * the max-gap reduce never touch corpus-sized data. Both ECDFs at
+    * every observed length are divisions of exact longs (IEEE-exact
+    * rounding → cross-engine identical), so the max gap hash-gates.
+    * Single-source corpora produce zero rows (no complement). */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcTot = sv.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    // corpus-wide cumulative counts: a window over the distinct-length
+    // table (bounded), not the corpus
+    val wv = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vals = sv.groupBy(col("n_chars")).agg(sum(col("c")).as("c_v"))
+      .withColumn("cum_all", sum(col("c_v")).over(wv))
+      .select(col("n_chars"), col("cum_all"))
+    val tot = sv.agg(sum(col("c")).as("n_tot"))
+    val ws = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    srcTot.crossJoin(broadcast(vals))
+      .join(sv, Seq("source", "n_chars"), "left")
+      .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(ws))
+      .join(broadcast(tot))
+      .filter(col("n_tot") > col("n_s"))
+      .select(col("source"), col("n_s"),
+        abs(col("cum_s").cast("double") / col("n_s").cast("double")
+          - (col("cum_all") - col("cum_s")).cast("double")
+            / (col("n_tot") - col("n_s")).cast("double")).as("gap"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        round(max(col("gap")), 6).as("ks"))
+  }
+
   /** Token-budget corpus selection, two-phase so no global sort ever
     * touches the corpus: (1) docs reduce to a SCORE-BUCKET histogram
     * (type-token ratio rounded to 3 decimals → ≤ 1001 buckets —

@@ -655,6 +655,46 @@ object Relational {
         .cast("double")).as("p"))
   }
 
+  /** Gapped sequential-pattern support (q214): for event-type pairs
+    * (a, b), in how many sessions does SOME occurrence of `a`
+    * precede SOME occurrence of `b` — any gap allowed, the
+    * PrefixSpan-style 2-pattern that [[markovTransitions]] (adjacent
+    * only) and [[sessionPaths]] (whole paths) don't answer. The
+    * a-then-b existence test folds to span arithmetic: with per-user
+    * event positions, `a` precedes `b` in a session iff
+    * min_pos(a) < max_pos(b) — so each session reduces to one row
+    * per DISTINCT type (bounded by the type vocabulary, not session
+    * length) and the within-session self-join is ≤ |types|² rows per
+    * session, never length². Positions come from the SAME
+    * user-partitioned (ts, event_id) window sort sessionization
+    * already paid for — one shuffle for the whole query. Support
+    * denominators are exact longs. */
+  def seqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+    val spans = withSessionIds(Tables.events(spark, dir))
+      .select(col("user_id"), col("session_id"), col("event_type"),
+        row_number().over(w).as("p"))
+      .groupBy(col("user_id"), col("session_id"), col("event_type"))
+      .agg(min(col("p")).as("first_p"), max(col("p")).as("last_p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSess = spans.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val a = spans.select(col("user_id"), col("session_id"),
+      col("event_type").as("antecedent"), col("first_p"))
+    val b = spans.select(col("user_id"), col("session_id"),
+      col("event_type").as("consequent"), col("last_p"))
+    a.join(b, Seq("user_id", "session_id"))
+      .filter(col("antecedent") =!= col("consequent") &&
+        col("first_p") < col("last_p"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .join(broadcast(nSess))
+      .select(col("antecedent"), col("consequent"), col("n_sessions"),
+        round(col("n_sessions").cast("double")
+          / col("n_total").cast("double"), 6).as("support"))
+  }
+
   /** Rolling z-score anomaly detection over the gap-filled daily
     * revenue: 28-day trailing mean/std with EXACT decimal-plane
     * moments (window sums of DECIMAL values and their DECIMAL

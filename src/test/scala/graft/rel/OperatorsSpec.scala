@@ -3290,4 +3290,92 @@ class OperatorsSpec extends AnyFunSuite {
       assert(sorted.takeWhile(_._5).length == wantOut, s"label $label prefix")
     }
   }
+
+  test("ks drift: exact ECDF max-gap recompute per source") {
+    import graft.ext.Sampling
+    val rows = Sampling.ksDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.map(_._1).toSet == bySrc.keySet)
+    val vals = docs.map(_._2).distinct.sorted
+    rows.foreach { case (s, nDocs, ks) =>
+      val mine = bySrc(s).map(_._2)
+      val rest = docs.filter(_._1 != s).map(_._2)
+      assert(nDocs == mine.length.toLong, s"source $s doc count")
+      val want = vals.map { v =>
+        math.abs(mine.count(_ <= v).toDouble / mine.length
+          - rest.count(_ <= v).toDouble / rest.length)
+      }.max
+      assert(ks == BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"source $s ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+  }
+
+  test("seq patterns: brute-force session recompute, support exact") {
+    val got = Relational.seqPatterns(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[String]]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (buf.isEmpty || e._2 - prev > 1800000000L)
+          buf += scala.collection.mutable.ArrayBuffer(e._4)
+        else buf.last += e._4
+        prev = e._2
+      }
+      buf.map(_.toSeq)
+    }.toSeq
+    val nTotal = sessions.length
+    val want = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    sessions.foreach { path =>
+      val pairs = (for {
+        i <- path.indices; j <- path.indices
+        if i < j && path(i) != path(j)
+      } yield (path(i), path(j))).distinct
+      pairs.foreach(p => want(p) += 1L)
+    }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, sup)) =>
+      assert(n == want(k), s"pair $k sessions")
+      assert(sup == BigDecimal(n.toDouble / nTotal)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"pair $k support")
+    }
+  }
+
+  test("inclusion deps: known FKs are INDs, containment exact for one pair") {
+    val got = graft.ext.Profile.inclusionDeps(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    Seq("orders.o_custkey" -> "customer.c_custkey",
+      "lineitem.l_orderkey" -> "orders.o_orderkey",
+      "nation.n_regionkey" -> "region.r_regionkey",
+      "customer.c_nationkey" -> "nation.n_nationkey").foreach { p =>
+      val (nl, ns, c, ind) = got(p)
+      assert(ind && ns == nl && c == 1.0, s"$p should be an IND")
+    }
+    val custs = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val ordc = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val (nl, ns, c, _) = got(("customer.c_custkey", "orders.o_custkey"))
+    assert(nl == custs.size.toLong)
+    assert(ns == custs.intersect(ordc).size.toLong)
+    assert(c == BigDecimal(ns.toDouble / nl.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
