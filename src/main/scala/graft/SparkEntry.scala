@@ -265,6 +265,9 @@ object SparkEntry {
     "q213_ks_drift"       -> ((s, d) => Sampling.ksDrift(s, d)),
     "q214_seq_patterns"   -> ((s, d) => Relational.seqPatterns(s, d)),
     "q215_inclusion_deps" -> ((s, d) => graft.ext.Profile.inclusionDeps(s, d)),
+    "q216_seasonal_trend" -> ((s, d) => Relational.seasonalTrend(s, d)),
+    "q217_mad_outliers"   -> ((s, d) => Relational.madOutliers(s, d)),
+    "q218_embed_dispersion" -> ((s, d) => Similarity.embedDispersion(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3374,6 +3377,101 @@ object SparkEntry {
         |    AS containment,
         |  n_shared = n_lhs AS is_ind
         |FROM pairs JOIN na ON lhs = attr""".stripMargin,
+    // q216: multiplicative seasonal decomposition — DECIMAL-exact day
+    // sums, single-division means, and the deseasonalized regression
+    // through milli-scaled integer surrogates (the q195/q206 recipe);
+    // DuckDB dayofweek is 0-based Sunday, Spark's is 1-based → +1
+    "q216_seasonal_trend" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS rev FROM orders GROUP BY 1),
+         |d2 AS (SELECT day, rev,
+         |    CAST(dayofweek(day) + 1 AS INTEGER) AS dow FROM daily),
+         |tot AS (SELECT SUM(CAST(rev AS DECIMAL(28,6))) AS tot_rev,
+         |    COUNT(*) AS n_days_all, MIN(day) AS day0 FROM d2),
+         |bd AS (SELECT dow, SUM(CAST(rev AS DECIMAL(28,6))) AS dow_rev,
+         |    CAST(COUNT(*) AS BIGINT) AS n_dow FROM d2 GROUP BY 1),
+         |ix AS (SELECT dow, n_dow, day0,
+         |    CAST(dow_rev AS DOUBLE) / CAST(n_dow AS DOUBLE) AS dow_mean,
+         |    (CAST(dow_rev AS DOUBLE) / CAST(n_dow AS DOUBLE))
+         |      / (CAST(tot_rev AS DOUBLE) / CAST(n_days_all AS DOUBLE))
+         |      AS seasonal_index
+         |  FROM bd, tot),
+         |xy AS (SELECT CAST(date_diff('day', day0, day) AS BIGINT) AS xi,
+         |    CAST(round(rev / seasonal_index * 1000.0) AS BIGINT) AS yi
+         |  FROM d2 JOIN ix USING (dow)),
+         |fit AS (SELECT COUNT(*) AS n_points,
+         |    CAST(SUM(xi) AS BIGINT) AS sxl, CAST(SUM(yi) AS BIGINT) AS syl,
+         |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+         |      AS sxyl,
+         |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+         |      AS sxxl
+         |  FROM xy),
+         |sl AS (SELECT round(
+         |    (CAST(n_points AS DOUBLE) * (CAST(sxyl AS DOUBLE) / 1.0e3)
+         |      - CAST(sxl AS DOUBLE) * (CAST(syl AS DOUBLE) / 1.0e3))
+         |    / (CAST(n_points AS DOUBLE) * CAST(sxxl AS DOUBLE)
+         |      - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE)), 6)
+         |    AS trend_slope FROM fit)
+         |SELECT dow, n_dow AS n_days, round(dow_mean, 6) AS dow_mean,
+         |  round(seasonal_index, 6) AS seasonal_index, trend_slope
+         |FROM ix, sl""".stripMargin,
+    // q217: MAD robust outliers — two exact-interpolated grouped
+    // medians (the q205 quantile_cont ↔ percentile precedent), cut at
+    // (3.0 · 1.4826) · MAD with both factors as literals so the
+    // constant folds to the same IEEE double on both engines
+    "q217_mad_outliers" ->
+      """WITH med AS (SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |ad AS (SELECT o.o_orderpriority, o_totalprice, med,
+        |    abs(o_totalprice - med) AS ad
+        |  FROM orders o JOIN med USING (o_orderpriority)),
+        |m2 AS (SELECT o_orderpriority, quantile_cont(ad, 0.5) AS mad
+        |  FROM ad GROUP BY 1)
+        |SELECT ad.o_orderpriority, COUNT(*) AS n,
+        |  round(MAX(med), 6) AS median, round(MAX(mad), 6) AS mad,
+        |  CAST(SUM(CASE WHEN ad.ad > (3.0 * 1.4826) * mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ad JOIN m2 USING (o_orderpriority)
+        |GROUP BY 1""".stripMargin,
+    // q218: dispersion via E‖x−y‖² = 2(E‖x‖² − ‖μ‖²) — per-(label,
+    // dim) DECIMAL sums and exact DECIMAL squares, centroid-norm
+    // 64-term sums through round-9 integer surrogates
+    "q218_embed_dispersion" ->
+      """WITH e AS (SELECT label, p AS pos,
+        |    CAST(round(CAST(embedding[p+1] AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS xd
+        |  FROM embeddings, UNNEST(range(0, 64)) AS u(p)),
+        |cells AS (SELECT label, pos, SUM(xd) AS s, SUM(xd * xd) AS sq,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT pos, SUM(s) AS gs, CAST(SUM(n) AS BIGINT) AS gn
+        |  FROM cells GROUP BY 1),
+        |j AS (SELECT label, n, sq,
+        |    CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e9) AS BIGINT)
+        |      AS mu2i,
+        |    CAST(round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)) * 1.0e9)
+        |      AS BIGINT) AS bt2i
+        |  FROM cells JOIN g USING (pos)),
+        |a AS (SELECT label, MAX(n) AS n_vecs, SUM(sq) AS tot_sq,
+        |    CAST(SUM(mu2i) AS BIGINT) AS mu2s,
+        |    CAST(SUM(bt2i) AS BIGINT) AS bts
+        |  FROM j GROUP BY 1)
+        |SELECT label, n_vecs,
+        |  round(2.0 * (CAST(tot_sq AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        |    - CAST(mu2s AS DOUBLE) / 1.0e9), 6) AS within_msd,
+        |  round(CAST(bts AS DOUBLE) / 1.0e9, 6) AS between_sq,
+        |  CASE WHEN 2.0 * (CAST(tot_sq AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        |      - CAST(mu2s AS DOUBLE) / 1.0e9) > 0.0
+        |    THEN round((CAST(bts AS DOUBLE) / 1.0e9)
+        |      / (2.0 * (CAST(tot_sq AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        |        - CAST(mu2s AS DOUBLE) / 1.0e9)), 6)
+        |  END AS separation
+        |FROM a""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -910,6 +910,49 @@ object Similarity {
         round(cosineHof(col("ca"), col("cb")), 6).as("drift_cos"))
   }
 
+  /** Per-label embedding dispersion audit (q218): within-label mean
+    * squared pair distance via the one-scan identity
+    * E‖x−y‖² = 2·(E‖x‖² − ‖μ‖²) (x, y iid) — no pair join EVER —
+    * plus the squared distance of each label centroid to the global
+    * centroid and their ratio, a Calinski-Harabasz-style "are the
+    * labels actually clusters" score ([[labelMedoids]] finds the
+    * representative; this asks whether the cluster is tight at all).
+    * One posexplode scan reduces to (label, dim) cells: per-cell
+    * DECIMAL sums of round-6 values and their exact DECIMAL squares
+    * (order-free), means are single divisions, and the 64-term
+    * centroid-norm sums run through round-9 integer surrogates so no
+    * double accumulates in engine order. Scale: everything after the
+    * scan is |labels|·64 rows. */
+  def embedDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x").cast("double"), 6).cast("decimal(18,6)").as("xd"))
+    val cells = e.groupBy(col("label"), col("pos"))
+      .agg(sum(col("xd")).as("s"), sum(col("xd") * col("xd")).as("sq"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val glob = cells.groupBy(col("pos"))
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+    val mu = col("s").cast("double") / col("n").cast("double")
+    val gmu = col("gs").cast("double") / col("gn").cast("double")
+    val agg = cells.join(broadcast(glob), Seq("pos"))
+      .select(col("label"), col("n"), col("sq"),
+        round(mu * mu * 1e9, 0).cast("long").as("mu2i"),
+        round((mu - gmu) * (mu - gmu) * 1e9, 0).cast("long").as("bt2i"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), sum(col("sq")).as("tot_sq"),
+        sum(col("mu2i")).as("mu2s"), sum(col("bt2i")).as("bts"))
+    val within = lit(2.0) * (col("tot_sq").cast("double")
+      / col("n_vecs").cast("double") - col("mu2s").cast("double") / 1e9)
+    val between = col("bts").cast("double") / 1e9
+    agg.select(col("label"), col("n_vecs"),
+      round(within, 6).as("within_msd"),
+      round(between, 6).as("between_sq"),
+      when(within > 0.0, round(between / within, 6)).as("separation"))
+  }
+
   /** [[lshIndexStats]] over FIXED integer-formula planes — the q52
     * catalog entry's oracle-able form: the bucket-build + occupancy
     * aggregation (the index-build math) hash-gated end to end; the

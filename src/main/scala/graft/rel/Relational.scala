@@ -695,6 +695,89 @@ object Relational {
           / col("n_total").cast("double"), 6).as("support"))
   }
 
+  /** Classical multiplicative seasonal decomposition (q216) on the
+    * daily revenue series: per-day-of-week seasonal index
+    * (dow mean / grand mean) plus the least-squares slope of the
+    * DESEASONALIZED series — the "is growth real or just weekday
+    * mix" question [[ewmaDaily]] and [[rollingZscore]] don't answer.
+    * One fact scan reduces to the bounded day grid (10⁴ rows for
+    * decades); everything after runs on that grid. Determinism: day
+    * sums are DECIMAL-exact, both means are single divisions of
+    * exact values, and the regression inputs go through the
+    * nano-scaled integer surrogates (the zipfFit/heapsFit recipe) so
+    * no float accumulates in engine order. Slope is per-day revenue
+    * units per day, broadcast onto every dow row. */
+  def seasonalTrend(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(28,6)")
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+      .withColumn("dow", dayofweek(col("day")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = daily.agg(sum(dec(col("rev"))).as("tot_rev"),
+      count(lit(1)).as("n_days_all"), min(col("day")).as("day0"))
+    val byDow = daily.groupBy(col("dow"))
+      .agg(sum(dec(col("rev"))).as("dow_rev"), count(lit(1)).as("n_dow"))
+      .join(broadcast(tot))
+      .select(col("dow"), col("n_dow"), col("day0"),
+        (col("dow_rev").cast("double") / col("n_dow").cast("double"))
+          .as("dow_mean"),
+        ((col("dow_rev").cast("double") / col("n_dow").cast("double"))
+          / (col("tot_rev").cast("double") / col("n_days_all").cast("double")))
+          .as("seasonal_index"))
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val xy = daily
+      .join(broadcast(byDow.select(col("dow"), col("day0"),
+        col("seasonal_index"))), Seq("dow"))
+      .select(datediff(col("day"), col("day0")).cast("long").as("xi"),
+        round(col("rev") / col("seasonal_index") * 1000.0, 0).cast("long")
+          .as("yi"))
+    val fit = xy.agg(count(lit(1)).as("n_points"),
+      sum(col("xi")).as("sxl"), sum(col("yi")).as("syl"),
+      sum(d19(col("xi")) * d19(col("yi"))).as("sxyl"),
+      sum(d19(col("xi")) * d19(col("xi"))).as("sxxl"))
+    val n = col("n_points").cast("double")
+    val sx = col("sxl").cast("double")
+    val sy = col("syl").cast("double") / 1e3
+    val sxy = col("sxyl").cast("double") / 1e3
+    val sxx = col("sxxl").cast("double")
+    val slopeDf = fit.select(
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("trend_slope"))
+    byDow.select(col("dow"), col("n_dow").as("n_days"),
+        round(col("dow_mean"), 6).as("dow_mean"),
+        round(col("seasonal_index"), 6).as("seasonal_index"))
+      .crossJoin(broadcast(slopeDf))
+  }
+
+  /** MAD-based robust outlier audit (q217): per group, the median,
+    * the median absolute deviation, and how many rows sit beyond
+    * k·1.4826·MAD (1.4826 = the normal-consistency constant, k = 3)
+    * — the heavy-tail-safe alternative to [[rollingZscore]]'s
+    * mean/std flags (one far outlier inflates a std but barely moves
+    * a MAD). Two grouped exact-interpolated percentiles (the
+    * q95/q205 precedent both engines reproduce bit-for-bit), with
+    * the deviation table persisted for its two consumers; medians
+    * broadcast back as scan-side predicates. */
+  def madOutliers(spark: SparkSession, dir: String, k: Double = 3.0)
+      : DataFrame = {
+    val med = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val withAd = Tables.orders(spark, dir)
+      .join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("ad", abs(col("o_totalprice") - col("med")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mad = withAd.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    withAd.join(broadcast(mad), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("median"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("ad") > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Rolling z-score anomaly detection over the gap-filled daily
     * revenue: 28-day trailing mean/std with EXACT decimal-plane
     * moments (window sums of DECIMAL values and their DECIMAL

@@ -3378,4 +3378,117 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c == BigDecimal(ns.toDouble / nl.toDouble)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("seasonal trend: exact decomposition recompute, 7 dow rows") {
+    val got = Relational.seasonalTrend(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length == 7 && got.map(_._1).toSet == (1 to 7).toSet)
+    val ords = graft.Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val daily = ords.groupBy(_._1).view
+      .mapValues(g => d6(g.map(x => d6(x._2)).sum.toDouble)).toMap
+    val sparkDow = (d: java.time.LocalDate) => (d.getDayOfWeek.getValue % 7) + 1
+    val grandMean = daily.values.sum.toDouble / daily.size
+    val byDow = daily.groupBy { case (d, _) => sparkDow(d) }
+    got.foreach { case (dow, nDays, mean, idx, _) =>
+      val g = byDow(dow)
+      assert(nDays == g.size.toLong, s"dow $dow days")
+      val m = g.values.sum.toDouble / g.size
+      assert(mean == round6(m), s"dow $dow mean")
+      assert(idx == round6(m / grandMean), s"dow $dow index")
+    }
+    // deseasonalized least-squares slope via the same surrogates
+    val day0 = daily.keys.min(Ordering.by((d: java.time.LocalDate) =>
+      d.toEpochDay))
+    val idxByDow = byDow.view.mapValues(g =>
+      (g.values.sum.toDouble / g.size) / grandMean).toMap
+    val xy = daily.toSeq.map { case (d, rev) =>
+      (d.toEpochDay - day0.toEpochDay,
+        BigDecimal(rev.toDouble / idxByDow(sparkDow(d)) * 1000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val nP = xy.length.toDouble
+    val sx = xy.map(_._1).sum.toDouble
+    val sy = xy.map(_._2).sum.toDouble / 1e3
+    val sxy = xy.map(t => BigInt(t._1) * BigInt(t._2)).sum.toDouble / 1e3
+    val sxx = xy.map(t => BigInt(t._1) * BigInt(t._1)).sum.toDouble
+    val slope = round6((nP * sxy - sx * sy) / (nP * sxx - sx * sx))
+    got.foreach { case (dow, _, _, _, s) => assert(s == slope, s"dow $dow slope") }
+  }
+
+  test("mad outliers: exact interpolated-median recompute") {
+    val got = Relational.madOutliers(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    val ords = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def q50(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * 0.5
+      val i = h.toInt
+      if (i + 1 < s.length) s(i) + (h - i) * (s(i + 1) - s(i)) else s(i)
+    }
+    val byPrio = ords.groupBy(_._1)
+    assert(got.keySet == byPrio.keySet)
+    byPrio.foreach { case (prio, g) =>
+      val xs = g.map(_._2).toSeq
+      val med = q50(xs)
+      val ads = xs.map(x => math.abs(x - med))
+      val mad = q50(ads)
+      val nOut = ads.count(_ > 3.0 * 1.4826 * mad).toLong
+      val (n, gm, gmad, gout) = got(prio)
+      assert(n == xs.length.toLong && gm == round6(med)
+        && gmad == round6(mad) && gout == nOut, s"prio $prio")
+    }
+  }
+
+  test("embed dispersion: one-scan identity matches exact pair-free recompute") {
+    val got = Similarity.embedDispersion(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val byLabel = emb.groupBy(_._1)
+    assert(got.keySet == byLabel.keySet)
+    // global per-dim decimal sums
+    val gs = (0 until 64).map(p =>
+      emb.map(e => d6(e._2(p).toDouble)).sum)
+    val gn = emb.length
+    byLabel.foreach { case (label, g) =>
+      val n = g.length
+      val s = (0 until 64).map(p => g.map(e => d6(e._2(p).toDouble)).sum)
+      val totSq = g.flatMap(e => (0 until 64).map(p => {
+        val v = d6(e._2(p).toDouble); v * v
+      })).sum
+      def sur(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val mu2s = (0 until 64).map { p =>
+        val mu = s(p).toDouble / n.toDouble; sur(mu * mu * 1e9)
+      }.sum
+      val bts = (0 until 64).map { p =>
+        val mu = s(p).toDouble / n.toDouble
+        val gmu = gs(p).toDouble / gn.toDouble
+        sur((mu - gmu) * (mu - gmu) * 1e9)
+      }.sum
+      val within = 2.0 * (totSq.toDouble / n.toDouble - mu2s.toDouble / 1e9)
+      val between = bts.toDouble / 1e9
+      val (nv, w, b, sep) = got(label)
+      assert(nv == n.toLong, s"label $label n")
+      assert(w == round6(within), s"label $label within")
+      assert(b == round6(between), s"label $label between")
+      assert(sep == round6(between / within), s"label $label sep")
+      assert(w > 0.0)
+    }
+  }
 }
