@@ -268,6 +268,9 @@ object SparkEntry {
     "q216_seasonal_trend" -> ((s, d) => Relational.seasonalTrend(s, d)),
     "q217_mad_outliers"   -> ((s, d) => Relational.madOutliers(s, d)),
     "q218_embed_dispersion" -> ((s, d) => Similarity.embedDispersion(s, d)),
+    "q219_readability"    -> ((s, d) => TextAnalysis.readability(s, d)),
+    "q220_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
+    "q221_label_agreement" -> ((s, d) => Similarity.labelAgreement(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3472,6 +3475,81 @@ object SparkEntry {
         |        - CAST(mu2s AS DOUBLE) / 1.0e9)), 6)
         |  END AS separation
         |FROM a""".stripMargin,
+    // q219: Flesch reading ease — exact integer word/sentence/
+    // vowel-group counts, one fixed IEEE chain per doc
+    "q219_readability" ->
+      s"""WITH w AS (SELECT doc_id, text, $toks AS ws FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    GREATEST(CAST(1 AS BIGINT), CAST(len(list_filter(
+         |      regexp_split_to_array(text, '[.!?]'),
+         |      s -> len(trim(s)) > 0)) AS BIGINT)) AS n_sentences,
+         |    CAST(COALESCE(list_sum(list_transform(ws,
+         |      w2 -> len(list_filter(regexp_split_to_array(lower(w2),
+         |        '[^aeiouy]+'), p -> len(p) > 0)))), 0) AS BIGINT)
+         |      AS n_syllables
+         |  FROM w)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0 THEN round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE)
+         |      / CAST(n_sentences AS DOUBLE))
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+         |      / CAST(n_words AS DOUBLE)), 6) END AS flesch
+         |FROM b""".stripMargin,
+    // q220: Monroe log-odds with informative Dirichlet prior —
+    // z computed in staged CTEs with the exact Spark expression
+    // shape, ranked on the ROUND-6 z (raw-double ranking would be
+    // tie-order sensitive)
+    "q220_distinctive_terms" ->
+      s"""WITH t AS (SELECT source, unnest($toks) AS word FROM documents),
+         |sw AS (SELECT source, word, COUNT(*) AS y_sw FROM t GROUP BY 1, 2),
+         |wt AS (SELECT word, CAST(SUM(y_sw) AS BIGINT) AS y_w
+         |  FROM sw GROUP BY 1),
+         |st AS (SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s
+         |  FROM sw GROUP BY 1),
+         |c AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_c FROM st),
+         |j AS (SELECT sw.source, sw.word, CAST(sw.y_sw AS BIGINT) AS y_sw,
+         |    wt.y_w, st.n_s, c.n_c,
+         |    1000.0 * (CAST(wt.y_w AS DOUBLE) / CAST(c.n_c AS DOUBLE)) AS aw
+         |  FROM sw JOIN wt USING (word) JOIN st USING (source), c),
+         |zt AS (SELECT source, word, y_sw,
+         |    round((ln((CAST(y_sw AS DOUBLE) + aw)
+         |        / (CAST(n_s AS DOUBLE) + 1000.0 - CAST(y_sw AS DOUBLE) - aw))
+         |      - ln((CAST(y_w - y_sw AS DOUBLE) + aw)
+         |        / (CAST(n_c - n_s AS DOUBLE) + 1000.0
+         |          - CAST(y_w - y_sw AS DOUBLE) - aw)))
+         |    / sqrt(1.0 / (CAST(y_sw AS DOUBLE) + aw)
+         |      + 1.0 / (CAST(y_w - y_sw AS DOUBLE) + aw)), 6) AS z
+         |  FROM j),
+         |r AS (SELECT source, word, y_sw, z,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY z DESC, word) AS INTEGER) AS rank
+         |  FROM zt)
+         |SELECT source, word, y_sw, z, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
+    // q221: the q183 bucketed-kNN shape with labels — per-label
+    // integer roll-up (Σ same / Σ neighbors, flag 2·same < nb)
+    "q221_label_agreement" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    ${fixedBucketSql(6)} AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS qid, a.label AS qlab,
+         |    b.vec_id AS nid, b.label AS nlab,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, qlab, nlab,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM p),
+         |pv AS (SELECT qid, qlab, CAST(COUNT(*) AS BIGINT) AS n_nb,
+         |    CAST(SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_same
+         |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         |SELECT qlab AS label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN n_same * 2 < n_nb THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged,
+         |  round(CAST(SUM(n_same) AS DOUBLE) / CAST(SUM(n_nb) AS DOUBLE), 6)
+         |    AS mean_agreement
+         |FROM pv GROUP BY 1""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

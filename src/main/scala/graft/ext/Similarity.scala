@@ -874,6 +874,52 @@ object Similarity {
       .withColumn("is_hub", col("in_degree") >= 2L * k)
   }
 
+  /** kNN label-agreement audit (q221) — confident-learning-style
+    * label-noise detection: for each vector, what fraction of its k
+    * nearest (bucketed) neighbors share its label; a vector whose
+    * neighborhood votes against it (agreement < ½) is a relabel/
+    * review candidate. Reuses [[knnHubness]]'s scale shape verbatim:
+    * fixed-plane LSH buckets → in-bucket cosine top-k (≈ corpus/2^bits
+    * scored per vector, never corpus²), ranked on round-6 cosine with
+    * vec_id tiebreak. Per-label roll-up keeps everything integer:
+    * mean agreement = Σ same-label neighbors / Σ neighbors (one exact
+    * division, not an order-dependent mean of per-vector fractions),
+    * and the flag n_same/n_nb < ½ is the integer test 2·n_same < n_nb.
+    * Vectors alone in their bucket have no neighbors and are not
+    * counted (n_vecs is the audited population). */
+  def labelAgreement(spark: SparkSession, dir: String, bits: Int = 6,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+    val a = emb.select(col("bucket"), col("vec_id").as("qid"),
+      col("label").as("qlab"), col("embedding").as("qe"))
+    val b = emb.select(col("bucket"), col("vec_id").as("nid"),
+      col("label").as("nlab"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    a.join(b, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qlab"), col("nid"), col("nlab"),
+        round(cosine(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("qid"), col("qlab"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when(col("nlab") === col("qlab"), 1L).otherwise(0L))
+          .as("n_same"))
+      .groupBy(col("qlab"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n_same") * 2 < col("n_nb"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("n_same")).as("tot_same"), sum(col("n_nb")).as("tot_nb"))
+      .select(col("qlab").as("label"), col("n_vecs"), col("n_flagged"),
+        round(col("tot_same").cast("double")
+          / col("tot_nb").cast("double"), 6).as("mean_agreement"))
+  }
+
   /** Split-half embedding drift (q181) — the regression monitor for
     * an embedding pipeline: per label, the cosine between the
     * centroid of one half of the corpus (even vec_ids) and the other

@@ -1000,6 +1000,78 @@ object TextAnalysis {
       ((sy - slope * sx) / r).as("intercept"))
   }
 
+  /** Flesch reading-ease per document (q219): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/word), with the
+    * classic vowel-group syllable heuristic — the readability axis a
+    * curation quality gate adds next to length/stopword ratios
+    * (academic-register vs conversational text separate cleanly).
+    * All three counts are exact integers from staged
+    * split/filter/transform chains (the tokenizer is staged ONCE,
+    * never inlined in a lambda — re-eval cost), and the score is one
+    * fixed IEEE chain per row, so the per-doc table hash-gates. One
+    * scan, fully codegen'd, embarrassingly parallel. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        greatest(lit(1L), size(filter(split(col("text"), "[.!?]"),
+          s => length(trim(s)) > 0)).cast("long")).as("n_sentences"),
+        coalesce(aggregate(
+          transform(col("ws"), w => size(filter(
+            split(lower(w), "[^aeiouy]+"), p => length(p) > 0)).cast("long")),
+          lit(0L), (acc, x) => acc + x), lit(0L)).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0, round(
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double")), 6)).as("flesch"))
+
+  /** Distinctive terms per source (q220): Monroe–Colaresi–Quinn
+    * log-odds with an informative Dirichlet prior ("Fightin' Words",
+    * Political Analysis 2008) — the principled "what words
+    * characterize source X against the rest" profiler (raw TF-IDF
+    * over-ranks rare words; the prior shrinks them). Per (source,
+    * word): δ = ln((y+α_w)/(n_s+α₀−y−α_w)) − ln the same for the
+    * complement, z = δ/√(1/(y+α_w) + 1/(y_rest+α_w)), α_w = corpus
+    * frequency × α₀. One token scan reduces to (source, word)
+    * counts; the word-marginal join shuffles the vocabulary table
+    * (not the corpus), source marginals broadcast, and the top-N
+    * rank runs per source on z ROUNDED to 6 first (ranking raw
+    * doubles would make the cut order engine-sensitive at ties). */
+  def distinctiveTerms(spark: SparkSession, dir: String,
+      alpha0: Double = 1000.0, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("y_sw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wTot = sw.groupBy(col("word")).agg(sum(col("y_sw")).as("y_w"))
+    val sTot = sw.groupBy(col("source")).agg(sum(col("y_sw")).as("n_s"))
+    val corpus = sTot.agg(sum(col("n_s")).as("n_c"))
+    val aw = lit(alpha0) * (col("y_w").cast("double")
+      / col("n_c").cast("double"))
+    val y = col("y_sw").cast("double")
+    val yr = (col("y_w") - col("y_sw")).cast("double")
+    val ns = col("n_s").cast("double")
+    val nr = (col("n_c") - col("n_s")).cast("double")
+    val delta = log((y + aw) / (ns + lit(alpha0) - y - aw)) -
+      log((yr + aw) / (nr + lit(alpha0) - yr - aw))
+    val z = delta / sqrt(lit(1.0) / (y + aw) + lit(1.0) / (yr + aw))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("z").desc, col("word"))
+    sw.join(wTot, Seq("word"))
+      .join(broadcast(sTot), Seq("source"))
+      .join(broadcast(corpus))
+      .select(col("source"), col("word"), col("y_sw"),
+        round(z, 6).as("z"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+  }
+
   /** Materialized inverted index: per term, document frequency,
     * corpus frequency, and the first `cap` postings (doc_ids
     * ascending, comma-joined — a STRING, deliberately: postings are

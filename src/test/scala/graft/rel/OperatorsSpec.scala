@@ -3491,4 +3491,102 @@ class OperatorsSpec extends AnyFunSuite {
       assert(w > 0.0)
     }
   }
+
+  test("readability: exact flesch recompute per doc") {
+    val got = TextAnalysis.readability(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      val nw = ws.length.toLong
+      val sent = math.max(1L,
+        text.split("[.!?]", -1).count(_.trim.nonEmpty).toLong)
+      val syl = ws.map(w =>
+        w.toLowerCase.split("[^aeiouy]+", -1).count(_.nonEmpty).toLong).sum
+      val (gw, gs, gy, gf) = got(id)
+      assert(gw == nw && gs == sent && gy == syl, s"doc $id counts")
+      if (nw > 0) {
+        val f = 206.835 - 1.015 * (nw.toDouble / sent.toDouble) -
+          84.6 * (syl.toDouble / nw.toDouble)
+        assert(gf == round6(f), s"doc $id flesch")
+      } else assert(gf.isNaN, s"doc $id null flesch")
+    }
+  }
+
+  test("distinctive terms: exact log-odds recompute, top-5 per source") {
+    val got = TextAnalysis.distinctiveTerms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val ySw = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val yW = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nS = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nC = toks.length.toLong
+    def z(src: String, word: String): Double = {
+      val y = ySw((src, word)).toDouble
+      val aw = 1000.0 * (yW(word).toDouble / nC.toDouble)
+      val yr = (yW(word) - ySw((src, word))).toDouble
+      val ns = nS(src).toDouble
+      val nr = (nC - nS(src)).toDouble
+      val delta = math.log((y + aw) / (ns + 1000.0 - y - aw)) -
+        math.log((yr + aw) / (nr + 1000.0 - yr - aw))
+      round6(delta / math.sqrt(1.0 / (y + aw) + 1.0 / (yr + aw)))
+    }
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.keySet == nS.keySet)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (1 to 5), s"$src ranks")
+      val want = ySw.keys.filter(_._1 == src).map(_._2).toSeq
+        .map(w => (w, z(src, w))).sortBy { case (w, zz) => (-zz, w) }
+        .take(5)
+      val gotSorted = rows.sortBy(_._5).map(r => (r._2, r._4)).toSeq
+      assert(gotSorted == want, s"$src top terms")
+      rows.foreach { case (_, w, y, _, _) =>
+        assert(y == ySw((src, w)), s"$src/$w count") }
+    }
+  }
+
+  test("label agreement: brute-force bucketed knn recompute") {
+    val got = Similarity.labelAgreement(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val bucketOf = Similarity.lshFixedBuckets(spark, sf, bits = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byBucket = emb.groupBy(e => bucketOf(e._1))
+    val perVec = emb.flatMap { case (qid, qlab, qe) =>
+      val peers = byBucket(bucketOf(qid)).filter(_._1 != qid)
+      if (peers.isEmpty) None
+      else {
+        val top = peers.map(p => (round6(cos(qe, p._3)), p._1, p._2))
+          .sortBy(t => (-t._1, t._2)).take(5)
+        Some((qlab, top.length.toLong,
+          top.count(_._3 == qlab).toLong))
+      }
+    }
+    val want = perVec.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong,
+        g.count(v => v._3 * 2 < v._2).toLong,
+        round6(g.map(_._3).sum.toDouble / g.map(_._2).sum.toDouble))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (lab, v) => assert(v == want(lab), s"label $lab") }
+  }
 }
