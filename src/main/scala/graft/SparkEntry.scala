@@ -271,6 +271,9 @@ object SparkEntry {
     "q219_readability"    -> ((s, d) => TextAnalysis.readability(s, d)),
     "q220_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d)),
     "q221_label_agreement" -> ((s, d) => Similarity.labelAgreement(s, d)),
+    "q222_item_cf"        -> ((s, d) => Relational.itemCf(s, d)),
+    "q223_kaplan_meier"   -> ((s, d) => Relational.kaplanMeier(s, d)),
+    "q224_ab_test"        -> ((s, d) => Relational.abTest(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3550,6 +3553,100 @@ object SparkEntry {
          |  round(CAST(SUM(n_same) AS DOUBLE) / CAST(SUM(n_nb) AS DOUBLE), 6)
          |    AS mean_agreement
          |FROM pv GROUP BY 1""".stripMargin,
+    // q222: item-item CF — per-order distinct-items self-join, both
+    // directions, cosine ranked after ROUND-6 with part tiebreak
+    "q222_item_cf" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS part FROM lineitem),
+        |m AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_part
+        |  FROM items GROUP BY 1),
+        |u AS (SELECT a.part AS part_a, b.part AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2),
+        |d AS (SELECT part_a, part_b, n_ab FROM u
+        |      UNION ALL SELECT part_b, part_a, n_ab FROM u),
+        |s AS (SELECT part_a, part_b, n_ab,
+        |    round(CAST(n_ab AS DOUBLE)
+        |      / sqrt(CAST(ma.n_part AS DOUBLE) * CAST(mb.n_part AS DOUBLE)),
+        |      6) AS cos
+        |  FROM d JOIN m ma ON d.part_a = ma.part
+        |         JOIN m mb ON d.part_b = mb.part),
+        |r AS (SELECT part_a, part_b, n_ab, cos,
+        |    CAST(row_number() OVER (PARTITION BY part_a
+        |      ORDER BY cos DESC, part_b) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT part_a, part_b, n_ab, cos, rank FROM r
+        |WHERE rank <= 5""".stripMargin,
+    // q223: Kaplan–Meier — duration grid running integer sums, the
+    // survival product as exp of round-9 ln surrogate running sums,
+    // zero-factor flag pins S = 0 afterwards; // = Spark's
+    // truncating long cast on positive durations
+    "q223_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |    MAX(epoch_us(ts)) AS last_us FROM events GROUP BY 1),
+        |mx AS (SELECT MAX(last_us) AS max_us FROM pu),
+        |du AS (SELECT (last_us - first_us) // 86400000000 AS t,
+        |    last_us <= max_us - 7 * 86400000000 AS observed
+        |  FROM pu, mx),
+        |bt AS (SELECT t,
+        |    CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM du GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM du),
+        |g AS (SELECT t, d, c, n_users - CAST(COALESCE(SUM(d + c) OVER
+        |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        |  FROM bt, nt),
+        |h AS (SELECT t, n_at_risk, d, c,
+        |    CASE WHEN 1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+        |        > 0.0
+        |      THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE)
+        |        / CAST(n_at_risk AS DOUBLE)) * 1.0e9) AS BIGINT)
+        |      ELSE 0 END AS li,
+        |    CASE WHEN 1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+        |        = 0.0 THEN 1 ELSE 0 END AS zf
+        |  FROM g)
+        |SELECT t, n_at_risk, d, c,
+        |  CASE WHEN SUM(zf) OVER w > 0 THEN 0.0
+        |    ELSE round(exp(CAST(SUM(li) OVER w AS DOUBLE) / 1.0e9), 6)
+        |  END AS survival
+        |FROM h WINDOW w AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q224: pooled two-proportion z — all inputs exact integers, one
+    // fixed IEEE chain, (p·(1−p))·(1/n0+1/n1) in Spark's assoc order
+    "q224_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |    CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+        |          THEN epoch_us(ts) END) IS NOT NULL
+        |      AND MIN(CASE WHEN event_type = 'purchase'
+        |          THEN epoch_us(ts) END) - MIN(epoch_us(ts))
+        |        <= 86400000000
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM pu)
+        |SELECT n0, c0, n1, c1,
+        |  round(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate_control,
+        |  round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_treat,
+        |  CASE WHEN sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 0.0
+        |    THEN round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |        - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |      / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |        * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
+        |  END AS z
+        |FROM cells""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

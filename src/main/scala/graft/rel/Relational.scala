@@ -486,6 +486,130 @@ object Relational {
       .limit(topN)
   }
 
+  /** Item-item collaborative filtering (q222): top-N neighbors per
+    * part by co-purchase cosine n_ab/√(n_a·n_b) — the classic
+    * "customers also bought" neighborhood model ([[basketLift]]
+    * answers "is this pair surprising"; this ranks EVERY item's best
+    * peers for a recommender). Pairs come from the same per-order
+    * distinct-items self-join (bounded by basket size, never
+    * catalog²), emitted in BOTH directions so each item ranks its
+    * neighbors; ranking is on round-6 cosine with part-id tiebreak
+    * (raw-double ordering would be tie-order sensitive), one window
+    * over the pair table partitioned by item. */
+  def itemCf(spark: SparkSession, dir: String, topN: Int = 5)
+      : DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val margins = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+    val undirected = items.select(col("okey"), col("part").as("part_a"))
+      .join(items.select(col("okey"), col("part").as("part_b")), "okey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+    val directed = undirected.unionByName(undirected.select(
+      col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_ab")))
+    val w = Window.partitionBy(col("part_a"))
+      .orderBy(col("cos").desc, col("part_b"))
+    directed
+      .join(margins.select(col("part").as("part_a"),
+        col("n_part").as("n_a")), "part_a")
+      .join(margins.select(col("part").as("part_b"),
+        col("n_part").as("n_b")), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+  }
+
+  /** Kaplan–Meier churn curve (q223): survival S(t) over
+    * days-until-last-activity, with users still active in the final
+    * week CENSORED (their true lifetime is unknown — dropping them
+    * or calling them churned both bias the curve; KM is the standard
+    * answer). The fact table reduces to one row per user (first/last
+    * timestamp — one shuffle), then to one row per distinct
+    * duration-day (bounded domain); at-risk counts are running
+    * integer sums over that tiny grid. The product Π(1 − d/n) runs
+    * as exp of a running sum of round-9 ln surrogates (running
+    * DOUBLE sums are engine-order-dependent; integer ones are not),
+    * with a zero-factor flag forcing S = 0 from the first time
+    * everyone at risk dies. */
+  def kaplanMeier(spark: SparkSession, dir: String,
+      horizonDays: Int = 7): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(us).as("first_us"), max(us).as("last_us"))
+    val maxTs = perUser.agg(max(col("last_us")).as("max_us"))
+    val dayUs = 86400000000L
+    val durs = perUser.join(broadcast(maxTs))
+      .select(((col("last_us") - col("first_us")) / dayUs).cast("long")
+          .as("t"),
+        (col("last_us") <= col("max_us") - lit(horizonDays) * dayUs)
+          .as("observed"))
+    val byT = durs.groupBy(col("t"))
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+    val nTotal = durs.agg(count(lit(1)).as("n_users"))
+    val wPrior = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val factor = lit(1.0) - col("d").cast("double") /
+      col("n_at_risk").cast("double")
+    byT.join(broadcast(nTotal))
+      .withColumn("n_at_risk", col("n_users") -
+        coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .withColumn("li", when(factor > 0.0,
+        round(log(factor) * 1e9, 0).cast("long")).otherwise(0L))
+      .withColumn("zeros",
+        sum(when(factor === 0.0, 1L).otherwise(0L)).over(wCum))
+      .select(col("t"), col("n_at_risk"), col("d"), col("c"),
+        when(col("zeros") > 0, lit(0.0))
+          .otherwise(round(exp(sum(col("li")).over(wCum)
+            .cast("double") / 1e9), 6)).as("survival"))
+  }
+
+  /** Two-proportion A/B z-test (q224): split users by id parity,
+    * conversion = first purchase within one day of first activity
+    * (a time-boxed criterion — "ever purchased" saturates to p = 1
+    * and the pooled variance degenerates), pooled-variance z-score —
+    * the experiment-readout primitive. One scan reduces to per-user
+    * flags (the same user_id shuffle every cohort query here
+    * shares), then to a 2-row variant table folded into one row of
+    * exact counts; the z chain is a single fixed IEEE expression
+    * over those integers, NULL when a degenerate p ∈ {0, 1} zeroes
+    * the variance (a throw would take the whole audit down). */
+  def abTest(spark: SparkSession, dir: String,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(us).as("first_us"),
+        min(when(col("event_type") === "purchase", us)).as("purch_us"))
+      .select((col("user_id") % 2 === 0).as("control"),
+        when(col("purch_us").isNotNull &&
+          col("purch_us") - col("first_us") <= windowUs, 1L)
+          .otherwise(0L).as("conv"))
+    val cells = perUser.agg(
+      sum(when(col("control"), 1L).otherwise(0L)).as("n0"),
+      sum(when(col("control"), col("conv")).otherwise(0L)).as("c0"),
+      sum(when(!col("control"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("control"), col("conv")).otherwise(0L)).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val p = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n0").cast("double")
+        + lit(1.0) / col("n1").cast("double")))
+    cells.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      round(p0, 6).as("rate_control"), round(p1, 6).as("rate_treat"),
+      when(se > 0.0, round((p1 - p0) / se, 6)).as("z"))
+  }
+
   /** RFM segmentation: per customer, recency (days since last
     * order), frequency (orders) and monetary (decimal-exact spend),
     * each quartile-coded by ntile with a customer-key tie-break so

@@ -3589,4 +3589,87 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.keySet == want.keySet)
     got.foreach { case (lab, v) => assert(v == want(lab), s"label $lab") }
   }
+
+  test("item cf: exact co-purchase cosine recompute, top-5 per item") {
+    val got = Relational.itemCf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val items = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nPart = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- ps.indices if i < j) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val directed = pairCnt.toSeq.flatMap { case ((a, b), n) =>
+      Seq((a, b, n), (b, a, n)) }
+    val want = directed.groupBy(_._1).flatMap { case (a, g) =>
+      g.map { case (_, b, n) =>
+        (a, b, n, round6(n.toDouble /
+          math.sqrt(nPart(a).toDouble * nPart(b).toDouble)))
+      }.sortBy(t => (-t._4, t._2)).take(5).zipWithIndex
+        .map { case ((x, b, n, c), i) => (x, b, n, c, i + 1) }
+    }.toSet
+    assert(got.toSet == want)
+  }
+
+  test("kaplan-meier: exact survival recompute over duration grid") {
+    val got = Relational.kaplanMeier(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perUser = ev.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).min, g.map(_._2).max)).toMap
+    val maxUs = perUser.values.map(_._2).max
+    val dayUs = 86400000000L
+    val durs = perUser.values.toSeq.map { case (f, l) =>
+      ((l - f) / dayUs, l <= maxUs - 7L * dayUs) }
+    val byT = durs.groupBy(_._1).view.mapValues(g =>
+      (g.count(_._2).toLong, g.count(!_._2).toLong)).toMap
+    assert(got.keySet == byT.keySet)
+    val ts = byT.keys.toSeq.sorted
+    var removed = 0L
+    var liSum = 0L
+    var zeros = 0L
+    ts.foreach { t =>
+      val (d, c) = byT(t)
+      val atRisk = durs.length.toLong - removed
+      val factor = 1.0 - d.toDouble / atRisk.toDouble
+      if (factor > 0.0)
+        liSum += BigDecimal(math.log(factor) * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      else zeros += 1
+      val surv = if (zeros > 0) 0.0
+        else round6(math.exp(liSum.toDouble / 1e9))
+      assert(got(t) == ((atRisk, d, c, surv)), s"t=$t")
+      removed += d + c
+    }
+  }
+
+  test("ab test: exact pooled z recompute") {
+    val r = Relational.abTest(spark, sf).collect().head
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val perUser = ev.groupBy(_._1).map { case (uid, g) =>
+      val first = g.map(_._2).min
+      val purch = g.filter(_._3 == "purchase").map(_._2)
+      (uid, purch.nonEmpty && purch.min - first <= 86400000000L)
+    }
+    val (ctrl, treat) = perUser.partition(_._1 % 2 == 0)
+    val (n0, c0) = (ctrl.size.toLong, ctrl.count(_._2).toLong)
+    val (n1, c1) = (treat.size.toLong, treat.count(_._2).toLong)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n0, c0, n1, c1)))
+    assert(r.getDouble(4) == round6(c0.toDouble / n0.toDouble))
+    assert(r.getDouble(5) == round6(c1.toDouble / n1.toDouble))
+    val p = (c0 + c1).toDouble / (n0 + n1).toDouble
+    val se = math.sqrt(p * (1.0 - p) *
+      (1.0 / n0.toDouble + 1.0 / n1.toDouble))
+    assert(r.getDouble(6) ==
+      round6((c1.toDouble / n1.toDouble - c0.toDouble / n0.toDouble) / se))
+  }
 }
