@@ -274,6 +274,9 @@ object SparkEntry {
     "q222_item_cf"        -> ((s, d) => Relational.itemCf(s, d)),
     "q223_kaplan_meier"   -> ((s, d) => Relational.kaplanMeier(s, d)),
     "q224_ab_test"        -> ((s, d) => Relational.abTest(s, d)),
+    "q225_benford"        -> ((s, d) => graft.ext.Profile.benford(s, d)),
+    "q226_pareto"         -> ((s, d) => Relational.paretoClasses(s, d)),
+    "q227_collocations"   -> ((s, d) => TextAnalysis.collocations(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3647,6 +3650,75 @@ object SparkEntry {
         |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
         |  END AS z
         |FROM cells""".stripMargin,
+    // q225: Benford first-digit audit — digit via the DECIMAL string
+    // (identical rendering both engines; log/pow digit math would
+    // hinge on libm edges), per-digit chi contributions
+    "q225_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(o_totalprice
+        |      AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    COUNT(*) AS n
+        |  FROM orders WHERE o_totalprice > 0.0 GROUP BY 1),
+        |g AS (SELECT digit, CAST(n AS BIGINT) AS n,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+        |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS e
+        |  FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS obs_frac,
+        |  round(e, 6) AS exp_frac,
+        |  round((CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * e)
+        |    * (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * e)
+        |    / (CAST(n_total AS DOUBLE) * e), 6) AS chi_contrib
+        |FROM g""".stripMargin,
+    // q226: ABC classes — DECIMAL-exact running revenue share so the
+    // 80/95 boundary parts are engine-independent
+    "q226_pareto" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(28,6))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(rev) OVER () AS total
+        |  FROM pp),
+        |k AS (SELECT CASE
+        |      WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80
+        |        THEN 'A'
+        |      WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+        |        THEN 'B'
+        |      ELSE 'C' END AS abc_class,
+        |    rev, total
+        |  FROM c)
+        |SELECT abc_class, COUNT(*) AS n_parts,
+        |  round(CAST(SUM(rev) AS DOUBLE), 6) AS class_revenue,
+        |  round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+        |    AS revenue_share
+        |FROM k GROUP BY 1""".stripMargin,
+    // q227: windowed PMI collocations — the oracle generates pairs
+    // via the positional band join (independent of the Spark side's
+    // linear slice-zip), same ±3 window, min-count 5, round-6 rank
+    "q227_collocations" ->
+      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+         |pos AS (SELECT doc_id, i, ws[i] AS wd
+         |  FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+         |pr AS (SELECT least(a.wd, b.wd) AS word_a,
+         |    greatest(a.wd, b.wd) AS word_b
+         |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+         |    AND b.i > a.i AND b.i <= a.i + 3),
+         |pairs AS (SELECT word_a, word_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM pr GROUP BY 1, 2),
+         |np AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_p FROM pairs),
+         |uni AS (SELECT wd AS word, CAST(COUNT(*) AS BIGINT) AS n_w
+         |  FROM pos GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_t FROM uni)
+         |SELECT p.word_a, p.word_b, p.n_ab,
+         |  round(ln((CAST(n_ab AS DOUBLE) / CAST(n_p AS DOUBLE))
+         |    / ((CAST(ua.n_w AS DOUBLE) / CAST(n_t AS DOUBLE))
+         |      * (CAST(ub.n_w AS DOUBLE) / CAST(n_t AS DOUBLE)))), 6) AS pmi
+         |FROM pairs p JOIN uni ua ON p.word_a = ua.word
+         |  JOIN uni ub ON p.word_b = ub.word, np, nt
+         |WHERE n_ab >= 5
+         |ORDER BY pmi DESC, word_a, word_b LIMIT 25""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

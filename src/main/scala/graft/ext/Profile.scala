@@ -324,6 +324,38 @@ object Profile {
         (col("n_shared") === col("n_lhs")).as("is_ind"))
   }
 
+  /** Benford's-law first-digit audit (q225) — the data-forensics
+    * staple: natural multi-scale amounts follow P(d) = log₁₀(1+1/d);
+    * fabricated, capped, or synthetic values (like this generator's
+    * near-uniform prices — which the audit duly flags) deviate with
+    * a large chi-square. Digit extraction goes through the DECIMAL
+    * STRING (both engines render a DECIMAL(18,2) identically; a
+    * log10/pow digit formula would hinge on libm edge behavior at
+    * exact powers of ten). One scan to 9 rows; per-digit chi
+    * contributions stay deterministic where a summed statistic would
+    * be engine-order-dependent (the q194 lesson). */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 0.0)
+      .select(substring(col("o_totalprice").cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val grand = sum(col("n")).over(Window.partitionBy())
+    val exp = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    counts
+      .select(col("digit"), col("n"), grand.as("n_total"), exp.as("e"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total").cast("double"), 6)
+          .as("obs_frac"),
+        round(col("e"), 6).as("exp_frac"),
+        round((col("n").cast("double") - col("n_total").cast("double")
+          * col("e")) * (col("n").cast("double")
+          - col("n_total").cast("double") * col("e"))
+          / (col("n_total").cast("double") * col("e")), 6)
+          .as("chi_contrib"))
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

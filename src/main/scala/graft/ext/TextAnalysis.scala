@@ -1072,6 +1072,53 @@ object TextAnalysis {
       .filter(col("rank") <= topN)
   }
 
+  /** Collocation discovery via windowed PMI (q227): unordered word
+    * pairs co-occurring within ±3 token positions, scored by
+    * pointwise mutual information ln(p(a,b)/(p(a)·p(b))) — the
+    * collocation-extraction classic ([[knBigrams]] models ADJACENT
+    * continuation probability; PMI finds "strongly associated even
+    * if 3 apart" pairs). Pair generation is LINEAR in corpus size —
+    * per offset k ∈ 1..3 a slice-zip of the staged token array, not
+    * a positional self-join (which goes quadratic on long docs) —
+    * and the scoring joins run on the bounded pair/vocabulary
+    * tables. min-count 5 prunes noise pairs before the margins join;
+    * ranking is on ROUND-6 pmi with lexicographic tiebreaks. */
+  def collocations(spark: SparkSession, dir: String, maxDist: Int = 3,
+      minCount: Long = 5L, topN: Int = 25): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairRows = (1 to maxDist).map { k =>
+      base.filter(size(col("ws")) > k)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - k),
+          slice(col("ws"), lit(k + 1), size(col("ws")) - k),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+        .select(least(col("p.x"), col("p.y")).as("word_a"),
+          greatest(col("p.x"), col("p.y")).as("word_b"))
+    }.reduce(_ unionByName _)
+    val pairs = pairRows.groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.agg(sum(col("n_ab")).as("n_p"))
+    val uni = base.select(explode(col("ws")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_w"))
+    val nTok = uni.agg(sum(col("n_w")).as("n_t"))
+    val pmi = log((col("n_ab").cast("double") / col("n_p").cast("double"))
+      / ((col("n_a").cast("double") / col("n_t").cast("double"))
+        * (col("n_b").cast("double") / col("n_t").cast("double"))))
+    pairs.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("word").as("word_a"), col("n_w").as("n_a")),
+        "word_a")
+      .join(uni.select(col("word").as("word_b"), col("n_w").as("n_b")),
+        "word_b")
+      .join(broadcast(nPairs)).join(broadcast(nTok))
+      .select(col("word_a"), col("word_b"), col("n_ab"),
+        round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("word_a"), col("word_b"))
+      .limit(topN)
+  }
+
   /** Materialized inverted index: per term, document frequency,
     * corpus frequency, and the first `cap` postings (doc_ids
     * ascending, comma-joined — a STRING, deliberately: postings are

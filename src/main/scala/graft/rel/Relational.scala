@@ -610,6 +610,39 @@ object Relational {
       when(se > 0.0, round((p1 - p0) / se, 6)).as("z"))
   }
 
+  /** Pareto / ABC inventory analysis (q226): rank parts by revenue,
+    * class A = parts covering the first 80% of cumulative revenue,
+    * B = to 95%, C = the tail — the assortment-rationalization
+    * classic. The fact table reduces to per-part DECIMAL-exact
+    * revenue in one scan; ranking and the running share run on the
+    * bounded catalog table (parts, not line items), with the
+    * cumulative sum kept in DECIMAL so the 80/95 cuts are made on
+    * exact values (a running double would make boundary parts
+    * engine-dependent). Output is the 3-row class summary. */
+  def paretoClasses(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,6)")).as("rev"))
+    val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val share = col("cum").cast("double") / col("total").cast("double")
+    perPart
+      .withColumn("cum", sum(col("rev")).over(wCum))
+      .withColumn("total", sum(col("rev")).over(wAll))
+      .withColumn("abc_class",
+        when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("class_rev_dec"),
+        max(col("total")).as("total_dec"))
+      .select(col("abc_class"), col("n_parts"),
+        round(col("class_rev_dec").cast("double"), 6).as("class_revenue"),
+        round(col("class_rev_dec").cast("double")
+          / col("total_dec").cast("double"), 6).as("revenue_share"))
+  }
+
   /** RFM segmentation: per customer, recency (days since last
     * order), frequency (orders) and monetary (decimal-exact spend),
     * each quartile-coded by ntile with a customer-key tie-break so

@@ -3672,4 +3672,79 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(6) ==
       round6((c1.toDouble / n1.toDouble - c0.toDouble / n0.toDouble) / se))
   }
+
+  test("benford: exact first-digit chi recompute") {
+    val got = graft.ext.Profile.benford(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val prices = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+      .filter(_ > 0.0)
+    val digits = prices.map(p => BigDecimal(p)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.toPlainString.head.asDigit)
+    val counts = digits.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(got.keySet == counts.keySet)
+    val nTot = digits.length.toLong
+    got.foreach { case (d, (n, obs, exp, chi)) =>
+      assert(n == counts(d), s"digit $d count")
+      assert(obs == round6(n.toDouble / nTot.toDouble))
+      val e = math.log10(1.0 + 1.0 / d.toDouble)
+      assert(exp == round6(e))
+      assert(chi == round6((n.toDouble - nTot.toDouble * e) *
+        (n.toDouble - nTot.toDouble * e) / (nTot.toDouble * e)), s"digit $d")
+    }
+  }
+
+  test("pareto: exact ABC recompute, classes partition the catalog") {
+    val got = Relational.paretoClasses(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1) * (1.0 - r.getDouble(2)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    val perPart = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (k, rev) => (-rev, k) }
+    val total = perPart.map(_._2).sum
+    var cum = BigDecimal(0)
+    val classed = perPart.map { case (_, rev) =>
+      cum += rev
+      val share = cum.toDouble / total.toDouble
+      (if (share <= 0.80) "A" else if (share <= 0.95) "B" else "C", rev)
+    }
+    val want = classed.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, round6(g.map(_._2).sum.toDouble),
+        round6(g.map(_._2).sum.toDouble / total.toDouble))
+    }.toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == perPart.length.toLong)
+  }
+
+  test("collocations: exact windowed-pmi recompute, top-25") {
+    val got = TextAnalysis.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val pairs = docs.flatMap { ws =>
+      for (i <- ws.indices; k <- 1 to 3 if i + k < ws.length) yield {
+        val (a, b) = (ws(i), ws(i + k))
+        if (a <= b) (a, b) else (b, a)
+      }
+    }
+    val nAb = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nP = pairs.length.toLong
+    val uni = docs.flatten.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val nT = docs.map(_.length.toLong).sum
+    val want = nAb.toSeq.filter(_._2 >= 5L).map { case ((a, b), n) =>
+      val pmi = round6(math.log((n.toDouble / nP.toDouble) /
+        ((uni(a).toDouble / nT.toDouble) * (uni(b).toDouble / nT.toDouble))))
+      (a, b, n, pmi)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(25)
+    assert(got == want)
+  }
 }
