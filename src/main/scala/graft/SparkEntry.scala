@@ -277,6 +277,9 @@ object SparkEntry {
     "q225_benford"        -> ((s, d) => graft.ext.Profile.benford(s, d)),
     "q226_pareto"         -> ((s, d) => Relational.paretoClasses(s, d)),
     "q227_collocations"   -> ((s, d) => TextAnalysis.collocations(s, d)),
+    "q228_psi"            -> ((s, d) => graft.ext.Profile.psi(s, d)),
+    "q229_auc"            -> ((s, d) => Relational.aucConversion(s, d)),
+    "q230_expectations"   -> ((s, d) => graft.ext.Profile.expectations(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3719,6 +3722,112 @@ object SparkEntry {
          |  JOIN uni ub ON p.word_b = ub.word, np, nt
          |WHERE n_ab >= 5
          |ORDER BY pmi DESC, word_a, word_b LIMIT 25""".stripMargin,
+    // q228: PSI — current period binned by BASELINE deciles (exact
+    // interpolated percentiles), per-bin (Δf)·ln(f ratio)
+    // contributions, NULL for never-hit bins
+    "q228_psi" ->
+      """WITH base AS (SELECT o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |b AS (SELECT quantile_cont(o_totalprice, 0.1) AS p1,
+        |    quantile_cont(o_totalprice, 0.2) AS p2,
+        |    quantile_cont(o_totalprice, 0.3) AS p3,
+        |    quantile_cont(o_totalprice, 0.4) AS p4,
+        |    quantile_cont(o_totalprice, 0.5) AS p5,
+        |    quantile_cont(o_totalprice, 0.6) AS p6,
+        |    quantile_cont(o_totalprice, 0.7) AS p7,
+        |    quantile_cont(o_totalprice, 0.8) AS p8,
+        |    quantile_cont(o_totalprice, 0.9) AS p9
+        |  FROM base),
+        |cells AS (SELECT 1 + CAST(o_totalprice > p1 AS INT)
+        |      + CAST(o_totalprice > p2 AS INT)
+        |      + CAST(o_totalprice > p3 AS INT)
+        |      + CAST(o_totalprice > p4 AS INT)
+        |      + CAST(o_totalprice > p5 AS INT)
+        |      + CAST(o_totalprice > p6 AS INT)
+        |      + CAST(o_totalprice > p7 AS INT)
+        |      + CAST(o_totalprice > p8 AS INT)
+        |      + CAST(o_totalprice > p9 AS INT) AS bin,
+        |    o_orderdate < TIMESTAMP '1998-01-01' AS is_base
+        |  FROM orders, b),
+        |g AS (SELECT bin,
+        |    CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS base_n,
+        |    CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS cur_n
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(base_n) AS BIGINT) AS base_tot,
+        |    CAST(SUM(cur_n) AS BIGINT) AS cur_tot FROM g)
+        |SELECT bin, base_n, cur_n,
+        |  round(CAST(base_n AS DOUBLE) / CAST(base_tot AS DOUBLE), 6)
+        |    AS base_frac,
+        |  round(CAST(cur_n AS DOUBLE) / CAST(cur_tot AS DOUBLE), 6)
+        |    AS cur_frac,
+        |  CASE WHEN base_n > 0 AND cur_n > 0 THEN
+        |    round((CAST(cur_n AS DOUBLE) / CAST(cur_tot AS DOUBLE)
+        |        - CAST(base_n AS DOUBLE) / CAST(base_tot AS DOUBLE))
+        |      * ln((CAST(cur_n AS DOUBLE) / CAST(cur_tot AS DOUBLE))
+        |        / (CAST(base_n AS DOUBLE) / CAST(base_tot AS DOUBLE))), 6)
+        |  END AS psi_contrib
+        |FROM g, t""".stripMargin,
+    // q229: exact Mann–Whitney AUC — 2·avg_rank stays integer
+    // (2·rank + ties − 1), one global rank over the user table
+    "q229_auc" ->
+      s"""WITH pu AS (SELECT user_id, ${dsumSql("value")} AS score,
+         |    MIN(epoch_us(ts)) AS first_us,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         |      AS purch_us
+         |  FROM events GROUP BY 1),
+         |lab AS (SELECT score,
+         |    CASE WHEN purch_us IS NOT NULL
+         |        AND purch_us - first_us <= 86400000000
+         |      THEN 1 ELSE 0 END AS pos
+         |  FROM pu),
+         |rk AS (SELECT pos,
+         |    2 * rank() OVER (ORDER BY score)
+         |      + COUNT(*) OVER (PARTITION BY score) - 1 AS r2
+         |  FROM lab),
+         |cells AS (SELECT
+         |    CAST(SUM(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS BIGINT)
+         |      AS r2sum,
+         |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+         |  FROM rk)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    round((CAST(r2sum AS DOUBLE) / 2.0
+         |        - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)
+         |          / 2.0)
+         |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         |  END AS auc
+         |FROM cells""".stripMargin,
+    // q230: expectations audit — every rule a conditional aggregate
+    // in ONE scan, rules chosen so some really violate
+    "q230_expectations" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN NOT (l_quantity > 0.0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN NOT (l_tax <= 0.06) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN NOT (l_extendedprice > 0.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |    CAST(SUM(CASE WHEN NOT (l_shipdate < TIMESTAMP '2001-01-01')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+        |    CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R'))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v6
+        |  FROM lineitem)
+        |SELECT rule, n_rows, n_violations,
+        |  round(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS violation_rate
+        |FROM (
+        |  SELECT 'quantity_positive' AS rule, n_rows, v1 AS n_violations
+        |    FROM a
+        |  UNION ALL SELECT 'discount_range', n_rows, v2 FROM a
+        |  UNION ALL SELECT 'tax_below_6pct', n_rows, v3 FROM a
+        |  UNION ALL SELECT 'price_positive', n_rows, v4 FROM a
+        |  UNION ALL SELECT 'shipdate_before_2001', n_rows, v5 FROM a
+        |  UNION ALL SELECT 'returnflag_enum', n_rows, v6 FROM a)""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -356,6 +356,73 @@ object Profile {
           .as("chi_contrib"))
   }
 
+  /** Population stability index (q228) — THE model-monitoring drift
+    * metric: bin the CURRENT period by the BASELINE period's deciles
+    * and report per-bin (Δfrac)·ln(frac ratio) contributions (the
+    * summed PSI > 0.25 rule of thumb; per-bin rows keep the output
+    * deterministic and show WHERE the shift is, the q194 lesson).
+    * Baseline decile boundaries are exact interpolated percentiles
+    * broadcast as scan-side bucket predicates (the q95 recipe);
+    * bucket assignment is a sum of comparisons, counts exact longs,
+    * each contribution one fixed IEEE chain. Bins the current period
+    * never hits emit a NULL contribution rather than ±∞ (epsilon
+    * conventions vary; NULL is honest and keeps the gate exact). */
+  def psi(spark: SparkSession, dir: String,
+      cutoff: String = "1998-01-01"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val base = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val pctAggs = (1 to 9).map(i =>
+      expr(s"percentile(o_totalprice, 0.${i})").as(s"p$i"))
+    val bounds = base.agg(pctAggs.head, pctAggs.tail: _*)
+    val bucket = (1 to 9).map(i =>
+      when(col("o_totalprice") > col(s"p$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(bounds))
+      .select(bucket.as("bin"), (col("o_orderdate") < cut).as("is_base"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("base_n"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("cur_n"))
+    val tot = cells.agg(sum(col("base_n")).as("base_tot"),
+      sum(col("cur_n")).as("cur_tot"))
+    val bf = col("base_n").cast("double") / col("base_tot").cast("double")
+    val cf = col("cur_n").cast("double") / col("cur_tot").cast("double")
+    cells.join(broadcast(tot))
+      .select(col("bin"), col("base_n"), col("cur_n"),
+        round(bf, 6).as("base_frac"), round(cf, 6).as("cur_frac"),
+        when(col("base_n") > 0 && col("cur_n") > 0,
+          round((cf - bf) * log(cf / bf), 6)).as("psi_contrib"))
+  }
+
+  /** Declarative data-quality expectations audit (q230) — the
+    * Deequ/Great-Expectations primitive: a rule set evaluated in ONE
+    * scan (every rule is a conditional aggregate in a single agg;
+    * adding a rule never adds a pass), reshaped to a row per rule
+    * plan-side. Counts are exact; a violation RATE per rule is the
+    * gate a 100 TB ingest actually alarms on. The default set
+    * deliberately includes rules this generator's data violates —
+    * an audit that always reports zero proves nothing. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "quantity_positive" -> (col("l_quantity") > 0.0),
+      "discount_range" -> col("l_discount").between(0.0, 0.1),
+      "tax_below_6pct" -> (col("l_tax") <= 0.06),
+      "price_positive" -> (col("l_extendedprice") > 0.0),
+      "shipdate_before_2001" ->
+        (col("l_shipdate") < lit("2001-01-01").cast("timestamp")),
+      "returnflag_enum" -> col("l_returnflag").isin("A", "N", "R"))
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ rules.map { case (n, c) =>
+      sum(when(!c, 1L).otherwise(0L)).as(s"v_$n") }
+    val wide = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col("n_rows"),
+        col(s"v_$n").as("n_violations")) }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .withColumn("violation_rate",
+        round(col("n_violations").cast("double")
+          / col("n_rows").cast("double"), 6))
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

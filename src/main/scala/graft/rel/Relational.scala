@@ -643,6 +643,38 @@ object Relational {
           / col("total_dec").cast("double"), 6).as("revenue_share"))
   }
 
+  /** Exact ROC-AUC via the Mann–Whitney rank-sum (q229): does a
+    * user's total event value predict fast conversion ([[abTest]]'s
+    * criterion)? AUC = P(score⁺ > score⁻), computed from ranks with
+    * the standard average-rank tie correction — and kept EXACT by
+    * carrying 2·avg_rank (= 2·rank + ties − 1, an integer) so no
+    * fractional rank ever sums in float. One global rank over the
+    * per-user table (users, not events — the intrinsic cost of exact
+    * AUC; at extreme cardinality swap in a score-binned approximation
+    * like the q172 histogram). NULL when a class is empty. */
+  def aucConversion(spark: SparkSession, dir: String,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("score"), min(us).as("first_us"),
+        min(when(col("event_type") === "purchase", us)).as("purch_us"))
+      .select(col("score"),
+        when(col("purch_us").isNotNull &&
+          col("purch_us") - col("first_us") <= windowUs, 1L)
+          .otherwise(0L).as("pos"))
+    val r2 = lit(2L) * rank().over(Window.orderBy(col("score"))) +
+      count(lit(1)).over(Window.partitionBy(col("score"))) - lit(1L)
+    val cells = perUser.select(col("pos"), r2.as("r2"))
+      .agg(sum(when(col("pos") === 1L, col("r2")).otherwise(0L)).as("r2sum"),
+        sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    val np = col("n_pos").cast("double")
+    cells.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round((col("r2sum").cast("double") / 2.0 - np * (np + 1.0) / 2.0)
+          / (np * col("n_neg").cast("double")), 6)).as("auc"))
+  }
+
   /** RFM segmentation: per customer, recency (days since last
     * order), frequency (orders) and monetary (decimal-exact spend),
     * each quartile-coded by ntile with a customer-key tie-break so

@@ -3747,4 +3747,103 @@ class OperatorsSpec extends AnyFunSuite {
     }.sortBy(t => (-t._4, t._1, t._2)).take(25)
     assert(got == want)
   }
+
+  test("psi: exact baseline-decile recompute, baseline self-bins ~uniform") {
+    val got = graft.ext.Profile.psi(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), if (r.isNullAt(5)) Double.NaN else r.getDouble(5))))
+      .toMap
+    val ords = graft.Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1)))
+    val cut = java.time.LocalDate.parse("1998-01-01")
+    val base = ords.filter(_._1.isBefore(cut)).map(_._2)
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val h = (s.length - 1) * p; val i = h.toInt
+      if (i + 1 < s.length) s(i) + (h - i) * (s(i + 1) - s(i)) else s(i)
+    }
+    val bounds = (1 to 9).map(i => pct(base.toSeq, i / 10.0))
+    def bin(x: Double): Int = 1 + bounds.count(x > _)
+    val cells = ords.groupBy(o => bin(o._2)).view.mapValues { g =>
+      (g.count(_._1.isBefore(cut)).toLong,
+        g.count(!_._1.isBefore(cut)).toLong) }.toMap
+    assert(got.keySet == cells.keySet)
+    val bTot = cells.values.map(_._1).sum
+    val cTot = cells.values.map(_._2).sum
+    got.foreach { case (b, (bn, cn, bf, cf, contrib)) =>
+      assert((bn, cn) == cells(b), s"bin $b counts")
+      assert(bf == round6(bn.toDouble / bTot.toDouble))
+      assert(cf == round6(cn.toDouble / cTot.toDouble))
+      if (bn > 0 && cn > 0) {
+        val bfr = bn.toDouble / bTot.toDouble
+        val cfr = cn.toDouble / cTot.toDouble
+        assert(contrib == round6((cfr - bfr) * math.log(cfr / bfr)), s"bin $b")
+      } else assert(contrib.isNaN)
+      // baseline self-binned by its own deciles: ~10% per bin
+      assert(math.abs(bn.toDouble / bTot.toDouble - 0.1) < 0.02, s"bin $b")
+    }
+  }
+
+  test("auc: rank formula matches brute-force pair counting") {
+    val r = Relational.aucConversion(spark, sf).collect().head
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+        col("value")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(3)))
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val perUser = ev.groupBy(_._1).map { case (_, g) =>
+      val first = g.map(_._2).min
+      val purch = g.filter(_._3 == "purchase").map(_._2)
+      (g.map(e => d6(e._4)).sum.toDouble,
+        purch.nonEmpty && purch.min - first <= 86400000000L)
+    }.toSeq
+    val pos = perUser.filter(_._2).map(_._1)
+    val neg = perUser.filterNot(_._2).map(_._1)
+    assert(r.getLong(0) == pos.length.toLong)
+    assert(r.getLong(1) == neg.length.toLong)
+    // rank-sum replication (exact)
+    val sorted = perUser.map(_._1).sorted
+    val minRank = sorted.zipWithIndex.groupBy(_._1).view
+      .mapValues(_.map(_._2).min + 1).toMap
+    val ties = sorted.groupBy(identity).view.mapValues(_.length).toMap
+    val r2sum = pos.map(s => 2L * minRank(s) + ties(s) - 1L).sum
+    val np = pos.length.toDouble
+    val want = round6((r2sum.toDouble / 2.0 - np * (np + 1.0) / 2.0)
+      / (np * neg.length.toDouble))
+    assert(r.getDouble(2) == want)
+    // independent brute-force pair count (rational identity)
+    val wins = (for (p <- pos; n <- neg) yield
+      (if (p > n) 2L else if (p == n) 1L else 0L)).sum
+    val brute = wins.toDouble / (2.0 * pos.length * neg.length)
+    // reported AUC is round-6; the identity holds within that rounding
+    assert(math.abs(r.getDouble(2) - brute) <= 5.1e-7)
+  }
+
+  test("expectations: exact violation recompute, some rules violate") {
+    val got = graft.ext.Profile.expectations(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+        col("l_extendedprice"), col("l_shipdate").cast("date"),
+        col("l_returnflag")).collect()
+    val n = li.length.toLong
+    val checks: Map[String, org.apache.spark.sql.Row => Boolean] = Map(
+      "quantity_positive" -> (r => r.getDouble(0) > 0.0),
+      "discount_range" -> (r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 0.1),
+      "tax_below_6pct" -> (r => r.getDouble(2) <= 0.06),
+      "price_positive" -> (r => r.getDouble(3) > 0.0),
+      "shipdate_before_2001" -> (r => r.getDate(4).toLocalDate
+        .isBefore(java.time.LocalDate.parse("2001-01-01"))),
+      "returnflag_enum" -> (r => Set("A", "N", "R")(r.getString(5))))
+    assert(got.keySet == checks.keySet)
+    checks.foreach { case (name, ok) =>
+      val viol = li.count(r => !ok(r)).toLong
+      assert(got(name) == ((n, viol,
+        round6(viol.toDouble / n.toDouble))), s"rule $name")
+    }
+    assert(got.values.exists(_._2 > 0L), "at least one rule violates")
+  }
 }
