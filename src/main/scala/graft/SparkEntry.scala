@@ -280,6 +280,9 @@ object SparkEntry {
     "q228_psi"            -> ((s, d) => graft.ext.Profile.psi(s, d)),
     "q229_auc"            -> ((s, d) => Relational.aucConversion(s, d)),
     "q230_expectations"   -> ((s, d) => graft.ext.Profile.expectations(s, d)),
+    "q231_gains_table"    -> ((s, d) => Relational.gainsTable(s, d)),
+    "q232_near_constant"  -> ((s, d) => graft.ext.Profile.nearConstant(s, d)),
+    "q233_lexical_richness" -> ((s, d) => TextAnalysis.lexicalRichness(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3828,6 +3831,82 @@ object SparkEntry {
         |  UNION ALL SELECT 'price_positive', n_rows, v4 FROM a
         |  UNION ALL SELECT 'shipdate_before_2001', n_rows, v5 FROM a
         |  UNION ALL SELECT 'returnflag_enum', n_rows, v6 FROM a)""".stripMargin,
+    // q231: gains table — ntile over (score DESC, user_id), decile
+    // conversion/lift/cumulative capture, all exact-long divisions
+    "q231_gains_table" ->
+      s"""WITH pu AS (SELECT user_id, ${dsumSql("value")} AS score,
+         |    MIN(epoch_us(ts)) AS first_us,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         |      AS purch_us
+         |  FROM events GROUP BY 1),
+         |lab AS (SELECT user_id, score,
+         |    CASE WHEN purch_us IS NOT NULL
+         |        AND purch_us - first_us <= 86400000000
+         |      THEN 1 ELSE 0 END AS conv
+         |  FROM pu),
+         |d AS (SELECT CAST(ntile(10) OVER (ORDER BY score DESC, user_id)
+         |      AS INTEGER) AS decile, conv
+         |  FROM lab),
+         |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(conv) AS BIGINT) AS n_conv
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS all_users,
+         |    CAST(SUM(n_conv) AS BIGINT) AS all_conv FROM g),
+         |c AS (SELECT decile, n_users, n_conv,
+         |    CAST(SUM(n_conv) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_conv
+         |  FROM g)
+         |SELECT decile, n_users, n_conv,
+         |  round(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         |    AS conv_rate,
+         |  round((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+         |    / (CAST(all_conv AS DOUBLE) / CAST(all_users AS DOUBLE)), 6)
+         |    AS lift,
+         |  round(CAST(cum_conv AS DOUBLE) / CAST(all_conv AS DOUBLE), 6)
+         |    AS cum_capture
+         |FROM c, t""".stripMargin,
+    // q232: near-constant detector — portable string casts (DECIMAL
+    // / DATE rendering), mode by (count DESC, value)
+    "q232_near_constant" ->
+      """WITH long AS (
+        |  SELECT 'o_orderstatus' AS column_name, o_orderstatus AS value
+        |    FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |    FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderdate',
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders),
+        |c AS (SELECT column_name, value, COUNT(*) AS n
+        |  FROM long GROUP BY 1, 2),
+        |r AS (SELECT column_name, value, CAST(n AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY column_name
+        |      ORDER BY n DESC, value) AS rn,
+        |    CAST(SUM(n) OVER (PARTITION BY column_name) AS BIGINT) AS n_rows
+        |  FROM c)
+        |SELECT column_name, value AS mode_value, n AS mode_n, n_rows,
+        |  round(CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS mode_share,
+        |  CAST(n AS DOUBLE) / CAST(n_rows AS DOUBLE) >= 0.95
+        |    AS near_constant
+        |FROM r WHERE rn = 1""".stripMargin,
+    // q233: lexical richness — (source, word) counts once, exact-long
+    // ratios on the vocabulary table
+    "q233_lexical_richness" ->
+      s"""WITH t AS (SELECT source, unnest($toks) AS word FROM documents),
+         |sw AS (SELECT source, word, COUNT(*) AS n FROM t GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_types,
+         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+         |  round(CAST(COUNT(*) AS DOUBLE)
+         |    / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE), 6) AS ttr,
+         |  round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_rate
+         |FROM sw GROUP BY 1""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

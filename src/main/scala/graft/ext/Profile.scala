@@ -423,6 +423,46 @@ object Profile {
           / col("n_rows").cast("double"), 6))
   }
 
+  /** Near-constant column detector (q232) — the feature-screening
+    * profiler [[profile]] lacks: per column the MODE, its frequency
+    * share, and a near-constant flag at ≥ 95% — near-zero-variance
+    * columns are dead weight in a feature store and usually a
+    * pipeline bug upstream. One unpivot scan to (column, value)
+    * counts (values pre-cast to portable strings: DECIMAL rendering
+    * for doubles, DATE for timestamps — raw double→string rendering
+    * is not engine-portable), a row_number per column on
+    * (count desc, value) picks the mode deterministically. */
+  def nearConstant(spark: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val cols: Seq[(String, Column)] = Seq(
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_custkey" -> col("o_custkey").cast("string"),
+      "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)")
+        .cast("string"),
+      "o_orderdate" -> col("o_orderdate").cast("date").cast("string"))
+    val long = o.select(explode(array(cols.map { case (n, c) =>
+      struct(lit(n).as("column_name"), c.as("value")) }: _*)).as("kv"))
+      .select(col("kv.*"))
+    val counts = long.groupBy(col("column_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val wMode = Window.partitionBy(col("column_name"))
+      .orderBy(col("n").desc, col("value"))
+    val wTot = Window.partitionBy(col("column_name"))
+    counts
+      .withColumn("rn", row_number().over(wMode))
+      .withColumn("n_rows", sum(col("n")).over(wTot))
+      .filter(col("rn") === 1)
+      .select(col("column_name"), col("value").as("mode_value"),
+        col("n").as("mode_n"), col("n_rows"),
+        round(col("n").cast("double") / col("n_rows").cast("double"), 6)
+          .as("mode_share"),
+        (col("n").cast("double") / col("n_rows").cast("double")
+          >= threshold).as("near_constant"))
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

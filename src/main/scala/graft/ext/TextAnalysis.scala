@@ -1119,6 +1119,30 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Lexical-richness profile per source (q233): type-token ratio,
+    * hapax-legomena rate (words occurring exactly once IN THAT
+    * SOURCE), and dis-legomena — the vocabulary-health companions to
+    * [[heapsFit]]'s corpus-level curve (template/boilerplate farms
+    * crater the hapax rate long before dedup catches them; a
+    * too-high rate flags OCR noise). One token scan to (source,
+    * word) counts; everything after runs on the vocabulary table.
+    * All ratios are divisions of exact longs. */
+  def lexicalRichness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        round(col("n_types").cast("double")
+          / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double")
+          / col("n_types").cast("double"), 6).as("hapax_rate"))
+
   /** Materialized inverted index: per term, document frequency,
     * corpus frequency, and the first `cap` postings (doc_ids
     * ascending, comma-joined — a STRING, deliberately: postings are

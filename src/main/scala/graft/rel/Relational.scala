@@ -675,6 +675,47 @@ object Relational {
           / (np * col("n_neg").cast("double")), 6)).as("auc"))
   }
 
+  /** Gains / decile-lift table (q231) — [[aucConversion]]'s
+    * actionable companion: rank users by score into deciles
+    * (highest first), per decile the conversion rate, lift over
+    * baseline, and cumulative capture share — "how deep must the
+    * campaign go to reach X% of converters". ntile runs over the
+    * per-user table with an explicit (score desc, user_id) order so
+    * decile membership is engine-exact; every output number is a
+    * division of exact longs. Cumulative capture runs over the
+    * 10-row decile table. */
+  def gainsTable(spark: SparkSession, dir: String,
+      windowUs: Long = 86400000000L): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("score"), min(us).as("first_us"),
+        min(when(col("event_type") === "purchase", us)).as("purch_us"))
+      .select(col("user_id"), col("score"),
+        when(col("purch_us").isNotNull &&
+          col("purch_us") - col("first_us") <= windowUs, 1L)
+          .otherwise(0L).as("conv"))
+    val wN = Window.orderBy(col("score").desc, col("user_id"))
+    val deciles = perUser
+      .withColumn("decile", ntile(10).over(wN))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val tot = deciles.agg(sum(col("n_users")).as("all_users"),
+      sum(col("n_conv")).as("all_conv"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.join(broadcast(tot))
+      .withColumn("cum_conv", sum(col("n_conv")).over(wCum))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        round(col("n_conv").cast("double")
+          / col("n_users").cast("double"), 6).as("conv_rate"),
+        round((col("n_conv").cast("double") / col("n_users").cast("double"))
+          / (col("all_conv").cast("double")
+            / col("all_users").cast("double")), 6).as("lift"),
+        round(col("cum_conv").cast("double")
+          / col("all_conv").cast("double"), 6).as("cum_capture"))
+  }
+
   /** RFM segmentation: per customer, recency (days since last
     * order), frequency (orders) and monetary (decimal-exact spend),
     * each quartile-coded by ntile with a customer-key tie-break so

@@ -3846,4 +3846,94 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(got.values.exists(_._2 > 0L), "at least one rule violates")
   }
+
+  test("gains table: exact decile recompute, capture reaches 1") {
+    val got = Relational.gainsTable(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+        col("value")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(3)))
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val perUser = ev.groupBy(_._1).map { case (uid, g) =>
+      val first = g.map(_._2).min
+      val purch = g.filter(_._3 == "purchase").map(_._2)
+      (uid, g.map(e => d6(e._4)).sum.toDouble,
+        purch.nonEmpty && purch.min - first <= 86400000000L)
+    }.toSeq.sortBy(u => (-u._2, u._1))
+    val n = perUser.length
+    val base = n / 10; val rem = n % 10
+    val deciled = perUser.zipWithIndex.map { case (u, i) =>
+      // ntile: first `rem` tiles get base+1 rows
+      val tile = if (i < rem * (base + 1)) i / (base + 1) + 1
+        else rem + (i - rem * (base + 1)) / base + 1
+      (tile, u._3)
+    }
+    val want = deciled.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.count(_._2).toLong)).toMap
+    val allConv = want.values.map(_._2).sum
+    val allUsers = want.values.map(_._1).sum
+    assert(got.keySet == want.keySet)
+    var cum = 0L
+    (1 to 10).foreach { d =>
+      val (nu, nc) = want(d)
+      cum += nc
+      val (gnu, gnc, rate, lift, cap) = got(d)
+      assert((gnu, gnc) == ((nu, nc)), s"decile $d counts")
+      assert(rate == round6(nc.toDouble / nu.toDouble))
+      assert(lift == round6((nc.toDouble / nu.toDouble)
+        / (allConv.toDouble / allUsers.toDouble)))
+      assert(cap == round6(cum.toDouble / allConv.toDouble))
+    }
+    assert(got(10)._5 == 1.0, "full capture at decile 10")
+  }
+
+  test("near constant: exact mode recompute per column") {
+    val got = graft.ext.Profile.nearConstant(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    val ords = graft.Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate").cast("date")).collect()
+    val colVals: Map[String, Seq[String]] = Map(
+      "o_orderstatus" -> ords.map(_.getString(0)).toSeq,
+      "o_orderpriority" -> ords.map(_.getString(1)).toSeq,
+      "o_custkey" -> ords.map(_.getLong(2).toString).toSeq,
+      "o_totalprice" -> ords.map(r => BigDecimal(r.getDouble(3))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString).toSeq,
+      "o_orderdate" -> ords.map(_.getDate(4).toLocalDate.toString).toSeq)
+    assert(got.keySet == colVals.keySet)
+    colVals.foreach { case (name, vals) =>
+      val counts = vals.groupBy(identity).view.mapValues(_.length.toLong)
+      val (mv, mn) = counts.toSeq.sortBy { case (v, c) => (-c, v) }.head
+      val share = mn.toDouble / vals.length.toDouble
+      assert(got(name) == ((mv, mn, vals.length.toLong,
+        round6(share), share >= 0.95)), s"column $name")
+    }
+  }
+
+  test("lexical richness: exact per-source vocabulary recompute") {
+    val got = TextAnalysis.lexicalRichness(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val bySrc = toks.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, g) =>
+      val counts = g.map(_._2).groupBy(identity).view.mapValues(_.length)
+      val nTok = g.length.toLong
+      val nTyp = counts.size.toLong
+      val hapax = counts.values.count(_ == 1).toLong
+      val dis = counts.values.count(_ == 2).toLong
+      assert(got(src) == ((nTok, nTyp, hapax, dis,
+        round6(nTyp.toDouble / nTok.toDouble),
+        round6(hapax.toDouble / nTyp.toDouble))), s"source $src")
+    }
+  }
 }
