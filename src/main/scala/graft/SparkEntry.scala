@@ -283,6 +283,7 @@ object SparkEntry {
     "q231_gains_table"    -> ((s, d) => Relational.gainsTable(s, d)),
     "q232_near_constant"  -> ((s, d) => graft.ext.Profile.nearConstant(s, d)),
     "q233_lexical_richness" -> ((s, d) => TextAnalysis.lexicalRichness(s, d)),
+    "q234_cusum"          -> ((s, d) => Relational.cusumChangepoint(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -3907,6 +3908,40 @@ object SparkEntry {
          |  round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_rate
          |FROM sw GROUP BY 1""".stripMargin,
+    // q234: CUSUM — the oracle unrolls the same sequential recursion
+    // as a recursive CTE over row numbers (the day grid is bounded);
+    // GREATEST chains are IEEE-identical, first-peak argmax
+    "q234_cusum" ->
+      s"""WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         |filled AS (SELECT s.day, COALESCE(d.revenue, 0.0) AS x
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day),
+         |o AS (SELECT CAST(row_number() OVER (ORDER BY day) AS INTEGER)
+         |    AS rn, day, x FROM filled),
+         |m AS (SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mu,
+         |    CAST(COUNT(*) AS BIGINT) AS n_days FROM o),
+         |c(rn, cu, cd) AS (
+         |  SELECT o.rn, GREATEST(0.0, 0.0 + (o.x - m.mu)),
+         |    GREATEST(0.0, 0.0 + (m.mu - o.x))
+         |  FROM o, m WHERE o.rn = 1
+         |  UNION ALL
+         |  SELECT o.rn, GREATEST(0.0, c.cu + (o.x - m.mu)),
+         |    GREATEST(0.0, c.cd + (m.mu - o.x))
+         |  FROM c JOIN o ON o.rn = c.rn + 1, m),
+         |mx AS (SELECT MAX(cu) AS maxu, MAX(cd) AS maxd FROM c),
+         |au AS (SELECT MIN(rn) AS rn_u FROM c, mx WHERE cu = maxu),
+         |ad AS (SELECT MIN(rn) AS rn_d FROM c, mx WHERE cd = maxd)
+         |SELECT n_days, round(mu, 6) AS mean_rev,
+         |  round(maxu, 6) AS max_cusum_up,
+         |  (SELECT day FROM o, au WHERE rn = rn_u) AS day_up,
+         |  round(maxd, 6) AS max_cusum_down,
+         |  (SELECT day FROM o, ad WHERE rn = rn_d) AS day_down
+         |FROM m, mx""".stripMargin,
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

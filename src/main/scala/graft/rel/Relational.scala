@@ -342,6 +342,54 @@ object Relational {
         last(col("revenue"), ignoreNulls = true).over(w).as("revenue_locf"))
   }
 
+  /** CUSUM changepoint detection (q234) over the gap-filled daily
+    * revenue: one-sided cumulative sums C⁺ₜ = max(0, C⁺ₜ₋₁ + (xₜ−μ))
+    * and C⁻ₜ (downward) with the day each peaks — the sequential-
+    * analysis shift detector ([[rollingZscore]] flags single spikes;
+    * CUSUM accumulates small sustained shifts). The recursion is
+    * genuinely sequential, so it runs as ONE array fold over the
+    * bounded day grid (10⁴ rows for decades, the q172 altitude —
+    * the corpus was already reduced by gapFillDaily's single scan);
+    * the fold order is the array order on both engines, so the
+    * double chain is bit-identical and hash-gates. Argmax keeps the
+    * FIRST peak day (strict-greater update ↔ first-row-at-max in the
+    * oracle's recursive CTE). */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val base = gapFillDaily(spark, dir).agg(
+      array_sort(collect_list(struct(col("day"),
+        col("revenue_filled")))).as("s"),
+      sum(col("revenue_filled").cast("decimal(28,6)")).as("tot"),
+      count(lit(1)).as("n_days"))
+      .select(col("s"), col("n_days"),
+        (col("tot").cast("double") / col("n_days").cast("double")).as("mu"))
+    val zero = struct(lit(0.0).as("cu"), lit(-1.0).as("maxu"),
+      lit(0).as("argu"), lit(0.0).as("cd"), lit(-1.0).as("maxd"),
+      lit(0).as("argd"), lit(0).as("idx"))
+    val folded = base.select(col("s"), col("n_days"), col("mu"),
+      aggregate(col("s"), zero, (acc, e) => {
+        val x = e.getField("revenue_filled")
+        val cu = greatest(lit(0.0), acc.getField("cu") + (x - col("mu")))
+        val cd = greatest(lit(0.0), acc.getField("cd") + (col("mu") - x))
+        val idx = acc.getField("idx") + 1
+        struct(cu.as("cu"),
+          when(cu > acc.getField("maxu"), cu)
+            .otherwise(acc.getField("maxu")).as("maxu"),
+          when(cu > acc.getField("maxu"), idx)
+            .otherwise(acc.getField("argu")).as("argu"),
+          cd.as("cd"),
+          when(cd > acc.getField("maxd"), cd)
+            .otherwise(acc.getField("maxd")).as("maxd"),
+          when(cd > acc.getField("maxd"), idx)
+            .otherwise(acc.getField("argd")).as("argd"),
+          idx.as("idx"))
+      }).as("f"))
+    folded.select(col("n_days"), round(col("mu"), 6).as("mean_rev"),
+      round(col("f.maxu"), 6).as("max_cusum_up"),
+      element_at(col("s"), col("f.argu")).getField("day").as("day_up"),
+      round(col("f.maxd"), 6).as("max_cusum_down"),
+      element_at(col("s"), col("f.argd")).getField("day").as("day_down"))
+  }
+
   /** Exponentially-weighted moving average over the gap-filled daily
     * revenue: a FIXED 8-day half-life-1 kernel (weights 0.5^k,
     * k=0..7) written as one explicit left-associated expression —

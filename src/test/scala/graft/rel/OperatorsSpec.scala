@@ -3936,4 +3936,35 @@ class OperatorsSpec extends AnyFunSuite {
         round6(hapax.toDouble / nTyp.toDouble))), s"source $src")
     }
   }
+
+  test("cusum: exact sequential-fold recompute with first-peak argmax") {
+    val r = Relational.cusumChangepoint(spark, sf).collect().head
+    val ords = graft.Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect().map(x => (x.getDate(0).toLocalDate, x.getDouble(1)))
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val daily = ords.groupBy(_._1).view
+      .mapValues(g => g.map(o => d6(o._2)).sum.toDouble).toMap
+    val lo = daily.keys.minBy(_.toEpochDay)
+    val hi = daily.keys.maxBy(_.toEpochDay)
+    val days = Iterator.iterate(lo)(_.plusDays(1))
+      .takeWhile(!_.isAfter(hi)).toSeq
+    val xs = days.map(d => daily.getOrElse(d, 0.0))
+    val mu = xs.map(x => d6(x)).sum.toDouble / days.length.toDouble
+    var cu = 0.0; var cd = 0.0
+    var maxu = -1.0; var maxd = -1.0; var au = 0; var ad = 0
+    xs.zipWithIndex.foreach { case (x, i) =>
+      cu = math.max(0.0, cu + (x - mu))
+      cd = math.max(0.0, cd + (mu - x))
+      if (cu > maxu) { maxu = cu; au = i }
+      if (cd > maxd) { maxd = cd; ad = i }
+    }
+    assert(r.getLong(0) == days.length.toLong)
+    assert(r.getDouble(1) == round6(mu))
+    assert(r.getDouble(2) == round6(maxu))
+    assert(r.getDate(3).toLocalDate == days(au), "first up-peak day")
+    assert(r.getDouble(4) == round6(maxd))
+    assert(r.getDate(5).toLocalDate == days(ad), "first down-peak day")
+  }
 }
