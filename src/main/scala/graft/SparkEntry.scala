@@ -284,6 +284,9 @@ object SparkEntry {
     "q232_near_constant"  -> ((s, d) => graft.ext.Profile.nearConstant(s, d)),
     "q233_lexical_richness" -> ((s, d) => TextAnalysis.lexicalRichness(s, d)),
     "q234_cusum"          -> ((s, d) => Relational.cusumChangepoint(s, d)),
+    "q235_welch_ttest"    -> ((s, d) => Relational.welchTTest(s, d)),
+    "q236_acf"            -> ((s, d) => Relational.acf(s, d)),
+    "q237_column_entropy" -> ((s, d) => graft.ext.Profile.columnEntropy(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -332,6 +335,25 @@ object SparkEntry {
   /** DECIMAL(28,6)-exact sum of a double expression, as double. */
   private def dsumSql(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** DuckDB fragment: one q237 entropy row for `table`.`colName` —
+    * category counts, −Σ p·ln p through round-12 integer surrogates
+    * (the Spark side's exact shape, graft.ext.Profile.columnEntropy). */
+  private def entropySql(table: String, colName: String): String =
+    s"""(WITH c AS (SELECT $colName AS v, COUNT(*) AS n
+       |    FROM $table GROUP BY 1),
+       |  t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS k FROM c),
+       |  e AS (SELECT tot, k, CAST(SUM(CAST(round(
+       |      (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+       |      * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1.0e12)
+       |      AS BIGINT)) AS BIGINT) AS hsur
+       |    FROM c, t GROUP BY tot, k)
+       |  SELECT '$table.$colName' AS column_name, tot AS n_rows,
+       |    k AS n_categories,
+       |    round(-(CAST(hsur AS DOUBLE) / 1.0e12), 6) AS entropy,
+       |    CASE WHEN k > 1 THEN round((-(CAST(hsur AS DOUBLE) / 1.0e12))
+       |      / ln(CAST(k AS DOUBLE)), 6) ELSE 0.0 END AS norm_entropy
+       |  FROM e)""".stripMargin
 
   private val toks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
 
@@ -3942,6 +3964,88 @@ object SparkEntry {
          |  round(maxd, 6) AS max_cusum_down,
          |  (SELECT day FROM o, ad WHERE rn = rn_d) AS day_down
          |FROM m, mx""".stripMargin,
+    // q235: Welch t — DECIMAL-exact group moments over the day grid,
+    // weekend = Spark dayofweek ∈ {1,7} (DuckDB dayofweek + 1)
+    "q235_welch_ttest" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         |filled AS (SELECT s.day,
+         |    CAST(round(COALESCE(d.revenue, 0.0) * 1000.0) AS BIGINT) AS xi,
+         |    (dayofweek(s.day) + 1) IN (1, 7) AS wkend
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day),
+         |cells AS (SELECT
+         |    CAST(SUM(CASE WHEN NOT wkend THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(SUM(CASE WHEN NOT wkend THEN xi END) AS BIGINT) AS s0,
+         |    SUM(CASE WHEN NOT wkend THEN CAST(xi AS DECIMAL(19,0))
+         |      * CAST(xi AS DECIMAL(19,0)) END) AS q0,
+         |    CAST(SUM(CASE WHEN wkend THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN wkend THEN xi END) AS BIGINT) AS s1,
+         |    SUM(CASE WHEN wkend THEN CAST(xi AS DECIMAL(19,0))
+         |      * CAST(xi AS DECIMAL(19,0)) END) AS q1
+         |  FROM filled),
+         |mm AS (SELECT n0, n1,
+         |    (CAST(s0 AS DOUBLE) / 1.0e3) / CAST(n0 AS DOUBLE) AS m0,
+         |    (CAST(s1 AS DOUBLE) / 1.0e3) / CAST(n1 AS DOUBLE) AS m1,
+         |    CAST(q0 AS DOUBLE) AS q0d, CAST(q1 AS DOUBLE) AS q1d
+         |  FROM cells),
+         |vv AS (SELECT n0, n1, m0, m1,
+         |    ((q0d / 1.0e6 - CAST(n0 AS DOUBLE) * m0 * m0)
+         |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE) AS se0,
+         |    ((q1d / 1.0e6 - CAST(n1 AS DOUBLE) * m1 * m1)
+         |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE) AS se1
+         |  FROM mm)
+         |SELECT n0 AS n_weekday, n1 AS n_weekend,
+         |  round(m0, 6) AS mean_weekday, round(m1, 6) AS mean_weekend,
+         |  round((m1 - m0) / sqrt(se1 + se0), 6) AS t,
+         |  round((se1 + se0) * (se1 + se0)
+         |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+         |      + se0 * se0 / (CAST(n0 AS DOUBLE) - 1.0)), 6) AS df
+         |FROM vv""".stripMargin,
+    // q236: ACF lags 1..14 — round-3 deviation surrogates, exact
+    // DECIMAL product sums, one window pass over the day grid
+    "q236_acf" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         |filled AS (SELECT s.day, COALESCE(d.revenue, 0.0) AS x
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day),
+         |m AS (SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mu FROM filled),
+         |dd AS (SELECT day, CAST(round((x - mu) * 1000.0) AS BIGINT) AS di
+         |  FROM filled, m),
+         |l AS (SELECT di,
+         |${(1 to 14).map(k =>
+            s"    lag(di, $k) OVER (ORDER BY day) AS d$k")
+            .mkString(",\n")}
+         |  FROM dd),
+         |a AS (SELECT
+         |    SUM(CAST(di AS DECIMAL(19,0)) * CAST(di AS DECIMAL(19,0)))
+         |      AS den,
+         |${(1 to 14).map(k =>
+            s"    SUM(CASE WHEN d$k IS NOT NULL THEN CAST(di AS " +
+            s"DECIMAL(19,0)) * CAST(d$k AS DECIMAL(19,0)) END) AS num$k")
+            .mkString(",\n")}
+         |  FROM l)
+         |${(1 to 14).map(k =>
+            s"SELECT $k AS lag, round(CAST(num$k AS DOUBLE) " +
+            s"/ CAST(den AS DOUBLE), 6) AS acf FROM a")
+            .mkString("\nUNION ALL ")}""".stripMargin,
+    // q237: Shannon entropy per categorical column — round-12
+    // surrogate sums, one block per column
+    "q237_column_entropy" ->
+      Seq("orders" -> "o_orderpriority", "orders" -> "o_orderstatus",
+        "customer" -> "c_mktsegment", "lineitem" -> "l_returnflag",
+        "lineitem" -> "l_linestatus", "documents" -> "lang")
+        .map { case (t, c) => s"SELECT * FROM ${entropySql(t, c)}" }
+        .mkString("\nUNION ALL "),
     "q99_supplier_revenue" ->
       s"""SELECT n_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -463,6 +463,45 @@ object Profile {
           >= threshold).as("near_constant"))
   }
 
+  /** Shannon-entropy profile of categorical columns (q237): H and
+    * the normalized H/ln(k) per column — the information-content
+    * profiler ([[nearConstant]] flags the degenerate end; entropy
+    * ranks the whole spectrum, and a sudden entropy drop on an
+    * ingest column is a classic upstream-bug signal). Each column
+    * reduces to category counts; the −Σ p·ln p sum runs through
+    * round-12 integer surrogates so no float accumulates in engine
+    * order. One aggregation per column over tiny category tables,
+    * unioned plan-side. */
+  def columnEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, table: String, c: String): DataFrame =
+      df.select(col(c).as("v")).groupBy(col("v"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_categories"),
+          collect_list(col("n")).as("ns"))
+        .select(lit(s"$table.$c").as("column_name"), col("n_rows"),
+          col("n_categories"),
+          aggregate(col("ns"),
+            lit(0L),
+            (acc, n) => acc + round((n.cast("double")
+              / col("n_rows").cast("double"))
+              * log(n.cast("double") / col("n_rows").cast("double"))
+              * 1e12, 0).cast("long")).as("hsur"))
+        .select(col("column_name"), col("n_rows"), col("n_categories"),
+          round(-(col("hsur").cast("double") / 1e12), 6).as("entropy"),
+          when(col("n_categories") > 1,
+            round(-(col("hsur").cast("double") / 1e12)
+              / log(col("n_categories").cast("double")), 6))
+            .otherwise(lit(0.0)).as("norm_entropy"))
+    Seq(
+      one(Tables.orders(spark, dir), "orders", "o_orderpriority"),
+      one(Tables.orders(spark, dir), "orders", "o_orderstatus"),
+      one(Tables.customer(spark, dir), "customer", "c_mktsegment"),
+      one(Tables.lineitem(spark, dir), "lineitem", "l_returnflag"),
+      one(Tables.lineitem(spark, dir), "lineitem", "l_linestatus"),
+      one(Tables.documents(spark, dir), "documents", "lang"))
+      .reduce(_ unionByName _)
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

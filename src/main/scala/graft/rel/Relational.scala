@@ -390,6 +390,79 @@ object Relational {
       element_at(col("s"), col("f.argd")).getField("day").as("day_down"))
   }
 
+  /** Welch's unequal-variance t-test (q235): is weekend daily
+    * revenue a different population than weekday — the means-test
+    * companion to [[abTest]]'s proportions z. Group moments come
+    * from DECIMAL-exact sums (values and their exact DECIMAL
+    * squares), so mean/variance/t/df are one fixed IEEE chain over
+    * exact aggregates; the Welch–Satterthwaite df is reported so the
+    * reader can look up the critical value. Runs on the bounded day
+    * grid ([[gapFillDaily]]'s one fact scan). */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    // round-3 integer surrogates (the q195 recipe): milli-unit longs
+    // whose sums and DECIMAL(19,0) product sums are exact on BOTH
+    // engines (a DECIMAL(18,6) square overflows DuckDB's int64 path)
+    val xi = round(col("revenue_filled") * 1000.0, 0).cast("long")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val wkend = dayofweek(col("day")).isin(1, 7)
+    val cells = gapFillDaily(spark, dir).agg(
+      sum(when(!wkend, 1L).otherwise(0L)).as("n0"),
+      sum(when(!wkend, xi)).as("s0"),
+      sum(when(!wkend, d19(xi) * d19(xi))).as("q0"),
+      sum(when(wkend, 1L).otherwise(0L)).as("n1"),
+      sum(when(wkend, xi)).as("s1"),
+      sum(when(wkend, d19(xi) * d19(xi))).as("q1"))
+    def m(s: String, n: String) =
+      (col(s).cast("double") / 1e3) / col(n).cast("double")
+    def v(q: String, n: String, mean: Column) =
+      (col(q).cast("double") / 1e6 - col(n).cast("double") * mean * mean) /
+        (col(n).cast("double") - 1.0)
+    val m0 = m("s0", "n0"); val m1 = m("s1", "n1")
+    val v0 = v("q0", "n0", m0); val v1 = v("q1", "n1", m1)
+    val se0 = v0 / col("n0").cast("double")
+    val se1 = v1 / col("n1").cast("double")
+    cells.select(col("n0").as("n_weekday"), col("n1").as("n_weekend"),
+      round(m0, 6).as("mean_weekday"), round(m1, 6).as("mean_weekend"),
+      round((m1 - m0) / sqrt(se1 + se0), 6).as("t"),
+      round((se1 + se0) * (se1 + se0) /
+        (se1 * se1 / (col("n1").cast("double") - 1.0)
+          + se0 * se0 / (col("n0").cast("double") - 1.0)), 6).as("df"))
+  }
+
+  /** Autocorrelation function (q236) of the gap-filled daily revenue
+    * at lags 1..14 — the periodicity diagnostic ([[seasonalTrend]]
+    * assumes a weekly cycle; the ACF shows whether one exists, as a
+    * lag-7 spike). r_k = Σdₜd₍ₜ₊ₖ₎ / Σdₜ² over mean deviations. The
+    * deviations are doubles, so they pass through round-3 integer
+    * surrogates (the q195 recipe) and every sum is an exact DECIMAL
+    * product sum — order-free. All 14 lag columns come from ONE
+    * window pass over the bounded day grid, folded in ONE aggregate,
+    * reshaped plan-side. */
+  def acf(spark: SparkSession, dir: String, maxLag: Int = 14)
+      : DataFrame = {
+    val daily = gapFillDaily(spark, dir)
+    val mu = daily.agg((sum(col("revenue_filled").cast("decimal(28,6)"))
+      .cast("double") / count(lit(1)).cast("double")).as("mu"))
+    val w = Window.orderBy(col("day"))
+    val withD = daily.join(broadcast(mu))
+      .select(col("day"),
+        round((col("revenue_filled") - col("mu")) * 1000.0, 0)
+          .cast("long").as("di"))
+    val lagged = withD.select(col("di") +:
+      (1 to maxLag).map(k => lag(col("di"), k).over(w).as(s"d$k")): _*)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val aggs = Seq(sum(dec(col("di")) * dec(col("di"))).as("den")) ++
+      (1 to maxLag).map(k =>
+        sum(when(col(s"d$k").isNotNull, dec(col("di")) * dec(col(s"d$k"))))
+          .as(s"num$k"))
+    val wide = lagged.agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to maxLag).map(k =>
+      struct(lit(k).as("lag"),
+        round(col(s"num$k").cast("double") / col("den").cast("double"), 6)
+          .as("acf")))
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Exponentially-weighted moving average over the gap-filled daily
     * revenue: a FIXED 8-day half-life-1 kernel (weights 0.5^k,
     * k=0..7) written as one explicit left-associated expression —

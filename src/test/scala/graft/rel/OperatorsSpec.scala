@@ -3967,4 +3967,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == round6(maxd))
     assert(r.getDate(5).toLocalDate == days(ad), "first down-peak day")
   }
+
+  private def dailyFilled(): Seq[(java.time.LocalDate, Double)] = {
+    val ords = graft.Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect().map(x => (x.getDate(0).toLocalDate, x.getDouble(1)))
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val daily = ords.groupBy(_._1).view
+      .mapValues(g => g.map(o => d6(o._2)).sum.toDouble).toMap
+    val lo = daily.keys.minBy(_.toEpochDay)
+    val hi = daily.keys.maxBy(_.toEpochDay)
+    Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+      .map(d => (d, daily.getOrElse(d, 0.0))).toSeq
+  }
+
+  test("welch t-test: exact surrogate-moment recompute") {
+    val r = Relational.welchTTest(spark, sf).collect().head
+    def sur(x: Double): Long = BigDecimal(x * 1000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val xs = dailyFilled().map { case (d, x) =>
+      (d.getDayOfWeek == java.time.DayOfWeek.SATURDAY ||
+        d.getDayOfWeek == java.time.DayOfWeek.SUNDAY, sur(x)) }
+    def stats(g: Seq[Long]): (Long, Double, Double) = {
+      val n = g.length.toLong
+      val m = (g.sum.toDouble / 1e3) / n.toDouble
+      val q = g.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val v = (q / 1e6 - n.toDouble * m * m) / (n.toDouble - 1.0)
+      (n, m, v / n.toDouble)
+    }
+    val (n0, m0, se0) = stats(xs.filterNot(_._1).map(_._2))
+    val (n1, m1, se1) = stats(xs.filter(_._1).map(_._2))
+    assert((r.getLong(0), r.getLong(1)) == ((n0, n1)))
+    assert(r.getDouble(2) == round6(m0) && r.getDouble(3) == round6(m1))
+    assert(r.getDouble(4) == round6((m1 - m0) / math.sqrt(se1 + se0)))
+    assert(r.getDouble(5) == round6((se1 + se0) * (se1 + se0) /
+      (se1 * se1 / (n1.toDouble - 1.0) + se0 * se0 / (n0.toDouble - 1.0))))
+  }
+
+  test("acf: exact surrogate recompute at all 14 lags") {
+    val got = Relational.acf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(got.keySet == (1 to 14).toSet)
+    val xs = dailyFilled().map(_._2)
+    def d6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val mu = xs.map(d6).sum.toDouble / xs.length.toDouble
+    val di = xs.map(x => BigDecimal((x - mu) * 1000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val den = di.map(d => BigInt(d) * BigInt(d)).sum.toDouble
+    (1 to 14).foreach { k =>
+      val num = di.drop(k).zip(di.dropRight(k))
+        .map { case (a, b) => BigInt(a) * BigInt(b) }.sum.toDouble
+      assert(got(k) == round6(num / den), s"lag $k")
+    }
+  }
+
+  test("column entropy: exact surrogate recompute per column") {
+    val got = graft.ext.Profile.columnEntropy(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def check(name: String, vals: Seq[String]): Unit = {
+      val counts = vals.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = vals.length.toLong
+      val hsur = counts.values.map { c =>
+        val p = c.toDouble / n.toDouble
+        BigDecimal(p * math.log(p) * 1e12)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      val h = round6(-(hsur.toDouble / 1e12))
+      val k = counts.size.toLong
+      val norm = if (k > 1)
+        round6(-(hsur.toDouble / 1e12) / math.log(k.toDouble)) else 0.0
+      assert(got(name) == ((n, k, h, norm)), s"column $name")
+    }
+    check("orders.o_orderpriority", graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority")).collect().map(_.getString(0)).toSeq)
+    check("lineitem.l_returnflag", graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag")).collect().map(_.getString(0)).toSeq)
+    check("documents.lang", graft.Tables.documents(spark, sf)
+      .select(col("lang")).collect().map(_.getString(0)).toSeq)
+    assert(got.size == 6)
+  }
 }
