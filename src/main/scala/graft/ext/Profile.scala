@@ -377,12 +377,16 @@ object Profile {
     val bucket = (1 to 9).map(i =>
       when(col("o_totalprice") > col(s"p$i"), 1).otherwise(0))
       .reduce(_ + _) + 1
+    // persisted: the totals row and the output both read the ≤10-row
+    // cell table — unpersisted, each consumer re-expands BOTH orders
+    // scans (cells + the percentile pass) into 4 fact scans
     val cells = Tables.orders(spark, dir)
       .join(broadcast(bounds))
       .select(bucket.as("bin"), (col("o_orderdate") < cut).as("is_base"))
       .groupBy(col("bin"))
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("base_n"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("cur_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cells.agg(sum(col("base_n")).as("base_tot"),
       sum(col("cur_n")).as("cur_tot"))
     val bf = col("base_n").cast("double") / col("base_tot").cast("double")

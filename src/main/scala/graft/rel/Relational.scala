@@ -660,9 +660,12 @@ object Relational {
   def kaplanMeier(spark: SparkSession, dir: String,
       horizonDays: Int = 7): DataFrame = {
     val us = unix_micros(col("ts"))
+    // persisted: maxTs and the duration table both read it — without
+    // the barrier each consumer re-expands the events scan
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(min(us).as("first_us"), max(us).as("last_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxTs = perUser.agg(max(col("last_us")).as("max_us"))
     val dayUs = 86400000000L
     val durs = perUser.join(broadcast(maxTs))
@@ -821,6 +824,7 @@ object Relational {
       .withColumn("decile", ntile(10).over(wN))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = deciles.agg(sum(col("n_users")).as("all_users"),
       sum(col("n_conv")).as("all_conv"))
     val wCum = Window.orderBy(col("decile"))
