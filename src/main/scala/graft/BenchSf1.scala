@@ -32,7 +32,14 @@ object BenchSf1 {
     // the quadratic risk), containment over the banded candidates,
     // the capped-postings inverted index, and the two-leg RRF fusion
     "q184_entity_res", "q188_containment", "q185_inverted_index",
-    "q190_hybrid_rrf")
+    "q190_hybrid_rrf",
+    // q213+ additions: SINDY inclusion deps (distinct + value-group
+    // explode over every key column), item-item CF (basket self-join
+    // — per-order quadratic risk), windowed PMI (×3 pair explode over
+    // the token stream), and the bucketed kNN label audit (in-bucket
+    // quadratic risk, the q183 shape)
+    "q215_inclusion_deps", "q222_item_cf", "q227_collocations",
+    "q221_label_agreement")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -51,9 +58,16 @@ object BenchSf1 {
     spark.sparkContext.setLogLevel("WARN")
     val dirs = Seq("sf01" -> sf01, "sf1" -> sf1)
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    // interleaved passes, failure-sentinel discipline as in Bench
+    // interleaved passes, failure-sentinel discipline as in Bench.
+    // Every sample is SELF-CONTAINED: the cache is cleared before each
+    // query, so a timing includes the query's own persisted
+    // intermediates and nothing else — with 19 probe queries, letting
+    // MEMORY_AND_DISK persists accumulate across the list crowds the
+    // local[4] heap and inflated the two biggest sf1 self-joins
+    // (q150/q157) ~2× purely from storage/execution memory contention.
     val samples = (1 to nPasses).flatMap { p =>
       for ((label, dir) <- dirs; q <- probeQueries) yield {
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(q)(spark, dir).count(); true }
           catch { case scala.util.control.NonFatal(e) =>

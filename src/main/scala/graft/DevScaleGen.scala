@@ -109,6 +109,24 @@ object DevScaleGen {
         col("l_linestatus"), col("l_shipdate"))
     }
 
+    // small dims, copied VERBATIM: probes like q215 (inclusion deps)
+    // read every key column, and dims don't grow with fact volume in
+    // a real warehouse anyway — the scaling stress is the fact side
+    Seq("supplier", "part", "nation", "region").foreach { name =>
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name copied -> $out")
+    }
+
+    // events, key-shifted copies on a disjoint user-id space: the
+    // behavioral probes (sessionization family) see 10× users with
+    // the original per-user stream shape — linear by construction
+    replicate("events") { (df, c) =>
+      df.select((col("event_id") + lit(c * off)).as("event_id"),
+        col("ts"), (col("user_id") + lit(c * off)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+
     spark.stop()
   }
 }

@@ -287,6 +287,8 @@ object SparkEntry {
     "q235_welch_ttest"    -> ((s, d) => Relational.welchTTest(s, d)),
     "q236_acf"            -> ((s, d) => Relational.acf(s, d)),
     "q237_column_entropy" -> ((s, d) => graft.ext.Profile.columnEntropy(s, d)),
+    "q238_corr_matrix"    -> ((s, d) => graft.ext.Profile.corrMatrix(s, d)),
+    "q239_spearman"       -> ((s, d) => graft.ext.Profile.spearman(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4038,6 +4040,68 @@ object SparkEntry {
             s"SELECT $k AS lag, round(CAST(num$k AS DOUBLE) " +
             s"/ CAST(den AS DOUBLE), 6) AS acf FROM a")
             .mkString("\nUNION ALL ")}""".stripMargin,
+    // q238: Pearson matrix — centi-unit surrogates (exact for the
+    // 2-decimal columns), DECIMAL(19,0) product sums, one scan; the
+    // pair list and naming are generated from the same a<b rule as
+    // the Spark side
+    "q238_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+      def d19(c: String) = s"CAST(i_$c AS DECIMAL(19,0))"
+      val surSelect = cols.map(c =>
+        s"CAST(round($c * 100.0) AS BIGINT) AS i_$c").mkString(",\n    ")
+      val aggSelect = (Seq("COUNT(*) AS n") ++
+        cols.flatMap(c => Seq(
+          s"CAST(SUM(i_$c) AS BIGINT) AS s_$c",
+          s"SUM(${d19(c)} * ${d19(c)}) AS q_$c")) ++
+        pairs.map { case (a, b) =>
+          s"SUM(${d19(a)} * ${d19(b)}) AS p_${a}_$b" }).mkString(",\n    ")
+      def dbl(x: String) = s"CAST($x AS DOUBLE)"
+      val selects = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |  round((${dbl("n")} * ${dbl(s"p_${a}_$b")}
+           |      - ${dbl(s"s_$a")} * ${dbl(s"s_$b")})
+           |    / (sqrt(${dbl("n")} * ${dbl(s"q_$a")}
+           |        - ${dbl(s"s_$a")} * ${dbl(s"s_$a")})
+           |      * sqrt(${dbl("n")} * ${dbl(s"q_$b")}
+           |        - ${dbl(s"s_$b")} * ${dbl(s"s_$b")})), 6) AS pearson_r
+           |FROM a""".stripMargin
+      }
+      s"""WITH s AS (SELECT
+         |    $surSelect
+         |  FROM lineitem),
+         |a AS (SELECT
+         |    $aggSelect
+         |  FROM s)
+         |${selects.mkString("\nUNION ALL ")}""".stripMargin
+    },
+    // q239: Spearman = Pearson over 2·avg_rank integer surrogates
+    // (ties by the q229 device), exact sums, one final chain
+    "q239_spearman" ->
+      """WITH r AS (SELECT
+        |    2 * rank() OVER (ORDER BY l_quantity)
+        |      + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS ra,
+        |    2 * rank() OVER (ORDER BY l_extendedprice)
+        |      + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS rb
+        |  FROM lineitem),
+        |a AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(ra) AS BIGINT) AS sa, CAST(SUM(rb) AS BIGINT) AS sb,
+        |    SUM(CAST(ra AS DECIMAL(19,0)) * CAST(ra AS DECIMAL(19,0)))
+        |      AS qa,
+        |    SUM(CAST(rb AS DECIMAL(19,0)) * CAST(rb AS DECIMAL(19,0)))
+        |      AS qb,
+        |    SUM(CAST(ra AS DECIMAL(19,0)) * CAST(rb AS DECIMAL(19,0)))
+        |      AS pab
+        |  FROM r)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(pab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |    AS spearman_rho
+        |FROM a""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

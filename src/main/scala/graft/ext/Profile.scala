@@ -506,6 +506,71 @@ object Profile {
       .reduce(_ unionByName _)
   }
 
+  /** Pairwise Pearson correlation matrix (q238) over lineitem's
+    * numeric columns — the multicollinearity screen every feature
+    * audit starts with. All four columns are 2-decimal data, so
+    * centi-unit integer surrogates are EXACT; one scan folds every
+    * sum, square and cross-product (DECIMAL(19,0) products — int128
+    * on both engines) into a single aggregate, and each r is one
+    * fixed IEEE chain over those exact integers, reshaped to a row
+    * per pair plan-side. Adding a column adds aggregate width, never
+    * a pass. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def sur(c: String) = round(col(c) * 100.0, 0).cast("long").as(s"i_$c")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val surs = Tables.lineitem(spark, dir).select(cols.map(sur): _*)
+    val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+        cols.flatMap { c =>
+          Seq(sum(col(s"i_$c")).as(s"s_$c"),
+            sum(d19(col(s"i_$c")) * d19(col(s"i_$c"))).as(s"q_$c")) } ++
+        pairs.map { case (a, b) =>
+          sum(d19(col(s"i_$a")) * d19(col(s"i_$b"))).as(s"p_${a}_$b") }
+    val wide = surs.agg(aggs.head, aggs.tail: _*)
+    val n = col("n").cast("double")
+    def s(c: String) = col(s"s_$c").cast("double")
+    def q(c: String) = col(s"q_$c").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val r = (n * col(s"p_${a}_$b").cast("double") - s(a) * s(b)) /
+        (sqrt(n * q(a) - s(a) * s(a)) * sqrt(n * q(b) - s(b) * s(b)))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        round(r, 6).as("pearson_r"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Spearman rank correlation (q239) between quantity and price —
+    * the monotone-association companion to [[corrMatrix]] (Pearson
+    * misses nonlinear-but-monotone structure). Ties take average
+    * ranks, kept EXACT by carrying 2·avg_rank = 2·rank + ties − 1 as
+    * an integer (the q229 Mann–Whitney device), so Spearman reduces
+    * to Pearson over integer rank surrogates — exact sums, one
+    * fixed final chain. The two global rank windows are the
+    * intrinsic cost of exact ranks (at extreme cardinality bin the
+    * values first, q172-style). */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def r2(c: String) = (lit(2L) * rank().over(Window.orderBy(col(c))) +
+      count(lit(1)).over(Window.partitionBy(col(c))) - lit(1L)).as(s"r_$c")
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"), col("l_extendedprice"))
+      .select(r2("l_quantity"), r2("l_extendedprice"))
+    val a = col("r_l_quantity"); val b = col("r_l_extendedprice")
+    val wide = ranked.agg(count(lit(1)).as("n"),
+      sum(a).as("sa"), sum(b).as("sb"),
+      sum(d19(a) * d19(a)).as("qa"), sum(d19(b) * d19(b)).as("qb"),
+      sum(d19(a) * d19(b)).as("pab"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    wide.select(col("n"),
+      round((n * d("pab") - d("sa") * d("sb")) /
+        (sqrt(n * d("qa") - d("sa") * d("sa"))
+          * sqrt(n * d("qb") - d("sb") * d("sb"))), 6).as("spearman_rho"))
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

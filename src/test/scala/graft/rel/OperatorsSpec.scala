@@ -4049,4 +4049,62 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("lang")).collect().map(_.getString(0)).toSeq)
     assert(got.size == 6)
   }
+
+  test("corr matrix: exact surrogate recompute, all 6 pairs") {
+    val got = graft.ext.Profile.corrMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax")).collect()
+    def sur(x: Double): Long = BigDecimal(x * 100.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val data: Map[String, Seq[Long]] = Map(
+      "l_quantity" -> li.map(r => sur(r.getDouble(0))).toSeq,
+      "l_extendedprice" -> li.map(r => sur(r.getDouble(1))).toSeq,
+      "l_discount" -> li.map(r => sur(r.getDouble(2))).toSeq,
+      "l_tax" -> li.map(r => sur(r.getDouble(3))).toSeq)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+    assert(got.keySet == pairs.toSet)
+    val n = li.length.toDouble
+    pairs.foreach { case (a, b) =>
+      val (xa, xb) = (data(a), data(b))
+      val sa = xa.sum.toDouble; val sb = xb.sum.toDouble
+      val qa = xa.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val qb = xb.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val p = xa.zip(xb).map { case (x, y) => BigInt(x) * BigInt(y) }
+        .sum.toDouble
+      val r = (n * p - sa * sb) /
+        (math.sqrt(n * qa - sa * sa) * math.sqrt(n * qb - sb * sb))
+      assert(got((a, b)) == ((li.length.toLong, round6(r))), s"pair $a/$b")
+    }
+  }
+
+  test("spearman: exact rank-surrogate recompute") {
+    val r = graft.ext.Profile.spearman(spark, sf).collect().head
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice")).collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    def r2(xs: Seq[Double]): Seq[Long] = {
+      val sorted = xs.sorted
+      val minRank = sorted.zipWithIndex.groupBy(_._1).view
+        .mapValues(_.map(_._2).min + 1).toMap
+      val ties = sorted.groupBy(identity).view.mapValues(_.length).toMap
+      xs.map(x => 2L * minRank(x) + ties(x) - 1L)
+    }
+    val ra = r2(li.map(_._1).toSeq); val rb = r2(li.map(_._2).toSeq)
+    val n = li.length.toDouble
+    val sa = ra.sum.toDouble; val sb = rb.sum.toDouble
+    val qa = ra.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+    val qb = rb.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+    val p = ra.zip(rb).map { case (x, y) => BigInt(x) * BigInt(y) }
+      .sum.toDouble
+    val want = round6((n * p - sa * sb) /
+      (math.sqrt(n * qa - sa * sa) * math.sqrt(n * qb - sb * sb)))
+    assert(r.getLong(0) == li.length.toLong)
+    assert(r.getDouble(1) == want)
+    // synthetic price is independent of quantity: rho ~ 0
+    assert(math.abs(r.getDouble(1)) < 0.1)
+  }
 }
