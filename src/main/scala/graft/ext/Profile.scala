@@ -290,25 +290,30 @@ object Profile {
     * many columns are profiled. Pairs sharing zero values don't
     * appear (their containment is 0 by absence). All counts exact. */
   def inclusionDeps(spark: SparkSession, dir: String): DataFrame = {
-    def attr(df: DataFrame, table: String, c: String): DataFrame =
-      df.select(col(c).cast("long").as("v"),
-          lit(s"$table.$c").as("attr"))
-        .filter(col("v").isNotNull).distinct()
+    // ONE scan per table, not per column: every column unpivots from
+    // the same pass via an array-of-structs explode, then one global
+    // distinct (a per-column distinct would also shuffle once per
+    // column)
+    def attrs(df: DataFrame, table: String, cs: Seq[String]): DataFrame =
+      df.select(explode(array(cs.map(c =>
+          struct(col(c).cast("long").as("v"),
+            lit(s"$table.$c").as("attr"))): _*)).as("kv"))
+        .select(col("kv.*"))
     val ua = Seq(
-      attr(Tables.customer(spark, dir), "customer", "c_custkey"),
-      attr(Tables.customer(spark, dir), "customer", "c_nationkey"),
-      attr(Tables.orders(spark, dir), "orders", "o_orderkey"),
-      attr(Tables.orders(spark, dir), "orders", "o_custkey"),
-      attr(Tables.lineitem(spark, dir), "lineitem", "l_orderkey"),
-      attr(Tables.lineitem(spark, dir), "lineitem", "l_partkey"),
-      attr(Tables.lineitem(spark, dir), "lineitem", "l_suppkey"),
-      attr(Tables.supplier(spark, dir), "supplier", "s_suppkey"),
-      attr(Tables.supplier(spark, dir), "supplier", "s_nationkey"),
-      attr(Tables.part(spark, dir), "part", "p_partkey"),
-      attr(Tables.nation(spark, dir), "nation", "n_nationkey"),
-      attr(Tables.nation(spark, dir), "nation", "n_regionkey"),
-      attr(Tables.region(spark, dir), "region", "r_regionkey"))
+      attrs(Tables.customer(spark, dir), "customer",
+        Seq("c_custkey", "c_nationkey")),
+      attrs(Tables.orders(spark, dir), "orders",
+        Seq("o_orderkey", "o_custkey")),
+      attrs(Tables.lineitem(spark, dir), "lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      attrs(Tables.supplier(spark, dir), "supplier",
+        Seq("s_suppkey", "s_nationkey")),
+      attrs(Tables.part(spark, dir), "part", Seq("p_partkey")),
+      attrs(Tables.nation(spark, dir), "nation",
+        Seq("n_nationkey", "n_regionkey")),
+      attrs(Tables.region(spark, dir), "region", Seq("r_regionkey")))
       .reduce(_ unionByName _)
+      .filter(col("v").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = ua.groupBy(col("v"))
       .agg(collect_set(col("attr")).as("atts"))

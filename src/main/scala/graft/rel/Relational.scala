@@ -624,10 +624,13 @@ object Relational {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val margins = items.groupBy(col("part")).agg(count(lit(1)).as("n_part"))
+    // persisted: the both-directions union reads the pair aggregate
+    // twice — unpersisted, the basket self-join + groupBy runs twice
     val undirected = items.select(col("okey"), col("part").as("part_a"))
       .join(items.select(col("okey"), col("part").as("part_b")), "okey")
       .filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = undirected.unionByName(undirected.select(
       col("part_b").as("part_a"), col("part_a").as("part_b"), col("n_ab")))
     val w = Window.partitionBy(col("part_a"))
