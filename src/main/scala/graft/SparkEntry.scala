@@ -289,6 +289,9 @@ object SparkEntry {
     "q237_column_entropy" -> ((s, d) => graft.ext.Profile.columnEntropy(s, d)),
     "q238_corr_matrix"    -> ((s, d) => graft.ext.Profile.corrMatrix(s, d)),
     "q239_spearman"       -> ((s, d) => graft.ext.Profile.spearman(s, d)),
+    "q240_user_cf"        -> ((s, d) => Relational.userCf(s, d)),
+    "q241_naive_backtest" -> ((s, d) => Relational.seasonalNaiveBacktest(s, d)),
+    "q242_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4102,6 +4105,86 @@ object SparkEntry {
         |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
         |    AS spearman_rho
         |FROM a""".stripMargin,
+    // q240: capped user-user CF — per-part customer lists capped at
+    // 50 by deterministic md5 rank BEFORE pairing (the hot-key cap),
+    // true margins for the cosine
+    "q240_user_cf" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |m AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |  FROM cp GROUP BY 1),
+        |cap AS (SELECT part, cust FROM (SELECT part, cust,
+        |    row_number() OVER (PARTITION BY part
+        |      ORDER BY md5(CAST(part AS VARCHAR) || ':'
+        |        || CAST(cust AS VARCHAR)), cust) AS rn
+        |  FROM cp) WHERE rn <= 50),
+        |u AS (SELECT a.cust AS cust_a, b.cust AS cust_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM cap a JOIN cap b ON a.part = b.part AND a.cust < b.cust
+        |  GROUP BY 1, 2),
+        |d AS (SELECT cust_a, cust_b, n_ab FROM u
+        |      UNION ALL SELECT cust_b, cust_a, n_ab FROM u),
+        |s AS (SELECT cust_a, cust_b, n_ab,
+        |    round(CAST(n_ab AS DOUBLE)
+        |      / sqrt(CAST(ma.n_parts AS DOUBLE)
+        |        * CAST(mb.n_parts AS DOUBLE)), 6) AS cos
+        |  FROM d JOIN m ma ON d.cust_a = ma.cust
+        |         JOIN m mb ON d.cust_b = mb.cust),
+        |r AS (SELECT cust_a, cust_b, n_ab, cos,
+        |    CAST(row_number() OVER (PARTITION BY cust_a
+        |      ORDER BY cos DESC, cust_b) AS INTEGER) AS rank
+        |  FROM s)
+        |SELECT cust_a, cust_b, n_ab, cos, rank FROM r
+        |WHERE rank <= 5""".stripMargin,
+    // q241: seasonal-naive MAPE — lag-7 prediction over the day
+    // grid, round-6 APE surrogates, zero-actual days excluded
+    "q241_naive_backtest" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         |filled AS (SELECT s.day, COALESCE(d.revenue, 0.0) AS x
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day),
+         |l AS (SELECT day, x AS actual,
+         |    lag(x, 7) OVER (ORDER BY day) AS pred,
+         |    row_number() OVER (ORDER BY day DESC) AS rev_rn
+         |  FROM filled),
+         |sc AS (SELECT * FROM l WHERE rev_rn <= 28 AND pred IS NOT NULL)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(CASE WHEN actual > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_scored,
+         |  CASE WHEN SUM(CASE WHEN actual > 0.0 THEN 1 ELSE 0 END) > 0
+         |    THEN round(CAST(CAST(SUM(CASE WHEN actual > 0.0
+         |        THEN CAST(round(abs(actual - pred) / actual * 1.0e6)
+         |          AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE) / 1.0e6
+         |      / CAST(SUM(CASE WHEN actual > 0.0 THEN 1 ELSE 0 END)
+         |        AS DOUBLE), 6)
+         |  END AS mape
+         |FROM sc""".stripMargin,
+    // q242: threshold sweep — candidates verified ONCE at 0, bucketed
+    // on the exact 4dp-scaled integer, 10-row grid with empty buckets
+    "q242_threshold_sweep" ->
+      s"""WITH $portableCandSql,
+         |ver AS (SELECT
+         |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |          len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+         |      AS jaccard
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+         |              JOIN s sb ON sb.doc_id = c.doc_b),
+         |bk AS (SELECT LEAST(9,
+         |    CAST(round(jaccard * 10000.0) AS BIGINT) // 1000) AS bucket
+         |  FROM ver),
+         |c2 AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+         |  FROM bk GROUP BY 1),
+         |g AS (SELECT unnest(range(0, 10)) AS bucket)
+         |SELECT CAST(g.bucket AS DOUBLE) / 10.0 AS threshold,
+         |  COALESCE(n_in_bucket, 0) AS n_in_bucket,
+         |  CAST(SUM(COALESCE(n_in_bucket, 0)) OVER (ORDER BY g.bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_kept
+         |FROM g LEFT JOIN c2 ON g.bucket = c2.bucket""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

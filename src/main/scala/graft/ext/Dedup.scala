@@ -427,6 +427,39 @@ object Dedup {
           .otherwise(col("doc_b")).as("contained_id"))
       .filter(col("containment") >= threshold)
 
+  /** Dedup threshold sweep (q242) — the tuning REPORT for the
+    * verify stage: over the portable-LSH candidate pairs, how many
+    * survive each Jaccard threshold 0.0 … 0.9 (per-bucket counts and
+    * the cumulative keep-count) — the curve an operator reads before
+    * pinning the production threshold, computed in ONE extra tiny
+    * aggregate over the already-built pair table (candidates are
+    * verified ONCE at threshold 0; the sweep is bucketing, not ten
+    * re-verifications). Bucket indices come from the exact
+    * 4-decimal-scaled integer (a float ×10 floor would sit on
+    * representation edges); the 10-row grid always emits every
+    * threshold, empty buckets included. */
+  def thresholdSweep(spark: SparkSession, dir: String, k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = verifyPairs(shingleTable(spark, dir, k),
+      minhashLshPortable(spark, dir, k), 0.0)
+    val bucket = least(lit(9),
+      (round(col("jaccard") * 10000.0, 0).cast("long") / 1000L)
+        .cast("long"))
+    val counts = pairs.select(bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_in_bucket"))
+    val grid = pairs.sparkSession.range(0, 10)
+      .select(col("id").as("bucket"))
+    val wCum = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_in_bucket"), lit(0L)).as("n_in_bucket"))
+      .withColumn("n_kept", sum(col("n_in_bucket")).over(wCum))
+      .select((col("bucket").cast("double") / 10.0).as("threshold"),
+        col("n_in_bucket"), col("n_kept"))
+  }
+
   /** Duplicate-cluster size histogram — the curation REPORT on top of
     * the cluster machinery: how much of the corpus sits in dup
     * clusters of size 2, 3, …, and how many rows dedup would remove

@@ -648,6 +648,78 @@ object Relational {
       .filter(col("rank") <= topN)
   }
 
+  /** Capped user-user similarity (q240) — [[itemCf]]'s transpose,
+    * neighbors-by-shared-parts, and the query that FORCES the
+    * hot-key cap pattern: a part bought by m customers emits m²
+    * pairs, and part popularity (unlike basket size) is unbounded at
+    * 100 TB, so each part's customer list is capped at `cap` by a
+    * deterministic md5 rank BEFORE pairing — per-part work is
+    * O(cap²) forever, at a documented recall loss on hot parts (the
+    * same trade as the q100/q155 hot-shingle cap). Margins for the
+    * cosine stay the TRUE per-customer part counts; only pair
+    * GENERATION is capped. Ranking on round-6 cosine, id tiebreak. */
+  def userCf(spark: SparkSession, dir: String, cap: Int = 50,
+      topN: Int = 5): DataFrame = {
+    val cp = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val margins = cp.groupBy(col("cust")).agg(count(lit(1)).as("n_parts"))
+    val wCap = Window.partitionBy(col("part"))
+      .orderBy(md5(concat_ws(":", col("part"), col("cust"))), col("cust"))
+    val capped = cp.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= cap)
+    val undirected = capped.select(col("part"), col("cust").as("cust_a"))
+      .join(capped.select(col("part"), col("cust").as("cust_b")), "part")
+      .filter(col("cust_a") < col("cust_b"))
+      .groupBy(col("cust_a"), col("cust_b")).agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = undirected.unionByName(undirected.select(
+      col("cust_b").as("cust_a"), col("cust_a").as("cust_b"), col("n_ab")))
+    val w = Window.partitionBy(col("cust_a"))
+      .orderBy(col("cos").desc, col("cust_b"))
+    directed
+      .join(margins.select(col("cust").as("cust_a"),
+        col("n_parts").as("n_a")), "cust_a")
+      .join(margins.select(col("cust").as("cust_b"),
+        col("n_parts").as("n_b")), "cust_b")
+      .select(col("cust_a"), col("cust_b"), col("n_ab"),
+        round(col("n_ab").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+  }
+
+  /** Seasonal-naive forecast backtest (q241): predict each of the
+    * last `holdout` days as same-day-last-week and report MAPE —
+    * the baseline every fancier forecaster must beat, and the
+    * verification discipline ([[seasonalTrend]] fits; this MEASURES
+    * on a holdout). Rides the gap-filled day grid; per-day APE terms
+    * go through round-6 integer surrogates so the mean is an exact
+    * division (zero-revenue actuals are excluded from MAPE — the
+    * standard undefined-APE convention — but counted). */
+  def seasonalNaiveBacktest(spark: SparkSession, dir: String,
+      holdout: Int = 28): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val scored = gapFillDaily(spark, dir)
+      .select(col("day"), col("revenue_filled").as("actual"),
+        lag(col("revenue_filled"), 7).over(w).as("pred"),
+        row_number().over(Window.orderBy(col("day").desc)).as("rev_rn"))
+      .filter(col("rev_rn") <= holdout && col("pred").isNotNull)
+    scored.agg(count(lit(1)).as("n_days"),
+      sum(when(col("actual") > 0.0, 1L).otherwise(0L)).as("n_scored"),
+      sum(when(col("actual") > 0.0,
+        round(abs(col("actual") - col("pred")) / col("actual") * 1e6, 0)
+          .cast("long")).otherwise(0L)).as("ape_sur"))
+      .select(col("n_days"), col("n_scored"),
+        when(col("n_scored") > 0,
+          round(col("ape_sur").cast("double") / 1e6
+            / col("n_scored").cast("double"), 6)).as("mape"))
+  }
+
   /** Kaplan–Meier churn curve (q223): survival S(t) over
     * days-until-last-activity, with users still active in the final
     * week CENSORED (their true lifetime is unknown — dropping them

@@ -4107,4 +4107,72 @@ class OperatorsSpec extends AnyFunSuite {
     // synthetic price is independent of quantity: rho ~ 0
     assert(math.abs(r.getDouble(1)) < 0.1)
   }
+
+  test("user cf: exact capped-pair recompute with md5 rank") {
+    val got = Relational.userCf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSet
+    val cp = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nParts = cp.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val capped = cp.groupBy(_._2).toSeq.flatMap { case (part, g) =>
+      g.map(_._1).sortBy(c => (md5hex(s"$part:$c"), c)).take(50)
+        .map(c => (part, c))
+    }
+    val pairCnt = capped.groupBy(_._1).values.flatMap { g =>
+      val cs = g.map(_._2).sorted
+      for (i <- cs.indices; j <- cs.indices if i < j) yield (cs(i), cs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = pairCnt.toSeq.flatMap { case ((a, b), n) =>
+      Seq((a, b, n), (b, a, n)) }
+      .groupBy(_._1).flatMap { case (a, g) =>
+        g.map { case (_, b, n) => (a, b, n, round6(n.toDouble /
+          math.sqrt(nParts(a).toDouble * nParts(b).toDouble))) }
+          .sortBy(t => (-t._4, t._2)).take(5).zipWithIndex
+          .map { case ((x, b, n, c), i) => (x, b, n, c, i + 1) }
+      }.toSet
+    assert(got == want)
+  }
+
+  test("seasonal-naive backtest: exact lag-7 MAPE recompute") {
+    val r = Relational.seasonalNaiveBacktest(spark, sf).collect().head
+    val xs = dailyFilled()
+    val scored = xs.zipWithIndex.drop(7)
+      .filter { case (_, i) => i >= xs.length - 28 }
+      .map { case ((_, a), i) => (a, xs(i - 7)._2) }
+    val nScored = scored.count(_._1 > 0.0).toLong
+    val apeSur = scored.filter(_._1 > 0.0).map { case (a, p) =>
+      BigDecimal(math.abs(a - p) / a * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }.sum
+    assert(r.getLong(0) == scored.length.toLong)
+    assert(r.getLong(1) == nScored)
+    assert(r.getDouble(2) ==
+      round6(apeSur.toDouble / 1e6 / nScored.toDouble))
+  }
+
+  test("threshold sweep: monotone, totals add up, agrees with verify(0.7)") {
+    val rows = Dedup.thresholdSweep(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      (0 to 9).map(_ / 10.0))
+    // cumulative consistency: n_kept(t) = sum of buckets >= t
+    val total = rows.map(_._2).sum
+    assert(rows.head._3 == total)
+    rows.sliding(2).foreach { case Array((t1, n1, k1), (_, _, k2)) =>
+      assert(k1 - k2 == n1, s"cum step at $t1")
+    }
+    // strictest cross-check: pairs kept at >= 0.7 must equal the
+    // q43 verify pipeline's output count (same candidates, same math)
+    val kept07 = rows.find(_._1 == 0.7).get._3
+    assert(kept07 == Dedup.jaccardVerifyPortable(spark, sf).count())
+    // monotone nonincreasing
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.reverse)
+  }
 }
