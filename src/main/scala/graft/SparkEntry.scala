@@ -292,6 +292,8 @@ object SparkEntry {
     "q240_user_cf"        -> ((s, d) => Relational.userCf(s, d)),
     "q241_naive_backtest" -> ((s, d) => Relational.seasonalNaiveBacktest(s, d)),
     "q242_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
+    "q243_kmv_accuracy"   -> ((s, d) => Relational.kmvAccuracy(s, d)),
+    "q244_cms_accuracy"   -> ((s, d) => graft.ext.Profile.cmsAccuracy(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4185,6 +4187,44 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS n_kept
          |FROM g LEFT JOIN c2 ON g.bucket = c2.bucket""".stripMargin,
+    // q243: KMV accuracy — the sketch estimate joined to the exact
+    // distinct count, relative error in one fixed chain
+    "q243_kmv_accuracy" ->
+      s"""WITH ex AS (SELECT event_type,
+         |    COUNT(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT est.event_type, exact_users, est_users,
+         |  round(abs(est_users - CAST(exact_users AS DOUBLE))
+         |    / CAST(exact_users AS DOUBLE), 6) AS rel_err
+         |FROM (
+         |$kmvSql
+         |) AS est JOIN ex ON est.event_type = ex.event_type""".stripMargin,
+    // q244: CMS accuracy — q170's estimate table joined to exact
+    // token counts; overestimate is one-sided by construction
+    "q244_cms_accuracy" ->
+      s"""WITH w AS (SELECT $toks AS ws FROM documents),
+         |t AS (SELECT unnest(ws) AS tok FROM w),
+         |e AS (SELECT tok, r,
+         |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+         |      1, 8)) AS BIGINT) % 256 AS b
+         |  FROM t, UNNEST(range(0, 4)) AS u(r)),
+         |counters AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT tok FROM t),
+         |cb AS (SELECT tok, r,
+         |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok),
+         |      1, 8)) AS BIGINT) % 256 AS b
+         |  FROM cand, UNNEST(range(0, 4)) AS u(r)),
+         |est AS (SELECT tok, MIN(c) AS est_count
+         |  FROM cb JOIN counters USING (r, b)
+         |  GROUP BY tok ORDER BY est_count DESC, tok LIMIT 10),
+         |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+         |  FROM t GROUP BY 1)
+         |SELECT est.tok, exact_count, est_count,
+         |  est_count - exact_count AS overestimate,
+         |  round(CAST(est_count - exact_count AS DOUBLE)
+         |    / CAST(exact_count AS DOUBLE), 6) AS rel_overestimate
+         |FROM est JOIN ex ON est.tok = ex.tok""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

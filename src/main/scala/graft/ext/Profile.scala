@@ -140,6 +140,27 @@ object Profile {
       .limit(topN)
   }
 
+  /** CMS accuracy audit (q244) — [[cmsPortableHitters]]'s
+    * ground-truth report: for the sketch's top-N heavy hitters, the
+    * estimate next to the EXACT corpus count, the overestimate
+    * margin (CMS never underestimates — the spec pins that
+    * one-sidedness), and the relative overestimate that tells an
+    * operator whether width 256 suffices. Exact counts cost one
+    * token aggregate — the audit-time price, not the steady-state
+    * path. */
+  def cmsAccuracy(spark: SparkSession, dir: String, topN: Int = 10)
+      : DataFrame = {
+    val exact = Tables.documents(spark, dir)
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+    cmsPortableHitters(spark, dir, topN = topN)
+      .join(exact, Seq("tok"))
+      .select(col("tok"), col("exact_count"), col("est_count"),
+        (col("est_count") - col("exact_count")).as("overestimate"),
+        round((col("est_count") - col("exact_count")).cast("double")
+          / col("exact_count").cast("double"), 6).as("rel_overestimate"))
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple — the release
     * gate for any dataset that leaves the pipeline (a record is
     * re-identifiable when its QI combination is shared by fewer than

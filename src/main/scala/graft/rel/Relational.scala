@@ -1921,6 +1921,24 @@ object Relational {
     kmvEstimate(Tables.events(spark, dir)
       .select(col("event_type"), md5Hash32(col("user_id")).as("h")), k)
 
+  /** KMV accuracy audit (q243) — the q167-style ground-truth report
+    * for the distinct-count sketch: per group, the KMV estimate next
+    * to the EXACT distinct count and the relative error. The exact
+    * side is the expensive one — that is the point of an accuracy
+    * audit (run at tuning time to size k, not in steady state; the
+    * production path stays sketch-only). One extra exact-distinct
+    * aggregate, one tiny join. */
+  def kmvAccuracy(spark: SparkSession, dir: String, k: Int = 64)
+      : DataFrame = {
+    val exact = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    kmvDistinct(spark, dir, k)
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("est_users"),
+        round(abs(col("est_users") - col("exact_users").cast("double"))
+          / col("exact_users").cast("double"), 6).as("rel_err"))
+  }
+
   /** Incremental distinct maintenance with a PORTABLE mergeable
     * sketch (q171) — the hash-gated upgrade of the q133 HLL
     * day-sketch pattern: per (event_type, day) keep a KMV min-set

@@ -4175,4 +4175,39 @@ class OperatorsSpec extends AnyFunSuite {
     // monotone nonincreasing
     assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.reverse)
   }
+
+  test("kmv accuracy: exact truth side, small-domain estimates are exact") {
+    val got = Relational.kmvAccuracy(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (t, (ex, est, err)) =>
+      assert(ex == exact(t), s"type $t exact")
+      assert(err == round6(math.abs(est - ex.toDouble) / ex.toDouble))
+      // sf0.001 has < 64 distinct users per type: KMV is exact there
+      if (ex < 64) assert(est == ex.toDouble, s"type $t small-domain")
+    }
+  }
+
+  test("cms accuracy: estimates never underestimate, exact truth side") {
+    val got = graft.ext.Profile.cmsAccuracy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length == 10)
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong)
+    got.foreach { case (tok, ex, est, over, rel) =>
+      assert(ex == exact(tok), s"$tok exact")
+      assert(est >= ex, s"$tok CMS one-sidedness")
+      assert(over == est - ex)
+      assert(rel == round6((est - ex).toDouble / ex.toDouble))
+    }
+  }
 }
