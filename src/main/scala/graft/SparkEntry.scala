@@ -294,6 +294,9 @@ object SparkEntry {
     "q242_threshold_sweep" -> ((s, d) => Dedup.thresholdSweep(s, d)),
     "q243_kmv_accuracy"   -> ((s, d) => Relational.kmvAccuracy(s, d)),
     "q244_cms_accuracy"   -> ((s, d) => graft.ext.Profile.cmsAccuracy(s, d)),
+    "q245_mutual_info"    -> ((s, d) => graft.ext.Profile.mutualInformation(s, d)),
+    "q246_ess"            -> ((s, d) => Sampling.effectiveSampleSize(s, d)),
+    "q247_dedup_impact"   -> ((s, d) => Dedup.dedupImpact(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4225,6 +4228,80 @@ object SparkEntry {
          |  round(CAST(est_count - exact_count AS DOUBLE)
          |    / CAST(exact_count AS DOUBLE), 6) AS rel_overestimate
          |FROM est JOIN ex ON est.tok = ex.tok""".stripMargin,
+    // q245: mutual information — contingency cells + margins, every
+    // Σ p·ln(·) through round-12 surrogates, NMI = MI/min(H)
+    "q245_mutual_info" ->
+      """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+        |    COUNT(*) AS n FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+        |px AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1),
+        |py AS (SELECT o_orderstatus, CAST(SUM(n) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1),
+        |hx AS (SELECT -(CAST(CAST(SUM(CAST(round(
+        |    (CAST(nx AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * ln(CAST(nx AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e12)
+        |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0e12) AS hx
+        |  FROM px, tot),
+        |hy AS (SELECT -(CAST(CAST(SUM(CAST(round(
+        |    (CAST(ny AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * ln(CAST(ny AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e12)
+        |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0e12) AS hy
+        |  FROM py, tot),
+        |mi AS (SELECT CAST(CAST(SUM(CAST(round(
+        |    (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |    * ln((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      / ((CAST(nx AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * (CAST(ny AS DOUBLE) / CAST(nt AS DOUBLE)))) * 1.0e12)
+        |    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0e12 AS mi
+        |  FROM cells JOIN px USING (o_orderpriority)
+        |    JOIN py USING (o_orderstatus), tot)
+        |SELECT nt AS n_rows, round(mi, 6) AS mi,
+        |  round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+        |  CASE WHEN LEAST(hx, hy) > 0.0
+        |    THEN round(mi / LEAST(hx, hy), 6) END AS nmi
+        |FROM mi, hx, hy, tot""".stripMargin,
+    // q246: Kish ESS — per-source closed forms with √ (IEEE-exact,
+    // why τ = 0.5), round-9/12 surrogate sums
+    "q246_ess" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_s
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_docs,
+        |    COUNT(*) AS n_sources FROM c),
+        |s AS (SELECT
+        |    CAST(round(sqrt(CAST(n_s AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      * 1.0e9) AS BIGINT) AS ai,
+        |    CAST(round(sqrt(CAST(n_s AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      * sqrt(CAST(n_s AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      / CAST(n_s AS DOUBLE) * 1.0e12) AS BIGINT) AS bi
+        |  FROM c, t),
+        |a AS (SELECT CAST(SUM(ai) AS BIGINT) AS sa,
+        |    CAST(SUM(bi) AS BIGINT) AS sb FROM s)
+        |SELECT n_docs, n_sources,
+        |  round((CAST(sa AS DOUBLE) / 1.0e9) * (CAST(sa AS DOUBLE) / 1.0e9)
+        |    / (CAST(sb AS DOUBLE) / 1.0e12), 6) AS ess,
+        |  round((CAST(sa AS DOUBLE) / 1.0e9) * (CAST(sa AS DOUBLE) / 1.0e9)
+        |    / (CAST(sb AS DOUBLE) / 1.0e12) / CAST(n_docs AS DOUBLE), 6)
+        |    AS ess_ratio
+        |FROM a, t""".stripMargin,
+    // q247: dedup impact — the q59 recursive-CTE non-representative
+    // set joined to per-doc token counts, per-source roll-up
+    "q247_dedup_impact" ->
+      s"""WITH RECURSIVE $portableNonRepSql,
+         |tk AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN nr.id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN nr.id IS NOT NULL THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS tokens_removed,
+         |  round(CAST(SUM(CASE WHEN nr.id IS NOT NULL THEN n_tok ELSE 0 END)
+         |      AS DOUBLE)
+         |    / CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE), 6)
+         |    AS pct_tokens_saved
+         |FROM tk LEFT JOIN nonrep nr ON tk.doc_id = nr.id
+         |GROUP BY source""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

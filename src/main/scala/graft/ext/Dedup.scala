@@ -460,6 +460,36 @@ object Dedup {
         col("n_in_bucket"), col("n_kept"))
   }
 
+  /** Dedup impact report (q247) — the budget number curation
+    * actually negotiates with: per source, documents and TOKENS
+    * removed by near-dup dedup (keep one representative per
+    * cluster), as a fraction of the source's token mass. Pure reuse
+    * of the portable hash-gated cluster pipeline plus ONE token
+    * aggregate; the removed-id set joins back id-keyed (never text).
+    * Sources with heavy templating show their true cost here —
+    * doc counts under-state it when the dups are the long docs. */
+  def dedupImpact(spark: SparkSession, dir: String, k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val removed = lshDedupClustersPortable(spark, dir, k, threshold)
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"), lit(true).as("removed"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("removed"), col("n_tok")).otherwise(0L))
+          .as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        round(col("tokens_removed").cast("double")
+          / col("tokens_total").cast("double"), 6).as("pct_tokens_saved"))
+  }
+
   /** Duplicate-cluster size histogram — the curation REPORT on top of
     * the cluster machinery: how much of the corpus sits in dup
     * clusters of size 2, 3, …, and how many rows dedup would remove

@@ -161,6 +161,48 @@ object Profile {
           / col("exact_count").cast("double"), 6).as("rel_overestimate"))
   }
 
+  /** Mutual information between two categorical columns (q245) —
+    * [[chiSquareCells]]'s information-theoretic companion: MI in
+    * nats plus the normalized MI/min(H_x, H_y) score (chi-square
+    * says "dependent or not"; NMI says HOW MUCH on a 0–1 scale).
+    * One contingency aggregate; every Σ p·ln(·) runs through
+    * round-12 integer surrogates (cell and margin tables are tiny,
+    * but order-free is the contract). NULL when a margin entropy is
+    * zero. */
+  def mutualInformation(spark: SparkSession, dir: String): DataFrame = {
+    def sur12(c: Column) = round(c * 1e12, 0).cast("long")
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(sum(col("n")).as("nt"))
+    def entropy(df: DataFrame, key: String, out: String): DataFrame =
+      df.groupBy(col(key)).agg(sum(col("n")).as("nk"))
+        .join(broadcast(tot))
+        .select(sur12((col("nk").cast("double") / col("nt").cast("double"))
+          * log(col("nk").cast("double") / col("nt").cast("double")))
+          .as("t"))
+        .agg((-(sum(col("t")).cast("double") / 1e12)).as(out))
+    val hx = entropy(cells, "o_orderpriority", "hx")
+    val hy = entropy(cells, "o_orderstatus", "hy")
+    val px = cells.groupBy(col("o_orderpriority")).agg(sum(col("n")).as("nx"))
+    val py = cells.groupBy(col("o_orderstatus")).agg(sum(col("n")).as("ny"))
+    val pxy = col("n").cast("double") / col("nt").cast("double")
+    val pxpy = (col("nx").cast("double") / col("nt").cast("double")) *
+      (col("ny").cast("double") / col("nt").cast("double"))
+    val mi = cells
+      .join(broadcast(px), Seq("o_orderpriority"))
+      .join(broadcast(py), Seq("o_orderstatus"))
+      .join(broadcast(tot))
+      .select(sur12(pxy * log(pxy / pxpy)).as("t"))
+      .agg((sum(col("t")).cast("double") / 1e12).as("mi"))
+    mi.join(broadcast(hx)).join(broadcast(hy)).join(broadcast(tot))
+      .select(col("nt").as("n_rows"), round(col("mi"), 6).as("mi"),
+        round(col("hx"), 6).as("h_x"), round(col("hy"), 6).as("h_y"),
+        when(least(col("hx"), col("hy")) > 0.0,
+          round(col("mi") / least(col("hx"), col("hy")), 6)).as("nmi"))
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple — the release
     * gate for any dataset that leaves the pipeline (a record is
     * re-identifiable when its QI combination is shared by fewer than

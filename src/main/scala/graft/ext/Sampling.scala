@@ -386,6 +386,40 @@ object Sampling {
         round(max(col("gap")), 6).as("ks"))
   }
 
+  /** Kish effective sample size of the temperature-weighted corpus
+    * (q246): ESS = (Σw)²/Σw² — how many "effective" documents the
+    * τ=0.5 source-rebalanced mixture really contains (upweighting
+    * rare sources costs statistical efficiency; ESS is the number
+    * that says how much). Per-doc weights are constant within a
+    * source, so both sums collapse to per-source closed forms
+    * (w_raw = √(n_s/N), Σw = Σ w_raw, Σw² = Σ w_raw²/n_s) — the
+    * whole corpus reduces to one source-count aggregate; τ=0.5
+    * deliberately, because √ is IEEE-exact where pow(x, τ) is a
+    * libm gamble. Source terms pass through round-9/round-12
+    * surrogates (order-free). ESS is scale-invariant so weights
+    * stay unnormalized. */
+  def effectiveSampleSize(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum(col("n_s")).as("n_docs"),
+      count(lit(1)).as("n_sources"))
+    val wRaw = sqrt(col("n_s").cast("double") / col("n_docs").cast("double"))
+    val agg = counts.join(broadcast(tot))
+      .select(
+        round(wRaw * 1e9, 0).cast("long").as("ai"),
+        round(wRaw * wRaw / col("n_s").cast("double") * 1e12, 0)
+          .cast("long").as("bi"))
+      .agg(sum(col("ai")).as("sa"), sum(col("bi")).as("sb"))
+    val sw = col("sa").cast("double") / 1e9
+    val sww = col("sb").cast("double") / 1e12
+    agg.join(broadcast(tot))
+      .select(col("n_docs"), col("n_sources"),
+        round(sw * sw / sww, 6).as("ess"),
+        round(sw * sw / sww / col("n_docs").cast("double"), 6)
+          .as("ess_ratio"))
+  }
+
   /** Token-budget corpus selection, two-phase so no global sort ever
     * touches the corpus: (1) docs reduce to a SCORE-BUCKET histogram
     * (type-token ratio rounded to 3 decimals → ≤ 1001 buckets —

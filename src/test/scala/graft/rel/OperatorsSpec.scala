@@ -4210,4 +4210,76 @@ class OperatorsSpec extends AnyFunSuite {
       assert(rel == round6((est - ex).toDouble / ex.toDouble))
     }
   }
+
+  test("mutual info: exact surrogate recompute, MI within [0, min H]") {
+    val r = graft.ext.Profile.mutualInformation(spark, sf).collect().head
+    val cells = graft.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = cells.length.toDouble
+    def sur(x: Double): Long = BigDecimal(x * 1e12)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val nxy = cells.groupBy(identity).view.mapValues(_.length).toMap
+    val nx = cells.groupBy(_._1).view.mapValues(_.length).toMap
+    val ny = cells.groupBy(_._2).view.mapValues(_.length).toMap
+    def h(m: Map[String, Int]): Double =
+      -(m.values.map(c => sur((c / n) * math.log(c / n))).sum.toDouble / 1e12)
+    val mi = nxy.map { case ((a, b), c) =>
+      val pxy = c / n
+      sur(pxy * math.log(pxy / ((nx(a) / n) * (ny(b) / n))))
+    }.sum.toDouble / 1e12
+    assert(r.getLong(0) == cells.length.toLong)
+    assert(r.getDouble(1) == round6(mi))
+    assert(r.getDouble(2) == round6(h(nx.toMap)))
+    assert(r.getDouble(3) == round6(h(ny.toMap)))
+    assert(r.getDouble(4) ==
+      round6(mi / math.min(h(nx.toMap), h(ny.toMap))))
+    assert(r.getDouble(1) >= -1e-9 &&
+      r.getDouble(1) <= math.min(r.getDouble(2), r.getDouble(3)) + 1e-9)
+  }
+
+  test("ess: exact per-source closed-form recompute, ess <= n") {
+    val r = graft.ext.Sampling.effectiveSampleSize(spark, sf)
+      .collect().head
+    val srcs = graft.Tables.documents(spark, sf)
+      .select(col("source")).collect().map(_.getString(0))
+    val counts = srcs.groupBy(identity).view.mapValues(_.length).toMap
+    val n = srcs.length.toDouble
+    def s9(x: Double): Long = BigDecimal(x * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def s12(x: Double): Long = BigDecimal(x * 1e12)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sa = counts.values.map(c => s9(math.sqrt(c / n))).sum
+    val sb = counts.values.map { c =>
+      val w = math.sqrt(c / n); s12(w * w / c.toDouble) }.sum
+    val sw = sa.toDouble / 1e9; val sww = sb.toDouble / 1e12
+    assert(r.getLong(0) == srcs.length.toLong)
+    assert(r.getLong(1) == counts.size.toLong)
+    assert(r.getDouble(2) == round6(sw * sw / sww))
+    assert(r.getDouble(3) == round6(sw * sw / sww / n))
+    assert(r.getDouble(2) <= n + 1e-6 &&
+      r.getDouble(2) >= counts.size.toDouble - 1e-6)
+  }
+
+  test("dedup impact: conserves totals and matches the cluster table") {
+    val rows = Dedup.dedupImpact(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    assert(rows.map(_._1).toSet == docs.map(_._2).toSet)
+    assert(rows.map(_._2).sum == docs.length.toLong)
+    assert(rows.map(_._4).sum == docs.map(_._3).sum)
+    val removedIds = Dedup.lshDedupClustersPortable(spark, sf).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    assert(rows.map(_._3).sum == removedIds.size.toLong)
+    rows.foreach { case (src, _, _, tt, tr, pct) =>
+      val wantTr = docs.filter(d => d._2 == src && removedIds(d._1))
+        .map(_._3).sum
+      assert(tr == wantTr, s"source $src removed tokens")
+      assert(pct == round6(tr.toDouble / tt.toDouble))
+    }
+  }
 }
