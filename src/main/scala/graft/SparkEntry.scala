@@ -297,6 +297,9 @@ object SparkEntry {
     "q245_mutual_info"    -> ((s, d) => graft.ext.Profile.mutualInformation(s, d)),
     "q246_ess"            -> ((s, d) => Sampling.effectiveSampleSize(s, d)),
     "q247_dedup_impact"   -> ((s, d) => Dedup.dedupImpact(s, d)),
+    "q248_calibration"    -> ((s, d) => TextAnalysis.calibrationAudit(s, d)),
+    "q249_bootstrap_ci"   -> ((s, d) => Sampling.poissonBootstrap(s, d)),
+    "q250_snapshot_diff"  -> ((s, d) => Relational.snapshotDiff(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4302,6 +4305,109 @@ object SparkEntry {
          |    AS pct_tokens_saved
          |FROM tk LEFT JOIN nonrep nr ON tk.doc_id = nr.id
          |GROUP BY source""".stripMargin,
+    // q248: reliability table — q147's forward pass + the curatedDocs
+    // gate rules as label, decile bins, decimal-stable per-bin means
+    "q248_calibration" ->
+      s"""WITH f AS (
+         |  SELECT n_chars,
+         |    CAST(len($toks) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_distinct($toks)) AS DOUBLE) AS n_distinct
+         |  FROM documents),
+         |s AS (SELECT n_chars, n_tok,
+         |    1.0 / (1.0 + exp(-(CAST(-3.0 AS DOUBLE)
+         |      + CAST(0.9 AS DOUBLE) * ln(n_tok + 1.0)
+         |      + CAST(2.0 AS DOUBLE)
+         |        * (CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END)
+         |      + CAST(0.1 AS DOUBLE)
+         |        * (CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE) / n_tok
+         |           ELSE 0.0 END)))) AS score,
+         |    CASE WHEN n_chars >= 100 AND n_tok >= 20.0
+         |      AND (CASE WHEN n_tok > 0 THEN n_distinct / n_tok ELSE 0.0 END)
+         |        > 0.2
+         |      THEN 1 ELSE 0 END AS label
+         |  FROM f)
+         |SELECT CAST(LEAST(floor(score * 10.0), 9.0) AS INTEGER) AS bin,
+         |  COUNT(*) AS n_docs,
+         |  round(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_pred,
+         |  round(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+         |  round(abs(CAST(SUM(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*)
+         |    - CAST(SUM(label) AS DOUBLE) / COUNT(*)), 6) AS abs_gap,
+         |  round(CAST(SUM(CAST((score - CAST(label AS DOUBLE))
+         |      * (score - CAST(label AS DOUBLE)) AS DECIMAL(28,12)))
+         |      AS DOUBLE) / COUNT(*), 6) AS brier
+         |FROM s GROUP BY 1""".stripMargin,
+    // q249: Poisson bootstrap — portable md5 uniforms, exp(-1)·c CASE
+    // ladder (identical IEEE chain), exact BIGINT Σw / Σw·x per
+    // replica, order-stat CI, round-9 surrogate moments
+    "q249_bootstrap_ci" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |e AS (SELECT doc_id, n_tok, r,
+         |    (CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+         |      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      + 0.5) / 4294967296.0 AS u
+         |  FROM d, UNNEST(range(0, 32)) AS rr(r)),
+         |w AS (SELECT r, n_tok,
+         |    CASE WHEN u < exp(-1.0) THEN 0
+         |      WHEN u < exp(-1.0) * 2.0 THEN 1
+         |      WHEN u < exp(-1.0) * 2.5 THEN 2
+         |      WHEN u < exp(-1.0) * (8.0 / 3.0) THEN 3
+         |      WHEN u < exp(-1.0) * (65.0 / 24.0) THEN 4
+         |      WHEN u < exp(-1.0) * (163.0 / 60.0) THEN 5
+         |      WHEN u < exp(-1.0) * (1957.0 / 720.0) THEN 6
+         |      ELSE 7 END AS wt
+         |  FROM e),
+         |m AS (SELECT r, CAST(SUM(wt) AS BIGINT) AS n_drawn,
+         |    CAST(SUM(wt * n_tok) AS BIGINT) AS tok_sum
+         |  FROM w GROUP BY r),
+         |mm AS (SELECT r,
+         |    CAST(tok_sum AS DOUBLE) / CAST(n_drawn AS DOUBLE) AS m
+         |  FROM m),
+         |rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM mm),
+         |a AS (SELECT COUNT(*) AS n_replicas,
+         |    CAST(SUM(CAST(round(m * 1.0e9) AS BIGINT)) AS BIGINT) AS s1,
+         |    CAST(SUM(CAST(CAST(round(m * 1.0e9) AS BIGINT)
+         |        AS DECIMAL(19,0))
+         |      * CAST(CAST(round(m * 1.0e9) AS BIGINT) AS DECIMAL(19,0)))
+         |      AS DECIMAL(38,0)) AS s2,
+         |    MAX(CASE WHEN rk = 2 THEN m END) AS lo,
+         |    MAX(CASE WHEN rk = 31 THEN m END) AS hi
+         |  FROM rk)
+         |SELECT n_replicas,
+         |  round(CAST(s1 AS DOUBLE) / 1.0e9 / n_replicas, 6) AS boot_mean,
+         |  round(sqrt((CAST(s2 AS DOUBLE) / 1.0e18
+         |    - (CAST(s1 AS DOUBLE) / 1.0e9) * (CAST(s1 AS DOUBLE) / 1.0e9)
+         |      / n_replicas) / (n_replicas - 1.0)), 6) AS boot_se,
+         |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |FROM a""".stripMargin,
+    // q250: snapshot diff — both sides rebuilt verbatim (centi-unit
+    // price surrogate in the digest; double→string is not portable)
+    "q250_snapshot_diff" ->
+      """WITH src AS (SELECT o_orderkey AS key, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority FROM orders),
+        |old AS (SELECT key, md5(o_orderstatus || '|'
+        |    || CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR)
+        |    || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |    || '|' || o_orderpriority) AS digest
+        |  FROM src WHERE key % 97 <> 0),
+        |neu AS (SELECT key,
+        |    md5((CASE WHEN key % 53 = 0 THEN 'U' ELSE o_orderstatus END)
+        |    || '|'
+        |    || CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR)
+        |    || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |    || '|' || o_orderpriority) AS digest
+        |  FROM src WHERE key % 89 <> 0),
+        |j AS (SELECT COALESCE(o.key, n.key) AS key,
+        |    CASE WHEN o.key IS NULL THEN 'added'
+        |      WHEN n.key IS NULL THEN 'removed'
+        |      WHEN o.digest <> n.digest THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type
+        |  FROM old o FULL OUTER JOIN neu n ON o.key = n.key)
+        |SELECT change_type, COUNT(*) AS n_rows,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM j GROUP BY 1""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

@@ -633,6 +633,75 @@ object Sampling {
           .cast("long").as("padding_waste"))
   }
 
+  /** Poisson bootstrap (q249) — the CI method built FOR map-reduce
+    * scale (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012): classical bootstrap resampling needs the
+    * whole dataset addressable to draw n-of-n with replacement, which
+    * is impossible across partitions; the Poisson trick replaces the
+    * multinomial draw with an independent Poisson(1) weight PER ROW
+    * PER REPLICA, a pure row-local function — so all `b` replicas
+    * ride ONE scan (explode ×b, then map-side partial aggregation
+    * collapses to b groups before the shuffle; bytes shuffled are
+    * O(b), not O(rows)).
+    *
+    * Determinism: the per-(replica, doc) uniform is the repo's
+    * portable md5 pattern, and the Poisson(1) inverse CDF is a CASE
+    * ladder whose thresholds are exp(-1)·c with c exact small
+    * rationals — the identical IEEE chain in Spark and DuckDB, so
+    * every weight (and hence every exact integer Σw, Σw·x) matches
+    * bit-for-bit. Weights are truncated at 7 (P ≈ 8·10⁻⁶ per draw),
+    * identically in both engines. Replica means are single IEEE
+    * divisions over exact BIGINT sums; the CI is ORDER STATISTICS
+    * over the b means (rank 2 / rank b−1 for b=32 ≈ a 94% interval) —
+    * never quantile interpolation, whose (1−g)·a+g·b evaluation order
+    * differs between engines. Summary moments fold through round-9
+    * integer surrogates so no float accumulates in engine order. */
+  def poissonBootstrap(spark: SparkSession, dir: String,
+      b: Int = 32): DataFrame = {
+    require(b >= 4, s"need >= 4 replicas for order-stat CI, got $b")
+    val e1 = exp(lit(-1.0))
+    val u = (conv(substring(md5(concat_ws(":", col("rep").cast("string"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + 0.5) / 4294967296.0
+    val w = when(u < e1, 0L).when(u < e1 * 2.0, 1L)
+      .when(u < e1 * 2.5, 2L).when(u < e1 * (lit(8.0) / 3.0), 3L)
+      .when(u < e1 * (lit(65.0) / 24.0), 4L)
+      .when(u < e1 * (lit(163.0) / 60.0), 5L)
+      .when(u < e1 * (lit(1957.0) / 720.0), 6L).otherwise(7L)
+    val reps = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .select(col("rep"), w.as("w"), col("n_tok"))
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("n_drawn"),
+        sum(col("w") * col("n_tok")).as("tok_sum"))
+      .select(col("rep"), col("n_drawn"),
+        (col("tok_sum").cast("double") / col("n_drawn").cast("double"))
+          .as("m"))
+    val ranked = reps.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("m"), col("rep"))))
+    // b rows: the rank window and the final fold are driver-trivial
+    ranked.agg(
+        count(lit(1)).as("n_replicas"),
+        sum(round(col("m") * 1e9, 0).cast("long")).as("s1"),
+        sum(round(col("m") * 1e9, 0).cast("long").cast("decimal(19,0)") *
+          round(col("m") * 1e9, 0).cast("long").cast("decimal(19,0)"))
+          .as("s2"),
+        max(when(col("rk") === 2, col("m"))).as("lo"),
+        max(when(col("rk") === b - 1, col("m"))).as("hi"))
+      .select(col("n_replicas"),
+        round(col("s1").cast("double") / 1e9 / col("n_replicas"), 6)
+          .as("boot_mean"),
+        round(sqrt((col("s2").cast("double") / 1e18 -
+          (col("s1").cast("double") / 1e9) *
+            (col("s1").cast("double") / 1e9) / col("n_replicas")) /
+          (col("n_replicas") - lit(1.0))), 6).as("boot_se"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins —
     * the pre-training step that concatenates docs into ~context-length
     * training sequences. Deterministic first-fit-in-id-order per

@@ -458,6 +458,60 @@ object TextAnalysis {
         col("bow_md5"), col("score"))
   }
 
+  /** Calibration / reliability audit (q248) of the fixed-weight
+    * logistic scorer against the RULE-based quality gate — the check
+    * a pipeline runs before swapping expensive hand-written rules for
+    * a cheap learned filter: if the classifier is well calibrated,
+    * score≈p really means "p of these docs pass the rules", and a
+    * threshold can be chosen from the score alone. Emits the
+    * standard reliability table (per score-decile: n, mean predicted
+    * probability, empirical pass rate, |gap| — the per-bin ECE
+    * terms — and the bin's Brier contribution).
+    *
+    * One scan: features, the σ(w·x+b) forward pass (same literal
+    * weights as [[qualityScoreDocs]]) and the rule label (the
+    * [[curatedDocs]] per-doc gates: n_chars ≥ 100, n_tok ≥ 20,
+    * TTR > 0.2) all come from a single staged tokenization; the
+    * aggregate is 10 groups, so map-side partials collapse before the
+    * shuffle. Determinism: the bin is floor(score·10) over identical
+    * IEEE doubles; per-bin means fold decimal sums (score) and exact
+    * longs (labels) — no float accumulates in engine order. */
+  def calibrationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("ws"))
+      .select(col("n_chars"),
+        size(col("ws")).cast("double").as("n_tok"),
+        size(array_distinct(col("ws"))).cast("double").as("n_distinct"))
+      .withColumn("ttr",
+        when(col("n_tok") > 0, col("n_distinct") / col("n_tok")).otherwise(0.0))
+      .withColumn("mean_tok_len",
+        when(col("n_tok") > 0,
+          col("n_chars").cast("double") / col("n_tok")).otherwise(0.0))
+    val z = lit(-3.0) + lit(0.9) * log(col("n_tok") + 1.0) +
+      lit(2.0) * col("ttr") + lit(0.1) * col("mean_tok_len")
+    val scored = feats
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
+      .withColumn("label",
+        (col("n_chars") >= 100 && col("n_tok") >= 20.0 &&
+          col("ttr") > 0.2).cast("long"))
+      .withColumn("bin", least(floor(col("score") * 10.0), lit(9.0))
+        .cast("int"))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_pred"),
+        round(sum(col("label")).cast("double") / count(lit(1)), 6)
+          .as("frac_pos"),
+        round(abs(sum(col("score").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)) -
+          sum(col("label")).cast("double") / count(lit(1))), 6)
+          .as("abs_gap"),
+        round(sum(((col("score") - col("label").cast("double")) *
+            (col("score") - col("label").cast("double")))
+          .cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("brier"))
+  }
+
   /** Dedup that keeps the BEST copy, not the first: groups documents
     * by their BAG-OF-WORDS digest (same distinct token set — the
     * reordered/shuffled-copy class byte-level dedup misses while

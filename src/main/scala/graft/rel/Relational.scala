@@ -2801,4 +2801,51 @@ object Relational {
         "left_semi")
       .select(col("s_name"), col("s_acctbal"))
   }
+
+  /** Snapshot diff (q250) — the CDC-without-a-changelog primitive:
+    * given yesterday's and today's full snapshots of a keyed table,
+    * classify every key as added / removed / changed / unchanged.
+    * The scale shape is the whole point: each side reduces to
+    * (key, payload-digest) AT THE SCAN — one fixed-width hash per
+    * row crosses the shuffle instead of the row itself — then ONE
+    * key-partitioned full outer join classifies in a single pass
+    * (change detection is digest inequality, never column-by-column
+    * compare after the join). At 100 TB both sides co-partition on
+    * the key, and the output audit is four groups, so map-side
+    * partials collapse before the final shuffle.
+    *
+    * The two snapshots are derived deterministically from `orders`
+    * (old = keys ∤97; new = keys ∤89, with status rewritten to 'U'
+    * on keys |53), so the expected diff is a pure function of the
+    * key — the DuckDB oracle rebuilds both sides verbatim. Digest is
+    * md5 over a canonical '|'-joined string form (portable); a
+    * production run swaps in xxhash64 for an 8-byte digest, same
+    * plan. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def digestRow(df: DataFrame): DataFrame =
+      df.select(col("o_orderkey").as("key"),
+        md5(concat_ws("|", col("o_orderstatus"),
+          // centi-unit integer surrogate: double→string differs
+          // between engines, the rounded long's string form does not
+          round(col("o_totalprice") * 100.0, 0).cast("long").cast("string"),
+          col("o_orderdate").cast("date").cast("string"),
+          col("o_orderpriority"))).as("digest"))
+    val old = digestRow(orders.filter(col("o_orderkey") % 97 =!= 0))
+    val neu = digestRow(orders.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 53 === 0, lit("U"))
+          .otherwise(col("o_orderstatus"))))
+    old.select(col("key"), col("digest").as("old_digest"))
+      .join(neu.select(col("key"), col("digest").as("new_digest")),
+        Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") =!= col("new_digest"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+  }
 }
