@@ -300,6 +300,9 @@ object SparkEntry {
     "q248_calibration"    -> ((s, d) => TextAnalysis.calibrationAudit(s, d)),
     "q249_bootstrap_ci"   -> ((s, d) => Sampling.poissonBootstrap(s, d)),
     "q250_snapshot_diff"  -> ((s, d) => Relational.snapshotDiff(s, d)),
+    "q251_event_hits"     -> ((s, d) => Dedup.eventHits(s, d)),
+    "q252_theil_sen"      -> ((s, d) => Relational.theilSen(s, d)),
+    "q253_ols_brand"      -> ((s, d) => Relational.olsByBrand(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -348,6 +351,51 @@ object SparkEntry {
   /** DECIMAL(28,6)-exact sum of a double expression, as double. */
   private def dsumSql(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** q251 oracle: the HITS power loop UNROLLED as `iters` CTE blocks
+    * — possible because every reduction in [[graft.ext.Dedup.hits]]
+    * snaps to a round-12 integer surrogate, so each iteration is
+    * engine-independent arithmetic. Generated by the same loop shape
+    * as the Spark implementation. */
+  private def hitsOracleSql(iters: Int = 8): String = {
+    def sur(expr: String): String =
+      s"CAST(CAST(SUM(CAST(round(($expr) * 1.0e12) AS BIGINT)) " +
+        "AS BIGINT) AS DOUBLE) / 1.0e12"
+    // AS MATERIALIZED throughout: DuckDB inlines plain CTEs per
+    // reference, so an unrolled loop would re-scan the events parquet
+    // once per reference and exhaust file handles
+    val header =
+      """WITH ev AS MATERIALIZED (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |e AS MATERIALIZED (SELECT event_type AS src, next_type AS dst,
+        |    CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM ev WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |h0 AS MATERIALIZED (SELECT node,
+        |    1.0 / (SELECT COUNT(*) FROM nodes) AS h FROM nodes)""".stripMargin
+    val blocks = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS node, ${sur("e.w * p.h")} AS raw
+         |  FROM e JOIN h${k - 1} p ON e.src = p.node GROUP BY e.dst),
+         |arf$k AS MATERIALIZED (SELECT n.node, COALESCE(ar.raw, 0.0) AS raw
+         |  FROM nodes n LEFT JOIN ar$k ar ON n.node = ar.node),
+         |a$k AS MATERIALIZED (SELECT node,
+         |    raw / (SELECT ${sur("raw")} FROM arf$k) AS a
+         |  FROM arf$k),
+         |hr$k AS (SELECT e.src AS node, ${sur("e.w * q.a")} AS raw
+         |  FROM e JOIN a$k q ON e.dst = q.node GROUP BY e.src),
+         |hrf$k AS MATERIALIZED (SELECT n.node, COALESCE(hr.raw, 0.0) AS raw
+         |  FROM nodes n LEFT JOIN hr$k hr ON n.node = hr.node),
+         |h$k AS MATERIALIZED (SELECT node,
+         |    raw / (SELECT ${sur("raw")} FROM hrf$k) AS h
+         |  FROM hrf$k)""".stripMargin
+    }.mkString(",\n")
+    s"$header,\n$blocks\n" +
+      "SELECT h.node, round(h.h, 6) AS hub, round(a.a, 6) AS authority\n" +
+      s"FROM h$iters h JOIN a$iters a USING (node)"
+  }
 
   /** DuckDB fragment: one q237 entropy row for `table`.`colName` —
     * category counts, −Σ p·ln p through round-12 integer surrogates
@@ -4408,6 +4456,87 @@ object SparkEntry {
         |SELECT change_type, COUNT(*) AS n_rows,
         |  min(key) AS min_key, max(key) AS max_key
         |FROM j GROUP BY 1""".stripMargin,
+    // q251: HITS — the surrogate-snapped power loop unrolled (see
+    // hitsOracleSql)
+    "q251_event_hits" -> hitsOracleSql(),
+    // q252: Theil–Sen — exact order-stat medians over the monthly
+    // pair set, same (lo+hi)/2 fold both sides
+    "q252_theil_sen" ->
+      """WITH monthly AS (SELECT
+        |    CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |sl AS (SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM monthly a JOIN monthly b ON a.x < b.x),
+        |srk AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rk,
+        |    COUNT(*) OVER () AS np FROM sl),
+        |smed AS (SELECT MAX(np) AS n_pairs,
+        |    (MAX(CASE WHEN rk = CAST(floor((np + 1) / 2.0) AS BIGINT)
+        |        THEN slope END)
+        |     + MAX(CASE WHEN rk = CAST(floor((np + 2) / 2.0) AS BIGINT)
+        |        THEN slope END)) / 2.0 AS slope_med
+        |  FROM srk),
+        |resid AS (SELECT m.y - s.slope_med * CAST(m.x AS DOUBLE) AS r
+        |  FROM monthly m, smed s),
+        |rrk AS (SELECT r, row_number() OVER (ORDER BY r) AS rk,
+        |    COUNT(*) OVER () AS np FROM resid),
+        |rmed AS (SELECT MAX(np) AS n_points,
+        |    (MAX(CASE WHEN rk = CAST(floor((np + 1) / 2.0) AS BIGINT)
+        |        THEN r END)
+        |     + MAX(CASE WHEN rk = CAST(floor((np + 2) / 2.0) AS BIGINT)
+        |        THEN r END)) / 2.0 AS intercept_med
+        |  FROM rrk)
+        |SELECT n_points, n_pairs, round(slope_med, 6) AS slope,
+        |  round(intercept_med, 6) AS intercept
+        |FROM smed, rmed""".stripMargin,
+    // q253: grouped OLS — exact centi-discount / integral-quantity
+    // surrogates, DECIMAL(19,0) cross products, fixed IEEE chains
+    "q253_ols_brand" ->
+      """WITH xy AS (SELECT p_brand,
+        |    CAST(round(l_discount * 100.0) AS BIGINT) AS xi,
+        |    CAST(round(l_quantity) AS BIGINT) AS yi
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (SELECT p_brand, COUNT(*) AS n,
+        |    CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+        |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+        |      AS sxy,
+        |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(yi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+        |      AS syy
+        |  FROM xy GROUP BY 1)
+        |SELECT p_brand, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+        |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |    END AS slope_per_pct,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+        |    THEN round((CAST(sy AS DOUBLE)
+        |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |    END AS intercept,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+        |    AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+        |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    END AS r2
+        |FROM s""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

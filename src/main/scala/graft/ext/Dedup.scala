@@ -664,6 +664,67 @@ object Dedup {
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** HITS hubs-and-authorities (q251) over a DIRECTED weighted edge
+    * list — the companion centrality to [[pageRank]] for graphs where
+    * pointing and being-pointed-at mean different things (here the
+    * event-transition graph: a high-hub state funnels users toward
+    * important states; a high-authority state is where flows land).
+    * Fixed-iteration power loop, L1-normalized each half-step.
+    *
+    * Determinism device (stronger than pageRank's decimal sums, so
+    * the DuckDB oracle can UNROLL the same loop): every reduction —
+    * the two matrix-vector products and the two norms — snaps to a
+    * round-12 integer surrogate (Σ round(x·10¹²) as exact longs,
+    * /10¹² back), so each iteration's vectors are identical
+    * bit-for-bit in any engine and any partitioning, and the oracle
+    * is the same arithmetic written as `iters` unrolled CTE blocks.
+    * Scale shape: per-iteration cost is two edge-list joins grouped
+    * by node (shuffles keyed on node ids — linear in |E|); norms are
+    * 1-row aggregates broadcast back (the intentional 1-row cross
+    * join); lineage truncates every third round like pageRank. */
+  def hits(edges: DataFrame, src: String = "src", dst: String = "dst",
+      weight: String = "weight", iters: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d =>
+      edges.sparkSession.sparkContext.setCheckpointDir(d))
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    def sur12sum(c: Column): Column =
+      sum(round(c * 1e12, 0).cast("long")).cast("double") / 1e12
+    val e = truncate(edges.select(col(src).as("esrc"), col(dst).as("edst"),
+      col(weight).cast("double").as("w")))
+    val nodes = truncate(e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node"))).distinct())
+    val n = nodes.count()
+    var hub = nodes.select(col("node"), lit(1.0 / n).as("h"))
+    var auth = hub.select(col("node"), col("h").as("a"))
+    for (i <- 1 to iters) {
+      val araw = nodes
+        .join(e.join(hub, e("esrc") === hub("node"))
+            .groupBy(col("edst")).agg(sur12sum(col("w") * col("h")).as("raw")),
+          nodes("node") === col("edst"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      auth = araw.crossJoin(broadcast(
+          araw.agg(sur12sum(col("raw")).as("nrm"))))
+        .select(col("node"), (col("raw") / col("nrm")).as("a"))
+      val hraw = nodes
+        .join(e.join(auth, e("edst") === auth("node"))
+            .groupBy(col("esrc")).agg(sur12sum(col("w") * col("a")).as("raw")),
+          nodes("node") === col("esrc"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      hub = hraw.crossJoin(broadcast(
+          hraw.agg(sur12sum(col("raw")).as("nrm"))))
+        .select(col("node"), (col("raw") / col("nrm")).as("h"))
+      if (i % 3 == 0 || i == iters) {
+        hub = truncate(hub); auth = truncate(auth)
+      }
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), round(col("h"), 6).as("hub"),
+        round(col("a"), 6).as("authority"))
+  }
+
   /** PageRank of the cross-source shingle-overlap graph (q100's edge
     * list): which sources sit centrally in the re-crawl/provenance
     * web. Rows-only at the gate (a fixed-iteration power loop is not
@@ -673,6 +734,16 @@ object Dedup {
       .select(col("source_a").as("src"), col("source_b").as("dst"),
         col("n_shared").cast("double").as("weight")))
       .orderBy(col("rank").desc, col("node"))
+
+  /** [[hits]] over the event-transition graph (q189's Markov edge
+    * counts as weights) — q251. The one directed graph in the data:
+    * hub = "state whose outflow feeds important states", authority =
+    * "state flows land on". Hash-gated: the oracle unrolls the same
+    * surrogate-snapped loop as `iters` CTE blocks. */
+  def eventHits(spark: SparkSession, dir: String): DataFrame =
+    hits(graft.rel.Relational.markovTransitions(spark, dir)
+      .select(col("event_type").as("src"), col("next_type").as("dst"),
+        col("n").cast("double").as("weight")))
 
   /** Near-duplicate clusters: connected components of the verified
     * token-Jaccard pair graph — each doc mapped to its cluster's min

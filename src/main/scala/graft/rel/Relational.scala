@@ -2802,6 +2802,93 @@ object Relational {
       .select(col("s_name"), col("s_acctbal"))
   }
 
+  /** Theil–Sen robust trend (q252) over the monthly revenue series —
+    * the median-of-pairwise-slopes estimator: a single wild month
+    * (outage, backfill glitch) drags OLS but moves a median not at
+    * all (~29% breakdown point). The series is aggregated FIRST
+    * (months, not rows — the fact table folds to ≤ a few hundred
+    * points via one decimal-stable group-by), so the O(m²) pair set
+    * is a few-thousand-row self-join, trivially distributed and
+    * independent of fact-table scale. Medians are exact order
+    * statistics ((k·th + (k+1)·th)/2 via one row_number window on
+    * the tiny pair/point sets) — never quantile interpolation, whose
+    * evaluation order differs across engines. Emits slope (revenue
+    * per month), intercept at month 0, and both medians' ranks. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(((year(col("o_orderdate")) - 1992) * 12 +
+        month(col("o_orderdate")) - 1).cast("long").as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+        .as("y"))
+    val a = monthly.select(col("x").as("x1"), col("y").as("y1"))
+    val b = monthly.select(col("x").as("x2"), col("y").as("y2"))
+    val slopes = a.join(b, col("x1") < col("x2"))
+      .select(((col("y2") - col("y1")) /
+        (col("x2") - col("x1")).cast("double")).as("slope"))
+    def medianOf(df: DataFrame, c: String): DataFrame = {
+      val rk = df
+        .withColumn("rk", row_number().over(Window.orderBy(col(c))))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("lowk", floor((col("np") + 1) / 2.0).cast("long"))
+        .withColumn("highk", floor((col("np") + 2) / 2.0).cast("long"))
+      rk.agg(max(col("np")).as("np"),
+          max(when(col("rk") === col("lowk"), col(c))).as("lo"),
+          max(when(col("rk") === col("highk"), col(c))).as("hi"))
+        .select(col("np"), ((col("lo") + col("hi")) / 2.0).as("med"))
+    }
+    val slopeMed = medianOf(slopes, "slope")
+      .select(col("np").as("n_pairs"), col("med").as("slope_med"))
+    val resid = monthly.crossJoin(broadcast(slopeMed))
+      .select(col("n_pairs"),
+        (col("y") - col("slope_med") * col("x").cast("double"))
+          .as("r"))
+    val interMed = medianOf(resid.select(col("r")), "r")
+      .select(col("np").as("n_points"), col("med").as("intercept_med"))
+    slopeMed.crossJoin(broadcast(interMed))
+      .select(col("n_points"), col("n_pairs"),
+        round(col("slope_med"), 6).as("slope"),
+        round(col("intercept_med"), 6).as("intercept"))
+  }
+
+  /** Per-brand OLS of quantity on discount (q253) — the grouped
+    * closed-form regression a pricing/elasticity sweep runs: slope,
+    * intercept and R² per brand from the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²), ONE scan + one per-brand aggregate
+    * (adding a group never adds a pass; map-side partials collapse
+    * per brand before the shuffle — the sufficient-statistic shape is
+    * THE distributed regression plan). Inputs snap to exact integer
+    * surrogates (discount in centi-units 0..10, quantity integral by
+    * generation), so every sum is an exact BIGINT/DECIMAL(38) and
+    * each coefficient is one fixed IEEE chain — hash-gates verbatim.
+    * Zero-variance groups guard to NULL (ANSI division throws). */
+  def olsByBrand(spark: SparkSession, dir: String): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val xy = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_discount") * 100.0, 0).cast("long").as("xi"),
+        round(col("l_quantity"), 0).cast("long").as("yi"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val s = xy.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(d19(col("xi")) * d19(col("yi"))).as("sxy"),
+        sum(d19(col("xi")) * d19(col("xi"))).as("sxx"),
+        sum(d19(col("yi")) * d19(col("yi"))).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val sxxVar = n * d("sxx") - d("sx") * d("sx")
+    val syyVar = n * d("syy") - d("sy") * d("sy")
+    val cov = n * d("sxy") - d("sx") * d("sy")
+    s.select(col("p_brand"), col("n"),
+      when(sxxVar > 0.0, round(cov / sxxVar, 6)).as("slope_per_pct"),
+      when(sxxVar > 0.0,
+        round((d("sy") - (cov / sxxVar) * d("sx")) / n, 6)).as("intercept"),
+      when(sxxVar > 0.0 && syyVar > 0.0,
+        round(cov * cov / (sxxVar * syyVar), 6)).as("r2"))
+  }
+
   /** Snapshot diff (q250) — the CDC-without-a-changelog primitive:
     * given yesterday's and today's full snapshots of a keyed table,
     * classify every key as added / removed / changed / unchanged.

@@ -1598,6 +1598,122 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("hits: closed forms on fan-in graphs, weighted hub split, deterministic") {
+    import spark.implicits._
+    // two hubs → one authority: fixpoint is hub=(.5,.5), auth=(0,0,1)
+    val fan = Seq((1L, 3L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val m = Dedup.hits(fan).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(1L) == ((0.5, 0.0)) && m(2L) == ((0.5, 0.0)))
+    assert(m(3L) == ((0.0, 1.0)))
+    // weighted: the 3× edge makes its hub carry 3× the hub mass
+    val wtd = Seq((1L, 3L, 3.0), (2L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val mw = Dedup.hits(wtd).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(mw(1L)._1 == 0.75 && mw(2L)._1 == 0.25)
+    // corpus-level: deterministic across invocations, L1-normalized
+    val a = Dedup.eventHits(spark, sf).collect().toSeq.map(_.toString)
+    val b = Dedup.eventHits(spark, sf).collect().toSeq.map(_.toString)
+    assert(a == b && a.nonEmpty)
+    val hubs = Dedup.eventHits(spark, sf).collect().map(_.getDouble(1))
+    assert(math.abs(hubs.sum - 1.0) < 1e-4)
+  }
+
+  test("theil-sen: matches a driver-side median-of-slopes recompute") {
+    val out = Relational.theilSen(spark, sf).collect().head
+    val monthly = graft.Tables.orders(spark, sf)
+      .groupBy(((year(col("o_orderdate")) - 1992) * 12 +
+        month(col("o_orderdate")) - 1).cast("long").as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+        .as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val slopes = (for {
+      (x1, y1) <- monthly; (x2, y2) <- monthly if x1 < x2
+    } yield (y2 - y1) / (x2 - x1).toDouble).sorted
+    def med(v: Array[Double]) =
+      (v((v.length - 1) / 2) + v(v.length / 2)) / 2.0
+    val slope = med(slopes)
+    val resid = monthly.map { case (x, y) => y - slope * x }.sorted
+    assert(out.getAs[Long]("n_pairs") == slopes.length)
+    assert(out.getAs[Long]("n_points") == monthly.length)
+    assert(out.getAs[Double]("slope") ==
+      BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getAs[Double]("intercept") ==
+      BigDecimal(med(resid)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("ols by brand: closed form matches a per-brand driver recompute") {
+    val rows = Relational.olsByBrand(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val brand = rows.head.getAs[String]("p_brand")
+    val xy = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") === brand)
+      .select(round(col("l_discount") * 100.0, 0).cast("long"),
+        round(col("l_quantity"), 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = xy.length.toDouble
+    val sx = xy.map(_._1).sum.toDouble; val sy = xy.map(_._2).sum.toDouble
+    val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+    val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val got = rows.find(_.getAs[String]("p_brand") == brand).get
+    assert(math.abs(got.getAs[Double]("slope_per_pct") - slope) < 1e-5)
+    val r2 = got.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("calibration: bins bounded, rates in range, counts total the corpus") {
+    val rows = TextAnalysis.calibrationAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val mp = r.getAs[Double]("mean_pred")
+      assert(mp >= bin / 10.0 - 1e-9 &&
+        (bin == 9 || mp < (bin + 1) / 10.0 + 1e-9))
+      val fp = r.getAs[Double]("frac_pos")
+      assert(fp >= 0.0 && fp <= 1.0)
+      assert(r.getAs[Double]("brier") >= 0.0)
+    }
+  }
+
+  test("poisson bootstrap: order-stat CI brackets the mean, deterministic") {
+    val a = graft.ext.Sampling.poissonBootstrap(spark, sf).collect().head
+    val b = graft.ext.Sampling.poissonBootstrap(spark, sf).collect().head
+    assert(a.toString == b.toString)
+    assert(a.getAs[Long]("n_replicas") == 32L)
+    assert(a.getAs[Double]("boot_se") > 0.0)
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("boot_mean"))
+    assert(a.getAs[Double]("boot_mean") <= a.getAs[Double]("ci_hi"))
+    // the replica-mean distribution should sit near the true mean
+    val truth = graft.Tables.documents(spark, sf)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("double").as("t"))
+      .agg(avg(col("t"))).collect().head.getDouble(0)
+    assert(a.getAs[Double]("ci_lo") < truth + 5 * a.getAs[Double]("boot_se"))
+    assert(a.getAs[Double]("ci_hi") > truth - 5 * a.getAs[Double]("boot_se"))
+  }
+
+  test("snapshot diff: classification is the expected pure function of keys") {
+    val got = Relational.snapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n_rows"))
+      .toMap
+    val keys = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val expected = keys.groupBy { k =>
+      if (k % 97 == 0 && k % 89 != 0) "added"
+      else if (k % 89 == 0 && k % 97 != 0) "removed"
+      else if (k % 97 == 0 && k % 89 == 0) "absent" // in neither side
+      else if (k % 53 == 0) "changed"
+      else "unchanged"
+    }.view.mapValues(_.length.toLong).toMap - "absent"
+    assert(got == expected)
+  }
+
   test("pagerank reliable-checkpoint path is byte-identical to local path") {
     import spark.implicits._
     val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
