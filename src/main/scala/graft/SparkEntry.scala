@@ -303,6 +303,9 @@ object SparkEntry {
     "q251_event_hits"     -> ((s, d) => Dedup.eventHits(s, d)),
     "q252_theil_sen"      -> ((s, d) => Relational.theilSen(s, d)),
     "q253_ols_brand"      -> ((s, d) => Relational.olsByBrand(s, d)),
+    "q254_neyman"         -> ((s, d) => Sampling.neymanAllocation(s, d)),
+    "q255_clustering"     -> ((s, d) => TextAnalysis.clusteringCoeff(s, d)),
+    "q256_source_js"      -> ((s, d) => Sampling.sourceJs(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4537,6 +4540,112 @@ object SparkEntry {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |    END AS r2
         |FROM s""".stripMargin,
+    // q254: Neyman allocation — exact sufficient statistics per
+    // stratum, round-9 surrogate for the cross-strata denominator
+    "q254_neyman" ->
+      s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         |      AS syy
+         |  FROM (SELECT source, CAST(len($toks) AS BIGINT) AS y
+         |    FROM documents)
+         |  GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |    sqrt((CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0)))
+         |      AS s_h
+         |  FROM s),
+         |w2 AS (SELECT source, n_docs, s_h,
+         |    CAST(n_docs AS DOUBLE) * s_h AS w FROM w),
+         |tot AS (SELECT
+         |    CAST(SUM(CAST(round(w * 1.0e9) AS BIGINT)) AS BIGINT) AS wsum,
+         |    CAST(SUM(n_docs) AS BIGINT) AS n_total FROM w2)
+         |SELECT source, n_docs, round(s_h, 6) AS s_h,
+         |  round(w / (CAST(wsum AS DOUBLE) / 1.0e9), 6) AS share_neyman,
+         |  CAST(round(w / (CAST(wsum AS DOUBLE) / 1.0e9) * 10000) AS BIGINT)
+         |    AS n_neyman,
+         |  CAST(round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |    * 10000) AS BIGINT) AS n_prop
+         |FROM w2, tot""".stripMargin,
+    // q255: clustering coefficients — the q155 census extended with
+    // exact-long wedge/triangle ratios
+    "q255_clustering" ->
+      s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
+         |sh0 AS (SELECT DISTINCT source,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |sh AS (SELECT source, shingle FROM (
+         |    SELECT source, shingle,
+         |      COUNT(*) OVER (PARTITION BY shingle) AS ns
+         |    FROM sh0)
+         |  WHERE ns <= 4),
+         |e AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |deg AS (SELECT source, COUNT(*) AS degree FROM (
+         |    SELECT sa AS source FROM e
+         |    UNION ALL SELECT sb AS source FROM e)
+         |  GROUP BY source),
+         |tri AS (SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+         |  FROM e e1 JOIN e e2 ON e1.sb = e2.sa
+         |    JOIN e e3 ON e3.sa = e1.sa AND e3.sb = e2.sb),
+         |corners AS (SELECT source, COUNT(*) AS n_triangles FROM (
+         |    SELECT a AS source FROM tri
+         |    UNION ALL SELECT b AS source FROM tri
+         |    UNION ALL SELECT c AS source FROM tri)
+         |  GROUP BY source),
+         |node AS (SELECT deg.source, deg.degree,
+         |    COALESCE(corners.n_triangles, 0) AS n_triangles,
+         |    CAST((deg.degree * (deg.degree - 1)) // 2 AS BIGINT)
+         |      AS n_wedges
+         |  FROM deg LEFT JOIN corners ON deg.source = corners.source),
+         |tot AS (SELECT CAST(SUM(n_triangles) AS BIGINT) AS tri3,
+         |    CAST(SUM(n_wedges) AS BIGINT) AS w_tot FROM node)
+         |SELECT source, degree, n_triangles, n_wedges,
+         |  CASE WHEN n_wedges > 0 THEN round(CAST(n_triangles AS DOUBLE)
+         |    / CAST(n_wedges AS DOUBLE), 6) END AS local_cc,
+         |  CASE WHEN w_tot > 0 THEN round(CAST(tri3 AS DOUBLE)
+         |    / CAST(w_tot AS DOUBLE), 6) END AS transitivity
+         |FROM node, tot""".stripMargin,
+    // q256: pairwise JS divergence — raw exact-long MLEs (zeros
+    // contribute 0 by definition), decimal term sums
+    "q256_source_js" ->
+      s"""WITH tk AS (SELECT source,
+         |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
+         |  FROM (SELECT source, unnest($toks) AS tok FROM documents)),
+         |sb AS (SELECT source, b, COUNT(*) AS n_sb FROM tk GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s
+         |  FROM sb GROUP BY source),
+         |bt AS (SELECT DISTINCT b FROM sb),
+         |pairs AS (SELECT x.source AS source_a, x.n_s AS n_a,
+         |    y.source AS source_b, y.n_s AS n_b
+         |  FROM st x JOIN st y ON x.source < y.source),
+         |g AS (SELECT p.source_a, p.source_b,
+         |    COALESCE(a.n_sb, 0) AS n_ab, p.n_a,
+         |    COALESCE(c.n_sb, 0) AS n_bb, p.n_b
+         |  FROM pairs p CROSS JOIN bt
+         |  LEFT JOIN sb a ON a.source = p.source_a AND a.b = bt.b
+         |  LEFT JOIN sb c ON c.source = p.source_b AND c.b = bt.b),
+         |tm AS (SELECT source_a, source_b,
+         |    CAST((CASE WHEN CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) > 0.0
+         |      THEN 0.5 * (CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |        * ln((CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE))
+         |          / ((CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |            + CAST(n_bb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0))
+         |      ELSE 0.0 END
+         |    + CASE WHEN CAST(n_bb AS DOUBLE) / CAST(n_b AS DOUBLE) > 0.0
+         |      THEN 0.5 * (CAST(n_bb AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |        * ln((CAST(n_bb AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |          / ((CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |            + CAST(n_bb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0))
+         |      ELSE 0.0 END) AS DECIMAL(28,12)) AS t
+         |  FROM g)
+         |SELECT source_a, source_b,
+         |  round(CAST(SUM(t) AS DOUBLE), 6) AS js_nats,
+         |  round(CAST(SUM(t) AS DOUBLE) / ln(2.0), 6) AS js_norm
+         |FROM tm GROUP BY 1, 2""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

@@ -343,6 +343,88 @@ object Sampling {
           .as("kl"))
   }
 
+  /** Neyman optimal stratified-sample allocation (q254) — the
+    * sampling-design step before any budgeted corpus draw: allocate
+    * n_h ∝ N_h·S_h (stratum size × stratum std of the target metric,
+    * here tokens/doc), which minimizes the variance of the stratified
+    * mean for a fixed total budget; emitted next to the proportional
+    * allocation so the delta IS the audit (a high-variance stratum
+    * pulls budget from homogeneous ones). One scan folds each
+    * stratum to exact sufficient statistics (n, Σy, Σy² via
+    * DECIMAL(19,0) squares); S_h is one IEEE chain per stratum, and
+    * the Σ N_h·S_h denominator crosses strata through a round-9
+    * integer surrogate — no float ever accumulates in engine order. */
+  def neymanAllocation(spark: SparkSession, dir: String,
+      budget: Int = 10000): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val s = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("sy"),
+        sum(d19(col("y")) * d19(col("y"))).as("syy"))
+    val n = col("n_docs").cast("double")
+    val sh = sqrt((n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")) /
+      (n * (n - lit(1.0))))
+    val w = s.select(col("source"), col("n_docs"), sh.as("s_h"),
+      (n * sh).as("w"))
+    val tot = w.agg(
+      sum(round(col("w") * 1e9, 0).cast("long")).as("wsum"),
+      sum(col("n_docs")).as("n_total"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), round(col("s_h"), 6).as("s_h"),
+        round(col("w") / (col("wsum").cast("double") / 1e9), 6)
+          .as("share_neyman"),
+        round(col("w") / (col("wsum").cast("double") / 1e9) * budget, 0)
+          .cast("long").as("n_neyman"),
+        round(col("n_docs").cast("double") /
+          col("n_total").cast("double") * budget, 0)
+          .cast("long").as("n_prop"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence (q256) between source
+    * unigram-bucket distributions — [[sourceKl]]'s symmetric,
+    * bounded companion for SOURCE-VS-SOURCE comparison (KL against
+    * the corpus mean says "who drifted"; the JS matrix says which
+    * sources are near-duplicates of each other's token mix — the
+    * signal for merging or down-weighting correlated crawls). JS
+    * needs no smoothing: a zero-probability term contributes exactly
+    * 0 by definition, so each side uses its raw exact-long MLE.
+    * Same portable md5 buckets; the whole computation after the one
+    * corpus scan runs on the pairs × observed-bucket grid (tiny),
+    * with per-pair terms summed in DECIMAL(28,12). js_norm = JS/ln 2
+    * ∈ [0,1]. */
+  def sourceJs(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("source"), hashBucket(col("tok"), buckets).as("b"))
+    val sb = toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("n_sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+    val pairs = st.select(col("source").as("source_a"), col("n_s").as("n_a"))
+      .crossJoin(st.select(col("source").as("source_b"), col("n_s").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    val grid = pairs.crossJoin(broadcast(sb.select(col("b")).distinct()))
+      .join(sb.select(col("source").as("source_a"), col("b"),
+        col("n_sb").as("n_ab")), Seq("source_a", "b"), "left")
+      .join(sb.select(col("source").as("source_b"), col("b"),
+        col("n_sb").as("n_bb")), Seq("source_b", "b"), "left")
+    val pa = coalesce(col("n_ab"), lit(0L)).cast("double") /
+      col("n_a").cast("double")
+    val pb = coalesce(col("n_bb"), lit(0L)).cast("double") /
+      col("n_b").cast("double")
+    val m = (pa + pb) / 2.0
+    val term = when(pa > 0.0, lit(0.5) * pa * log(pa / m)).otherwise(0.0) +
+      when(pb > 0.0, lit(0.5) * pb * log(pb / m)).otherwise(0.0)
+    grid.select(col("source_a"), col("source_b"),
+        term.cast("decimal(28,12)").as("t"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(sum(col("t")).cast("double"), 6).as("js_nats"),
+        round(sum(col("t")).cast("double") / log(lit(2.0)), 6).as("js_norm"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift (q213): each source's
     * document-length ECDF against the REST of the corpus, D =
     * max |F_s − F_rest| — [[sourceKl]]'s continuous companion (KL

@@ -843,6 +843,36 @@ object TextAnalysis {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficients + global transitivity (q255) over
+    * the provenance graph — [[sourceTriangles]] says WHO sits in
+    * triangles; the coefficient normalizes that by each node's
+    * opportunity (C_i = 2·T_i / deg_i·(deg_i−1)), turning raw counts
+    * into the "is this source's neighbourhood one upstream family"
+    * score, with transitivity = ΣT_i / ΣC(deg_i,2) as the one-number
+    * graph summary (attached per row — the node table is
+    * sources-sized). Every ratio is a division of exact longs from
+    * the census, so the whole table hash-gates; cost is the same
+    * already-persisted edge build as q155 plus arithmetic. Degree-1
+    * nodes take NULL (no wedge to close — 0 would claim a measured
+    * absence). */
+  def clusteringCoeff(spark: SparkSession, dir: String, n: Int = 4,
+      minShared: Long = 3L): DataFrame = {
+    val t = sourceTriangles(spark, dir, n, minShared)
+    val wedges = (col("degree") * (col("degree") - 1) / 2).cast("long")
+    val withW = t.withColumn("n_wedges", wedges)
+    val tot = withW.agg(sum(col("n_triangles")).as("tri3"),
+      sum(col("n_wedges")).as("w_tot"))
+    withW.crossJoin(broadcast(tot))
+      .select(col("source"), col("degree"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round(col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 6)).as("local_cc"),
+        when(col("w_tot") > 0,
+          round(col("tri3").cast("double") /
+            col("w_tot").cast("double"), 6)).as("transitivity"))
+  }
+
   /** Document-length histogram: fixed-width 200-char buckets by
     * floor division — single partial→final agg, no window, no sort;
     * the portable form of width_bucket (which the oracle engine

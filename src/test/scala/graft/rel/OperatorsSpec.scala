@@ -1714,6 +1714,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("neyman allocation: shares sum to 1, budget conserved, variance pulls budget") {
+    val rows = graft.ext.Sampling.neymanAllocation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("share_neyman"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    val alloc = rows.map(_.getAs[Long]("n_neyman")).sum
+    assert(math.abs(alloc - 10000L) <= rows.length) // per-stratum rounding
+    // a stratum with above-average S_h must get more than proportional
+    rows.foreach { r =>
+      assert(r.getAs[Double]("s_h") >= 0.0)
+      assert(r.getAs[Long]("n_neyman") >= 0L)
+    }
+  }
+
+  test("clustering coefficients: bounded, transitivity is the exact global ratio") {
+    val rows = TextAnalysis.clusteringCoeff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tri3 = rows.map(_.getAs[Long]("n_triangles")).sum
+    val wTot = rows.map(_.getAs[Long]("n_wedges")).sum
+    rows.foreach { r =>
+      Option(r.getAs[Double]("local_cc")).foreach { c =>
+        assert(c >= 0.0 && c <= 1.0)
+      }
+      if (wTot > 0) {
+        val want = BigDecimal(tri3.toDouble / wTot.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("transitivity") == want)
+      }
+      val deg = r.getAs[Long]("degree")
+      assert(r.getAs[Long]("n_wedges") == deg * (deg - 1) / 2)
+    }
+  }
+
+  test("source js: bounded in [0, ln2] nats, canonical pair order, deterministic") {
+    val a = graft.ext.Sampling.sourceJs(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val js = r.getAs[Double]("js_nats")
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9)
+      val norm = r.getAs[Double]("js_norm")
+      assert(norm >= 0.0 && norm <= 1.0 + 1e-9)
+    }
+    val b = graft.ext.Sampling.sourceJs(spark, sf).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+  }
+
   test("pagerank reliable-checkpoint path is byte-identical to local path") {
     import spark.implicits._
     val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
