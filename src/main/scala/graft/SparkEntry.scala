@@ -306,6 +306,9 @@ object SparkEntry {
     "q254_neyman"         -> ((s, d) => Sampling.neymanAllocation(s, d)),
     "q255_clustering"     -> ((s, d) => TextAnalysis.clusteringCoeff(s, d)),
     "q256_source_js"      -> ((s, d) => Sampling.sourceJs(s, d)),
+    "q257_info_value"     -> ((s, d) => graft.ext.Profile.infoValue(s, d)),
+    "q258_gini_splits"    -> ((s, d) => graft.ext.Profile.giniSplits(s, d)),
+    "q259_template_score" -> ((s, d) => TextAnalysis.templateScore(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4646,6 +4649,90 @@ object SparkEntry {
          |  round(CAST(SUM(t) AS DOUBLE), 6) AS js_nats,
          |  round(CAST(SUM(t) AS DOUBLE) / ln(2.0), 6) AS js_norm
          |FROM tm GROUP BY 1, 2""".stripMargin,
+    // q257: WoE / Information Value — exact cell counts, +0.5
+    // continuity correction, decimal IV fold per feature
+    "q257_info_value" ->
+      """WITH o AS (SELECT o_orderpriority, o_custkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |u AS (SELECT 'o_orderpriority' AS feature,
+        |    o_orderpriority AS bucket, label FROM o
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', c_mktsegment, label
+        |  FROM o JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT feature, bucket, COUNT(*) AS n,
+        |    CAST(SUM(label) AS BIGINT) AS n_pos
+        |  FROM u GROUP BY 1, 2),
+        |tot AS (SELECT feature, CAST(SUM(n_pos) AS BIGINT) AS g_tot,
+        |    CAST(SUM(n - n_pos) AS BIGINT) AS b_tot
+        |  FROM cells GROUP BY 1),
+        |sc AS (SELECT feature, bucket, n, n_pos,
+        |    (CAST(n_pos AS DOUBLE) + 0.5) / CAST(g_tot AS DOUBLE) AS pg,
+        |    (CAST(n - n_pos AS DOUBLE) + 0.5) / CAST(b_tot AS DOUBLE) AS pb
+        |  FROM cells JOIN tot USING (feature)),
+        |iv AS (SELECT feature,
+        |    round(CAST(SUM(CAST((pg - pb) * ln(pg / pb)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS iv
+        |  FROM sc GROUP BY 1)
+        |SELECT sc.feature, bucket, n, n_pos,
+        |  round(ln(pg / pb), 6) AS woe, iv.iv
+        |FROM sc JOIN iv USING (feature)""".stripMargin,
+    // q258: Gini split finder — exact-long cumulative class counts
+    // over the value grid, fixed IEEE impurity chains, total-order cut
+    "q258_gini_splits" ->
+      """WITH vals AS (SELECT n_chars, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pos
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT n_chars,
+        |    CAST(SUM(n) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+        |    CAST(SUM(n_pos) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+        |  FROM vals),
+        |tot AS (SELECT CAST(MAX(nl) AS BIGINT) AS n_tot,
+        |    CAST(MAX(pl) AS BIGINT) AS p_tot FROM cum),
+        |sc AS (SELECT n_chars AS threshold, nl AS n_left,
+        |    n_tot - nl AS n_right,
+        |    round((1.0 - (CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        * (CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |      - (1.0 - CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        * (1.0 - CAST(p_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+        |      - (CAST(nl AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        * (1.0 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |            * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |          - (1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |            * (1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |      - (CAST(n_tot - nl AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        |        * (1.0 - (CAST(p_tot - pl AS DOUBLE)
+        |              / CAST(n_tot - nl AS DOUBLE))
+        |            * (CAST(p_tot - pl AS DOUBLE)
+        |              / CAST(n_tot - nl AS DOUBLE))
+        |          - (1.0 - CAST(p_tot - pl AS DOUBLE)
+        |              / CAST(n_tot - nl AS DOUBLE))
+        |            * (1.0 - CAST(p_tot - pl AS DOUBLE)
+        |              / CAST(n_tot - nl AS DOUBLE))), 6) AS gain
+        |  FROM cum, tot WHERE nl < n_tot)
+        |SELECT threshold, n_left, n_right, gain FROM sc
+        |ORDER BY gain DESC, threshold LIMIT 10""".stripMargin,
+    // q259: template score — one opening prefix per doc, per-source
+    // argmax with a total order
+    "q259_template_score" ->
+      s"""WITH d AS (SELECT doc_id, source, $toks AS ws FROM documents),
+         |nd AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY 1),
+         |pf AS (SELECT source,
+         |    ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' ' || ws[4] AS prefix
+         |  FROM d WHERE len(ws) >= 4),
+         |pc AS (SELECT source, prefix, COUNT(*) AS df FROM pf GROUP BY 1, 2),
+         |top AS (SELECT source, prefix, df FROM (
+         |    SELECT source, prefix, df,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY df DESC, prefix) AS rk
+         |    FROM pc) WHERE rk = 1)
+         |SELECT t.source, n_docs, prefix AS top_prefix, df AS top_df,
+         |  round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |    AS template_score
+         |FROM top t JOIN nd USING (source)""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

@@ -639,6 +639,91 @@ object Profile {
           * sqrt(n * d("qb") - d("sb") * d("sb"))), 6).as("spearman_rho"))
   }
 
+  /** Weight-of-Evidence / Information Value (q257) — the
+    * feature-screening table a scorecard or feature-selection pass
+    * produces: per (feature, bucket), WoE = ln((g_i/G)/(b_i/B)) with
+    * the standard +0.5 continuity correction (so empty cells stay
+    * finite), and the feature-level IV = Σ (g_i/G − b_i/B)·WoE — the
+    * "does this feature separate the classes at all" number (<0.02
+    * useless, >0.3 strong). Label: order filled (o_orderstatus='F');
+    * features: priority and the customer's market segment. One scan
+    * per feature → a buckets-sized exact-long count table; per-bucket
+    * WoE is a fixed IEEE chain and IV folds through DECIMAL(28,12),
+    * attached per row (the table is buckets-sized). The customer
+    * join broadcasts the dimension — the fact table never shuffles. */
+  def infoValue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .withColumn("label", (col("o_orderstatus") === "F").cast("long"))
+    def one(df: DataFrame, feature: String, bucket: Column): DataFrame = {
+      val cells = df.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+      val tot = cells.agg(sum(col("n_pos")).as("g_tot"),
+        sum(col("n_neg")).as("b_tot"))
+      val pg = (col("n_pos").cast("double") + 0.5) / col("g_tot").cast("double")
+      val pb = (col("n_neg").cast("double") + 0.5) / col("b_tot").cast("double")
+      val woe = log(pg / pb)
+      val scored = cells.crossJoin(broadcast(tot))
+        .select(lit(feature).as("feature"), col("bucket"), col("n"),
+          col("n_pos"), round(woe, 6).as("woe"),
+          ((pg - pb) * woe).cast("decimal(28,12)").as("ivt"))
+      val iv = scored.agg(round(sum(col("ivt")).cast("double"), 6).as("iv"))
+      scored.crossJoin(broadcast(iv))
+        .select(col("feature"), col("bucket"), col("n"), col("n_pos"),
+          col("woe"), col("iv"))
+    }
+    one(orders, "o_orderpriority", col("o_orderpriority"))
+      .unionByName(one(
+        orders.join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", col("c_mktsegment")))
+  }
+
+  /** Decision-stump split finder (q258) — the inner loop of
+    * distributed tree training (MLlib-style): for every candidate
+    * threshold t on a numeric feature, the Gini impurity decrease of
+    * the split x ≤ t, ranked. The scale shape is the whole point:
+    * ONE scan reduces the corpus to per-VALUE (n, n_pos) sufficient
+    * statistics (bounded by the feature's domain, not row count —
+    * an unbounded feature would quantile-bin first, same plan);
+    * left/right class counts at every threshold are then cumulative
+    * windows over that value grid, and each candidate's impurity is
+    * a fixed IEEE chain over exact longs. Label: lang='en'; feature:
+    * n_chars. Emits the top `k` thresholds by gain (gain desc, then
+    * threshold asc — a total order, so the cut is deterministic). */
+  def giniSplits(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.documents(spark, dir)
+      .select(col("n_chars"), (col("lang") === "en").cast("long").as("y"))
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"))
+    val w = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("pl", sum(col("n_pos")).over(w))
+    val tot = cum.agg(max(col("nl")).as("n_tot"), max(col("pl")).as("p_tot"))
+    def gini(pos: Column, n: Column): Column = {
+      val p = pos.cast("double") / n.cast("double")
+      lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    }
+    val scored = cum.crossJoin(broadcast(tot))
+      .filter(col("nl") < col("n_tot")) // the no-op split carries no right side
+      .select(col("n_chars").as("threshold"), col("nl"), col("pl"),
+        (col("n_tot") - col("nl")).as("nr"),
+        (col("p_tot") - col("pl")).as("pr"),
+        col("n_tot"), col("p_tot"))
+      .select(col("threshold"), col("nl").as("n_left"),
+        col("nr").as("n_right"),
+        round(gini(col("p_tot"), col("n_tot")) -
+          (col("nl").cast("double") / col("n_tot").cast("double")) *
+            gini(col("pl"), col("nl")) -
+          (col("nr").cast("double") / col("n_tot").cast("double")) *
+            gini(col("pr"), col("nr")), 6).as("gain"))
+    scored.orderBy(col("gain").desc, col("threshold")).limit(k)
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

@@ -843,6 +843,41 @@ object TextAnalysis {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Per-source template/boilerplate score (q259) — the curation
+    * probe for auto-generated content: if a large fraction of a
+    * source's documents OPEN with the same 4-token prefix, the
+    * source is template-stamped (listings, mirrors, generated spam)
+    * and its dedup/quality treatment should change. Each doc
+    * contributes exactly ONE row (its opening shingle — no explode
+    * of the whole text), so the scan reduces to a per-(source,
+    * prefix) count table; the winner per source is one
+    * source-partitioned window with a total order (count desc, then
+    * prefix asc — ties deterministic). template_score = top-prefix
+    * share of the source's docs, an exact-long division. Docs
+    * shorter than 4 tokens are excluded (no 4-prefix exists) but
+    * still counted in n_docs — absence of a prefix is not evidence
+    * of a template. */
+  def templateScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+    val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val prefixes = docs.filter(size(col("ws")) >= 4)
+      .select(col("source"),
+        concat_ws(" ", col("ws")(0), col("ws")(1), col("ws")(2),
+          col("ws")(3)).as("prefix"))
+      .groupBy(col("source"), col("prefix")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("prefix"))
+    prefixes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(nDocs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("prefix").as("top_prefix"),
+        col("df").as("top_df"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6)
+          .as("template_score"))
+  }
+
   /** Local clustering coefficients + global transitivity (q255) over
     * the provenance graph — [[sourceTriangles]] says WHO sits in
     * triangles; the coefficient normalizes that by each node's

@@ -1761,6 +1761,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
   }
 
+  test("info value: iv nonneg, cell counts conserve, woe sign tracks lift") {
+    val rows = graft.ext.Profile.infoValue(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("feature")).distinct.length == 2)
+    rows.groupBy(_.getAs[String]("feature")).foreach { case (_, cells) =>
+      // IV is constant per feature and nonnegative
+      assert(cells.map(_.getAs[Double]("iv")).distinct.length == 1)
+      assert(cells.head.getAs[Double]("iv") >= 0.0)
+      val n = cells.map(_.getAs[Long]("n")).sum
+      val pos = cells.map(_.getAs[Long]("n_pos")).sum
+      // every bucket's woe sign matches its positive-rate lift
+      val baseRate = pos.toDouble / n
+      cells.foreach { c =>
+        val rate = c.getAs[Long]("n_pos").toDouble / c.getAs[Long]("n")
+        if (math.abs(c.getAs[Double]("woe")) > 0.01)
+          assert((c.getAs[Double]("woe") > 0) == (rate > baseRate))
+      }
+    }
+  }
+
+  test("gini splits: gains bounded and ranked, best split beats any sampled cut") {
+    val rows = graft.ext.Profile.giniSplits(spark, sf).collect()
+    assert(rows.length == 10)
+    val gains = rows.map(_.getAs[Double]("gain"))
+    assert(gains.sameElements(gains.sortBy(-_)))
+    assert(gains.forall(g => g >= -1e-9 && g <= 0.5 + 1e-9))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
+    }
+    // brute-force the best cut driver-side and compare
+    val xy = graft.Tables.documents(spark, sf)
+      .select(col("n_chars"), (col("lang") === "en").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def gini(p: Long, n: Long) = {
+      val q = p.toDouble / n; 1.0 - q * q - (1 - q) * (1 - q)
+    }
+    val nTot = xy.length.toLong; val pTot = xy.map(_._2).sum
+    val best = xy.map(_._1).distinct.sorted.dropRight(1).map { t =>
+      val left = xy.filter(_._1 <= t)
+      val nl = left.length.toLong; val pl = left.map(_._2).sum
+      gini(pTot, nTot) - (nl.toDouble / nTot) * gini(pl, nl) -
+        ((nTot - nl).toDouble / nTot) * gini(pTot - pl, nTot - nl)
+    }.max
+    assert(math.abs(gains.head - best) < 1e-5)
+  }
+
+  test("template score: one winner per source, share bounded, df consistent") {
+    val rows = TextAnalysis.templateScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("source")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val score = r.getAs[Double]("template_score")
+      assert(score > 0.0 && score <= 1.0)
+      assert(r.getAs[Long]("top_df") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[String]("top_prefix").split(" ").length == 4)
+    }
+  }
+
   test("pagerank reliable-checkpoint path is byte-identical to local path") {
     import spark.implicits._
     val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
