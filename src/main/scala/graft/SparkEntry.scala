@@ -309,6 +309,10 @@ object SparkEntry {
     "q257_info_value"     -> ((s, d) => graft.ext.Profile.infoValue(s, d)),
     "q258_gini_splits"    -> ((s, d) => graft.ext.Profile.giniSplits(s, d)),
     "q259_template_score" -> ((s, d) => TextAnalysis.templateScore(s, d)),
+    "q260_ann_ndcg"       -> ((s, d) => Similarity.annNdcgFixed(s, d)),
+    "q261_minhash_error"  -> ((s, d) => Dedup.minhashErrorAudit(s, d)),
+    "q262_assortativity"  -> ((s, d) => TextAnalysis.degreeAssortativity(s, d)),
+    "q263_moments"        -> ((s, d) => graft.ext.Profile.momentsProfile(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -357,6 +361,33 @@ object SparkEntry {
   /** DECIMAL(28,6)-exact sum of a double expression, as double. */
   private def dsumSql(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** q263 oracle fragment: one column's moment block — exact integer
+    * power sums, the raw→central expansion as the identical IEEE
+    * chain the Spark side runs. */
+  private def momentsSql(table: String, name: String,
+      xExpr: String): String =
+    s"""SELECT '$name' AS col_name, n,
+       |  round(mean, 6) AS mean,
+       |  CASE WHEN m2 > 0.0 THEN round(sqrt(m2), 6) END AS std,
+       |  CASE WHEN m2 > 0.0 THEN round(m3 / (m2 * sqrt(m2)), 6) END
+       |    AS skewness,
+       |  CASE WHEN m2 > 0.0 THEN round(m4 / (m2 * m2) - 3.0, 6) END
+       |    AS ex_kurtosis
+       |FROM (SELECT n, mean, r2 - mean * mean AS m2,
+       |    r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+       |    r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+       |      - 3.0 * mean * mean * mean * mean AS m4
+       |  FROM (SELECT n,
+       |      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+       |      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+       |      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+       |    FROM (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+       |        SUM(CAST(x * x AS DECIMAL(28,0))) AS s2,
+       |        SUM(CAST(x * x * x AS DECIMAL(28,0))) AS s3,
+       |        SUM(CAST((x * x) * (x * x) AS DECIMAL(28,0))) AS s4
+       |      FROM (SELECT $xExpr AS x FROM $table))))""".stripMargin
 
   /** q251 oracle: the HITS power loop UNROLLED as `iters` CTE blocks
     * — possible because every reduction in [[graft.ext.Dedup.hits]]
@@ -4733,6 +4764,120 @@ object SparkEntry {
          |  round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
          |    AS template_score
          |FROM top t JOIN nd USING (source)""".stripMargin,
+    // q260: graded ANN nDCG — the q167 scan/window shape with
+    // DECIMAL-folded DCG terms and clamped cosine gains
+    "q260_ann_ndcg" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    ${fixedBucketSql(6)} AS bucket
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, emb AS q_emb,
+         |    bucket AS q_bucket
+         |  FROM b WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |sc AS (SELECT qs.query_id, b.vec_id,
+         |    ${cosSql("b.emb", "qs.q_emb")} AS cos_sim,
+         |    b.bucket = qs.q_bucket AS in_bucket
+         |  FROM b, qs WHERE b.vec_id <> qs.query_id),
+         |rk AS (SELECT query_id, vec_id, in_bucket, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS rn_exact,
+         |    SUM(CASE WHEN in_bucket THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, vec_id
+         |        ROWS UNBOUNDED PRECEDING) AS rn_in
+         |  FROM sc),
+         |agg AS (SELECT query_id,
+         |    SUM(CASE WHEN rn_exact <= 10
+         |      THEN CAST(GREATEST(cos_sim, 0.0) / log2(rn_exact + 1)
+         |        AS DECIMAL(28,12))
+         |      ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS idcg,
+         |    SUM(CASE WHEN in_bucket AND rn_in <= 10
+         |      THEN CAST(GREATEST(cos_sim, 0.0) / log2(rn_in + 1)
+         |        AS DECIMAL(28,12))
+         |      ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS dcg
+         |  FROM rk
+         |  WHERE rn_exact <= 10 OR (in_bucket AND rn_in <= 10)
+         |  GROUP BY 1)
+         |SELECT query_id,
+         |  round(CAST(dcg AS DOUBLE), 6) AS dcg,
+         |  round(CAST(idcg AS DOUBLE), 6) AS idcg,
+         |  CASE WHEN CAST(idcg AS DOUBLE) > 0.0
+         |    THEN round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+         |    END AS ndcg
+         |FROM agg""".stripMargin,
+    // q261: minhash estimate-error — signature agreement vs exact
+    // jaccard over the portable candidate pairs
+    "q261_minhash_error" ->
+      s"""WITH $portableCandSql,
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_filter(range(1, 33), i -> ga.sg[i] = gb.sg[i]))
+         |      AS BIGINT) AS n_agree,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(sa.sh, sb.sh))) AS exact
+         |  FROM cand c
+         |  JOIN sig ga ON ga.doc_id = c.doc_a
+         |  JOIN sig gb ON gb.doc_id = c.doc_b
+         |  JOIN s sa ON sa.doc_id = c.doc_a
+         |  JOIN s sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, n_agree,
+         |  round(CAST(n_agree AS DOUBLE) / 32, 6) AS est_jaccard,
+         |  round(exact, 6) AS exact_jaccard,
+         |  round(abs(CAST(n_agree AS DOUBLE) / 32 - exact), 6) AS abs_err
+         |FROM j""".stripMargin,
+    // q262: degree assortativity — q255's edge build, q238's exact
+    // correlation recipe over endpoint degrees
+    "q262_assortativity" ->
+      s"""WITH w AS (SELECT source, $toks AS ws FROM documents),
+         |sh0 AS (SELECT DISTINCT source,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |sh AS (SELECT source, shingle FROM (
+         |    SELECT source, shingle,
+         |      COUNT(*) OVER (PARTITION BY shingle) AS ns
+         |    FROM sh0)
+         |  WHERE ns <= 4),
+         |e0 AS (SELECT a.source AS sa, b.source AS sb
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         |e AS (SELECT sa, sb FROM e0 UNION ALL SELECT sb, sa FROM e0),
+         |deg AS (SELECT sa AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+         |p AS (SELECT dx.deg AS dx, dy.deg AS dy
+         |  FROM e JOIN deg dx ON e.sa = dx.node
+         |    JOIN deg dy ON e.sb = dy.node),
+         |st AS (SELECT COUNT(*) AS m,
+         |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         |    SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+         |      AS sxy,
+         |    SUM(CAST(dx AS DECIMAL(19,0)) * CAST(dx AS DECIMAL(19,0)))
+         |      AS sxx,
+         |    SUM(CAST(dy AS DECIMAL(19,0)) * CAST(dy AS DECIMAL(19,0)))
+         |      AS syy
+         |  FROM p)
+         |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+         |    THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |    END AS assortativity
+         |FROM st""".stripMargin,
+    // q263: higher moments — exact integer power sums per column,
+    // one generated block each (momentsSql)
+    "q263_moments" ->
+      Seq(
+        momentsSql("lineitem", "l_quantity",
+          "CAST(round(l_quantity) AS BIGINT)"),
+        momentsSql("lineitem", "l_discount_centi",
+          "CAST(round(l_discount * 100.0) AS BIGINT)"),
+        momentsSql("lineitem", "l_tax_centi",
+          "CAST(round(l_tax * 100.0) AS BIGINT)"),
+        momentsSql("documents", "n_chars", "CAST(n_chars AS BIGINT)"))
+        .mkString("\nUNION ALL "),
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

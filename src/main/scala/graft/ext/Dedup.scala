@@ -427,6 +427,42 @@ object Dedup {
           .otherwise(col("doc_b")).as("contained_id"))
       .filter(col("containment") >= threshold)
 
+  /** MinHash estimate-error audit (q261) — the sketch-accuracy
+    * companion to the KMV/CMS audits (q243/q244) for the dedup
+    * pipeline's own estimator: over the banded candidate pairs, the
+    * signature-agreement Jaccard estimate (matching minima / 32
+    * permutations — the quantity LSH banding implicitly thresholds
+    * on) against the exact shingle-set Jaccard the verify stage
+    * computes anyway. The audit quantifies what the verify stage is
+    * FOR: est−exact spread at 32 perms is ±~0.09 (1/√32), exactly
+    * why banding alone cannot replace verification. Reuses the
+    * memoized portable signature and shingle tables — id-keyed joins
+    * only, no text movement, no new corpus scan. */
+  def minhashErrorAudit(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    val perms = 32
+    val sigs = signaturesPortable(spark, dir, k, perms)
+    val sh = shingleTable(spark, dir, k)
+    val nAgree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+      x => x)).cast("long")
+    val exact = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast("double") / size(array_union(col("sh_a"), col("sh_b")))
+    minhashLshPortable(spark, dir, k)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nAgree.as("n_agree"),
+        round(nAgree.cast("double") / perms, 6).as("est_jaccard"),
+        round(exact, 6).as("exact_jaccard"),
+        round(abs(nAgree.cast("double") / perms - exact), 6).as("abs_err"))
+  }
+
   /** Dedup threshold sweep (q242) — the tuning REPORT for the
     * verify stage: over the portable-LSH candidate pairs, how many
     * survive each Jaccard threshold 0.0 … 0.9 (per-bucket counts and

@@ -724,6 +724,54 @@ object Profile {
     scored.orderBy(col("gain").desc, col("threshold")).limit(k)
   }
 
+  /** Higher-moment profiler (q263): skewness and excess kurtosis per
+    * numeric column — the distribution-shape row the basic profiler
+    * (q58: min/max/mean/std) lacks, and the first thing a drift
+    * triage asks after "did the mean move" ("did the TAILS move").
+    * Each column folds to five exact power sums in ONE aggregate
+    * (inputs snap to integer surrogates — centi-units for the
+    * bounded decimals-in-doubles, the raw integral value otherwise —
+    * so x³/x⁴ stay exact longs per row and the sums are exact
+    * DECIMAL(28,0)); the central moments then come from the standard
+    * raw-moment expansion as one fixed IEEE chain per column.
+    * Adding a column adds aggregate width, never a pass (the q238
+    * recipe, one more moment up). */
+  def momentsProfile(spark: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, name: String, xi: Column): DataFrame = {
+      val t = df.select(xi.as("x"))
+        .select(col("x"), (col("x") * col("x")).as("x2"))
+        .select(col("x"), col("x2"), (col("x2") * col("x")).as("x3"),
+          (col("x2") * col("x2")).as("x4"))
+      val s = t.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x2").cast("decimal(28,0)")).as("s2"),
+        sum(col("x3").cast("decimal(28,0)")).as("s3"),
+        sum(col("x4").cast("decimal(28,0)")).as("s4"))
+      val n = col("n").cast("double")
+      val mean = col("s1").cast("double") / n
+      val r2 = col("s2").cast("double") / n
+      val r3 = col("s3").cast("double") / n
+      val r4 = col("s4").cast("double") / n
+      val m2 = r2 - mean * mean
+      val m3 = r3 - lit(3.0) * mean * r2 + lit(2.0) * mean * mean * mean
+      val m4 = r4 - lit(4.0) * mean * r3 + lit(6.0) * mean * mean * r2 -
+        lit(3.0) * mean * mean * mean * mean
+      s.select(lit(name).as("col_name"), col("n"),
+        round(mean, 6).as("mean"),
+        when(m2 > 0.0, round(sqrt(m2), 6)).as("std"),
+        when(m2 > 0.0, round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+        when(m2 > 0.0, round(m4 / (m2 * m2) - 3.0, 6)).as("ex_kurtosis"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    one(li, "l_quantity", round(col("l_quantity"), 0).cast("long"))
+      .unionByName(one(li, "l_discount_centi",
+        round(col("l_discount") * 100.0, 0).cast("long")))
+      .unionByName(one(li, "l_tax_centi",
+        round(col("l_tax") * 100.0, 0).cast("long")))
+      .unionByName(one(Tables.documents(spark, dir), "n_chars",
+        col("n_chars").cast("long")))
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

@@ -716,6 +716,58 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 4))
   }
 
+  /** Graded ANN ranking quality (q260): nDCG@k of the single-bucket
+    * probe against the exact ranking — [[annRecallFixed]]'s set
+    * overlap says WHETHER the true neighbours surface; nDCG says
+    * whether the best ones surface FIRST, weighting each returned
+    * neighbour by its true cosine (clamped at 0 — negative
+    * similarity is not negative relevance) and discounting by
+    * 1/log₂(rank+1). Same one-scan shape as the recall audit: both
+    * rankings ride a single window pass; DCG and ideal-DCG fold the
+    * ≤ k graded terms through DECIMAL(28,12) so the tiny float sums
+    * are order-independent, and nDCG = DCG/IDCG is one guarded IEEE
+    * division. */
+  def annNdcgFixed(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L), k: Int = 10,
+      bits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.exprs.lsh_bucket_planes(col("embedding"),
+          fixedPlanes(bits)).as("bucket"))
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"),
+        (col("bucket") === col("q_bucket")).as("in_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val rel = greatest(col("cos_sim"), lit(0.0))
+    scored
+      .withColumn("rn_exact", row_number().over(w))
+      .withColumn("rn_in",
+        sum(when(col("in_bucket"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rn_exact") <= k || (col("in_bucket") && col("rn_in") <= k))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rn_exact") <= k,
+          (rel / log2(col("rn_exact") + 1)).cast("decimal(28,12)"))
+          .otherwise(lit(0.0).cast("decimal(28,12)"))).as("idcg"),
+        sum(when(col("in_bucket") && col("rn_in") <= k,
+          (rel / log2(col("rn_in") + 1)).cast("decimal(28,12)"))
+          .otherwise(lit(0.0).cast("decimal(28,12)"))).as("dcg"))
+      .select(col("query_id"),
+        round(col("dcg").cast("double"), 6).as("dcg"),
+        round(col("idcg").cast("double"), 6).as("idcg"),
+        when(col("idcg").cast("double") > 0.0,
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
+          .as("ndcg"))
+  }
+
   /** SQL-oracle-able twin of the LSH bucketing (the q149/q153
     * pattern): the production planes are xxhash-seeded, but the
     * bucketing MATH — per-plane dot-product fold + strict-sign bit +

@@ -908,6 +908,42 @@ object TextAnalysis {
             col("w_tot").cast("double"), 6)).as("transitivity"))
   }
 
+  /** Degree assortativity (q262) of the provenance graph — Pearson
+    * correlation of endpoint degrees over the (symmetrized) edge
+    * list: positive means hub sources overlap with other hubs (one
+    * big upstream family), negative means hubs fan out to satellites
+    * (mirror-of-mirrors). Completes the graph-shape kit (q116
+    * centrality, q155 triangles, q255 clustering). All sufficient
+    * statistics are exact-long sums over the edges × degrees join
+    * (DECIMAL(19,0) cross products), finished by one fixed IEEE
+    * chain — the same recipe as the q238 correlation matrix, on a
+    * graph-sized table. */
+  def degreeAssortativity(spark: SparkSession, dir: String, n: Int = 4,
+      minShared: Long = 3L): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val e0 = sourceOverlap(spark, dir, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("source_a").as("sa"), col("source_b").as("sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = e0.unionByName(e0.select(col("sb").as("sa"), col("sa").as("sb")))
+    val deg = e.groupBy(col("sa").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = e
+      .join(deg.select(col("node").as("sa"), col("deg").as("dx")), Seq("sa"))
+      .join(deg.select(col("node").as("sb"), col("deg").as("dy")), Seq("sb"))
+    val s = pairs.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(d19(col("dx")) * d19(col("dy"))).as("sxy"),
+      sum(d19(col("dx")) * d19(col("dx"))).as("sxx"),
+      sum(d19(col("dy")) * d19(col("dy"))).as("syy"))
+    val m = col("m").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = m * d("sxy") - d("sx") * d("sy")
+    val den = sqrt(m * d("sxx") - d("sx") * d("sx")) *
+      sqrt(m * d("syy") - d("sy") * d("sy"))
+    s.select((col("m") / 2).cast("long").as("n_edges"),
+      when(den > 0.0, round(num / den, 6)).as("assortativity"))
+  }
+
   /** Document-length histogram: fixed-width 200-char buckets by
     * floor division — single partial→final agg, no window, no sort;
     * the portable form of width_bucket (which the oracle engine

@@ -1818,6 +1818,73 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann ndcg: bounded by ideal, within [0,1], consistent with recall=1 queries") {
+    val rows = Similarity.annNdcgFixed(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dcg") <= r.getAs[Double]("idcg") + 1e-9)
+      Option(r.getAs[Double]("ndcg")).foreach { n =>
+        assert(n >= 0.0 && n <= 1.0 + 1e-9)
+      }
+    }
+    // perfect set recall forces perfect graded order too: with the
+    // whole exact top-10 in-bucket, rn_in = rn_exact on those rows,
+    // so DCG = IDCG exactly (ndcg can be >0 at recall 0 — graded
+    // gains credit OTHER positively-similar returns)
+    val recall = Similarity.annRecallFixed(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    rows.foreach { r =>
+      if (recall(r.getAs[Long]("query_id")) == 1.0)
+        assert(r.getAs[Double]("ndcg") == 1.0)
+    }
+  }
+
+  test("minhash error audit: estimates bounded, abs_err consistent, spread sane") {
+    val rows = Dedup.minhashErrorAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("exact_jaccard")
+      assert(r.getAs[Long]("n_agree") >= 0L && r.getAs[Long]("n_agree") <= 32L)
+      assert(est >= 0.0 && est <= 1.0 && exact >= 0.0 && exact <= 1.0)
+      assert(math.abs(r.getAs[Double]("abs_err") - math.abs(est - exact))
+        < 2e-6)
+    }
+    // banded candidates are similarity-biased: mean error stays small
+    val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(meanErr < 0.25)
+  }
+
+  test("degree assortativity: bounded in [-1,1], deterministic") {
+    val a = TextAnalysis.degreeAssortativity(spark, sf).collect().head
+    val b = TextAnalysis.degreeAssortativity(spark, sf).collect().head
+    assert(a.toString == b.toString)
+    assert(a.getAs[Long]("n_edges") >= 0L)
+    Option(a.getAs[Double]("assortativity")).foreach { r =>
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+  }
+
+  test("moments profiler: matches a driver-side recompute on n_chars") {
+    val rows = graft.ext.Profile.momentsProfile(spark, sf).collect()
+    assert(rows.length == 4)
+    val got = rows.find(_.getAs[String]("col_name") == "n_chars").get
+    val xs = graft.Tables.documents(spark, sf)
+      .select(col("n_chars")).collect().map(_.getLong(0).toDouble)
+    val n = xs.length
+    val mean = xs.sum / n
+    val m2 = xs.map(x => (x - mean) * (x - mean)).sum / n
+    val m3 = xs.map(x => math.pow(x - mean, 3)).sum / n
+    val m4 = xs.map(x => math.pow(x - mean, 4)).sum / n
+    assert(got.getAs[Long]("n") == n.toLong)
+    assert(math.abs(got.getAs[Double]("mean") - mean) < 1e-4)
+    assert(math.abs(got.getAs[Double]("std") - math.sqrt(m2)) < 1e-4)
+    assert(math.abs(got.getAs[Double]("skewness") -
+      m3 / (m2 * math.sqrt(m2))) < 1e-4)
+    assert(math.abs(got.getAs[Double]("ex_kurtosis") -
+      (m4 / (m2 * m2) - 3.0)) < 1e-4)
+  }
+
   test("pagerank reliable-checkpoint path is byte-identical to local path") {
     import spark.implicits._
     val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
