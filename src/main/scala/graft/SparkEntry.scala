@@ -313,6 +313,9 @@ object SparkEntry {
     "q261_minhash_error"  -> ((s, d) => Dedup.minhashErrorAudit(s, d)),
     "q262_assortativity"  -> ((s, d) => TextAnalysis.degreeAssortativity(s, d)),
     "q263_moments"        -> ((s, d) => graft.ext.Profile.momentsProfile(s, d)),
+    "q264_behavior_entropy" -> ((s, d) => Relational.behavioralEntropy(s, d)),
+    "q265_boxplot"        -> ((s, d) => graft.ext.Profile.boxplotProfile(s, d)),
+    "q266_lsh_calibration" -> ((s, d) => Dedup.lshCalibration(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4878,6 +4881,118 @@ object SparkEntry {
           "CAST(round(l_tax * 100.0) AS BIGINT)"),
         momentsSql("documents", "n_chars", "CAST(n_chars AS BIGINT)"))
         .mkString("\nUNION ALL "),
+    // q264: behavioral entropy census — round-12 surrogate terms per
+    // (user, type), exact bucket assignment, decimal means
+    "q264_behavior_entropy" ->
+      """WITH ut AS (SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pt AS (SELECT user_id, n,
+        |    CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS t
+        |  FROM ut),
+        |pu AS (SELECT user_id,
+        |    CAST(-CAST(SUM(CAST(round((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1.0e12)
+        |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1.0e12 AS entropy,
+        |    CAST(MAX(n) AS DOUBLE) / CAST(MAX(t) AS DOUBLE) AS top_share
+        |  FROM pt GROUP BY user_id)
+        |SELECT CAST(floor(entropy / 0.25) AS INTEGER) AS bucket,
+        |  COUNT(*) AS n_users,
+        |  round(CAST(SUM(CAST(entropy AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_entropy,
+        |  round(CAST(SUM(CAST(top_share AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_top_share
+        |FROM pu GROUP BY 1""".stripMargin,
+    // q265: boxplot — explicit type-7 order-statistic interpolation,
+    // identical lo+(hi−lo)·frac chains, Tukey-fence recount
+    "q265_boxplot" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |rk AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |posed AS (SELECT source, n_chars, rk, n,
+        |    CAST(n - 1 AS DOUBLE) * 0.25 + 1.0 AS p1,
+        |    CAST(n - 1 AS DOUBLE) * 0.5 + 1.0 AS p2,
+        |    CAST(n - 1 AS DOUBLE) * 0.75 + 1.0 AS p3
+        |  FROM rk),
+        |st AS (SELECT source, MAX(n) AS n,
+        |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |    MAX(CASE WHEN rk = CAST(floor(p1) AS BIGINT)
+        |      THEN n_chars END) AS q1lo,
+        |    MAX(CASE WHEN rk = CAST(ceil(p1) AS BIGINT)
+        |      THEN n_chars END) AS q1hi,
+        |    MAX(CASE WHEN rk = CAST(floor(p2) AS BIGINT)
+        |      THEN n_chars END) AS q2lo,
+        |    MAX(CASE WHEN rk = CAST(ceil(p2) AS BIGINT)
+        |      THEN n_chars END) AS q2hi,
+        |    MAX(CASE WHEN rk = CAST(floor(p3) AS BIGINT)
+        |      THEN n_chars END) AS q3lo,
+        |    MAX(CASE WHEN rk = CAST(ceil(p3) AS BIGINT)
+        |      THEN n_chars END) AS q3hi,
+        |    MAX(p1) AS p1, MAX(p2) AS p2, MAX(p3) AS p3
+        |  FROM posed GROUP BY source),
+        |qv AS (SELECT source, n, min_chars, max_chars,
+        |    CAST(q1lo AS DOUBLE) + (CAST(q1hi AS DOUBLE)
+        |      - CAST(q1lo AS DOUBLE)) * (p1 - floor(p1)) AS q1,
+        |    CAST(q2lo AS DOUBLE) + (CAST(q2hi AS DOUBLE)
+        |      - CAST(q2lo AS DOUBLE)) * (p2 - floor(p2)) AS median,
+        |    CAST(q3lo AS DOUBLE) + (CAST(q3hi AS DOUBLE)
+        |      - CAST(q3lo AS DOUBLE)) * (p3 - floor(p3)) AS q3
+        |  FROM st),
+        |fences AS (SELECT source, n, min_chars, max_chars, q1, median, q3,
+        |    q3 - q1 AS iqr, q1 - 1.5 * (q3 - q1) AS flo,
+        |    q3 + 1.5 * (q3 - q1) AS fhi
+        |  FROM qv),
+        |outl AS (SELECT d.source,
+        |    CAST(SUM(CASE WHEN d.n_chars < flo THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_low_outliers,
+        |    CAST(SUM(CASE WHEN d.n_chars > fhi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_high_outliers
+        |  FROM d JOIN fences USING (source) GROUP BY d.source)
+        |SELECT f.source, n AS n_docs, min_chars, max_chars,
+        |  round(q1, 6) AS q1, round(median, 6) AS median,
+        |  round(q3, 6) AS q3, round(iqr, 6) AS iqr,
+        |  n_low_outliers, n_high_outliers
+        |FROM fences f JOIN outl USING (source)""".stripMargin,
+    // q266: LSH calibration — q137's all-pairs ground truth, q42's
+    // candidates, analytic curve by square-and-multiply (never pow)
+    "q266_lsh_calibration" ->
+      s"""WITH $portableCandSql,
+         |ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+         |ap AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+         |jac AS (SELECT ap.doc_a, ap.doc_b,
+         |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |          len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+         |      AS jaccard
+         |  FROM ap JOIN s sa ON sa.doc_id = ap.doc_a
+         |          JOIN s sb ON sb.doc_id = ap.doc_b),
+         |cj AS (SELECT LEAST(9,
+         |      CAST(round(jaccard * 10000.0) AS BIGINT) // 1000) AS bucket,
+         |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS cap
+         |  FROM jac j LEFT JOIN cand c
+         |    ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b),
+         |cnt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(cap) AS BIGINT) AS n_captured
+         |  FROM cj GROUP BY 1),
+         |g0 AS (SELECT unnest(range(0, 10)) AS bucket),
+         |g AS (SELECT g0.bucket,
+         |    COALESCE(n_pairs, 0) AS n_pairs,
+         |    COALESCE(n_captured, 0) AS n_captured,
+         |    (CAST(g0.bucket AS DOUBLE) + 0.5) / 10.0 AS smid
+         |  FROM g0 LEFT JOIN cnt ON g0.bucket = cnt.bucket),
+         |g2 AS (SELECT bucket, n_pairs, n_captured, smid,
+         |    smid * smid AS s2 FROM g),
+         |g3 AS (SELECT bucket, n_pairs, n_captured,
+         |    1.0 - s2 * s2 AS qq FROM g2),
+         |g4 AS (SELECT bucket, n_pairs, n_captured, qq * qq AS qq2 FROM g3),
+         |g5 AS (SELECT bucket, n_pairs, n_captured,
+         |    qq2 * qq2 AS qq4 FROM g4)
+         |SELECT CAST(bucket AS DOUBLE) / 10.0 AS s_lo, n_pairs, n_captured,
+         |  CASE WHEN n_pairs > 0 THEN round(CAST(n_captured AS DOUBLE)
+         |    / CAST(n_pairs AS DOUBLE), 6) END AS empirical_capture,
+         |  round(1.0 - qq4 * qq4, 6) AS analytic_capture
+         |FROM g5""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

@@ -463,6 +463,59 @@ object Dedup {
         round(abs(nAgree.cast("double") / perms - exact), 6).as("abs_err"))
   }
 
+  /** LSH recall-calibration audit (q266) — the analytic banding
+    * S-curve P(candidate | s) = 1−(1−s^r)^b against the MEASURED
+    * capture rate, per similarity band: ground truth is the
+    * deterministic all-pairs window (q137's device — every pair
+    * under `maxId` with its exact Jaccard), and a pair is "captured"
+    * if the portable LSH banding emitted it as a candidate. This is
+    * the chart that validates a (bands, rows) choice: empirical
+    * capture hugging the analytic curve means banding behaves like
+    * theory on THIS corpus's shingle distribution; divergence means
+    * skew/caps are distorting recall. The analytic power is an
+    * explicit square-and-multiply chain (x⁴ = (x²)², (1−s⁴)⁸ by
+    * three squarings) — never libm pow, whose rounding varies across
+    * engines. The id window keeps ground truth quadratic only in a
+    * bounded slice; the candidate join is id-keyed. */
+  def lshCalibration(spark: SparkSession, dir: String, k: Int = 3,
+      maxId: Long = 400L): DataFrame = {
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId).select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("doc_a"))
+      .join(ids.select(col("doc_id").as("doc_b")),
+        col("doc_a") < col("doc_b"))
+    val jac = verifyPairs(shingleTable(spark, dir, k)
+      .filter(col("doc_id") < maxId), allPairs, 0.0)
+    val caps = minhashLshPortable(spark, dir, k)
+      .filter(col("doc_a") < maxId && col("doc_b") < maxId)
+      .withColumn("cap", lit(1L))
+    val bucket = least(lit(9),
+      (round(col("jaccard") * 10000.0, 0).cast("long") / 1000L)
+        .cast("long"))
+    val counts = jac.join(caps, Seq("doc_a", "doc_b"), "left")
+      .select(bucket.as("bucket"), coalesce(col("cap"), lit(0L)).as("cap"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cap")).as("n_captured"))
+    val grid = jac.sparkSession.range(0, 10).select(col("id").as("bucket"))
+    val g = grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_captured"), lit(0L)).as("n_captured"))
+      .withColumn("smid", (col("bucket").cast("double") + 0.5) / 10.0)
+      .withColumn("s2", col("smid") * col("smid"))
+      .withColumn("s4", col("s2") * col("s2"))
+      .withColumn("qq", lit(1.0) - col("s4"))
+      .withColumn("qq2", col("qq") * col("qq"))
+      .withColumn("qq4", col("qq2") * col("qq2"))
+      .withColumn("qq8", col("qq4") * col("qq4"))
+    g.select((col("bucket").cast("double") / 10.0).as("s_lo"),
+      col("n_pairs"), col("n_captured"),
+      when(col("n_pairs") > 0,
+        round(col("n_captured").cast("double") /
+          col("n_pairs").cast("double"), 6)).as("empirical_capture"),
+      round(lit(1.0) - col("qq8"), 6).as("analytic_capture"))
+  }
+
   /** Dedup threshold sweep (q242) — the tuning REPORT for the
     * verify stage: over the portable-LSH candidate pairs, how many
     * survive each Jaccard threshold 0.0 … 0.9 (per-bucket counts and

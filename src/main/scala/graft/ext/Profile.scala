@@ -772,6 +772,68 @@ object Profile {
         col("n_chars").cast("long")))
   }
 
+  /** Per-source boxplot / five-number summary (q265) — exact
+    * type-7 quartiles (the R/pandas default: pos = (n−1)q+1, linear
+    * interpolation between the two bracketing ORDER STATISTICS,
+    * written out as an explicit lo+(hi−lo)·frac chain so both
+    * engines run the identical IEEE steps rather than their own
+    * quantile built-ins) plus Tukey-fence outlier counts — the
+    * distribution panel a per-source curation dashboard renders.
+    * One source-partitioned rank window gives every order statistic;
+    * the fence pass re-scans the persisted 2-column projection with
+    * the tiny fence table broadcast. At extreme per-source
+    * cardinality the rank window would bin first (q172's device) —
+    * exact quartiles per source are fine at any realistic source
+    * count. */
+  def boxplotProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("source"))
+    val rk = d
+      .withColumn("rk", row_number().over(w.orderBy(col("n_chars"))))
+      .withColumn("n", count(lit(1)).over(w))
+    def pos(q: Double) = (col("n") - 1).cast("double") * q + 1.0
+    val posed = rk
+      .withColumn("p1", pos(0.25)).withColumn("p2", pos(0.5))
+      .withColumn("p3", pos(0.75))
+    def pick(p: String, side: Column => Column, as: String) =
+      max(when(col("rk") === side(col(p)).cast("long"), col("n_chars")))
+        .as(as)
+    val st = posed.groupBy(col("source")).agg(max(col("n")).as("n"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      pick("p1", floor, "q1lo"), pick("p1", ceil, "q1hi"),
+      pick("p2", floor, "q2lo"), pick("p2", ceil, "q2hi"),
+      pick("p3", floor, "q3lo"), pick("p3", ceil, "q3hi"),
+      max(col("p1")).as("p1"), max(col("p2")).as("p2"),
+      max(col("p3")).as("p3"))
+    def interp(lo: String, hi: String, p: String) =
+      col(lo).cast("double") +
+        (col(hi).cast("double") - col(lo).cast("double")) *
+          (col(p) - floor(col(p)))
+    val qv = st.select(col("source"), col("n"), col("min_chars"),
+      col("max_chars"), interp("q1lo", "q1hi", "p1").as("q1"),
+      interp("q2lo", "q2hi", "p2").as("median"),
+      interp("q3lo", "q3hi", "p3").as("q3"))
+    val fences = qv
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("flo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("fhi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    val out = d.join(broadcast(fences.select(col("source"), col("flo"),
+        col("fhi"))), Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum((col("n_chars") < col("flo")).cast("long")).as("n_low_outliers"),
+        sum((col("n_chars") > col("fhi")).cast("long")).as("n_high_outliers"))
+    fences.join(out, Seq("source"))
+      .select(col("source"), col("n").as("n_docs"), col("min_chars"),
+        col("max_chars"), round(col("q1"), 6).as("q1"),
+        round(col("median"), 6).as("median"), round(col("q3"), 6).as("q3"),
+        round(col("iqr"), 6).as("iqr"),
+        col("n_low_outliers"), col("n_high_outliers"))
+  }
+
   /** Pearson chi-square contingency between order priority and order
     * status, emitted PER CELL (observed, expected, contribution):
     * the per-cell form is deterministic — a single total would sum

@@ -2802,6 +2802,40 @@ object Relational {
       .select(col("s_name"), col("s_acctbal"))
   }
 
+  /** Behavioral-entropy census (q264) — per-user event-type entropy
+    * and top-type share, rolled into an entropy-bucket histogram:
+    * the "how diverse is each user's behaviour" marginal a
+    * personalization / anomaly system profiles before modelling
+    * (entropy ~0 = single-action bots; high entropy = explorers).
+    * One scan folds events to the per-(user, type) count table
+    * (bounded by users × type vocabulary); each user's entropy sums
+    * ≤ |types| round-12 surrogate terms — exact longs, so the
+    * per-user values and the bucket assignment are cross-engine
+    * identical — and the census aggregate is a ≤ 8-bucket group-by
+    * with decimal-stable means. Per-user rows never leave the
+    * executor tier un-aggregated. */
+  def behavioralEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val t = sum(col("n")).over(Window.partitionBy(col("user_id")))
+    val p = col("n").cast("double") / col("t").cast("double")
+    val perUser = ut.withColumn("t", t)
+      .select(col("user_id"), col("t"), col("n"),
+        round(p * log(p) * 1e12, 0).cast("long").as("term"))
+      .groupBy(col("user_id"))
+      .agg(((-sum(col("term"))).cast("double") / 1e12).as("entropy"),
+        (max(col("n")).cast("double") / max(col("t")).cast("double"))
+          .as("top_share"))
+    perUser
+      .groupBy(floor(col("entropy") / 0.25).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("entropy").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_entropy"),
+        round(sum(col("top_share").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_top_share"))
+  }
+
   /** Theil–Sen robust trend (q252) over the monthly revenue series —
     * the median-of-pairwise-slopes estimator: a single wild month
     * (outage, backfill glitch) drags OLS but moves a median not at

@@ -1885,6 +1885,62 @@ class OperatorsSpec extends AnyFunSuite {
       (m4 / (m2 * m2) - 3.0)) < 1e-4)
   }
 
+  test("behavioral entropy: buckets bounded, census totals users, means in range") {
+    val rows = Relational.behavioralEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b <= 7) // entropy <= ln(5) < 2.0 => bucket <= 7
+      val me = r.getAs[Double]("mean_entropy")
+      assert(me >= b * 0.25 - 1e-9 && me < (b + 1) * 0.25 + 1e-9)
+      val ts = r.getAs[Double]("mean_top_share")
+      assert(ts >= 0.2 - 1e-9 && ts <= 1.0 + 1e-9) // >= 1/|types|
+    }
+  }
+
+  test("boxplot: quartiles ordered within bounds, fences consistent") {
+    val rows = graft.ext.Profile.boxplotProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q1, med, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("median"),
+        r.getAs[Double]("q3"))
+      assert(r.getAs[Long]("min_chars") <= q1 + 1e-9)
+      assert(q1 <= med && med <= q3)
+      assert(q3 <= r.getAs[Long]("max_chars") + 1e-9)
+      assert(math.abs(r.getAs[Double]("iqr") - (q3 - q1)) < 2e-6)
+      assert(r.getAs[Long]("n_low_outliers") +
+        r.getAs[Long]("n_high_outliers") < r.getAs[Long]("n_docs"))
+    }
+    // driver recompute of the type-7 median for one source
+    val src = rows.head.getAs[String]("source")
+    val xs = graft.Tables.documents(spark, sf)
+      .filter(col("source") === src).select(col("n_chars"))
+      .collect().map(_.getLong(0)).sorted
+    val p = (xs.length - 1) * 0.5 + 1.0
+    val lo = xs(math.floor(p).toInt - 1).toDouble
+    val hi = xs(math.ceil(p).toInt - 1).toDouble
+    val want = lo + (hi - lo) * (p - math.floor(p))
+    assert(math.abs(rows.head.getAs[Double]("median") - want) < 1e-6)
+  }
+
+  test("lsh calibration: analytic s-curve monotone, capture counts bounded") {
+    val rows = Dedup.lshCalibration(spark, sf).collect()
+      .sortBy(_.getAs[Double]("s_lo"))
+    assert(rows.length == 10)
+    val curve = rows.map(_.getAs[Double]("analytic_capture"))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b })
+    assert(curve.head < 0.01 && curve.last > 0.99)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_captured") <= r.getAs[Long]("n_pairs"))
+      Option(r.getAs[Double]("empirical_capture")).foreach { e =>
+        assert(e >= 0.0 && e <= 1.0)
+      }
+    }
+  }
+
   test("pagerank reliable-checkpoint path is byte-identical to local path") {
     import spark.implicits._
     val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
