@@ -316,6 +316,9 @@ object SparkEntry {
     "q264_behavior_entropy" -> ((s, d) => Relational.behavioralEntropy(s, d)),
     "q265_boxplot"        -> ((s, d) => graft.ext.Profile.boxplotProfile(s, d)),
     "q266_lsh_calibration" -> ((s, d) => Dedup.lshCalibration(s, d)),
+    "q267_sparse_cosine"  -> ((s, d) => TextAnalysis.sparseCosinePairs(s, d)),
+    "q268_price_index"    -> ((s, d) => Relational.priceIndex(s, d)),
+    "q269_rolling_backtest" -> ((s, d) => Relational.rollingOriginBacktest(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -4993,6 +4996,91 @@ object SparkEntry {
          |    / CAST(n_pairs AS DOUBLE), 6) END AS empirical_capture,
          |  round(1.0 - qq4 * qq4, 6) AS analytic_capture
          |FROM g5""".stripMargin,
+    // q267: sparse tf-idf cosine — inverted-index pair join in the
+    // bounded window, decimal dot/norm folds
+    "q267_sparse_cosine" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS ws FROM documents
+         |  WHERE doc_id < 400),
+         |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM d) GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |wts AS (SELECT doc_id, term,
+         |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)
+         |      / CAST(df AS DOUBLE)) AS w
+         |  FROM tf JOIN dfq USING (term), nd),
+         |norms AS (SELECT doc_id, SUM(CAST(w * w AS DECIMAL(28,12))) AS nrm
+         |  FROM wts GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    SUM(CAST(a.w * b.w AS DECIMAL(28,12))) AS dot
+         |  FROM wts a JOIN wts b
+         |    ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT doc_a, doc_b,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE))
+         |      * sqrt(CAST(nb.nrm AS DOUBLE))) AS cosv
+         |  FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+         |            JOIN norms nb ON nb.doc_id = dots.doc_b)
+         |SELECT doc_a, doc_b, round(cosv, 6) AS cosine
+         |FROM sc WHERE cosv >= 0.8""".stripMargin,
+    // q268: price indices — matched basket vs the first month,
+    // DECIMAL(28,6) cross-term folds
+    "q268_price_index" ->
+      s"""WITH pm AS (SELECT l_partkey,
+         |    CAST((year(CAST(l_shipdate AS DATE)) - 1992) * 12
+         |      + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS m,
+         |    ${dsumSql("l_extendedprice")} AS ext,
+         |    ${dsumSql("l_quantity")} AS qty
+         |  FROM lineitem GROUP BY 1, 2),
+         |pm2 AS (SELECT l_partkey, m, ext / qty AS p, qty FROM pm),
+         |m0 AS (SELECT min(m) AS m0 FROM pm2),
+         |base AS (SELECT l_partkey, p AS p0, qty AS q0
+         |  FROM pm2, m0 WHERE m = m0),
+         |j AS (SELECT pm2.m, pm2.p, pm2.qty, base.p0, base.q0
+         |  FROM pm2 JOIN base USING (l_partkey)),
+         |agg AS (SELECT m, COUNT(*) AS n_parts,
+         |    CAST(SUM(CAST(p * q0 AS DECIMAL(28,6))) AS DOUBLE) AS ptq0,
+         |    CAST(SUM(CAST(p0 * q0 AS DECIMAL(28,6))) AS DOUBLE) AS p0q0,
+         |    CAST(SUM(CAST(p * qty AS DECIMAL(28,6))) AS DOUBLE) AS ptqt,
+         |    CAST(SUM(CAST(p0 * qty AS DECIMAL(28,6))) AS DOUBLE) AS p0qt
+         |  FROM j GROUP BY 1)
+         |SELECT m AS month_idx, n_parts,
+         |  round(ptq0 / p0q0, 6) AS laspeyres,
+         |  round(ptqt / p0qt, 6) AS paasche,
+         |  round(sqrt((ptq0 / p0q0) * (ptqt / p0qt)), 6) AS fisher
+         |FROM agg""".stripMargin,
+    // q269: rolling-origin backtest — q241's fold generalized by
+    // exact reverse-rank arithmetic
+    "q269_rolling_backtest" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         |filled AS (SELECT s.day, COALESCE(d.revenue, 0.0) AS x
+         |  FROM spine s LEFT JOIN daily d ON s.day = d.day),
+         |l AS (SELECT day, x AS actual,
+         |    lag(x, 7) OVER (ORDER BY day) AS pred,
+         |    row_number() OVER (ORDER BY day DESC) AS rev_rn,
+         |    COUNT(*) OVER () AS n_total
+         |  FROM filled),
+         |sc AS (SELECT *,
+         |    CAST(4 - 1 - (rev_rn - 1) // 7 AS INTEGER) AS fold
+         |  FROM l WHERE rev_rn <= 28 AND pred IS NOT NULL)
+         |SELECT fold,
+         |  CAST(MAX(n_total) - (4 - fold) * 7 AS BIGINT) AS n_train,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(CASE WHEN actual > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_scored,
+         |  CASE WHEN SUM(CASE WHEN actual > 0.0 THEN 1 ELSE 0 END) > 0
+         |    THEN round(CAST(CAST(SUM(CASE WHEN actual > 0.0
+         |        THEN CAST(round(abs(actual - pred) / actual * 1.0e6)
+         |          AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE) / 1.0e6
+         |      / CAST(SUM(CASE WHEN actual > 0.0 THEN 1 ELSE 0 END)
+         |        AS DOUBLE), 6)
+         |  END AS mape
+         |FROM sc GROUP BY fold""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

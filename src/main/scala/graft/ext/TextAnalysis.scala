@@ -908,6 +908,53 @@ object TextAnalysis {
             col("w_tot").cast("double"), 6)).as("transitivity"))
   }
 
+  /** Sparse TF-IDF cosine similarity join (q267) — the SPARSE-vector
+    * companion to the dense embedding cosine (q50): documents as
+    * tf·idf bags, pairs generated by an inverted-index join on
+    * SHARED TERMS (a pair with no common term never materializes —
+    * the fundamental sparse-join advantage over all-pairs), dot
+    * products and norms folded through DECIMAL(28,12) so the float
+    * sums are order-independent. Run EXACTLY inside the bounded id
+    * window (the q137 ground-truth device); the corpus-scale path is
+    * the same plan with a df-cap on the join terms (hot terms
+    * contribute ~0 weight anyway: idf → 0 as df → N — the documented
+    * trade, cf. the PPJoin prefix filter at q150 for the exact
+    * sub-quadratic alternative). */
+  def sparseCosinePairs(spark: SparkSession, dir: String,
+      maxId: Long = 400L, threshold: Double = 0.8): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nd = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wts = tf
+      .join(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), Seq("term"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = wts.groupBy(col("doc_id"))
+      .agg(sum((col("w") * col("w")).cast("decimal(28,12)")).as("nrm"))
+    val dots = wts.select(col("doc_id").as("doc_a"), col("term"),
+        col("w").as("wa"))
+      .join(wts.select(col("doc_id").as("doc_b"), col("term"),
+        col("w").as("wb")), Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum((col("wa") * col("wb")).cast("decimal(28,12)")).as("dot"))
+    val cos = col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
+        Seq("doc_b"))
+      .filter(cos >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(cos, 6).as("cosine"))
+  }
+
   /** Degree assortativity (q262) of the provenance graph — Pearson
     * correlation of endpoint degrees over the (symmetrized) edge
     * list: positive means hub sources overlap with other hubs (one

@@ -2802,6 +2802,81 @@ object Relational {
       .select(col("s_name"), col("s_acctbal"))
   }
 
+  /** Laspeyres / Paasche / Fisher price indices (q268) — the
+    * classic composite "did prices move, holding the basket fixed"
+    * aggregates, per month against the first month as base:
+    * Laspeyres weights by BASE-period quantities (basket frozen at
+    * m₀), Paasche by current quantities, Fisher is their geometric
+    * mean. Unit prices come from per-(part, month) decimal-exact
+    * revenue/quantity sums (ONE fact scan → a parts × months
+    * aggregate; everything after runs on that reduced table); the
+    * Σp·q cross terms fold through DECIMAL(28,6) so no float sums in
+    * engine order. Only parts present in BOTH base and current month
+    * enter (the matched-basket convention). */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"),
+        ((year(col("l_shipdate")) - 1992) * 12 +
+          month(col("l_shipdate")) - 1).cast("long").as("m"))
+      .agg(dsum(col("l_extendedprice")).as("ext"),
+        dsum(col("l_quantity")).as("qty"))
+      .select(col("l_partkey"), col("m"),
+        (col("ext") / col("qty")).as("p"), col("qty"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = pm.crossJoin(broadcast(pm.agg(min(col("m")).as("m0"))))
+      .filter(col("m") === col("m0"))
+      .select(col("l_partkey"), col("p").as("p0"), col("qty").as("q0"))
+    def dfold(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    val j = pm.join(base, Seq("l_partkey"))
+    j.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_parts"),
+        dfold(col("p") * col("q0")).as("ptq0"),
+        dfold(col("p0") * col("q0")).as("p0q0"),
+        dfold(col("p") * col("qty")).as("ptqt"),
+        dfold(col("p0") * col("qty")).as("p0qt"))
+      .select(col("m").as("month_idx"), col("n_parts"),
+        round(col("ptq0") / col("p0q0"), 6).as("laspeyres"),
+        round(col("ptqt") / col("p0qt"), 6).as("paasche"),
+        round(sqrt((col("ptq0") / col("p0q0")) *
+          (col("ptqt") / col("p0qt"))), 6).as("fisher"))
+  }
+
+  /** Rolling-origin forecast backtest (q269) — [[seasonalNaiveBacktest]]
+    * generalized to K sequential holdout folds (the time-series
+    * cross-validation discipline: one holdout window can fluke; K
+    * origins estimate the VARIANCE of forecast skill). Same
+    * gap-filled day grid and seasonal-naive (lag-7) predictor; each
+    * fold is an h-day test window walking back from the series end,
+    * assigned by exact integer arithmetic on the reverse rank. APE
+    * terms ride the round-6 integer surrogate; each fold's MAPE is
+    * one exact division. The grid is days-sized — every window here
+    * is bounded-domain. */
+  def rollingOriginBacktest(spark: SparkSession, dir: String,
+      folds: Int = 4, h: Int = 7): DataFrame = {
+    val wAsc = Window.orderBy(col("day"))
+    val scored = gapFillDaily(spark, dir)
+      .select(col("day"), col("revenue_filled").as("actual"),
+        lag(col("revenue_filled"), 7).over(wAsc).as("pred"),
+        row_number().over(Window.orderBy(col("day").desc)).as("rev_rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n_total"))
+    scored.filter(col("rev_rn") <= h * folds && col("pred").isNotNull)
+      .withColumn("fold",
+        (lit(folds) - 1 - ((col("rev_rn") - 1) / h).cast("long")).cast("int"))
+      .groupBy(col("fold"))
+      .agg(max(col("n_total")).as("nt"), count(lit(1)).as("n_days"),
+        sum(when(col("actual") > 0.0, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("actual") > 0.0,
+          round(abs(col("actual") - col("pred")) / col("actual") * 1e6, 0)
+            .cast("long")).otherwise(0L)).as("ape_sur"))
+      .select(col("fold"),
+        (col("nt") - (lit(folds) - col("fold")).cast("long") * h)
+          .as("n_train"),
+        col("n_days"), col("n_scored"),
+        when(col("n_scored") > 0,
+          round(col("ape_sur").cast("double") / 1e6
+            / col("n_scored").cast("double"), 6)).as("mape"))
+  }
+
   /** Behavioral-entropy census (q264) — per-user event-type entropy
     * and top-type share, rolled into an entropy-bucket histogram:
     * the "how diverse is each user's behaviour" marginal a

@@ -1941,6 +1941,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse cosine: bounded in [0,1], symmetric-free, matches a driver dot") {
+    val rows = TextAnalysis.sparseCosinePairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.8 - 1e-9 && c <= 1.0 + 1e-6)
+    }
+    // recompute one pair's tf-idf cosine driver-side
+    val (da, db) = (rows.head.getAs[Long]("doc_a"), rows.head.getAs[Long]("doc_b"))
+    val tf = graft.Tables.documents(spark, sf).filter(col("doc_id") < 400)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val docs = tf.keys.map(_._1).toSet
+    val n = docs.size.toDouble
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    def vec(d: Long) = tf.collect { case ((dd, t), c) if dd == d =>
+      t -> c * math.log(n / df(t)) }.toMap
+    val (va, vb) = (vec(da), vec(db))
+    val dot = va.keySet.intersect(vb.keySet).toSeq.map(t => va(t) * vb(t)).sum
+    val want = dot / (math.sqrt(va.values.map(x => x * x).sum) *
+      math.sqrt(vb.values.map(x => x * x).sum))
+    assert(math.abs(rows.head.getAs[Double]("cosine") - want) < 1e-4)
+  }
+
+  test("price index: base month is 1.0 on all three indices, fisher between") {
+    val rows = Relational.priceIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = rows.minBy(_.getAs[Long]("month_idx"))
+    assert(base.getAs[Double]("laspeyres") == 1.0)
+    assert(base.getAs[Double]("paasche") == 1.0)
+    assert(base.getAs[Double]("fisher") == 1.0)
+    rows.foreach { r =>
+      val (l, p, f) = (r.getAs[Double]("laspeyres"), r.getAs[Double]("paasche"),
+        r.getAs[Double]("fisher"))
+      assert(l > 0 && p > 0)
+      assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6)
+      assert(r.getAs[Long]("n_parts") > 0)
+    }
+  }
+
+  test("rolling backtest: fold windows partition the holdout, train grows with fold") {
+    val rows = Relational.rollingOriginBacktest(spark, sf).collect()
+      .sortBy(_.getAs[Int]("fold"))
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("n_days")).sum <= 28)
+    val trains = rows.map(_.getAs[Long]("n_train"))
+    assert(trains.zip(trains.tail).forall { case (a, b) => a < b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_scored") <= r.getAs[Long]("n_days"))
+      Option(r.getAs[Double]("mape")).foreach(m => assert(m >= 0.0))
+    }
+  }
+
   test("pagerank reliable-checkpoint path is byte-identical to local path") {
     import spark.implicits._
     val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
