@@ -319,6 +319,9 @@ object SparkEntry {
     "q267_sparse_cosine"  -> ((s, d) => TextAnalysis.sparseCosinePairs(s, d)),
     "q268_price_index"    -> ((s, d) => Relational.priceIndex(s, d)),
     "q269_rolling_backtest" -> ((s, d) => Relational.rollingOriginBacktest(s, d)),
+    "q270_kcore"          -> ((s, d) => TextAnalysis.kcore(s, d)),
+    "q271_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q272_label_coherence" -> ((s, d) => Similarity.labelCoherence(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -394,6 +397,58 @@ object SparkEntry {
        |        SUM(CAST(x * x * x AS DECIMAL(28,0))) AS s3,
        |        SUM(CAST((x * x) * (x * x) AS DECIMAL(28,0))) AS s4
        |      FROM (SELECT $xExpr AS x FROM $table))))""".stripMargin
+
+  /** q270 oracle: the k-core peel loop unrolled — `rounds` blocks of
+    * [degree → keep → induced subgraph] per k, MATERIALIZED so the
+    * corpus scan happens once (the q251 lesson). */
+  private def kcoreOracleSql(rounds: Int = 6): String = {
+    val header =
+      s"""WITH w AS MATERIALIZED (SELECT source, $toks AS ws FROM documents),
+         |sh0 AS (SELECT DISTINCT source,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+         |sh AS (SELECT source, shingle FROM (
+         |    SELECT source, shingle,
+         |      COUNT(*) OVER (PARTITION BY shingle) AS ns
+         |    FROM sh0)
+         |  WHERE ns <= 4),
+         |e0_0 AS MATERIALIZED (SELECT a.source AS sa, b.source AS sb
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.source < b.source
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)""".stripMargin
+    val peels = (for {
+      k <- Seq(2, 3)
+      r <- 1 to rounds
+    } yield {
+      val prev = if (r == 1) "e0_0" else s"e${k}_${r - 1}"
+      s"""d${k}_$r AS (SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT sa AS node FROM $prev
+         |    UNION ALL SELECT sb FROM $prev) GROUP BY 1),
+         |k${k}_$r AS MATERIALIZED (SELECT node FROM d${k}_$r
+         |  WHERE deg >= $k),
+         |e${k}_$r AS MATERIALIZED (SELECT sa, sb FROM $prev
+         |  WHERE sa IN (SELECT node FROM k${k}_$r)
+         |    AND sb IN (SELECT node FROM k${k}_$r))""".stripMargin
+    }).mkString(",\n")
+    val tail =
+      s"""surv2 AS (SELECT DISTINCT node FROM (
+         |    SELECT sa AS node FROM e2_$rounds
+         |    UNION ALL SELECT sb FROM e2_$rounds)),
+         |surv3 AS (SELECT DISTINCT node FROM (
+         |    SELECT sa AS node FROM e3_$rounds
+         |    UNION ALL SELECT sb FROM e3_$rounds)),
+         |deg AS (SELECT node, COUNT(*) AS degree FROM (
+         |    SELECT sa AS node FROM e0_0
+         |    UNION ALL SELECT sb FROM e0_0) GROUP BY 1)
+         |SELECT deg.node AS source, degree,
+         |  CAST(CASE WHEN s2.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_2core,
+         |  CAST(CASE WHEN s3.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_3core
+         |FROM deg LEFT JOIN surv2 s2 ON deg.node = s2.node
+         |  LEFT JOIN surv3 s3 ON deg.node = s3.node""".stripMargin
+    s"$header,\n$peels,\n$tail"
+  }
 
   /** q251 oracle: the HITS power loop UNROLLED as `iters` CTE blocks
     * — possible because every reduction in [[graft.ext.Dedup.hits]]
@@ -5081,6 +5136,63 @@ object SparkEntry {
          |        AS DOUBLE), 6)
          |  END AS mape
          |FROM sc GROUP BY fold""".stripMargin,
+    // q270: k-core — the peel loop unrolled (kcoreOracleSql)
+    "q270_kcore" -> kcoreOracleSql(),
+    // q271: hard negatives — cross-label cosine argmax per anchor
+    "q271_hard_negatives" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    label FROM embeddings),
+         |an AS (SELECT vec_id AS anchor_id, emb AS a_emb,
+         |    label AS anchor_label FROM b WHERE vec_id < 50),
+         |sc AS (SELECT an.anchor_id, an.anchor_label, b.vec_id, b.label,
+         |    ${cosSql("b.emb", "an.a_emb")} AS cos_sim
+         |  FROM b, an WHERE b.label <> an.anchor_label),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rk FROM sc)
+         |SELECT anchor_id, anchor_label, vec_id AS hard_neg_id,
+         |  label AS neg_label, cos_sim
+         |FROM rk WHERE rk = 1""".stripMargin,
+    // q272: label coherence — centroid identity on normalized
+    // round-6 components, decimal folds on the labels × 64 grid
+    "q272_label_coherence" ->
+      """WITH b AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |nr AS (SELECT label, emb,
+        |    sqrt(list_dot_product(emb, emb)) AS nrm FROM b),
+        |nx AS (SELECT label,
+        |    list_transform(emb, v -> round(v / nrm, 6)) AS nx
+        |  FROM nr WHERE nrm > 0.0),
+        |qv AS (SELECT label, nx, list_dot_product(nx, nx) AS qv FROM nx),
+        |per AS (SELECT label, COUNT(*) AS n,
+        |    CAST(SUM(CAST(qv AS DECIMAL(28,12))) AS DOUBLE) AS sn
+        |  FROM qv GROUP BY 1),
+        |sums AS (SELECT label, p AS pos,
+        |    CAST(SUM(CAST(nx[p + 1] AS DECIMAL(28,12))) AS DOUBLE) AS s
+        |  FROM nx, UNNEST(range(0, 64)) AS u(p) GROUP BY 1, 2),
+        |ss AS (SELECT label,
+        |    CAST(SUM(CAST(s * s AS DECIMAL(28,12))) AS DOUBLE) AS ss
+        |  FROM sums GROUP BY 1),
+        |intra AS (SELECT per.label, n,
+        |    CASE WHEN n >= 2 THEN (ss.ss - sn)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END
+        |      AS intra
+        |  FROM per JOIN ss ON per.label = ss.label),
+        |inter AS (SELECT a.label AS la, c.label AS lb,
+        |    CAST(SUM(CAST(a.s * c.s AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        |  FROM sums a JOIN sums c ON a.pos = c.pos AND a.label <> c.label
+        |  GROUP BY 1, 2),
+        |interr AS (SELECT la, lb,
+        |    dot / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)) AS inter
+        |  FROM inter JOIN per pa ON pa.label = inter.la
+        |             JOIN per pb ON pb.label = inter.lb),
+        |best AS (SELECT la, lb, inter FROM (
+        |    SELECT la, lb, inter, row_number() OVER (PARTITION BY la
+        |      ORDER BY inter DESC, lb) AS rk
+        |    FROM interr) WHERE rk = 1)
+        |SELECT i.label, n AS n_vectors, round(intra, 6) AS mean_intra,
+        |  b2.lb AS best_other_label, round(b2.inter, 6) AS inter_best,
+        |  round(intra - b2.inter, 6) AS margin
+        |FROM intra i JOIN best b2 ON i.label = b2.la""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

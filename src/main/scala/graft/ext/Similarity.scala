@@ -768,6 +768,108 @@ object Similarity {
           .as("ndcg"))
   }
 
+  /** Hard-negative mining (q271) — the contrastive-training data op
+    * [[graft.ext.Sampling.negativePairs]]'s random negatives can't
+    * provide: for each anchor, the MOST similar vector of a
+    * DIFFERENT label (the negative that actually moves a contrastive
+    * loss; random negatives are trivially separated after the first
+    * epochs). Anchors are a bounded id slice (the audit shape —
+    * a production miner runs the same plan per ANN shortlist, cf.
+    * q166's refine); candidates stream once through the codegen'd
+    * cosine against the broadcast anchor set, and the per-anchor
+    * argmax is one window with a total order (cos desc, vec_id). */
+  def hardNegatives(spark: SparkSession, dir: String,
+      nAnchors: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("label").as("anchor_label"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+        col("label"),
+        round(cosine(col("embedding"), col("a_emb")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("hard_neg_id"), col("label").as("neg_label"),
+        col("cos_sim"))
+  }
+
+  /** Embedding label-coherence audit (q272) — silhouette-lite: per
+    * label, the mean pairwise intra-label cosine and the highest
+    * mean cosine to any OTHER label's members, via the centroid
+    * identity on L2-NORMALIZED vectors (mean pairwise dot over a set
+    * = (|Σx̂|² − Σ|x̂|²)/(n(n−1)); across sets = Sa·Sb/(na·nb)) — so
+    * the whole audit is ONE corpus scan to per-(label, position)
+    * component sums (labels × 64 rows) and arithmetic on that tiny
+    * grid, never a pairwise join. margin = intra − best-inter ≤ 0
+    * flags a label whose members sit closer to another cluster than
+    * to each other — the "are these labels real" check before
+    * training on them. Determinism: components are normalized then
+    * snapped to round-6 (the q181 device), every cross-row sum is a
+    * DECIMAL fold, and per-vector folds are the proven left-to-right
+    * chain. */
+  def labelCoherence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nx = Tables.embeddings(spark, dir)
+      .withColumn("nrm", nrm)
+      .filter(col("nrm") > 0.0)
+      .select(col("label"),
+        transform(col("embedding"),
+          v => round(v.cast("double") / col("nrm"), 6)).as("nx"))
+      .withColumn("qv", aggregate(col("nx"), lit(0.0),
+        (acc, v) => acc + v * v))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perLabel = nx.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qv").cast("decimal(28,12)")).cast("double").as("sn"))
+    val sums = nx
+      .select(col("label"), posexplode(col("nx")).as(Seq("pos", "c")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("c").cast("decimal(28,12)")).cast("double").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ss = sums.groupBy(col("label"))
+      .agg(sum((col("s") * col("s")).cast("decimal(28,12)"))
+        .cast("double").as("ss"))
+    val intra = perLabel.join(ss, Seq("label"))
+      .select(col("label"), col("n"),
+        when(col("n") >= 2, (col("ss") - col("sn")) /
+          (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+          .as("intra"))
+    val inter = sums.select(col("label").as("la"), col("pos"),
+        col("s").as("sa"))
+      .join(sums.select(col("label").as("lb"), col("pos"),
+        col("s").as("sb")), Seq("pos"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum((col("sa") * col("sb")).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+      .join(perLabel.select(col("label").as("la"), col("n").as("na")),
+        Seq("la"))
+      .join(perLabel.select(col("label").as("lb"), col("n").as("nb")),
+        Seq("lb"))
+      .select(col("la"), col("lb"),
+        (col("dot") / (col("na").cast("double") * col("nb").cast("double")))
+          .as("inter"))
+    val wBest = Window.partitionBy(col("la"))
+      .orderBy(col("inter").desc, col("lb"))
+    val best = inter.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("la").as("label"), col("lb").as("best_other_label"),
+        col("inter").as("inter_best"))
+    intra.join(best, Seq("label"))
+      .select(col("label"), col("n").as("n_vectors"),
+        round(col("intra"), 6).as("mean_intra"),
+        col("best_other_label"),
+        round(col("inter_best"), 6).as("inter_best"),
+        round(col("intra") - col("inter_best"), 6).as("margin"))
+  }
+
   /** SQL-oracle-able twin of the LSH bucketing (the q149/q153
     * pattern): the production planes are xxhash-seeded, but the
     * bucketing MATH — per-plane dot-product fold + strict-sign bit +

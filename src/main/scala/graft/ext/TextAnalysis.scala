@@ -908,6 +908,49 @@ object TextAnalysis {
             col("w_tot").cast("double"), 6)).as("transitivity"))
   }
 
+  /** k-core membership (q270) by iterative peeling — the
+    * degeneracy view of the provenance graph: a node in the k-core
+    * survives repeated removal of all degree-<k nodes, so 2-core
+    * members sit on CYCLES of overlap (mutual re-crawl families)
+    * and 3-core members in densely-wired cores, where raw degree
+    * (q155) can be inflated by one hub. Peeling runs a FIXED
+    * `rounds` iterations of [degree → filter → induced subgraph] —
+    * each round is one small aggregate + two semi joins on the
+    * edge list, and a fixed unroll keeps the DuckDB oracle an exact
+    * mirror (6 rounds peel any graph whose removal cascade is ≤ 6
+    * deep; the spec asserts the fixpoint really was reached on this
+    * corpus). Scale: every step is edge-list-sized, keyed on node
+    * ids. */
+  def kcore(spark: SparkSession, dir: String, n: Int = 4,
+      minShared: Long = 3L, rounds: Int = 6): DataFrame = {
+    val e0 = sourceOverlap(spark, dir, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("source_a").as("sa"), col("source_b").as("sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("sa").as("node"))
+        .unionByName(e.select(col("sb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    def survivors(k: Int): DataFrame = {
+      var e = e0
+      for (i <- 1 to rounds) {
+        val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+        e = e
+          .join(keep.select(col("node").as("sa")), Seq("sa"), "left_semi")
+          .join(keep.select(col("node").as("sb")), Seq("sb"), "left_semi")
+        if (i % 3 == 0) e = e.localCheckpoint(eager = true)
+      }
+      e.select(col("sa").as("node"))
+        .unionByName(e.select(col("sb").as("node"))).distinct()
+    }
+    degrees(e0)
+      .join(survivors(2).withColumn("c2", lit(1L)), Seq("node"), "left")
+      .join(survivors(3).withColumn("c3", lit(1L)), Seq("node"), "left")
+      .select(col("node").as("source"), col("deg").as("degree"),
+        coalesce(col("c2"), lit(0L)).as("in_2core"),
+        coalesce(col("c3"), lit(0L)).as("in_3core"))
+  }
+
   /** Sparse TF-IDF cosine similarity join (q267) — the SPARSE-vector
     * companion to the dense embedding cosine (q50): documents as
     * tf·idf bags, pairs generated by an inverted-index join on

@@ -1996,6 +1996,70 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore: 3-core within 2-core, members have enough degree, fixpoint reached") {
+    val rows = TextAnalysis.kcore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getAs[Long]("in_3core") == 1L)
+        assert(r.getAs[Long]("in_2core") == 1L)
+      if (r.getAs[Long]("in_2core") == 1L)
+        assert(r.getAs[Long]("degree") >= 2L)
+    }
+    // one more peel round changes nothing => 6 rounds reached the fixpoint
+    val more = TextAnalysis.kcore(spark, sf, rounds = 7).collect()
+    assert(rows.map(_.toString).sorted.toSeq == more.map(_.toString).sorted.toSeq)
+  }
+
+  test("hard negatives: one per anchor, cross-label, truly the max") {
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("anchor_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("anchor_label") != r.getAs[Int]("neg_label"))
+    }
+    // brute-force the hardest negative for one anchor
+    val a = rows.head.getAs[Long]("anchor_id")
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    val (_, av, al) = emb.find(_._1 == a).get
+    def cos(x: Array[Double], y: Array[Double]) = {
+      val d = x.zip(y).map(p => p._1 * p._2).sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val best = emb.filter(_._3 != al)
+      .map { case (id, v, _) => (id, cos(av, v)) }
+      .maxBy { case (id, c) => (c, -id) }
+    assert(rows.head.getAs[Long]("hard_neg_id") == best._1)
+    assert(math.abs(rows.head.getAs[Double]("cos_sim") - best._2) < 1e-5)
+  }
+
+  test("label coherence: all labels present, margin consistent, intra recompute") {
+    val rows = Similarity.labelCoherence(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("margin") -
+        (r.getAs[Double]("mean_intra") - r.getAs[Double]("inter_best"))) < 2e-6)
+      assert(r.getAs[Double]("mean_intra") >= -1.0 - 1e-6 &&
+        r.getAs[Double]("mean_intra") <= 1.0 + 1e-6)
+      assert(r.getAs[Int]("best_other_label") != r.getAs[Int]("label"))
+    }
+    // driver recompute of one label's mean pairwise normalized dot
+    val lab = rows.head.getAs[Int]("label")
+    val vs = graft.Tables.embeddings(spark, sf)
+      .filter(col("label") === lab).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => BigDecimal(x / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val pairs = for {
+      i <- vs.indices; j <- vs.indices if i != j
+    } yield vs(i).zip(vs(j)).map(p => p._1 * p._2).sum
+    val want = pairs.sum / pairs.length
+    assert(math.abs(rows.head.getAs[Double]("mean_intra") - want) < 1e-4)
+  }
+
   test("pagerank reliable-checkpoint path is byte-identical to local path") {
     import spark.implicits._
     val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
