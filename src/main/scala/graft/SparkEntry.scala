@@ -322,6 +322,9 @@ object SparkEntry {
     "q270_kcore"          -> ((s, d) => TextAnalysis.kcore(s, d)),
     "q271_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q272_label_coherence" -> ((s, d) => Similarity.labelCoherence(s, d)),
+    "q273_perm_test"      -> ((s, d) => Relational.permutationTest(s, d)),
+    "q274_target_encode"  -> ((s, d) => graft.ext.Profile.targetEncode(s, d)),
+    "q275_mmr_rerank"     -> ((s, d) => Similarity.mmrRerank(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -448,6 +451,68 @@ object SparkEntry {
          |FROM deg LEFT JOIN surv2 s2 ON deg.node = s2.node
          |  LEFT JOIN surv3 s3 ON deg.node = s3.node""".stripMargin
     s"$header,\n$peels,\n$tail"
+  }
+
+  /** q275 oracle: the MMR greedy loop UNROLLED as `k` CTE blocks —
+    * candidates and their pairwise sims materialize once (the same
+    * two tables the Spark side persists), then each block is [max
+    * sim to selected → score → argmax pick → selected ∪ pick].
+    * Relevance/sims are micro-unit BIGINT surrogates and the score
+    * is the exact integer 7·rel_i − 3·ms_i — a float 0.7/0.3 blend
+    * of round-6 inputs sits exactly on 5e-7 rounding boundaries,
+    * where engine round() calls diverge by the products' last ulp. */
+  private def mmrOracleSql(k: Int = 5): String = {
+    val header =
+      s"""WITH b AS MATERIALIZED (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, emb AS q_emb FROM b
+         |  WHERE vec_id IN (0, 1, 2)),
+         |sc AS (SELECT qv.query_id, b.vec_id, b.emb,
+         |    CAST(round(${cosSql("b.emb", "qv.q_emb")} * 1.0e6)
+         |      AS BIGINT) AS rel_i
+         |  FROM b, qv WHERE b.vec_id <> qv.query_id),
+         |cand AS MATERIALIZED (SELECT query_id, vec_id, emb, rel_i FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel_i DESC, vec_id) AS rn FROM sc)
+         |  WHERE rn <= 20),
+         |ps AS MATERIALIZED (SELECT a.query_id, a.vec_id AS va,
+         |    c.vec_id AS vb,
+         |    CAST(round(${cosSql("a.emb", "c.emb")} * 1.0e6) AS BIGINT)
+         |      AS sim_i
+         |  FROM cand a JOIN cand c ON a.query_id = c.query_id
+         |    AND a.vec_id <> c.vec_id),
+         |s1 AS (SELECT query_id, vec_id, rel_i, score_i, 1 AS pick FROM (
+         |    SELECT query_id, vec_id, rel_i, 7 * rel_i AS score_i,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel_i DESC, vec_id) AS rn
+         |    FROM cand) WHERE rn = 1),
+         |sel1 AS (SELECT query_id, vec_id FROM s1)""".stripMargin
+    val blocks = (2 to k).map { i =>
+      s"""m$i AS (SELECT c.query_id, c.vec_id, c.rel_i,
+         |    MAX(ps.sim_i) AS ms_i
+         |  FROM cand c
+         |  JOIN ps ON ps.query_id = c.query_id AND ps.va = c.vec_id
+         |  JOIN sel${i - 1} s ON s.query_id = ps.query_id
+         |    AND s.vec_id = ps.vb
+         |  LEFT JOIN sel${i - 1} x ON x.query_id = c.query_id
+         |    AND x.vec_id = c.vec_id
+         |  WHERE x.vec_id IS NULL
+         |  GROUP BY c.query_id, c.vec_id, c.rel_i),
+         |s$i AS (SELECT query_id, vec_id, rel_i, score_i, $i AS pick FROM (
+         |    SELECT query_id, vec_id, rel_i,
+         |      7 * rel_i - 3 * ms_i AS score_i,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY 7 * rel_i - 3 * ms_i DESC, vec_id) AS rn
+         |    FROM m$i) WHERE rn = 1),
+         |sel$i AS (SELECT query_id, vec_id FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 to k).map(i =>
+      s"""SELECT query_id, CAST(pick AS INTEGER) AS pick, vec_id,
+         |  CAST(rel_i AS DOUBLE) / 1.0e6 AS rel,
+         |  CAST(score_i AS DOUBLE) / 1.0e7 AS score FROM s$i""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"$header,\n$blocks\n$tail"
   }
 
   /** q251 oracle: the HITS power loop UNROLLED as `iters` CTE blocks
@@ -5193,6 +5258,73 @@ object SparkEntry {
         |  b2.lb AS best_other_label, round(b2.inter, 6) AS inter_best,
         |  round(intra - b2.inter, 6) AS margin
         |FROM intra i JOIN best b2 ON i.label = b2.la""".stripMargin,
+    // q273: permutation test — md5(rep:key) rank relabeling, exact
+    // DECIMAL sums, round-6 snap before the >= comparison
+    "q273_perm_test" ->
+      s"""WITH base AS MATERIALIZED (SELECT o_orderkey, o_totalprice,
+         |    c_mktsegment = 'BUILDING' AS is_a
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+         |obs AS (SELECT
+         |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b,
+         |    round(${dsumSql("CASE WHEN is_a THEN o_totalprice END")}
+         |        / CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS DOUBLE)
+         |      - ${dsumSql("CASE WHEN NOT is_a THEN o_totalprice END")}
+         |        / CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END)
+         |          AS DOUBLE), 6) AS obs_diff
+         |  FROM base),
+         |ex AS (SELECT o_orderkey, o_totalprice, rep,
+         |    CAST(('0x' || substr(md5(CAST(rep AS VARCHAR) || ':' ||
+         |      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+         |  FROM base, UNNEST(range(1, 65)) AS r(rep)),
+         |rk AS (SELECT rep, o_totalprice,
+         |    row_number() OVER (PARTITION BY rep
+         |      ORDER BY u, o_orderkey) AS rk
+         |  FROM ex),
+         |nulls AS (SELECT rep, n_a, n_b, obs_diff,
+         |    round(${dsumSql("CASE WHEN rk <= n_a THEN o_totalprice END")}
+         |        / CAST(n_a AS DOUBLE)
+         |      - ${dsumSql("CASE WHEN rk > n_a THEN o_totalprice END")}
+         |        / CAST(n_b AS DOUBLE), 6) AS stat
+         |  FROM rk, obs GROUP BY rep, n_a, n_b, obs_diff)
+         |SELECT n_a, n_b, obs_diff, COUNT(*) AS n_reps,
+         |  CAST(SUM(CASE WHEN abs(stat) >= abs(obs_diff) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_ge,
+         |  round((CAST(SUM(CASE WHEN abs(stat) >= abs(obs_diff)
+         |      THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+         |    / (CAST(COUNT(*) AS DOUBLE) + 1.0), 6) AS p_value,
+         |  round(${dsumSql("abs(stat)")} / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS null_mean_abs,
+         |  round(MAX(abs(stat)), 6) AS null_max_abs
+         |FROM nulls GROUP BY n_a, n_b, obs_diff""".stripMargin,
+    // q274: target encoding — closed-form LOO + m-estimate from
+    // exact integer (n, s), identical double chains
+    "q274_target_encode" ->
+      """WITH f AS (SELECT c_mktsegment, o_orderpriority,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT CAST(SUM(y) AS BIGINT) AS gs,
+        |    COUNT(*) AS gn FROM f),
+        |pergrp AS (
+        |  SELECT 'c_mktsegment' AS feature, c_mktsegment AS category,
+        |    COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS s FROM f GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority,
+        |    COUNT(*), CAST(SUM(y) AS BIGINT) FROM f GROUP BY 2)
+        |SELECT feature, category, n, s AS n_pos,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  round((CAST(s AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 1.0), 6)
+        |    AS loo_pos,
+        |  round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0), 6)
+        |    AS loo_neg,
+        |  round((CAST(s AS DOUBLE)
+        |      + 20.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |    / (CAST(n AS DOUBLE) + 20.0), 6) AS smoothed
+        |FROM pergrp, g""".stripMargin,
+    // q275: MMR rerank — the greedy loop unrolled (mmrOracleSql)
+    "q275_mmr_rerank" -> mmrOracleSql(),
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

@@ -655,9 +655,13 @@ object Profile {
     val orders = Tables.orders(spark, dir)
       .withColumn("label", (col("o_orderstatus") === "F").cast("long"))
     def one(df: DataFrame, feature: String, bucket: Column): DataFrame = {
+      // persisted: the tiny bucket grid feeds tot, scored, and iv —
+      // without it each consumer re-expands the fact scan (the
+      // PlanAuditSpec re-expansion guard)
       val cells = df.groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
         .withColumn("n_neg", col("n") - col("n_pos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = cells.agg(sum(col("n_pos")).as("g_tot"),
         sum(col("n_neg")).as("b_tot"))
       val pg = (col("n_pos").cast("double") + 0.5) / col("g_tot").cast("double")
@@ -859,5 +863,47 @@ object Profile {
       .withColumn("contrib",
         (col("n").cast("double") - col("expected"))
           * (col("n").cast("double") - col("expected")) / col("expected"))
+  }
+
+  /** Target-encoding table (q274) — the per-category encoding a
+    * feature pipeline broadcasts onto 100 TB of facts, with the two
+    * standard leakage controls computed from EXACT per-group integer
+    * counts (n, s = positives) instead of any row-level pass:
+    *   - leave-one-out: a positive row sees (s−1)/(n−1), a negative
+    *     row s/(n−1) — closed form, so the per-row "encode each row
+    *     without itself" scan collapses into group arithmetic. The
+    *     gap enc_neg − enc_pos = 1/(n−1) IS the leakage signal a
+    *     model could exploit; small groups show it loudest.
+    *   - m-estimate smoothing (s + m·prior)/(n + m): shrinks rare
+    *     categories toward the global prior (m = 20 virtual rows).
+    * Target: order fell to final status F; categories: customer
+    * mktsegment and order priority, unioned into one audit table.
+    * Scale shape: one fact scan per categorical (both aggs partial
+    * map-side), the 1-row global prior broadcasts as a literal-free
+    * cross join; no window, no per-row encode pass. */
+  def targetEncode(spark: SparkSession, dir: String,
+      m: Double = 20.0): DataFrame = {
+    val facts = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prior = facts.agg(sum(col("y")).as("gs"),
+      count(lit(1)).as("gn"))
+    def one(cat: String): DataFrame =
+      facts.groupBy(col(cat).as("category"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+        .select(lit(cat).as("feature"), col("category"), col("n"), col("s"))
+    val d = (c: Column) => c.cast("double")
+    one("c_mktsegment").unionByName(one("o_orderpriority"))
+      .crossJoin(broadcast(prior))
+      .select(col("feature"), col("category"), col("n"),
+        col("s").as("n_pos"),
+        round(d(col("s")) / d(col("n")), 6).as("rate"),
+        round((d(col("s")) - 1.0) / (d(col("n")) - 1.0), 6).as("loo_pos"),
+        round(d(col("s")) / (d(col("n")) - 1.0), 6).as("loo_neg"),
+        round((d(col("s")) + lit(m) * (d(col("gs")) / d(col("gn"))))
+          / (d(col("n")) + lit(m)), 6).as("smoothed"))
   }
 }

@@ -807,4 +807,5 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("sum_tokens"))
   }
+
 }

@@ -429,6 +429,69 @@ object Relational {
           + se0 * se0 / (col("n0").cast("double") - 1.0)), 6).as("df"))
   }
 
+  /** Exact-size permutation test (q273) — the distribution-free
+    * companion to [[welchTTest]]: is the BUILDING-vs-AUTOMOBILE gap
+    * in mean order value real, or within what label shuffling alone
+    * produces? Each of `reps` pseudo-permutations ranks rows by a
+    * deterministic md5(rep:key) uniform and relabels the first n_a
+    * ranks as group A — an exact-size random partition, reproducible
+    * in any engine (no RNG stream, no partitioning dependence). The
+    * per-rep statistic (mean A − mean B) folds from DECIMAL-exact
+    * sums and snaps to round-6 before the ≥ comparison, so the
+    * p-value — (1 + #{|null| ≥ |observed|}) / (reps + 1), the
+    * add-one Monte-Carlo form — is engine-identical. Scale shape:
+    * the rep axis explodes inside the scan (reps × n rows, embar-
+    * rassingly parallel), the only shuffle is the per-rep rank
+    * window (reps independent partitions), and each rep collapses
+    * map-side to one row before the final fold. */
+  def permutationTest(spark: SparkSession, dir: String, reps: Int = 64,
+      segA: String = "BUILDING", segB: String = "AUTOMOBILE"): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("c_mktsegment") === segA).as("is_a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obs = base.agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        dsum(when(col("is_a"), col("o_totalprice"))).as("s_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        dsum(when(!col("is_a"), col("o_totalprice"))).as("s_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("s_a") / col("n_a").cast("double")
+          - col("s_b") / col("n_b").cast("double"), 6).as("obs_diff"))
+    val u = conv(substring(md5(concat_ws(":", col("rep").cast("string"),
+      col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("rep")).orderBy(col("u"), col("o_orderkey"))
+    val nulls = base
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(1), lit(reps))).as("rep"))
+      .withColumn("u", u)
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(obs))
+      .groupBy(col("rep"), col("n_a"), col("n_b"), col("obs_diff"))
+      .agg(dsum(when(col("rk") <= col("n_a"), col("o_totalprice"))).as("sa"),
+        dsum(when(col("rk") > col("n_a"), col("o_totalprice"))).as("sb"))
+      .select(col("n_a"), col("n_b"), col("obs_diff"),
+        round(col("sa") / col("n_a").cast("double")
+          - col("sb") / col("n_b").cast("double"), 6).as("stat"))
+    nulls
+      .groupBy(col("n_a"), col("n_b"), col("obs_diff"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(abs(col("stat")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_ge"),
+        dsum(abs(col("stat"))).as("sabs"),
+        max(abs(col("stat"))).as("null_max_abs"))
+      .select(col("n_a"), col("n_b"), col("obs_diff"), col("n_reps"),
+        col("n_ge"),
+        round((col("n_ge").cast("double") + 1.0)
+          / (col("n_reps").cast("double") + 1.0), 6).as("p_value"),
+        round(col("sabs") / col("n_reps").cast("double"), 6)
+          .as("null_mean_abs"),
+        round(col("null_max_abs"), 6).as("null_max_abs"))
+  }
+
   /** Autocorrelation function (q236) of the gap-filled daily revenue
     * at lags 1..14 — the periodicity diagnostic ([[seasonalTrend]]
     * assumes a weekly cycle; the ACF shows whether one exists, as a
@@ -2924,11 +2987,15 @@ object Relational {
     * evaluation order differs across engines. Emits slope (revenue
     * per month), intercept at month 0, and both medians' ranks. */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the bounded month grid feeds both slope-pair sides
+    // and the residual pass — without it every consumer re-expands
+    // the orders scan (the PlanAuditSpec re-expansion guard)
     val monthly = Tables.orders(spark, dir)
       .groupBy(((year(col("o_orderdate")) - 1992) * 12 +
         month(col("o_orderdate")) - 1).cast("long").as("x"))
       .agg(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
         .as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = monthly.select(col("x").as("x1"), col("y").as("y1"))
     val b = monthly.select(col("x").as("x2"), col("y").as("y2"))
     val slopes = a.join(b, col("x1") < col("x2"))
