@@ -325,6 +325,10 @@ object SparkEntry {
     "q273_perm_test"      -> ((s, d) => Relational.permutationTest(s, d)),
     "q274_target_encode"  -> ((s, d) => graft.ext.Profile.targetEncode(s, d)),
     "q275_mmr_rerank"     -> ((s, d) => Similarity.mmrRerank(s, d)),
+    "q276_holt_forecast"  -> ((s, d) => Relational.holtForecast(s, d)),
+    "q277_rake_keywords"  -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
+    "q278_whitening"      -> ((s, d) => Similarity.whiteningParity(s, d)),
+    "q279_split_leakage"  -> ((s, d) => Dedup.splitLeakage(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5325,6 +5329,158 @@ object SparkEntry {
         |FROM pergrp, g""".stripMargin,
     // q275: MMR rerank — the greedy loop unrolled (mmrOracleSql)
     "q275_mmr_rerank" -> mmrOracleSql(),
+    // q276: Holt — the identical ½-coefficient recursion as a
+    // recursive CTE over the same gap-filled grid
+    "q276_holt_forecast" ->
+      s"""WITH RECURSIVE dagg AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bo AS (SELECT min(day) AS lo, max(day) AS hi FROM dagg),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bo),
+         |daily AS MATERIALIZED (SELECT s.day,
+         |    COALESCE(d.revenue, 0.0) AS x,
+         |    row_number() OVER (ORDER BY s.day) AS rn
+         |  FROM spine s LEFT JOIN dagg d ON s.day = d.day),
+         |b2 AS (SELECT MAX(rn) AS n_total FROM daily),
+         |tr AS MATERIALIZED (SELECT rn, x FROM daily, b2
+         |  WHERE rn <= n_total - 7),
+         |nt AS (SELECT COUNT(*) AS n_train FROM tr),
+         |rec(t, level, trend) AS (
+         |  SELECT CAST(1 AS BIGINT) AS t, x1.x AS level,
+         |    x2.x - x1.x AS trend
+         |  FROM (SELECT x FROM tr WHERE rn = 1) x1,
+         |       (SELECT x FROM tr WHERE rn = 2) x2
+         |  UNION ALL
+         |  SELECT r.t + 1,
+         |    0.5 * d.x + 0.5 * (r.level + r.trend),
+         |    0.5 * ((0.5 * d.x + 0.5 * (r.level + r.trend)) - r.level)
+         |      + 0.5 * r.trend
+         |  FROM rec r JOIN tr d ON d.rn = r.t + 1, nt
+         |  WHERE r.t < nt.n_train),
+         |fin AS (SELECT level, trend, nt.n_train FROM rec, nt
+         |  WHERE t = nt.n_train)
+         |SELECT CAST(h AS INTEGER) AS h, daily.day,
+         |  round(level + CAST(h AS DOUBLE) * trend, 6) AS forecast,
+         |  daily.x AS actual,
+         |  round(abs((level + CAST(h AS DOUBLE) * trend) - daily.x), 6)
+         |    AS abs_err
+         |FROM fin, UNNEST(range(1, 8)) AS u(h)
+         |JOIN daily ON daily.rn = fin.n_train + h""".stripMargin,
+    // q277: RAKE — islands phrase segmentation, deg/freq word
+    // scores round-6, DECIMAL phrase-score folds
+    "q277_rake_keywords" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS ws FROM documents),
+         |tok AS (SELECT doc_id, source, i AS pos, ws[i] AS w
+         |  FROM t, UNNEST(range(1, len(ws) + 1)) AS u(i)),
+         |mk AS (SELECT doc_id, source, pos, w,
+         |    w IN ('the', 'a', 'and', 'of', 'to') AS brk FROM tok),
+         |ph0 AS (SELECT doc_id, source, pos, w, brk,
+         |    SUM(CASE WHEN brk THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+         |  FROM mk),
+         |ph AS (SELECT doc_id, source, pid, list(w ORDER BY pos) AS ws
+         |  FROM ph0 WHERE NOT brk GROUP BY doc_id, source, pid),
+         |ph2 AS MATERIALIZED (SELECT source,
+         |    array_to_string(ws, ' ') AS phrase, ws,
+         |    CAST(len(ws) AS BIGINT) AS plen
+         |  FROM ph WHERE len(ws) <= 4),
+         |wx AS (SELECT source, unnest(ws) AS w, plen FROM ph2),
+         |wstat AS (SELECT source, w,
+         |    round(CAST(CAST(SUM(plen) AS BIGINT) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE), 6) AS wscore
+         |  FROM wx GROUP BY source, w),
+         |occ AS (SELECT source, phrase, COUNT(*) AS n_occur,
+         |    MIN(ws) AS ws FROM ph2 GROUP BY 1, 2),
+         |pw AS (SELECT source, phrase, n_occur, unnest(ws) AS w FROM occ),
+         |psc AS (SELECT pw.source, pw.phrase, pw.n_occur,
+         |    CAST(SUM(CAST(wstat.wscore AS DECIMAL(28,6))) AS DOUBLE)
+         |      AS score
+         |  FROM pw JOIN wstat ON wstat.source = pw.source
+         |    AND wstat.w = pw.w
+         |  GROUP BY 1, 2, 3),
+         |rk AS (SELECT source, phrase, n_occur, score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, phrase) AS rk
+         |  FROM psc)
+         |SELECT source, phrase, n_occur, round(score, 6) AS score,
+         |  CAST(rk AS INTEGER) AS rk
+         |FROM rk WHERE rk <= 5""".stripMargin,
+    // q278: whitening parity — micro-unit moment surrogates, the
+    // identical (xi/1e6 − μ)/σ chain, round-6 sims, top-10 overlap
+    "q278_whitening" ->
+      """WITH b AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> round(v, 6)) AS x
+        |  FROM embeddings),
+        |ex AS MATERIALIZED (SELECT vec_id, p AS pos,
+        |    CAST(round(x[p + 1] * 1.0e6) AS BIGINT) AS xi
+        |  FROM b, UNNEST(range(0, 64)) AS u(p)),
+        |st AS (SELECT pos, COUNT(*) AS n,
+        |    CAST(SUM(xi) AS BIGINT) AS s1,
+        |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+        |      AS s2
+        |  FROM ex GROUP BY pos),
+        |stm AS (SELECT pos,
+        |    CAST(s1 AS DOUBLE) / 1.0e6 / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(CAST(s2 AS DOUBLE) / 1.0e12 / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / 1.0e6 / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / 1.0e6 / CAST(n AS DOUBLE)))
+        |      AS std
+        |  FROM st),
+        |wv AS MATERIALIZED (SELECT vec_id,
+        |    list((CAST(xi AS DOUBLE) / 1.0e6 - mean) / std
+        |      ORDER BY ex.pos) AS x
+        |  FROM ex JOIN stm ON stm.pos = ex.pos
+        |  GROUP BY vec_id),
+        |ra AS (SELECT a.vec_id AS anchor_id, c.vec_id,
+        |    round(list_dot_product(c.x, a.x) /
+        |      (sqrt(list_dot_product(c.x, c.x))
+        |        * sqrt(list_dot_product(a.x, a.x))), 6) AS cs
+        |  FROM b a JOIN b c ON c.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4)),
+        |rtop AS (SELECT anchor_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cs DESC, vec_id) AS rn FROM ra) WHERE rn <= 10),
+        |wa AS (SELECT a.vec_id AS anchor_id, c.vec_id,
+        |    round(list_dot_product(c.x, a.x) /
+        |      (sqrt(list_dot_product(c.x, c.x))
+        |        * sqrt(list_dot_product(a.x, a.x))), 6) AS cs
+        |  FROM wv a JOIN wv c ON c.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2, 3, 4)),
+        |wtop AS (SELECT anchor_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cs DESC, vec_id) AS rn FROM wa) WHERE rn <= 10),
+        |ov AS (SELECT COALESCE(r.anchor_id, w.anchor_id) AS anchor_id,
+        |    CASE WHEN r.vec_id IS NOT NULL AND w.vec_id IS NOT NULL
+        |      THEN 1 ELSE 0 END AS in_both
+        |  FROM rtop r FULL OUTER JOIN wtop w
+        |    ON r.anchor_id = w.anchor_id AND r.vec_id = w.vec_id)
+        |SELECT anchor_id, CAST(SUM(in_both) AS BIGINT) AS n_overlap,
+        |  round(CAST(CAST(SUM(in_both) AS BIGINT) AS DOUBLE)
+        |    / (20.0 - CAST(CAST(SUM(in_both) AS BIGINT) AS DOUBLE)), 6)
+        |    AS jaccard
+        |FROM ov GROUP BY anchor_id""".stripMargin,
+    // q279: split leakage — the shared portable verified-edge stem,
+    // classified against the md5 hash split
+    "q279_split_leakage" ->
+      s"""WITH RECURSIVE $portableCompSql,
+         |cl AS (SELECT
+         |    CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 10 AS ta,
+         |    CAST(('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 100 < 10 AS tb
+         |  FROM ver)
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN NOT ta AND NOT tb THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_both_train,
+         |  CAST(SUM(CASE WHEN ta AND tb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_both_test,
+         |  CAST(SUM(CASE WHEN ta <> tb THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cross,
+         |  round(CAST(SUM(CASE WHEN ta <> tb THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS leak_rate
+         |FROM cl""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

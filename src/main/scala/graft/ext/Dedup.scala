@@ -1090,4 +1090,35 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keep_id"))
       .filter(col("cluster_size") > 1)
       .select(col("keep_id"), col("cluster_size"), col("sh"))
+
+  /** Train/test split-leakage audit (q279) — the contamination
+    * check LLM eval hygiene actually demands: a random document-
+    * level split leaks whenever two NEAR-DUPLICATES land on opposite
+    * sides (the test doc is then effectively in the training set —
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", measured exactly this). Classifies every
+    * verified near-dup pair ([[jaccardVerifyPortable]]'s memoized
+    * edge table — banded LSH candidates, exact-Jaccard verified)
+    * against the deterministic hash split ([[Sampling.hashBucket]]
+    * < testPct → test): cross-split pairs are leaks. Zero new
+    * corpus work — the edge table is reused, the split is computed
+    * from doc ids in-line, and the audit is one global fold.
+    * The actionable fix the numbers motivate: split by CLUSTER
+    * representative (q59's components), never by raw doc id. */
+  def splitLeakage(spark: SparkSession, dir: String,
+      testPct: Int = 10): DataFrame = {
+    def isTest(c: Column) = graft.ext.Sampling.hashBucket(c) < testPct
+    jaccardVerifyPortable(spark, dir)
+      .select(isTest(col("doc_a")).as("ta"), isTest(col("doc_b")).as("tb"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(!col("ta") && !col("tb"), 1L).otherwise(0L))
+          .as("n_both_train"),
+        sum(when(col("ta") && col("tb"), 1L).otherwise(0L))
+          .as("n_both_test"),
+        sum(when(col("ta") =!= col("tb"), 1L).otherwise(0L)).as("n_cross"))
+      .select(col("n_pairs"), col("n_both_train"), col("n_both_test"),
+        col("n_cross"),
+        round(col("n_cross").cast("double")
+          / col("n_pairs").cast("double"), 6).as("leak_rate"))
+  }
 }

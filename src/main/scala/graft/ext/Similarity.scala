@@ -1468,4 +1468,70 @@ object Similarity {
         (col("rel_i").cast("double") / 1e6).as("rel"),
         (col("score_i").cast("double") / 1e7).as("score"))
   }
+
+  /** Whitening parity audit (q278) — does per-dimension
+    * standardization (x−μ)/σ change who your neighbors are? The
+    * embedding-hygiene check before building an ANN index: dominant
+    * dimensions (high variance) drown cosine; whitening equalizes
+    * them, and this audit measures the top-k disruption per anchor
+    * (overlap + Jaccard of raw-vs-whitened top-10). Per-dim moments
+    * come from ONE exploded scan to micro-unit integer sufficient
+    * statistics (64 rows — exact in any order), the tiny (pos, μ, σ)
+    * grid broadcasts back, and vectors rebuild with one keyed
+    * aggregate; both rankings are broadcast-anchor one-scan top-ks.
+    * Determinism: components, means, stds, and both cosine families
+    * derive from exact integer sums through fixed IEEE chains; sims
+    * snap round-6 before ranking (ties by vec_id). */
+  def whiteningParity(spark: SparkSession, dir: String,
+      anchorIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val x6 = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double"), 6)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = x6.select(col("vec_id"),
+        posexplode(col("x")).as(Seq("pos", "xv")))
+      .select(col("vec_id"), col("pos"),
+        round(col("xv") * 1e6, 0).cast("long").as("xi"))
+    val st = ex.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1"),
+        sum(d19(col("xi")) * d19(col("xi"))).as("s2"))
+    val mean = col("s1").cast("double") / 1e6 / col("n").cast("double")
+    val stm = st.select(col("pos"), mean.as("mean"),
+      sqrt(col("s2").cast("double") / 1e12 / col("n").cast("double")
+        - mean * mean).as("std"))
+    val wv = ex.join(broadcast(stm), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        ((col("xi").cast("double") / 1e6 - col("mean")) / col("std"))
+          .as("wx"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("wx")))),
+        e => e.getField("wx")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topk(vecs: DataFrame): DataFrame = {
+      val anch = vecs.filter(col("vec_id").isin(anchorIds: _*))
+        .select(col("vec_id").as("anchor_id"), col("x").as("ax"))
+      vecs.join(broadcast(anch), col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("vec_id"),
+          round(cosineHof(col("x"), col("ax")), 6).as("cs"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("anchor_id"))
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rn") <= k)
+        .select(col("anchor_id"), col("vec_id"))
+    }
+    val raw = topk(x6).withColumn("in_raw", lit(1L))
+    val wht = topk(wv).withColumn("in_wht", lit(1L))
+    raw.join(wht, Seq("anchor_id", "vec_id"), "full_outer")
+      .groupBy(col("anchor_id"))
+      .agg(sum(when(col("in_raw").isNotNull && col("in_wht").isNotNull, 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .select(col("anchor_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double")
+          / (lit(2.0 * k) - col("n_overlap").cast("double")), 6)
+          .as("jaccard"))
+  }
 }

@@ -1424,4 +1424,65 @@ object TextAnalysis {
     stats.join(postings, "word")
       .select(col("word"), col("df"), col("cf"), col("postings"))
   }
+
+  /** RAKE keyword extraction (q277) — Rapid Automatic Keyword
+    * Extraction (Rose et al. 2010): candidate phrases are the
+    * maximal token runs between stopword breakers, each word scores
+    * degree/frequency over the phrase table (degree = Σ phrase-len
+    * across its occurrences, self included), and a phrase scores
+    * the sum of its words' scores — the zero-model keyphrase
+    * extractor a corpus-exploration pass runs per source. Phrase
+    * segmentation is the islands trick (running breaker count per
+    * doc — one doc-partitioned window); runs longer than `maxLen`
+    * are dropped (RAKE convention — unbounded runs are boilerplate,
+    * not keyphrases). Determinism: word scores snap to round-6 and
+    * phrase scores fold them as exact DECIMAL sums (order-free);
+    * ranks tie-break on the phrase string (ASCII — both engines
+    * byte-order). Scale shape: the only windows are per-doc; word
+    * stats and phrase scores are keyed aggregates; the phrase table
+    * persists once for its two consumers (stats + scores). */
+  def rakeKeywords(spark: SparkSession, dir: String, maxLen: Int = 4,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "and", "of", "to")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phrases = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("brk", col("w").isin(stop: _*))
+      .withColumn("pid",
+        sum(when(col("brk"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("brk"))
+      .groupBy(col("doc_id"), col("source"), col("pid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("s"))
+      .select(col("source"),
+        transform(col("s"), e => e.getField("w")).as("ws"))
+      .filter(size(col("ws")) <= maxLen)
+      .select(col("source"), concat_ws(" ", col("ws")).as("phrase"),
+        col("ws"), size(col("ws")).cast("long").as("plen"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wordStats = phrases
+      .select(col("source"), explode(col("ws")).as("w"), col("plen"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("source"), col("w"),
+        round(col("deg").cast("double") / col("freq").cast("double"), 6)
+          .as("wscore"))
+    val occ = phrases.groupBy(col("source"), col("phrase"))
+      .agg(count(lit(1)).as("n_occur"), first(col("ws")).as("ws"))
+    val scored = occ
+      .select(col("source"), col("phrase"), col("n_occur"),
+        explode(col("ws")).as("w"))
+      .join(wordStats, Seq("source", "w"))
+      .groupBy(col("source"), col("phrase"), col("n_occur"))
+      .agg(sum(col("wscore").cast("decimal(28,6)")).cast("double")
+        .as("score"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("phrase"))).cast("int"))
+      .filter(col("rk") <= topK)
+      .select(col("source"), col("phrase"), col("n_occur"),
+        round(col("score"), 6).as("score"), col("rk"))
+  }
 }

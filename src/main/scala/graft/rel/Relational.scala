@@ -554,6 +554,58 @@ object Relational {
       .select(col("day"), col("revenue_filled"), col("ewma8"))
   }
 
+  /** Holt linear-trend forecast backtest (q276) — double exponential
+    * smoothing (level + trend, α = β = 0.5) over the gap-filled
+    * daily revenue, trained on all but the last `horizon` days and
+    * scored against them: the trend-aware upgrade of [[ewmaDaily]]
+    * and the model-based companion to [[seasonalNaiveBacktest]].
+    * The recursion (lₜ = ½xₜ + ½(l+b); bₜ = ½(lₜ−l) + ½b,
+    * initialized l₁ = x₁, b₁ = x₂−x₁) is inherently sequential, so
+    * it folds ONCE over the collected day grid (bounded by the date
+    * RANGE, not data size — the q234 CUSUM shape; the corpus itself
+    * is still reduced distributed by [[gapFillDaily]]'s one scan).
+    * α = β = ½ means every smoothing step is exact IEEE halving of
+    * the same operands in the same order, so the fold — and the
+    * h-step forecasts level + h·trend — reproduce bit-for-bit in
+    * any engine (the oracle runs the identical recursion as a
+    * recursive CTE). */
+  def holtForecast(spark: SparkSession, dir: String,
+      horizon: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val daily = gapFillDaily(spark, dir)
+      .select(col("day"), col("revenue_filled"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = daily.agg(max(col("rn")).as("n_total"))
+    val folded = daily.crossJoin(broadcast(bounds))
+      .filter(col("rn") <= col("n_total") - horizon)
+      .agg(array_sort(collect_list(struct(col("rn"), col("revenue_filled"))))
+        .as("s"), count(lit(1)).as("n_train"))
+    val x1 = element_at(col("s"), 1).getField("revenue_filled")
+    val x2 = element_at(col("s"), 2).getField("revenue_filled")
+    val zero = struct(x1.as("level"), (x2 - x1).as("trend"))
+    val fit = folded.select(col("n_train"),
+      aggregate(slice(col("s"), lit(2), size(col("s")) - 1), zero,
+        (acc, e) => {
+          val x = e.getField("revenue_filled")
+          val l = acc.getField("level")
+          val b = acc.getField("trend")
+          val l2 = lit(0.5) * x + lit(0.5) * (l + b)
+          struct(l2.as("level"),
+            (lit(0.5) * (l2 - l) + lit(0.5) * b).as("trend"))
+        }).as("f"))
+    fit.select(col("n_train"), col("f.level").as("level"),
+        col("f.trend").as("trend"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .join(daily, col("rn") === col("n_train") + col("h"))
+      .select(col("h").cast("int").as("h"), col("day"),
+        round(col("level") + col("h").cast("double") * col("trend"), 6)
+          .as("forecast"),
+        col("revenue_filled").as("actual"),
+        round(abs((col("level") + col("h").cast("double") * col("trend"))
+          - col("revenue_filled")), 6).as("abs_err"))
+  }
+
   /** Inter-arrival time distribution per event type: log2-bucketed
     * histogram of the gap (in integer microseconds) between a user's
     * consecutive events — the traffic-model view (burst vs poisson
