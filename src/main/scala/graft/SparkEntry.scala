@@ -329,6 +329,9 @@ object SparkEntry {
     "q277_rake_keywords"  -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
     "q278_whitening"      -> ((s, d) => Similarity.whiteningParity(s, d)),
     "q279_split_leakage"  -> ((s, d) => Dedup.splitLeakage(s, d)),
+    "q280_rec_eval"       -> ((s, d) => Relational.recEval(s, d)),
+    "q281_dp_counts"      -> ((s, d) => graft.ext.Profile.dpCounts(s, d)),
+    "q282_hill_tail"      -> ((s, d) => graft.ext.Profile.hillTail(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5481,6 +5484,103 @@ object SparkEntry {
          |  round(CAST(SUM(CASE WHEN ta <> tb THEN 1 ELSE 0 END)
          |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS leak_rate
          |FROM cl""".stripMargin,
+    // q280: recommender eval — the q222 CF stem served to users,
+    // DECIMAL score folds, coverage + intra-list diversity
+    "q280_rec_eval" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS part FROM lineitem),
+        |m AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_part
+        |  FROM items GROUP BY 1),
+        |u AS (SELECT a.part AS part_a, b.part AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY 1, 2),
+        |d AS (SELECT part_a, part_b, n_ab FROM u
+        |      UNION ALL SELECT part_b, part_a, n_ab FROM u),
+        |s AS (SELECT part_a, part_b,
+        |    round(CAST(n_ab AS DOUBLE)
+        |      / sqrt(CAST(ma.n_part AS DOUBLE) * CAST(mb.n_part AS DOUBLE)),
+        |      6) AS cos
+        |  FROM d JOIN m ma ON d.part_a = ma.part
+        |         JOIN m mb ON d.part_b = mb.part),
+        |sims AS MATERIALIZED (SELECT part_a, part_b, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY part_a
+        |      ORDER BY cos DESC, part_b) AS rank FROM s)
+        |  WHERE rank <= 5),
+        |hist AS MATERIALIZED (SELECT DISTINCT o_custkey AS usr,
+        |    l_partkey AS part
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sc AS (SELECT h.usr, s2.part_b AS rec,
+        |    CAST(SUM(CAST(s2.cos AS DECIMAL(28,6))) AS DOUBLE) AS score
+        |  FROM hist h JOIN sims s2 ON s2.part_a = h.part
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT sc.usr, sc.rec, sc.score FROM sc
+        |  LEFT JOIN hist hx ON hx.usr = sc.usr AND hx.part = sc.rec
+        |  WHERE hx.part IS NULL),
+        |recs AS MATERIALIZED (SELECT usr, rec FROM (
+        |    SELECT usr, rec, row_number() OVER (PARTITION BY usr
+        |      ORDER BY score DESC, rec) AS rn FROM cl)
+        |  WHERE rn <= 3),
+        |ni AS (SELECT COUNT(DISTINCT part) AS n_items FROM hist),
+        |cov AS (SELECT COUNT(DISTINCT usr) AS n_users,
+        |    COUNT(DISTINCT rec) AS n_rec_items FROM recs),
+        |pr AS (SELECT a.usr, a.rec AS ra, b.rec AS rb
+        |  FROM recs a JOIN recs b ON a.usr = b.usr AND a.rec < b.rec),
+        |pd AS (SELECT pr.usr,
+        |    1.0 - COALESCE(s1.cos, s2.cos, 0.0) AS dis
+        |  FROM pr
+        |  LEFT JOIN sims s1 ON s1.part_a = pr.ra AND s1.part_b = pr.rb
+        |  LEFT JOIN sims s2 ON s2.part_b = pr.ra AND s2.part_a = pr.rb),
+        |ui AS (SELECT usr,
+        |    round(CAST(SUM(CAST(dis AS DECIMAL(28,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS u_ild
+        |  FROM pd GROUP BY 1),
+        |il AS (SELECT COUNT(*) AS n_ild_users,
+        |    round(CAST(SUM(CAST(u_ild AS DECIMAL(28,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ild
+        |  FROM ui)
+        |SELECT cov.n_users, cov.n_rec_items, ni.n_items,
+        |  round(CAST(cov.n_rec_items AS DOUBLE)
+        |    / CAST(ni.n_items AS DOUBLE), 6) AS coverage,
+        |  il.n_ild_users, il.mean_ild
+        |FROM cov, ni, il""".stripMargin,
+    // q281: DP histogram — identical md5 uniform, inverse-CDF
+    // Laplace, same IEEE chain
+    "q281_dp_counts" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, lang, n_docs,
+        |    ((CAST(('0x' || substr(md5(source || ':' || lang), 1, 8))
+        |       AS BIGINT) + 0.5) / 4294967296.0) - 0.5 AS v
+        |  FROM c)
+        |SELECT source, lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE)
+        |    + (-sign(v) * ln(1.0 - 2.0 * abs(v)) / 1.0), 6) AS noisy_n,
+        |  round(abs(-sign(v) * ln(1.0 - 2.0 * abs(v)) / 1.0), 6)
+        |    AS abs_noise
+        |FROM n""".stripMargin,
+    // q282: Hill estimator — top-101 order stats, round-9 ln
+    // surrogates, exact integer fold
+    "q282_hill_tail" ->
+      """WITH top AS (SELECT doc_id, n_chars FROM documents
+        |  WHERE n_chars > 0
+        |  ORDER BY n_chars DESC, doc_id LIMIT 101),
+        |r AS (SELECT n_chars, row_number() OVER (
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM top),
+        |a AS (SELECT
+        |    MAX(CASE WHEN rn = 101 THEN n_chars END) AS x_cutoff,
+        |    CAST(SUM(CASE WHEN rn <= 100 THEN
+        |      CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1.0e9) AS BIGINT)
+        |      END) AS BIGINT) AS slog
+        |  FROM r)
+        |SELECT CAST(100 AS INTEGER) AS k, x_cutoff,
+        |  round(1.0e11 / CAST(slog - 100 *
+        |    CAST(round(ln(CAST(x_cutoff AS DOUBLE)) * 1.0e9) AS BIGINT)
+        |    AS DOUBLE), 6) AS hill_alpha,
+        |  round(1.0e11 / CAST(slog - 100 *
+        |    CAST(round(ln(CAST(x_cutoff AS DOUBLE)) * 1.0e9) AS BIGINT)
+        |    AS DOUBLE) / sqrt(100.0), 6) AS alpha_se
+        |FROM a""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

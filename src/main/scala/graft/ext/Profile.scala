@@ -906,4 +906,66 @@ object Profile {
         round((d(col("s")) + lit(m) * (d(col("gs")) / d(col("gn"))))
           / (d(col("n")) + lit(m)), 6).as("smoothed"))
   }
+
+  /** Differentially-private histogram release (q281) — the
+    * (source, lang) document counts with Laplace(1/ε) noise, the
+    * mechanism a data-sharing pipeline applies before publishing
+    * corpus statistics (count queries have sensitivity 1, so b=1/ε
+    * calibrates ε-DP). Noise is inverse-CDF Laplace over a
+    * DETERMINISTIC md5-derived uniform per cell — the [[graft.ext
+    * .Sampling.hashBucket]] portability recipe — which makes the
+    * release reproducible and hash-gated; a production deployment
+    * would swap the seed for a secret drawn once per release (the
+    * mechanism and plan are identical — determinism here is a test
+    * harness property, NOT a privacy claim, since a public seed
+    * reveals the noise). One scan to the tiny cell grid; noise is
+    * per-cell column math. The audit column |noise| shows utility:
+    * at ε=1 the expected absolute error is 1 doc per cell. */
+  def dpCounts(spark: SparkSession, dir: String,
+      epsilon: Double = 1.0): DataFrame = {
+    val h = conv(substring(md5(concat_ws(":", col("source"), col("lang"))),
+      1, 8), 16, 10).cast("long").cast("double")
+    val u = (h + 0.5) / 4294967296.0
+    val v = u - 0.5
+    val noise = -signum(v) * log(lit(1.0) - lit(2.0) * abs(v)) / lit(epsilon)
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") + noise, 6).as("noisy_n"),
+        round(abs(noise), 6).as("abs_noise"))
+  }
+
+  /** Hill tail-index estimator (q282) — how heavy is the document-
+    * length tail? α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k
+    * order statistics (Hill 1975); α ≤ 2 means infinite variance —
+    * the regime where mean-based length stats and uniform packing
+    * budgets stop being trustworthy (the [[graft.ext.TextAnalysis
+    * .zipfFit]] companion for the length axis: Zipf fits the word-
+    * frequency tail, Hill the document-size tail). Scale shape: the
+    * only global operation is a top-(k+1) — TakeOrderedAndProject,
+    * never a full sort — and the estimator folds the 101-row result.
+    * Each ln(xᵢ) snaps to a round-9 integer surrogate so the sum is
+    * exact in any order and the α̂ chain is engine-identical. */
+  def hillTail(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lnSur = (c: Column) =>
+      round(log(c.cast("double")) * 1e9, 0).cast("long")
+    val top = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("n_chars") > 0)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(k + 1)
+    top
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      .agg(max(when(col("rn") === k + 1, col("n_chars"))).as("x_cutoff"),
+        sum(when(col("rn") <= k, lnSur(col("n_chars")))).as("slog"))
+      .select(lit(k).cast("int").as("k"), col("x_cutoff"),
+        round(lit(k.toDouble * 1e9)
+          / (col("slog") - lit(k.toLong) * lnSur(col("x_cutoff")))
+            .cast("double"), 6).as("hill_alpha"),
+        round(lit(k.toDouble * 1e9)
+          / (col("slog") - lit(k.toLong) * lnSur(col("x_cutoff")))
+            .cast("double") / sqrt(lit(k.toDouble)), 6).as("alpha_se"))
+  }
 }

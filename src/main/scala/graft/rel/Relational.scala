@@ -763,6 +763,64 @@ object Relational {
       .filter(col("rank") <= topN)
   }
 
+  /** Recommender evaluation audit (q280) — serve top-3 item-CF
+    * recommendations to every customer and score the SYSTEM, not the
+    * model: catalog coverage (what fraction of the catalog ever gets
+    * recommended — low = popularity collapse) and intra-list
+    * diversity (mean pairwise 1−sim inside a user's list, sims as
+    * the engine itself serves them, absent neighbor-pairs counting
+    * as dissimilar). Serving is the production shape: the [[itemCf]]
+    * neighbor table (items × topN — broadcastable at any corpus
+    * size) joins each user's purchase history, scores fold as exact
+    * DECIMAL sums of round-6 sims, already-bought items drop with
+    * one anti-join, and the per-user top-3 is a partitioned window.
+    * Every corpus-sized table is touched once; the final metrics
+    * fold tiny aggregates. */
+  def recEval(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    def dsum6(c: Column) = sum(c.cast("decimal(28,6)")).cast("double")
+    val sims = itemCf(spark, dir)
+      .select(col("part_a"), col("part_b"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("part"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val recs = hist.join(sims, col("part") === col("part_a"))
+      .groupBy(col("user"), col("part_b").as("rec"))
+      .agg(dsum6(col("cos")).as("score"))
+      .join(hist.select(col("user"), col("part").as("rec")),
+        Seq("user", "rec"), "left_anti")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user"))
+        .orderBy(col("score").desc, col("rec"))))
+      .filter(col("rn") <= k)
+      .select(col("user"), col("rec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = hist.agg(countDistinct(col("part")).as("n_items"))
+    val covRow = recs.agg(countDistinct(col("user")).as("n_users"),
+      countDistinct(col("rec")).as("n_rec_items"))
+    val pairs = recs.select(col("user"), col("rec").as("ra"))
+      .join(recs.select(col("user"), col("rec").as("rb")), Seq("user"))
+      .filter(col("ra") < col("rb"))
+      .join(sims.select(col("part_a").as("ra"), col("part_b").as("rb"),
+        col("cos").as("c1")), Seq("ra", "rb"), "left")
+      .join(sims.select(col("part_b").as("ra"), col("part_a").as("rb"),
+        col("cos").as("c2")), Seq("ra", "rb"), "left")
+      .select(col("user"),
+        (lit(1.0) - coalesce(col("c1"), col("c2"), lit(0.0))).as("dis"))
+    val ild = pairs.groupBy(col("user"))
+      .agg(round(dsum6(col("dis")) / count(lit(1)).cast("double"), 6)
+        .as("u_ild"))
+      .agg(count(lit(1)).as("n_ild_users"),
+        round(dsum6(col("u_ild")) / count(lit(1)).cast("double"), 6)
+          .as("mean_ild"))
+    covRow.crossJoin(broadcast(nItems)).crossJoin(broadcast(ild))
+      .select(col("n_users"), col("n_rec_items"), col("n_items"),
+        round(col("n_rec_items").cast("double")
+          / col("n_items").cast("double"), 6).as("coverage"),
+        col("n_ild_users"), col("mean_ild"))
+  }
+
   /** Capped user-user similarity (q240) — [[itemCf]]'s transpose,
     * neighbors-by-shared-parts, and the query that FORCES the
     * hot-key cap pattern: a part bought by m customers emits m²
