@@ -332,6 +332,9 @@ object SparkEntry {
     "q280_rec_eval"       -> ((s, d) => Relational.recEval(s, d)),
     "q281_dp_counts"      -> ((s, d) => graft.ext.Profile.dpCounts(s, d)),
     "q282_hill_tail"      -> ((s, d) => graft.ext.Profile.hillTail(s, d)),
+    "q283_rolling_corr"   -> ((s, d) => Relational.rollingCorr(s, d)),
+    "q284_xcorr_lag"      -> ((s, d) => Relational.xcorrLag(s, d)),
+    "q285_event_study"    -> ((s, d) => Relational.eventStudy(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5581,6 +5584,105 @@ object SparkEntry {
         |    CAST(round(ln(CAST(x_cutoff AS DOUBLE)) * 1.0e9) AS BIGINT)
         |    AS DOUBLE) / sqrt(100.0), 6) AS alpha_se
         |FROM a""".stripMargin,
+    // q283: rolling correlation — one windowed pass of exact
+    // integer moment sums on the gap-filled grid
+    "q283_rolling_corr" ->
+      s"""WITH dagg AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_ord
+         |  FROM orders GROUP BY 1),
+         |bo AS (SELECT min(day) AS lo, max(day) AS hi FROM dagg),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bo),
+         |f AS (SELECT s.day,
+         |    CAST(round(COALESCE(d.revenue, 0.0) * 1000.0) AS BIGINT)
+         |      AS xi,
+         |    CAST(COALESCE(d.n_ord, 0) AS BIGINT) AS yi
+         |  FROM spine s LEFT JOIN dagg d ON s.day = d.day),
+         |sw AS (SELECT day,
+         |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         |    CAST(SUM(xi) OVER w AS BIGINT) AS sx,
+         |    CAST(SUM(yi) OVER w AS BIGINT) AS sy,
+         |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+         |      OVER w AS sxx,
+         |    SUM(CAST(yi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+         |      OVER w AS syy,
+         |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+         |      OVER w AS sxy,
+         |    row_number() OVER (ORDER BY day) AS rn
+         |  FROM f
+         |  WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+         |SELECT day,
+         |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+         |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+         |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |  END AS corr
+         |FROM sw WHERE rn >= 28""".stripMargin,
+    // q284: cross-correlation — hourly zero-filled grid, rn-offset
+    // self-join per lag, exact integer moments
+    "q284_xcorr_lag" ->
+      """WITH hc AS (SELECT date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xv,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS yv
+        |  FROM events GROUP BY 1),
+        |bo AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+        |spine AS (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 HOUR)) AS h FROM bo),
+        |g AS MATERIALIZED (SELECT s.h, COALESCE(hc.xv, 0) AS xv,
+        |    COALESCE(hc.yv, 0) AS yv,
+        |    row_number() OVER (ORDER BY s.h) AS rn
+        |  FROM spine s LEFT JOIN hc ON hc.h = s.h),
+        |lg AS (SELECT CAST(l AS INTEGER) AS lag
+        |  FROM UNNEST(range(-12, 13)) AS u(l)),
+        |j AS (SELECT lg.lag, a.xv, b.yv
+        |  FROM g a CROSS JOIN lg
+        |  JOIN g b ON b.rn = a.rn + lg.lag),
+        |ag AS (SELECT lag, COUNT(*) AS n,
+        |    CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+        |    CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+        |    CAST(SUM(yv * yv) AS BIGINT) AS syy,
+        |    CAST(SUM(xv * yv) AS BIGINT) AS sxy
+        |  FROM j GROUP BY lag)
+        |SELECT lag, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |    AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+        |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM ag""".stripMargin,
+    // q285: event study — per-user first-purchase anchor, day
+    // offsets, DECIMAL value folds
+    "q285_event_study" ->
+      """WITH fp AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |ev AS (SELECT e.user_id, e.value,
+        |    date_diff('day', CAST(fp.t0 AS DATE), CAST(e.ts AS DATE))
+        |      AS day_offset
+        |  FROM events e JOIN fp ON fp.user_id = e.user_id),
+        |fl AS (SELECT * FROM ev WHERE day_offset BETWEEN -7 AND 7)
+        |SELECT CAST(day_offset AS INTEGER) AS day_offset,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CASE WHEN COUNT(value) > 0 THEN
+        |    round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+        |      / CAST(COUNT(value) AS DOUBLE), 6)
+        |  END AS mean_value
+        |FROM fl GROUP BY 1""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

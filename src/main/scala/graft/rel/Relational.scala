@@ -606,6 +606,119 @@ object Relational {
           - col("revenue_filled")), 6).as("abs_err"))
   }
 
+  /** Rolling correlation (q283) — 28-day trailing Pearson between
+    * daily revenue and daily order count over the gap-filled grid:
+    * the co-movement monitor ("is volume driving revenue this
+    * month?") that pairs with [[rollingZscore]]'s single-series
+    * view. ONE window pass computes all six sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) over the same frame — exact integer
+    * milli-surrogates through DECIMAL(19,0) products, so every
+    * window sum is order-free — and the correlation is a fixed IEEE
+    * chain per row. Zero-variance windows (a flat series) guard to
+    * NULL (ANSI sqrt/division). The window runs on the bounded day
+    * grid, never the fact table. */
+  def rollingCorr(spark: SparkSession, dir: String,
+      win: Int = 28): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val w = Window.orderBy(col("day")).rowsBetween(-(win - 1), 0)
+    val s = gapFillDaily(spark, dir)
+      .select(col("day"),
+        round(col("revenue_filled") * 1000.0, 0).cast("long").as("xi"),
+        col("n_orders").as("yi"))
+      .select(col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("xi")).over(w).as("sx"),
+        sum(col("yi")).over(w).as("sy"),
+        sum(d19(col("xi")) * d19(col("xi"))).over(w).as("sxx"),
+        sum(d19(col("yi")) * d19(col("yi"))).over(w).as("syy"),
+        sum(d19(col("xi")) * d19(col("yi"))).over(w).as("sxy"),
+        row_number().over(Window.orderBy(col("day"))).as("rn"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val num = n * dd("sxy") - dd("sx") * dd("sy")
+    val vx = n * dd("sxx") - dd("sx") * dd("sx")
+    val vy = n * dd("syy") - dd("sy") * dd("sy")
+    s.filter(col("rn") >= win)
+      .select(col("day"),
+        when(vx > 0.0 && vy > 0.0, round(num / sqrt(vx * vy), 6))
+          .as("corr"))
+  }
+
+  /** Cross-correlation lag finder (q284) — at what lag does the
+    * view series lead the purchase series? Pearson between hourly
+    * 'view' and 'purchase' counts with purchase shifted by each lag
+    * in ±`maxLag` hours — the causal-delay probe behind attribution
+    * windows and cache-warming decisions. The hourly grid is built
+    * once (zero-filled spine, one fact scan), each lag is an
+    * rn-offset self-join ON THE GRID (25 lags × ~hours rows — tiny),
+    * and per-lag moments are exact integer sums, so every corr is a
+    * fixed IEEE chain. */
+  def xcorrLag(spark: SparkSession, dir: String,
+      maxLag: Int = 12): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("xv"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("yv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("h"))
+    val g = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("xv"), lit(0L)).as("xv"),
+        coalesce(col("yv"), lit(0L)).as("yv"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val joined = g.select(col("rn"), col("xv")).crossJoin(broadcast(lags))
+      .join(g.select(col("rn").as("rn2"), col("yv")),
+        col("rn2") === col("rn") + col("lag"))
+    val agg = joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("xv")).as("sx"),
+        sum(col("yv")).as("sy"),
+        sum(col("xv") * col("xv")).as("sxx"),
+        sum(col("yv") * col("yv")).as("syy"),
+        sum(col("xv") * col("yv")).as("sxy"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val num = n * dd("sxy") - dd("sx") * dd("sy")
+    val vx = n * dd("sxx") - dd("sx") * dd("sx")
+    val vy = n * dd("syy") - dd("sy") * dd("sy")
+    agg.select(col("lag"), col("n"),
+      when(vx > 0.0 && vy > 0.0, round(num / sqrt(vx * vy), 6))
+        .as("corr"))
+  }
+
+  /** Event study (q285) — average event value by day offset around
+    * each user's FIRST purchase (±`k` days): the before/after view
+    * behind "did conversion change engagement?", aligned per user
+    * so calendar effects cancel. One per-user min-agg finds the
+    * anchor, one join tags offsets, one bounded agg (2k+1 rows)
+    * folds DECIMAL-exact value sums. The anchor table is user-sized
+    * — it joins shuffle-keyed, never broadcast-forced, so the plan
+    * survives a 100× user count. */
+  def eventStudy(spark: SparkSession, dir: String, k: Int = 7): DataFrame = {
+    val first = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    Tables.events(spark, dir)
+      .join(first, Seq("user_id"))
+      .select(col("user_id"), col("value"),
+        datediff(to_date(col("ts")), to_date(col("t0"))).as("day_offset"))
+      .filter(col("day_offset").between(-k, k))
+      .groupBy(col("day_offset"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(col("value")).as("n_valued"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sv"))
+      .select(col("day_offset"), col("n_events"), col("n_users"),
+        when(col("n_valued") > 0,
+          round(col("sv") / col("n_valued").cast("double"), 6))
+          .as("mean_value"))
+  }
+
   /** Inter-arrival time distribution per event type: log2-bucketed
     * histogram of the gap (in integer microseconds) between a user's
     * consecutive events — the traffic-model view (burst vs poisson
