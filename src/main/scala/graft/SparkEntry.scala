@@ -335,6 +335,10 @@ object SparkEntry {
     "q283_rolling_corr"   -> ((s, d) => Relational.rollingCorr(s, d)),
     "q284_xcorr_lag"      -> ((s, d) => Relational.xcorrLag(s, d)),
     "q285_event_study"    -> ((s, d) => Relational.eventStudy(s, d)),
+    "q286_wilson"         -> ((s, d) => graft.ext.Profile.wilsonIntervals(s, d)),
+    "q287_feature_table"  -> ((s, d) => Relational.featureTable(s, d)),
+    "q288_periodogram"    -> ((s, d) => Relational.periodogram(s, d)),
+    "q289_zonemap_audit"  -> ((s, d) => Relational.zonemapAudit(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5683,6 +5687,129 @@ object SparkEntry {
         |      / CAST(COUNT(value) AS DOUBLE), 6)
         |  END AS mean_value
         |FROM fl GROUP BY 1""".stripMargin,
+    // q286: Wilson intervals — exact integer cells, identical
+    // z=1.96 literal chain
+    "q286_wilson" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n, x,
+        |  round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  round(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        |    - 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE))))
+        |    / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+        |  round(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        |    + 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE))))
+        |    / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_hi
+        |FROM c""".stripMargin,
+    // q287: feature table — one per-user agg, anchor from the
+    // aggregate's own max
+    "q287_feature_table" ->
+      """WITH per AS (SELECT user_id,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchases,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_errors,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv,
+        |    MIN(CAST(ts AS DATE)) AS first_day,
+        |    MAX(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT MAX(last_day) AS now_day FROM per)
+        |SELECT user_id, n_events, n_purchases, n_errors,
+        |  round(sv, 6) AS total_value,
+        |  CAST(date_diff('day', last_day, now_day) AS INTEGER)
+        |    AS recency_days,
+        |  CAST(date_diff('day', first_day, last_day) AS INTEGER)
+        |    AS tenure_days,
+        |  date_diff('day', last_day, now_day) < 7 AS is_active
+        |FROM per, mx""".stripMargin,
+    // q288: periodogram — milli deviations, round-9 trig factors,
+    // integer term surrogates
+    "q288_periodogram" ->
+      s"""WITH dagg AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bo AS (SELECT min(day) AS lo, max(day) AS hi FROM dagg),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bo),
+         |f AS MATERIALIZED (SELECT s.day,
+         |    COALESCE(d.revenue, 0.0) AS x,
+         |    row_number() OVER (ORDER BY s.day) - 1 AS t
+         |  FROM spine s LEFT JOIN dagg d ON s.day = d.day),
+         |mu AS (SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mu FROM f),
+         |dev AS (SELECT t,
+         |    CAST(round((x - mu) * 1000.0) AS BIGINT) AS di, period
+         |  FROM f, mu, UNNEST([7, 14, 30]) AS p(period)),
+         |tm AS (SELECT period, di,
+         |    round(cos((6.283185307179586 * CAST(t AS DOUBLE))
+         |      / CAST(period AS DOUBLE)), 9) AS c9,
+         |    round(sin((6.283185307179586 * CAST(t AS DOUBLE))
+         |      / CAST(period AS DOUBLE)), 9) AS s9
+         |  FROM dev),
+         |ag AS (SELECT period, COUNT(*) AS n,
+         |    CAST(SUM(CAST(round(c9 * CAST(di AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS sc,
+         |    CAST(SUM(CAST(round(s9 * CAST(di AS DOUBLE)) AS BIGINT))
+         |      AS BIGINT) AS ss
+         |  FROM tm GROUP BY period)
+         |SELECT CAST(period AS INTEGER) AS period, n,
+         |  round(2.0 * sqrt((CAST(sc AS DOUBLE) / 1.0e3)
+         |      * (CAST(sc AS DOUBLE) / 1.0e3)
+         |    + (CAST(ss AS DOUBLE) / 1.0e3)
+         |      * (CAST(ss AS DOUBLE) / 1.0e3))
+         |    / CAST(n AS DOUBLE), 6) AS amplitude
+         |FROM ag""".stripMargin,
+    // q289: zone-map audit — joint (month, price-bucket) grid, two
+    // layouts' zone maps, fixed predicate cross-product
+    "q289_zonemap_audit" ->
+      """WITH bo AS (SELECT MIN(o_totalprice) AS mn,
+        |    MAX(o_totalprice) AS mx FROM orders),
+        |grid AS MATERIALIZED (SELECT
+        |    CAST((year(o_orderdate) - 1992) * 12
+        |      + month(o_orderdate) - 1 AS INTEGER) AS f_month,
+        |    CAST(least(47, CAST(floor((o_totalprice - mn) / (mx - mn)
+        |      * 48) AS BIGINT)) AS INTEGER) AS f_price,
+        |    MIN(o_totalprice) AS zmn, MAX(o_totalprice) AS zmx,
+        |    COUNT(*) AS nr
+        |  FROM orders, bo GROUP BY 1, 2),
+        |zm AS (
+        |  SELECT 'by_month' AS layout, f_month AS fl,
+        |    MIN(zmn) AS zmin, MAX(zmx) AS zmax,
+        |    CAST(SUM(nr) AS BIGINT) AS n_rows
+        |  FROM grid GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'by_price', f_price, MIN(zmn), MAX(zmx),
+        |    CAST(SUM(nr) AS BIGINT)
+        |  FROM grid GROUP BY 2),
+        |preds AS (SELECT * FROM (VALUES (1, 0.0, 25000.0),
+        |    (2, 25000.0, 50000.0), (3, 50000.0, 100000.0),
+        |    (4, 100000.0, 200000.0), (5, 200000.0, 500000.0))
+        |  AS v(pred_id, lo, hi)),
+        |j AS (SELECT layout, pred_id, lo, hi,
+        |    zmax < lo OR zmin > hi AS pruned, n_rows
+        |  FROM zm CROSS JOIN preds)
+        |SELECT layout, CAST(pred_id AS INTEGER) AS pred_id, lo, hi,
+        |  COUNT(*) AS n_files,
+        |  CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pruned,
+        |  round(CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS prune_rate,
+        |  CAST(SUM(CASE WHEN NOT pruned THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned
+        |FROM j GROUP BY 1, 2, 3, 4""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

@@ -936,6 +936,33 @@ object Profile {
         round(abs(noise), 6).as("abs_noise"))
   }
 
+  /** Wilson score intervals (q286) — per-source confidence bounds
+    * on the "substantial document" rate (n_chars ≥ 200), the
+    * interval that stays honest at small n and extreme p̂ where the
+    * naive Wald ±z√(p̂q̂/n) collapses (Wilson 1927; the estimator
+    * behind every monitoring dashboard's error-rate bands). All
+    * inputs are exact integers from one scan (map-side partial
+    * agg); the bound is one fixed IEEE chain per source with
+    * z = 1.96 as the identical literal on both engines. */
+  def wilsonIntervals(spark: SparkSession, dir: String,
+      minChars: Int = 200, z: Double = 1.96): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") >= minChars, 1L).otherwise(0L)).as("x"))
+    val nd = col("n").cast("double")
+    val p = col("x").cast("double") / nd
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / nd
+    val center = p + z2 / (lit(2.0) * nd)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / nd
+      + z2 / (lit(4.0) * nd * nd))
+    cells.select(col("source"), col("n"), col("x"),
+      round(p, 6).as("rate"),
+      round((center - margin) / denom, 6).as("wilson_lo"),
+      round((center + margin) / denom, 6).as("wilson_hi"))
+  }
+
   /** Hill tail-index estimator (q282) — how heavy is the document-
     * length tail? α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k
     * order statistics (Hill 1975); α ≤ 2 means infinite variance —

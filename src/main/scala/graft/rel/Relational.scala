@@ -719,6 +719,136 @@ object Relational {
           .as("mean_value"))
   }
 
+  /** Churn feature table (q287) — the per-user ML feature
+    * materialization (activity counts, monetary sum, recency,
+    * tenure, active label) a training pipeline writes before model
+    * fitting: the [[rfmSegments]] raw material, un-bucketed, plus
+    * the label. ONE fact scan: every feature is an aggregate of the
+    * same per-user groupBy (map-side partials), and the global
+    * "now" anchor is the max over the per-user maxima — derived
+    * from the aggregate itself, so no second scan. Monetary folds
+    * DECIMAL-exact; dates are exact; the whole row hash-gates. */
+  def featureTable(spark: SparkSession, dir: String,
+      activeDays: Int = 7): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sv"),
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = per.agg(max(col("last_day")).as("now_day"))
+    per.crossJoin(broadcast(mx))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("n_errors"), round(col("sv"), 6).as("total_value"),
+        datediff(col("now_day"), col("last_day")).as("recency_days"),
+        datediff(col("last_day"), col("first_day")).as("tenure_days"),
+        (datediff(col("now_day"), col("last_day")) < activeDays)
+          .as("is_active"))
+  }
+
+  /** Fixed-frequency periodogram (q288) — spectral power of the
+    * mean-centered daily revenue at candidate periods (7/14/30
+    * days): the "which cycle is real" companion to [[acf]] (the ACF
+    * shows a correlation at lag 7; the periodogram ranks the weekly
+    * against the monthly hypothesis by amplitude). For each period
+    * P: C = Σ cos(2πt/P)·dₜ, S = Σ sin(2πt/P)·dₜ, amplitude =
+    * 2√(C²+S²)/n. Determinism: deviations are exact milli-unit
+    * longs, each trig factor snaps to round-9 BEFORE the product
+    * (engine libm may differ in the last ulp), each term rounds to
+    * an integer surrogate, so both sums are exact in any order.
+    * The grid is bounded by the date range; the corpus reduces in
+    * [[gapFillDaily]]'s one scan. */
+  def periodogram(spark: SparkSession, dir: String,
+      periods: Seq[Int] = Seq(7, 14, 30)): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    val daily = gapFillDaily(spark, dir)
+      .select(col("day"), col("revenue_filled"))
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = daily.agg((sum(col("revenue_filled").cast("decimal(28,6)"))
+      .cast("double") / count(lit(1)).cast("double")).as("mu"))
+    val pdf = periods.foldLeft(
+      Seq.empty[org.apache.spark.sql.Column]) { (acc, p) =>
+        acc :+ lit(p)
+      }
+    val dev = daily.crossJoin(broadcast(mu))
+      .select(col("t"),
+        round((col("revenue_filled") - col("mu")) * 1000.0, 0)
+          .cast("long").as("di"),
+        explode(array(pdf: _*)).as("period"))
+    val arg = (lit(6.283185307179586) * col("t").cast("double")) /
+      col("period").cast("double")
+    val terms = dev.select(col("period"), col("di"),
+      round(cos(arg), 9).as("c9"), round(sin(arg), 9).as("s9"))
+    val agg = terms.groupBy(col("period"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("c9") * col("di").cast("double"), 0).cast("long"))
+          .as("sc"),
+        sum(round(col("s9") * col("di").cast("double"), 0).cast("long"))
+          .as("ss"))
+    val cd = col("sc").cast("double") / 1e3
+    val sd = col("ss").cast("double") / 1e3
+    agg.select(col("period"), col("n"),
+      round(lit(2.0) * sqrt(cd * cd + sd * sd)
+        / col("n").cast("double"), 6).as("amplitude"))
+  }
+
+  /** Zone-map pruning audit (q289) — how much would data skipping
+    * save under two physical layouts? Files are simulated as (a)
+    * month partitions of o_orderdate and (b) equal-width
+    * o_totalprice range buckets; each file's zone map (min/max
+    * price) is tested against a fixed predicate set, and the audit
+    * reports files pruned and rows scanned per (layout, predicate).
+    * This is the quantified version of the Z-order argument (q121):
+    * a price predicate prunes ~nothing under date layout (price is
+    * uniform within every month) and nearly everything under price
+    * layout. ONE fact scan builds the joint (month-file,
+    * price-file) grid; both layouts' zone maps and the predicate
+    * cross-product run on that tiny grid. */
+  def zonemapAudit(spark: SparkSession, dir: String,
+      nFiles: Int = 48): DataFrame = {
+    import spark.implicits._
+    val bounds = Tables.orders(spark, dir)
+      .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val grid = Tables.orders(spark, dir)
+      .crossJoin(broadcast(bounds))
+      .groupBy(
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate"))
+          - 1).cast("int").as("f_month"),
+        least(lit(nFiles - 1), floor((col("o_totalprice") - col("mn"))
+          / (col("mx") - col("mn")) * nFiles).cast("int")).as("f_price"))
+      .agg(min(col("o_totalprice")).as("zmn"),
+        max(col("o_totalprice")).as("zmx"), count(lit(1)).as("nr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def zones(key: String, layout: String) =
+      grid.groupBy(col(key).as("file"))
+        .agg(min(col("zmn")).as("zmin"), max(col("zmx")).as("zmax"),
+          sum(col("nr")).as("n_rows"))
+        .withColumn("layout", lit(layout))
+    val zm = zones("f_month", "by_month")
+      .unionByName(zones("f_price", "by_price"))
+    val preds = Seq((1, 0.0, 25000.0), (2, 25000.0, 50000.0),
+      (3, 50000.0, 100000.0), (4, 100000.0, 200000.0),
+      (5, 200000.0, 500000.0)).toDF("pred_id", "lo", "hi")
+    zm.crossJoin(broadcast(preds))
+      .withColumn("pruned", col("zmax") < col("lo") || col("zmin") > col("hi"))
+      .groupBy(col("layout"), col("pred_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        sum(when(!col("pruned"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"))
+      .select(col("layout"), col("pred_id"), col("lo"), col("hi"),
+        col("n_files"), col("n_pruned"),
+        round(col("n_pruned").cast("double")
+          / col("n_files").cast("double"), 6).as("prune_rate"),
+        col("rows_scanned"))
+  }
+
   /** Inter-arrival time distribution per event type: log2-bucketed
     * histogram of the gap (in integer microseconds) between a user's
     * consecutive events — the traffic-model view (burst vs poisson
