@@ -339,6 +339,8 @@ object SparkEntry {
     "q287_feature_table"  -> ((s, d) => Relational.featureTable(s, d)),
     "q288_periodogram"    -> ((s, d) => Relational.periodogram(s, d)),
     "q289_zonemap_audit"  -> ((s, d) => Relational.zonemapAudit(s, d)),
+    "q290_sketch_jaccard" -> ((s, d) => TextAnalysis.sketchJaccard(s, d)),
+    "q291_novelty"        -> ((s, d) => TextAnalysis.noveltyCurve(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5810,6 +5812,69 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN NOT pruned THEN n_rows ELSE 0 END)
         |    AS BIGINT) AS rows_scanned
         |FROM j GROUP BY 1, 2, 3, 4""".stripMargin,
+    // q290: bottom-k Jaccard — distinct md5 hash sets, per-source
+    // bottom-k, merged-union estimator vs exact
+    "q290_sketch_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, source, $toks AS ws FROM documents),
+         |shs AS (SELECT DISTINCT source,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+         |sh AS MATERIALIZED (SELECT DISTINCT source,
+         |    CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+         |  FROM shs),
+         |bk AS MATERIALIZED (SELECT source, h FROM (
+         |    SELECT source, h, row_number() OVER (PARTITION BY source
+         |      ORDER BY h) AS rn FROM sh) WHERE rn <= 256),
+         |srcs AS (SELECT DISTINCT source FROM bk),
+         |pairs AS (SELECT a.source AS sa, c.source AS sb
+         |  FROM srcs a JOIN srcs c ON a.source < c.source),
+         |mg AS (SELECT sa, sb, h, COUNT(*) AS n_sides FROM (
+         |    SELECT p.sa, p.sb, b.h FROM pairs p
+         |      JOIN bk b ON b.source = p.sa
+         |    UNION ALL
+         |    SELECT p.sa, p.sb, b.h FROM pairs p
+         |      JOIN bk b ON b.source = p.sb)
+         |  GROUP BY 1, 2, 3),
+         |mk AS (SELECT sa, sb, h, n_sides FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY sa, sb
+         |      ORDER BY h) AS rn FROM mg) WHERE rn <= 256),
+         |est AS (SELECT sa, sb,
+         |    round(CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END)
+         |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS est_jaccard
+         |  FROM mk GROUP BY 1, 2),
+         |sz AS (SELECT source, COUNT(*) AS nd FROM sh GROUP BY 1),
+         |ints AS (SELECT a.source AS sa, c.source AS sb,
+         |    COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh c ON a.h = c.h AND a.source < c.source
+         |  GROUP BY 1, 2),
+         |fin AS (SELECT est.sa AS source_a, est.sb AS source_b,
+         |    est.est_jaccard,
+         |    round(CAST(COALESCE(ints.n_inter, 0) AS DOUBLE)
+         |      / CAST(za.nd + zb.nd - COALESCE(ints.n_inter, 0)
+         |        AS DOUBLE), 6) AS exact_jaccard
+         |  FROM est
+         |  LEFT JOIN ints ON ints.sa = est.sa AND ints.sb = est.sb
+         |  JOIN sz za ON za.source = est.sa
+         |  JOIN sz zb ON zb.source = est.sb)
+         |SELECT source_a, source_b, est_jaccard, exact_jaccard,
+         |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+         |FROM fin""".stripMargin,
+    // q291: novelty — first-occurrence credit by min doc_id
+    "q291_novelty" ->
+      s"""WITH w AS (SELECT doc_id, source, $toks AS ws FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, source,
+         |    ws[i]||' '||ws[i+1]||' '||ws[i+2] AS shingle
+         |  FROM w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+         |fs AS (SELECT shingle, MIN(doc_id) AS first_doc
+         |  FROM sh GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  round(CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+         |FROM sh JOIN fs ON fs.shingle = sh.shingle
+         |GROUP BY source""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

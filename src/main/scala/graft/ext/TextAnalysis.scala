@@ -1425,6 +1425,106 @@ object TextAnalysis {
       .select(col("word"), col("df"), col("cf"), col("postings"))
   }
 
+  /** Bottom-k sketch Jaccard audit (q290) — estimate pairwise
+    * source content overlap from KMV (bottom-k) sketches and report
+    * the error against exact Jaccard: the sketch that makes
+    * all-pairs source comparison affordable at 100 TB (k hashes per
+    * source travel to one node; the corpus never self-joins), with
+    * the estimator ĵ = |K_k(A∪B) ∩ K_k(A) ∩ K_k(B)| / |K_k(A∪B)|
+    * (Bar-Yossef et al. 2002; the KMV cousin of minhash banding).
+    * The exact side (distinct-shingle equi-join — the q100 shape)
+    * exists to CALIBRATE k, tuning-time only. Portable md5 hashes
+    * end to end, so every stage hash-gates. */
+  def sketchJaccard(spark: SparkSession, dir: String, n: Int = 3,
+      k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .select(col("source"), explode(shingleStrings(n)).as("shingle"))
+      .distinct()
+      .select(col("source"),
+        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long")
+          .as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = sh
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // merged bottom-k of the union per (sa, sb) pair: union the two
+    // k-sets, rank, keep k; a member counts when BOTH sides hold it
+    val srcs = bk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("sa"))
+      .crossJoin(srcs.select(col("source").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val merged = pairs
+      .join(bk.select(col("source").as("sa"), col("h")), Seq("sa"))
+      .unionByName(pairs
+        .join(bk.select(col("source").as("sb"), col("h")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("h")))
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(count(lit(1)).as("n_sides"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("sa"), col("sb")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val est = merged.groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(when(col("n_sides") === 2, 1L).otherwise(0L)).as("n_both"))
+      .select(col("sa"), col("sb"),
+        round(col("n_both").cast("double")
+          / col("n_kept").cast("double"), 6).as("est_jaccard"))
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val inter = sh.select(col("source").as("sa"), col("h"))
+      .join(sh.select(col("source").as("sb"), col("h")), Seq("h"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("sa", "sb"), "left")
+      .join(sizes.select(col("source").as("sa"), col("nd").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("nd").as("nb")), "sb")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("est_jaccard"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("na") + col("nb")
+            - coalesce(col("n_inter"), lit(0L))).cast("double"), 6)
+          .as("exact_jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+  }
+
+  /** Content-novelty audit (q291) — what does each source ADD? Every
+    * doc-distinct shingle is credited to the document where it FIRST
+    * appears (min doc_id — the deterministic stand-in for ingest
+    * order), and each source scores the fraction of its shingle mass
+    * that is first-occurrence: the marginal-value curve behind "do
+    * we still need to crawl source X", and the complement of
+    * [[dupNgramStats]] (which scores how much of a doc is seen
+    * ELSEWHERE; this scores how much of a source was seen FIRST
+    * here). Shapes: one exploded scan to the (doc, shingle) table,
+    * one shingle-keyed min-agg, one keyed join back (aggregate
+    * before join — the hot-shingle row never fans out), one bounded
+    * per-source fold. */
+  def noveltyCurve(spark: SparkSession, dir: String,
+      n: Int = 3): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingleStrings(n))).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double")
+          / col("n_shingles").cast("double"), 6).as("novelty_rate"))
+  }
+
   /** RAKE keyword extraction (q277) — Rapid Automatic Keyword
     * Extraction (Rose et al. 2010): candidate phrases are the
     * maximal token runs between stopword breakers, each word scores
