@@ -39,7 +39,13 @@ object BenchSf1 {
     // the token stream), and the bucketed kNN label audit (in-bucket
     // quadratic risk, the q183 shape)
     "q215_inclusion_deps", "q222_item_cf", "q227_collocations",
-    "q221_label_agreement")
+    "q221_label_agreement",
+    // q273+ additions: the bottom-k Jaccard audit's EXACT side is a
+    // shingle self-join across sources (the one stage of q290 that
+    // is not sketch-bounded), rec-eval rides the CF basket self-join
+    // plus a per-user rec-pair join, and novelty joins the full
+    // (doc, shingle) table back to its first-seen aggregate
+    "q290_sketch_jaccard", "q280_rec_eval", "q291_novelty")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -341,6 +341,7 @@ object SparkEntry {
     "q289_zonemap_audit"  -> ((s, d) => Relational.zonemapAudit(s, d)),
     "q290_sketch_jaccard" -> ((s, d) => TextAnalysis.sketchJaccard(s, d)),
     "q291_novelty"        -> ((s, d) => TextAnalysis.noveltyCurve(s, d)),
+    "q292_bfs_hops"       -> ((s, d) => TextAnalysis.bfsHops(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -420,21 +421,27 @@ object SparkEntry {
   /** q270 oracle: the k-core peel loop unrolled — `rounds` blocks of
     * [degree → keep → induced subgraph] per k, MATERIALIZED so the
     * corpus scan happens once (the q251 lesson). */
+  /** Shared q270/q292 stem: the capped-shingle source-overlap edge
+    * table (the q100 graph at HAVING >= 3). Lazy: `toks` is declared
+    * later in the object body — a strict val here would interpolate
+    * null at object init. */
+  private lazy val overlapEdgeSql: String =
+    s"""w AS MATERIALIZED (SELECT source, $toks AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT source,
+       |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
+       |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
+       |sh AS (SELECT source, shingle FROM (
+       |    SELECT source, shingle,
+       |      COUNT(*) OVER (PARTITION BY shingle) AS ns
+       |    FROM sh0)
+       |  WHERE ns <= 4),
+       |e0_0 AS MATERIALIZED (SELECT a.source AS sa, b.source AS sb
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)""".stripMargin
+
   private def kcoreOracleSql(rounds: Int = 6): String = {
-    val header =
-      s"""WITH w AS MATERIALIZED (SELECT source, $toks AS ws FROM documents),
-         |sh0 AS (SELECT DISTINCT source,
-         |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3] AS shingle
-         |  FROM w, UNNEST(range(1, len(ws)-2)) AS u(i)),
-         |sh AS (SELECT source, shingle FROM (
-         |    SELECT source, shingle,
-         |      COUNT(*) OVER (PARTITION BY shingle) AS ns
-         |    FROM sh0)
-         |  WHERE ns <= 4),
-         |e0_0 AS MATERIALIZED (SELECT a.source AS sa, b.source AS sb
-         |  FROM sh a JOIN sh b
-         |    ON a.shingle = b.shingle AND a.source < b.source
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)""".stripMargin
+    val header = s"WITH $overlapEdgeSql"
     val peels = (for {
       k <- Seq(2, 3)
       r <- 1 to rounds
@@ -529,6 +536,37 @@ object SparkEntry {
          |  CAST(score_i AS DOUBLE) / 1.0e7 AS score FROM s$i""".stripMargin)
       .mkString("\nUNION ALL ")
     s"$header,\n$blocks\n$tail"
+  }
+
+  /** q292 oracle: BFS UNROLLED as `hops` frontier blocks over the
+    * [[overlapEdgeSql]] graph — frontier dᵢ = unseen neighbors of
+    * dᵢ₋₁ (anti-join via LEFT JOIN IS NULL, never NOT IN), reached
+    * set cᵢ accumulates. Root = lexicographic min node. */
+  private def bfsOracleSql(hops: Int = 4): String = {
+    val header =
+      s"""WITH $overlapEdgeSql,
+         |ed AS MATERIALIZED (SELECT sa, sb FROM e0_0
+         |  UNION ALL SELECT sb, sa FROM e0_0),
+         |nd AS (SELECT DISTINCT sa AS node FROM ed),
+         |rt AS (SELECT MIN(node) AS root FROM nd),
+         |d0 AS (SELECT node, 0 AS d FROM nd, rt WHERE node = root),
+         |c0 AS (SELECT node, d FROM d0)""".stripMargin
+    val blocks = (1 to hops).map { i =>
+      s"""d$i AS (SELECT f.node, $i AS d FROM (
+         |    SELECT DISTINCT e.sb AS node
+         |    FROM ed e JOIN d${i - 1} p ON e.sa = p.node) f
+         |  LEFT JOIN c${i - 1} seen ON seen.node = f.node
+         |  WHERE seen.node IS NULL),
+         |c$i AS (SELECT node, d FROM c${i - 1}
+         |  UNION ALL SELECT node, d FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""deg AS (SELECT node, COUNT(*) AS degree FROM (
+         |    SELECT sa AS node FROM ed) GROUP BY 1)
+         |SELECT deg.node AS source, deg.degree,
+         |  CAST(c.d AS INTEGER) AS hop
+         |FROM deg LEFT JOIN c$hops c ON c.node = deg.node""".stripMargin
+    s"$header,\n$blocks,\n$tail"
   }
 
   /** q251 oracle: the HITS power loop UNROLLED as `iters` CTE blocks
@@ -5219,6 +5257,8 @@ object SparkEntry {
          |FROM sc GROUP BY fold""".stripMargin,
     // q270: k-core — the peel loop unrolled (kcoreOracleSql)
     "q270_kcore" -> kcoreOracleSql(),
+    // q292: BFS — frontier loop unrolled (bfsOracleSql)
+    "q292_bfs_hops" -> bfsOracleSql(),
     // q271: hard negatives — cross-label cosine argmax per anchor
     "q271_hard_negatives" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -951,6 +951,52 @@ object TextAnalysis {
         coalesce(col("c3"), lit(0L)).as("in_3core"))
   }
 
+  /** BFS hop distances (q292) — breadth-first traversal over the
+    * [[sourceOverlap]] content-similarity graph from its
+    * lexicographically-smallest node: per source, the shortest hop
+    * count within `hops` (NULL = unreachable that close) — the
+    * "how connected is this provenance cluster" view that
+    * complements [[kcore]]'s density and [[clusteringCoeff]]'s
+    * transitivity with DISTANCE. Classic distributed BFS: each
+    * round joins only the FRONTIER against the edge list (never the
+    * whole reached set), dedups, anti-joins the seen set, and the
+    * loop is bounded by `hops` — per-round cost is O(frontier
+    * edges), the scalable Pregel shape, with the frontier persisted
+    * and the seen set checkpoint-truncated like [[Dedup
+    * .connectedComponents]]. The 1-row root lookup is the only
+    * driver collect. */
+  def bfsHops(spark: SparkSession, dir: String, n: Int = 4,
+      minShared: Long = 3L, hops: Int = 4): DataFrame = {
+    val e0 = sourceOverlap(spark, dir, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("source_a").as("sa"), col("source_b").as("sb"))
+    val edges = e0.unionByName(
+        e0.select(col("sb").as("sa"), col("sa").as("sb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("sa").as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val root = nodes.agg(min(col("node"))).head().getString(0)
+    var dist = nodes.filter(col("node") === root)
+      .select(col("node"), lit(0).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    for (i <- 1 to hops) {
+      val nxt = frontier
+        .join(edges, frontier("node") === edges("sa"))
+        .select(col("sb").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(i).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dist = dist.unionByName(nxt).localCheckpoint(eager = true)
+      frontier = nxt
+    }
+    val deg = edges.groupBy(col("sa").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    deg.join(dist, Seq("node"), "left")
+      .select(col("node").as("source"), col("degree"),
+        col("d").cast("int").as("hop"))
+  }
+
   /** Sparse TF-IDF cosine similarity join (q267) — the SPARSE-vector
     * companion to the dense embedding cosine (q50): documents as
     * tf·idf bags, pairs generated by an inverted-index join on
