@@ -342,6 +342,7 @@ object SparkEntry {
     "q290_sketch_jaccard" -> ((s, d) => TextAnalysis.sketchJaccard(s, d)),
     "q291_novelty"        -> ((s, d) => TextAnalysis.noveltyCurve(s, d)),
     "q292_bfs_hops"       -> ((s, d) => TextAnalysis.bfsHops(s, d)),
+    "q293_skyline"        -> ((s, d) => Relational.skyline(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5915,6 +5916,19 @@ object SparkEntry {
          |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
          |FROM sh JOIN fs ON fs.shingle = sh.shingle
          |GROUP BY source""".stripMargin,
+    // q293: skyline — level-grid sweep, exact comparisons
+    "q293_skyline" ->
+      """WITH lv AS (SELECT p_retailprice, MIN(p_size) AS lvl_min
+        |  FROM part GROUP BY 1),
+        |g AS (SELECT p_retailprice, lvl_min,
+        |    MIN(lvl_min) OVER (ORDER BY p_retailprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS min_cheaper
+        |  FROM lv)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p JOIN g ON g.p_retailprice = p.p_retailprice
+        |WHERE (g.min_cheaper IS NULL OR g.min_cheaper > p.p_size)
+        |  AND g.lvl_min = p.p_size""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

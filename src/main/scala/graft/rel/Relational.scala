@@ -1006,6 +1006,37 @@ object Relational {
       .filter(col("rank") <= topN)
   }
 
+  /** Skyline / Pareto front (q293) — parts no other part dominates
+    * on (retail price ↓, size ↓): the classic multi-criteria
+    * shortlist operator (Börzsönyi et al., ICDE'01) that SQL lacks
+    * natively. NOT the naive O(n²) exists-join: the 2D skyline
+    * falls out of a sort-free two-window sweep — per exact price
+    * LEVEL, the min size (a bounded aggregate grid), a running min
+    * over strictly-cheaper levels (window on the level grid), and a
+    * within-level min for the equal-price case. A row survives iff
+    * no strictly-cheaper level reached its size (≤) and no
+    * equal-price row is strictly smaller — integer/exact-decimal
+    * comparisons only, so membership hash-gates. Scale shape: the
+    * fact table reduces to the price-level grid map-side; only the
+    * grid is windowed (single-partition but bounded by DISTINCT
+    * prices — at 100 TB, range-bucket the levels first, same
+    * algebra per bucket + a cross-bucket running min). */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val levels = parts.groupBy(col("p_retailprice"))
+      .agg(min(col("p_size")).as("lvl_min"))
+    val wCheaper = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = levels.withColumn("min_cheaper",
+      min(col("lvl_min")).over(wCheaper))
+    parts.join(grid, Seq("p_retailprice"))
+      .filter(
+        (col("min_cheaper").isNull || col("min_cheaper") > col("p_size"))
+          && col("lvl_min") === col("p_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
   /** Recommender evaluation audit (q280) — serve top-3 item-CF
     * recommendations to every customer and score the SYSTEM, not the
     * model: catalog coverage (what fraction of the catalog ever gets
