@@ -343,6 +343,8 @@ object SparkEntry {
     "q291_novelty"        -> ((s, d) => TextAnalysis.noveltyCurve(s, d)),
     "q292_bfs_hops"       -> ((s, d) => TextAnalysis.bfsHops(s, d)),
     "q293_skyline"        -> ((s, d) => Relational.skyline(s, d)),
+    "q294_conformal"      -> ((s, d) => Relational.conformalInterval(s, d)),
+    "q295_srm_check"      -> ((s, d) => Relational.srmCheck(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5929,6 +5931,58 @@ object SparkEntry {
         |FROM part p JOIN g ON g.p_retailprice = p.p_retailprice
         |WHERE (g.min_cheaper IS NULL OR g.min_cheaper > p.p_size)
         |  AND g.lvl_min = p.p_size""".stripMargin,
+    // q294: conformal — order-stat quantile of naive residuals on
+    // the calibration window, empirical coverage on the tail
+    "q294_conformal" ->
+      s"""WITH dagg AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |bo AS (SELECT min(day) AS lo, max(day) AS hi FROM dagg),
+         |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM bo),
+         |fl AS (SELECT s.day, COALESCE(d.revenue, 0.0) AS x
+         |  FROM spine s LEFT JOIN dagg d ON s.day = d.day),
+         |b2 AS (SELECT day, x,
+         |    lag(x, 7) OVER (ORDER BY day) AS pred,
+         |    row_number() OVER (ORDER BY day) AS rn
+         |  FROM fl),
+         |base AS MATERIALIZED (SELECT day, rn, abs(x - pred) AS res
+         |  FROM b2 WHERE pred IS NOT NULL),
+         |bo2 AS (SELECT MAX(rn) AS n_total FROM base),
+         |cal AS MATERIALIZED (SELECT base.day, base.res FROM base, bo2
+         |  WHERE rn <= n_total - 14),
+         |nc AS (SELECT COUNT(*) AS n_cal FROM cal),
+         |qh AS (SELECT n_cal, res AS q_hat FROM (
+         |    SELECT res, row_number() OVER (ORDER BY res, day) AS rk
+         |    FROM cal) r, nc
+         |  WHERE rk = least(CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9)
+         |    AS BIGINT), n_cal)),
+         |ts AS (SELECT res FROM base, bo2 WHERE rn > n_total - 14)
+         |SELECT n_cal, round(q_hat, 6) AS q_hat,
+         |  COUNT(*) AS n_test,
+         |  CAST(SUM(CASE WHEN res <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  round(CAST(SUM(CASE WHEN res <= q_hat THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+         |FROM ts, qh GROUP BY n_cal, q_hat""".stripMargin,
+    // q295: SRM — md5 50/50 arms, per-day chi-square
+    "q295_srm_check" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |c AS (SELECT day,
+        |    CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM du GROUP BY 1)
+        |SELECT day, n_a, n_b,
+        |  round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+        |  CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
+        |FROM c""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

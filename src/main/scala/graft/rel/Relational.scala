@@ -1006,6 +1006,77 @@ object Relational {
       .filter(col("rank") <= topN)
   }
 
+  /** Split conformal prediction interval (q294) — distribution-free
+    * forecast bands (Vovk; Lei et al. 2018) around the seasonal-
+    * naive predictor: calibrate q̂ as the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual on the calibration window, then report the
+    * EMPIRICAL coverage of pred ± q̂ over the held-out tail — the
+    * honest "are my error bars real" audit that replaces Gaussian
+    * assumptions with order statistics. Everything is exact: the
+    * day grid is bounded ([[gapFillDaily]]'s one fact scan),
+    * residual ranking ties break on day, and the quantile index is
+    * integer arithmetic on both engines. */
+  def conformalInterval(spark: SparkSession, dir: String,
+      horizon: Int = 14, alpha: Double = 0.1): DataFrame = {
+    val wDay = Window.orderBy(col("day"))
+    val base = gapFillDaily(spark, dir)
+      .select(col("day"), col("revenue_filled"))
+      .withColumn("pred", lag(col("revenue_filled"), 7).over(wDay))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("pred").isNotNull)
+      .withColumn("res", abs(col("revenue_filled") - col("pred")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = base.agg(max(col("rn")).as("n_total"))
+    val cal = base.crossJoin(broadcast(bounds))
+      .filter(col("rn") <= col("n_total") - horizon)
+    val qhat = cal
+      .withColumn("rk", row_number().over(Window
+        .orderBy(col("res"), col("day"))))
+      .crossJoin(broadcast(cal.agg(count(lit(1)).as("n_cal"))))
+      .filter(col("rk") ===
+        least(ceil((col("n_cal") + 1).cast("double") * lit(1.0 - alpha))
+          .cast("long"), col("n_cal")))
+      .select(col("n_cal"), col("res").as("q_hat"))
+    base.crossJoin(broadcast(bounds))
+      .filter(col("rn") > col("n_total") - horizon)
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("n_cal"), col("q_hat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("res") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), round(col("q_hat"), 6).as("q_hat"),
+        col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double")
+          / col("n_test").cast("double"), 6).as("coverage"))
+  }
+
+  /** Sample-ratio-mismatch check (q295) — the first thing an
+    * experimentation platform audits every day: users hash-split
+    * 50/50 (the deterministic md5 bucket — [[graft.ext.Sampling
+    * .hashBucket]]), then per activity day a one-degree-of-freedom
+    * chi-square (n_a−n_b)²/(n_a+n_b) against the design ratio.
+    * A flagged day means assignment is leaking (bots, redirects,
+    * logging loss) and every metric downstream is suspect — the
+    * audit runs BEFORE any effect readout (q224's z-test). Exact
+    * integer cells from one scan; the statistic is one fixed chain;
+    * flag at the χ²₁ 95% critical value 3.841. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val arm = graft.ext.Sampling.hashBucket(col("user_id")) < 50
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day"))
+      .agg(sum(when(arm, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!arm, 1L).otherwise(0L)).as("n_b"))
+      .select(col("day"), col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")).cast("double")
+          * (col("n_a") - col("n_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
+        ((col("n_a") - col("n_b")).cast("double")
+          * (col("n_a") - col("n_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double") > 3.841)
+          .as("srm_flag"))
+  }
+
   /** Skyline / Pareto front (q293) — parts no other part dominates
     * on (retail price ↓, size ↓): the classic multi-criteria
     * shortlist operator (Börzsönyi et al., ICDE'01) that SQL lacks
