@@ -345,6 +345,8 @@ object SparkEntry {
     "q293_skyline"        -> ((s, d) => Relational.skyline(s, d)),
     "q294_conformal"      -> ((s, d) => Relational.conformalInterval(s, d)),
     "q295_srm_check"      -> ((s, d) => Relational.srmCheck(s, d)),
+    "q296_cuped"          -> ((s, d) => Relational.cuped(s, d)),
+    "q297_modularity"     -> ((s, d) => TextAnalysis.modularity(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5983,6 +5985,69 @@ object SparkEntry {
         |  CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
         |    / CAST(n_a + n_b AS DOUBLE) > 3.841 AS srm_flag
         |FROM c""".stripMargin,
+    // q296: CUPED — milli-surrogate per-user (pre, post) sums, the
+    // closed-form theta / variance-reduction chain
+    "q296_cuped" ->
+      """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        |per AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) < 15
+        |      THEN COALESCE(CAST(round(value * 1000.0) AS BIGINT), 0)
+        |      ELSE 0 END) AS BIGINT) AS xi,
+        |    CAST(SUM(CASE WHEN date_diff('day', d0, CAST(ts AS DATE)) >= 15
+        |      THEN COALESCE(CAST(round(value * 1000.0) AS BIGINT), 0)
+        |      ELSE 0 END) AS BIGINT) AS yi
+        |  FROM events, d0 GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+        |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+        |      AS sxx,
+        |    SUM(CAST(yi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+        |      AS syy,
+        |    SUM(CAST(xi AS DECIMAL(19,0)) * CAST(yi AS DECIMAL(19,0)))
+        |      AS sxy
+        |  FROM per),
+        |v AS (SELECT n,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1.0e6 AS varx,
+        |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1.0e6 AS vary,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1.0e6 AS cov
+        |  FROM s)
+        |SELECT n AS n_users, round(cov / varx, 6) AS theta,
+        |  round(vary, 6) AS var_y,
+        |  round(vary - cov * cov / varx, 6) AS var_adj,
+        |  round(cov * cov / varx / vary, 6) AS var_reduction
+        |FROM v""".stripMargin,
+    // q297: modularity — recursive-CTE components on the shared
+    // edge stem, exact integer counts, per-community contribution
+    "q297_modularity" ->
+      s"""WITH RECURSIVE $overlapEdgeSql,
+         |ed AS MATERIALIZED (SELECT sa, sb FROM e0_0
+         |  UNION ALL SELECT sb, sa FROM e0_0),
+         |reach(id, lab) AS (
+         |  SELECT sa, sa FROM ed
+         |  UNION
+         |  SELECT e.sa, r.lab FROM ed e JOIN reach r ON e.sb = r.id),
+         |comp AS MATERIALIZED (SELECT id, MIN(lab) AS label
+         |  FROM reach GROUP BY id),
+         |m AS (SELECT COUNT(*) AS m FROM e0_0),
+         |ein AS (SELECT ca.label AS community, COUNT(*) AS e_in
+         |  FROM e0_0 JOIN comp ca ON ca.id = e0_0.sa
+         |           JOIN comp cb ON cb.id = e0_0.sb
+         |  WHERE ca.label = cb.label GROUP BY 1),
+         |dt AS (SELECT c.label AS community, COUNT(*) AS d_tot,
+         |    COUNT(DISTINCT nd.node) AS n_nodes
+         |  FROM (SELECT sa AS node FROM ed) nd
+         |  JOIN comp c ON c.id = nd.node GROUP BY 1)
+         |SELECT dt.community, CAST(dt.n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, dt.d_tot,
+         |  round(CAST(COALESCE(ein.e_in, 0) AS DOUBLE)
+         |      / CAST(m.m AS DOUBLE)
+         |    - (CAST(dt.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+         |      * (CAST(dt.d_tot AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))),
+         |    6) AS contribution
+         |FROM dt LEFT JOIN ein ON ein.community = dt.community, m""".stripMargin,
     // q237: Shannon entropy per categorical column — round-12
     // surrogate sums, one block per column
     "q237_column_entropy" ->

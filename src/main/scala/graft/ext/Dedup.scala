@@ -651,9 +651,15 @@ object Dedup {
       edges.select(col(src).as("a"), col(dst).as("b"))
         .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
         .distinct(), eager = true)
-    // coalesce: an empty edge list must not NPE the witness
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    // Witness = DECIMAL-exact sum of xxhash64(label): type-agnostic
+    // (labels may be strings — the q297 source graph), overflow-proof
+    // under ANSI, and faithful because labels only DECREASE — any
+    // label change alters the hash multiset, so an unchanged sum ⇔
+    // an unchanged fixpoint (modulo a 2⁻⁶⁴ collision). coalesce: an
+    // empty edge list must not NPE the witness.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(xxhash64(col("label")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = truncate(
       e.select(col("a").as("id")).distinct()
         .select(col("id"), col("id").as("label")), eager = false)

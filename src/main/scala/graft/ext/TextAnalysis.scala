@@ -1007,6 +1007,54 @@ object TextAnalysis {
         col("d").cast("int").as("hop"))
   }
 
+  /** Newman modularity (q297) — score the partition the engine
+    * itself produces: connected components of the [[sourceOverlap]]
+    * graph as communities, Q = Σ_c [e_c/m − (d_c/2m)²] (Newman &
+    * Girvan 2004) — positive contribution means a community has
+    * more internal edges than a degree-preserving random graph
+    * would give it, i.e. the provenance clusters are real structure
+    * and not degree artifacts. The companion quality gate to
+    * [[clusteringCoeff]] / [[kcore]]: those describe the graph,
+    * this scores a PARTITION of it. All counts are exact integers
+    * on the bounded source grid (coalesced to one partition — the
+    * q270 lesson); each community's contribution is one fixed IEEE
+    * chain, reported per community. */
+  def modularity(spark: SparkSession, dir: String, n: Int = 4,
+      minShared: Long = 3L): DataFrame = {
+    val e0 = sourceOverlap(spark, dir, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col("source_a").as("sa"), col("source_b").as("sb"))
+      .coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = graft.ext.Dedup.connectedComponents(e0, "sa", "sb")
+      .select(col("id"), col("label"))
+      .coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mRow = e0.agg(count(lit(1)).as("m"))
+    val ein = e0
+      .join(comp.select(col("id").as("sa"), col("label").as("la")), "sa")
+      .join(comp.select(col("id").as("sb"), col("label").as("lb")), "sb")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+    val dtot = e0.select(col("sa").as("node"))
+      .unionByName(e0.select(col("sb").as("node")))
+      .join(comp.select(col("id").as("node"), col("label")), "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("d_tot"),
+        countDistinct(col("node")).as("n_nodes"))
+    dtot.join(ein, Seq("community"), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        round(coalesce(col("e_in"), lit(0L)).cast("double")
+          / col("m").cast("double")
+          - (col("d_tot").cast("double")
+              / (lit(2.0) * col("m").cast("double")))
+            * (col("d_tot").cast("double")
+              / (lit(2.0) * col("m").cast("double"))), 6)
+          .as("contribution"))
+  }
+
   /** Sparse TF-IDF cosine similarity join (q267) — the SPARSE-vector
     * companion to the dense embedding cosine (q50): documents as
     * tf·idf bags, pairs generated by an inverted-index join on

@@ -1050,6 +1050,48 @@ object Relational {
           / col("n_test").cast("double"), 6).as("coverage"))
   }
 
+  /** CUPED variance reduction (q296) — Controlled experiments Using
+    * Pre-Experiment Data (Deng et al., WSDM'13), the standard
+    * experimentation-platform trick: adjust each user's experiment
+    * metric y by their PRE-period covariate x, ŷ = y − θ(x − x̄)
+    * with θ = cov(x,y)/var(x), and report the variance reduction
+    * 1 − var(ŷ)/var(y) = ρ² — how much smaller the A/B test gets
+    * for free. Everything folds from ONE scan's sufficient
+    * statistics: per-user (pre, post) value sums as exact milli
+    * longs, then n, Σx, Σy, Σx², Σy², Σxy as exact DECIMAL sums,
+    * and var(ŷ) comes from the closed form var(y) − cov²/var(x) —
+    * no second pass, no per-row adjustment materialized. */
+  def cuped(spark: SparkSession, dir: String,
+      splitDay: Int = 15): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val vmilli = coalesce(round(col("value") * 1000.0, 0).cast("long"), lit(0L))
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .crossJoin(broadcast(Tables.events(spark, dir)
+        .agg(min(to_date(col("ts"))).as("d0"))))
+      .select(col("user_id"),
+        (datediff(col("day"), col("d0")) < splitDay).as("pre"), vmilli.as("v"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("xi"),
+        sum(when(!col("pre"), col("v")).otherwise(0L)).as("yi"))
+    val s = per.agg(count(lit(1)).as("n"),
+      sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+      sum(d19(col("xi")) * d19(col("xi"))).as("sxx"),
+      sum(d19(col("yi")) * d19(col("yi"))).as("syy"),
+      sum(d19(col("xi")) * d19(col("yi"))).as("sxy"))
+    def dd(c: String) = col(c).cast("double")
+    val n = dd("n")
+    val varx = (dd("sxx") - dd("sx") * dd("sx") / n) / n / 1e6
+    val vary = (dd("syy") - dd("sy") * dd("sy") / n) / n / 1e6
+    val cov = (dd("sxy") - dd("sx") * dd("sy") / n) / n / 1e6
+    val theta = cov / varx
+    s.select(col("n").as("n_users"),
+      round(theta, 6).as("theta"),
+      round(vary, 6).as("var_y"),
+      round(vary - cov * cov / varx, 6).as("var_adj"),
+      round(cov * cov / varx / vary, 6).as("var_reduction"))
+  }
+
   /** Sample-ratio-mismatch check (q295) — the first thing an
     * experimentation platform audits every day: users hash-split
     * 50/50 (the deterministic md5 bucket — [[graft.ext.Sampling
