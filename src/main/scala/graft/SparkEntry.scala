@@ -347,6 +347,7 @@ object SparkEntry {
     "q295_srm_check"      -> ((s, d) => Relational.srmCheck(s, d)),
     "q296_cuped"          -> ((s, d) => Relational.cuped(s, d)),
     "q297_modularity"     -> ((s, d) => TextAnalysis.modularity(s, d)),
+    "q298_huber"          -> ((s, d) => Relational.huberRegression(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -572,6 +573,67 @@ object SparkEntry {
          |  CAST(c.d AS INTEGER) AS hop
          |FROM deg LEFT JOIN c$hops c ON c.node = deg.node""".stripMargin
     s"$header,\n$blocks,\n$tail"
+  }
+
+  /** q298 oracle: the IRLS loop UNROLLED — each block recomputes
+    * weights from the PREVIOUS block's (a, b) and refits; no
+    * literals needed because both engines derive identical doubles
+    * from the exact decimal aggregates. DECIMAL(4,0) x/y operands
+    * keep the w·x·x product inside the 38-digit width. */
+  private def huberOracleSql(iters: Int = 3): String = {
+    val header =
+      s"""WITH xy AS MATERIALIZED (SELECT
+         |    CAST(round(l_discount * 100.0) AS BIGINT) AS x,
+         |    CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+         |s0 AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(y) AS BIGINT) AS sy,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+         |      AS sxx,
+         |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         |      AS sxy
+         |  FROM xy),
+         |p0 AS (SELECT b,
+         |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+         |      / CAST(n AS DOUBLE) AS a,
+         |    CAST(0 AS BIGINT) AS n_down
+         |  FROM (SELECT n, sx, sy,
+         |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+         |    FROM s0))""".stripMargin
+    val blocks = (1 to iters).map { i =>
+      s"""w$i AS (SELECT x, y,
+         |    CAST(round(CASE WHEN abs(CAST(y AS DOUBLE) - a
+         |        - b * CAST(x AS DOUBLE)) <= 10.0 THEN 1.0
+         |      ELSE 10.0 / abs(CAST(y AS DOUBLE) - a
+         |        - b * CAST(x AS DOUBLE)) END, 6) AS DECIMAL(10,6)) AS w
+         |  FROM xy, p${i - 1}),
+         |s$i AS (SELECT SUM(w) AS sw,
+         |    SUM(w * CAST(x AS DECIMAL(4,0))) AS swx,
+         |    SUM(w * CAST(y AS DECIMAL(4,0))) AS swy,
+         |    SUM(w * CAST(x AS DECIMAL(4,0)) * CAST(x AS DECIMAL(4,0)))
+         |      AS swxx,
+         |    SUM(w * CAST(x AS DECIMAL(4,0)) * CAST(y AS DECIMAL(4,0)))
+         |      AS swxy,
+         |    CAST(SUM(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_down
+         |  FROM w$i),
+         |p$i AS (SELECT b,
+         |    (CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE))
+         |      / CAST(sw AS DOUBLE) AS a, n_down
+         |  FROM (SELECT sw, swx, swy, n_down,
+         |      (CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+         |        - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+         |      / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+         |        - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b
+         |    FROM s$i))""".stripMargin
+    }.mkString(",\n")
+    val tail = (0 to iters).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS iter, round(a, 6) AS intercept,
+         |  round(b, 6) AS slope, n_down FROM p$i""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"$header,\n$blocks\n$tail"
   }
 
   /** q251 oracle: the HITS power loop UNROLLED as `iters` CTE blocks
@@ -5264,6 +5326,8 @@ object SparkEntry {
     "q270_kcore" -> kcoreOracleSql(),
     // q292: BFS — frontier loop unrolled (bfsOracleSql)
     "q292_bfs_hops" -> bfsOracleSql(),
+    // q298: Huber IRLS — the refit loop unrolled (huberOracleSql)
+    "q298_huber" -> huberOracleSql(),
     // q271: hard negatives — cross-label cosine argmax per anchor
     "q271_hard_negatives" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

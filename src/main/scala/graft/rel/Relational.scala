@@ -1050,6 +1050,71 @@ object Relational {
           / col("n_test").cast("double"), 6).as("coverage"))
   }
 
+  /** Huber robust regression (q298) — quantity-on-discount refit by
+    * IRLS (3 unrolled iterations): rows with |residual| > c get
+    * weight c/|r| (Huber 1964), so the outliers that steer OLS
+    * ([[olsByBrand]]'s estimator) lose their leverage, and the
+    * audit reports the coefficient path plus how many rows each
+    * pass downweighted. The distributed shape IS the point: each
+    * iteration is one aggregate over the persisted (x, y)
+    * projection to five weighted sufficient statistics (map-side
+    * partials), the fit is a 1-row collect (the bounded driver-
+    * scalar precedent), and the next pass embeds those scalars as
+    * literals — at 100 TB that is 4 scans of a 2-column cached
+    * projection, never a per-row model table. Determinism: x/y are
+    * exact integers, weights snap to round-6 DECIMAL before the
+    * sums (order-free), and each fit is a fixed IEEE chain — the
+    * oracle recomputes the identical chain with zero literals, and
+    * the collected Spark scalars are bit-equal to the SQL-computed
+    * ones because both derive from exact decimal aggregates. */
+  def huberRegression(spark: SparkSession, dir: String,
+      iters: Int = 3, c: Double = 10.0): DataFrame = {
+    import spark.implicits._
+    def d19(cc: Column) = cc.cast("decimal(19,0)")
+    val xy = Tables.lineitem(spark, dir)
+      .select(round(col("l_discount") * 100.0, 0).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def fit(n: Double, sx: Double, sy: Double, sxx: Double,
+        sxy: Double): (Double, Double) = {
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      (a, b)
+    }
+    val s0 = xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(d19(col("x")) * d19(col("x"))).as("sxx"),
+      sum(d19(col("x")) * d19(col("y"))).as("sxy")).head()
+    var (a, b) = fit(s0.getLong(0).toDouble, s0.getLong(1).toDouble,
+      s0.getLong(2).toDouble, s0.getDecimal(3).doubleValue,
+      s0.getDecimal(4).doubleValue)
+    var out = Vector((0, a, b, 0L))
+    for (i <- 1 to iters) {
+      val r = col("y").cast("double") - lit(a) - lit(b) * col("x").cast("double")
+      val w6 = round(when(abs(r) <= c, lit(1.0)).otherwise(lit(c) / abs(r)), 6)
+        .cast("decimal(10,6)")
+      // DECIMAL(4,0) operands: x <= 10, y <= 50 by generation, and
+      // the w·x·x triple product must stay under both engines' 38-
+      // digit decimal width (a 19-digit cast overflows DuckDB)
+      def d4(cc: Column) = cc.cast("decimal(4,0)")
+      val st = xy.select(col("x"), col("y"), w6.as("w"))
+        .agg(sum(col("w")).as("sw"),
+          sum(col("w") * d4(col("x"))).as("swx"),
+          sum(col("w") * d4(col("y"))).as("swy"),
+          sum(col("w") * d4(col("x")) * d4(col("x"))).as("swxx"),
+          sum(col("w") * d4(col("x")) * d4(col("y"))).as("swxy"),
+          sum(when(col("w") < lit(1.0).cast("decimal(10,6)"), 1L)
+            .otherwise(0L)).as("n_down")).head()
+      val (a2, b2) = fit(st.getDecimal(0).doubleValue,
+        st.getDecimal(1).doubleValue, st.getDecimal(2).doubleValue,
+        st.getDecimal(3).doubleValue, st.getDecimal(4).doubleValue)
+      a = a2; b = b2
+      out :+= ((i, a, b, st.getLong(5)))
+    }
+    out.toDF("iter", "a_raw", "b_raw", "n_down")
+      .select(col("iter"), round(col("a_raw"), 6).as("intercept"),
+        round(col("b_raw"), 6).as("slope"), col("n_down"))
+  }
+
   /** CUPED variance reduction (q296) — Controlled experiments Using
     * Pre-Experiment Data (Deng et al., WSDM'13), the standard
     * experimentation-platform trick: adjust each user's experiment
