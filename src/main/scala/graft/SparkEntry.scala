@@ -348,6 +348,8 @@ object SparkEntry {
     "q296_cuped"          -> ((s, d) => Relational.cuped(s, d)),
     "q297_modularity"     -> ((s, d) => TextAnalysis.modularity(s, d)),
     "q298_huber"          -> ((s, d) => Relational.huberRegression(s, d)),
+    "q299_session_sweep"  -> ((s, d) => Relational.sessionGapSweep(s, d)),
+    "q300_hist_selectivity" -> ((s, d) => Relational.histogramSelectivity(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -634,6 +636,43 @@ object SparkEntry {
          |  round(b, 6) AS slope, n_down FROM p$i""".stripMargin)
       .mkString("\nUNION ALL ")
     s"$header,\n$blocks\n$tail"
+  }
+
+  /** q300 oracle: the equi-depth estimate as an explicit 10-term
+    * fold over the same percentile boundaries, rel_err from the
+    * ROUNDED estimate (mirroring the Spark column order). */
+  private def histSelOracleSql: String = {
+    val qs = (0 to 10).map(i =>
+      s"quantile_cont(v, ${i / 10.0}) AS p$i").mkString(",\n    ")
+    val terms = (0 to 9).map { i =>
+      val a = s"p$i"; val b = s"p${i + 1}"
+      s"""CASE WHEN $b > $a
+         |  THEN greatest(0.0, least(hi, $b) - greatest(lo, $a))
+         |    / ($b - $a)
+         |  ELSE CASE WHEN $a >= lo AND $a <= hi THEN 1.0 ELSE 0.0 END
+         |  END""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH o AS MATERIALIZED (SELECT o_totalprice AS v FROM orders),
+       |b AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    $qs
+       |  FROM o),
+       |preds AS (SELECT * FROM (VALUES (1, 0.0, 25000.0),
+       |    (2, 25000.0, 50000.0), (3, 50000.0, 100000.0),
+       |    (4, 100000.0, 200000.0), (5, 200000.0, 500000.0))
+       |  AS t(pred_id, lo, hi)),
+       |est AS (SELECT pred_id, lo, hi,
+       |    round(n / 10.0 * ($terms), 6) AS est_rows
+       |  FROM preds, b),
+       |act AS (SELECT pred_id, COUNT(*) AS actual
+       |  FROM o, preds WHERE v >= lo AND v <= hi GROUP BY 1)
+       |SELECT est.pred_id AS pred_id, est.lo, est.hi, est.est_rows,
+       |  CAST(COALESCE(act.actual, 0) AS BIGINT) AS actual,
+       |  CASE WHEN COALESCE(act.actual, 0) > 0 THEN
+       |    round(abs(est.est_rows
+       |      - CAST(COALESCE(act.actual, 0) AS DOUBLE))
+       |      / CAST(COALESCE(act.actual, 0) AS DOUBLE), 6)
+       |  END AS rel_err
+       |FROM est LEFT JOIN act ON act.pred_id = est.pred_id""".stripMargin
   }
 
   /** q251 oracle: the HITS power loop UNROLLED as `iters` CTE blocks
@@ -5328,6 +5367,28 @@ object SparkEntry {
     "q292_bfs_hops" -> bfsOracleSql(),
     // q298: Huber IRLS — the refit loop unrolled (huberOracleSql)
     "q298_huber" -> huberOracleSql(),
+    // q299: session sweep — one lag window, threshold axis after
+    "q299_session_sweep" ->
+      """WITH g AS MATERIALIZED (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS gap_us
+        |  FROM events),
+        |x AS (SELECT user_id, gap_us, gap_min
+        |  FROM g, UNNEST([5, 15, 30, 60]) AS t(gap_min))
+        |SELECT CAST(gap_min AS INTEGER) AS gap_min,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN gap_us IS NULL
+        |    OR gap_us > CAST(gap_min AS BIGINT) * 60000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  round(CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN gap_us IS NULL
+        |      OR gap_us > CAST(gap_min AS BIGINT) * 60000000
+        |      THEN 1 ELSE 0 END) AS DOUBLE), 6) AS events_per_session
+        |FROM x GROUP BY 1""".stripMargin,
+    // q300: equi-depth histogram selectivity (histSelOracleSql)
+    "q300_hist_selectivity" -> histSelOracleSql,
     // q271: hard negatives — cross-label cosine argmax per anchor
     "q271_hard_negatives" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

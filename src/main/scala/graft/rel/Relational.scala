@@ -1184,6 +1184,84 @@ object Relational {
           .as("srm_flag"))
   }
 
+  /** Session-gap sweep (q299) — session counts under candidate
+    * inactivity thresholds (5/15/30/60 min), from ONE lag-window
+    * pass: the tuning table behind [[sessionize]]'s fixed gap (and
+    * the [[interArrival]] histogram's actionable summary — that
+    * shows the gap distribution, this shows what each cut DOES).
+    * A session starts at a user's first event or after a gap
+    * exceeding the threshold, so per threshold the session count is
+    * one conditional sum over the persisted gap table — the
+    * threshold axis explodes AFTER the window, never re-scanning
+    * the corpus. Exact integer microsecond gaps; hash-gates. */
+  def sessionGapSweep(spark: SparkSession, dir: String,
+      gapsMin: Seq[Int] = Seq(5, 15, 30, 60)): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us, col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_us", us - lag(us, 1).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    gaps
+      .select(col("user_id"), col("gap_us"),
+        explode(array(gapsMin.map(lit): _*)).as("gap_min"))
+      .groupBy(col("gap_min"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("gap_us").isNull
+          || col("gap_us") > col("gap_min").cast("long") * 60000000L, 1L)
+          .otherwise(0L)).as("n_sessions"))
+      .select(col("gap_min"), col("n_users"), col("n_events"),
+        col("n_sessions"),
+        round(col("n_events").cast("double")
+          / col("n_sessions").cast("double"), 6).as("events_per_session"))
+  }
+
+  /** Equi-depth histogram selectivity audit (q300) — build the
+    * optimizer statistic (10-bucket equi-depth histogram on order
+    * value via exact interpolated percentiles — the portable q95
+    * device) and measure how well uniform-within-bucket
+    * interpolation estimates range-predicate cardinalities against
+    * the true counts: the [[joinEstimate]] companion for RANGE
+    * selectivity, and the quantified case for histogram stats in
+    * CBO. One scan builds the 11-boundary grid, one scan scores all
+    * predicates; the estimate is a fixed fold over 10 bucket terms
+    * (zero-width buckets guard to point masses). */
+  def histogramSelectivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(col("o_totalprice").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boundAggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      (0 to 10).map(i => percentile(col("v"), lit(i / 10.0)).as(s"p$i"))
+    val bounds = o.agg(boundAggs.head, boundAggs.tail: _*)
+    val preds = Seq((1, 0.0, 25000.0), (2, 25000.0, 50000.0),
+      (3, 50000.0, 100000.0), (4, 100000.0, 200000.0),
+      (5, 200000.0, 500000.0)).toDF("pred_id", "lo", "hi")
+    val actual = o.crossJoin(broadcast(preds))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("pred_id")).agg(count(lit(1)).as("actual"))
+    val term = (i: Int) => {
+      val a = col(s"p$i"); val b = col(s"p${i + 1}")
+      when(b > a,
+        greatest(lit(0.0), least(col("hi"), b) - greatest(col("lo"), a))
+          / (b - a))
+        .otherwise(when(a >= col("lo") && a <= col("hi"), lit(1.0))
+          .otherwise(lit(0.0)))
+    }
+    val estFrac = (0 to 9).map(term).reduce(_ + _)
+    preds.crossJoin(broadcast(bounds))
+      .select(col("pred_id"), col("lo"), col("hi"),
+        round(col("n") / 10.0 * estFrac, 6).as("est_rows"))
+      .join(actual, Seq("pred_id"), "left")
+      .select(col("pred_id"), col("lo"), col("hi"), col("est_rows"),
+        coalesce(col("actual"), lit(0L)).as("actual"),
+        when(coalesce(col("actual"), lit(0L)) > 0,
+          round(abs(col("est_rows")
+            - coalesce(col("actual"), lit(0L)).cast("double"))
+            / coalesce(col("actual"), lit(0L)).cast("double"), 6))
+          .as("rel_err"))
+  }
+
   /** Skyline / Pareto front (q293) — parts no other part dominates
     * on (retail price ↓, size ↓): the classic multi-criteria
     * shortlist operator (Börzsönyi et al., ICDE'01) that SQL lacks
