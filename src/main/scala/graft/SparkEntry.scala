@@ -350,6 +350,10 @@ object SparkEntry {
     "q298_huber"          -> ((s, d) => Relational.huberRegression(s, d)),
     "q299_session_sweep"  -> ((s, d) => Relational.sessionGapSweep(s, d)),
     "q300_hist_selectivity" -> ((s, d) => Relational.histogramSelectivity(s, d)),
+    "q301_cramers_v"      -> ((s, d) => graft.ext.Profile.cramersV(s, d)),
+    "q302_pairwise_means" -> ((s, d) => graft.ext.Profile.pairwiseMeans(s, d)),
+    "q303_logistic"       -> ((s, d) => Relational.logisticNewton(s, d)),
+    "q304_kmeans1d"       -> ((s, d) => Relational.kmeans1d(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -673,6 +677,125 @@ object SparkEntry {
        |      / CAST(COALESCE(act.actual, 0) AS DOUBLE), 6)
        |  END AS rel_err
        |FROM est LEFT JOIN act ON act.pred_id = est.pred_id""".stripMargin
+  }
+
+  /** q301 oracle fragment: one categorical pair's Cramér's V block
+    * — identical window margins, round-9 contribution surrogates. */
+  private def cramersSql(table: String, pair: String, a: String,
+      b: String): String =
+    s"""SELECT '$pair' AS pair, n, round(chi2r, 6) AS chi2,
+       |  round(sqrt(chi2r / (CAST(n AS DOUBLE)
+       |    * CAST(least(r, c) - 1 AS DOUBLE))), 6) AS cramers_v
+       |FROM (SELECT CAST(SUM(c9) AS BIGINT) / 1.0e9 AS chi2r,
+       |    MAX(n) AS n, CAST(COUNT(DISTINCT ra) AS BIGINT) AS r,
+       |    CAST(COUNT(DISTINCT cb) AS BIGINT) AS c
+       |  FROM (SELECT ra, cb,
+       |      CAST(round((CAST(o AS DOUBLE)
+       |          - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+       |            / CAST(n AS DOUBLE))
+       |        * (CAST(o AS DOUBLE)
+       |          - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+       |            / CAST(n AS DOUBLE))
+       |        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+       |            / CAST(n AS DOUBLE)) * 1.0e9) AS BIGINT) AS c9, n
+       |    FROM (SELECT ra, cb, o,
+       |        CAST(SUM(o) OVER (PARTITION BY ra) AS BIGINT) AS rt,
+       |        CAST(SUM(o) OVER (PARTITION BY cb) AS BIGINT) AS ct,
+       |        CAST(SUM(o) OVER () AS BIGINT) AS n
+       |      FROM (SELECT $a AS ra, $b AS cb, COUNT(*) AS o
+       |        FROM $table GROUP BY 1, 2))))""".stripMargin
+
+  /** q303 oracle: Newton steps for the logistic fit UNROLLED — each
+    * block recomputes σ(z) from the previous block's (a, b), snaps
+    * per-row terms to round-6 micro surrogates, and applies the
+    * closed-form 2×2 solve. Zero literals: both engines derive the
+    * identical scalars from the exact integer sums. */
+  private def logisticOracleSql(iters: Int = 3): String = {
+    val header =
+      """WITH xy AS MATERIALIZED (SELECT o_totalprice / 100000.0 AS x,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM orders),
+        |p0 AS (SELECT 0.0 AS a, 0.0 AS b)""".stripMargin
+    val blocks = (1 to iters).map { i =>
+      s"""s$i AS (SELECT
+         |    CAST(SUM(CAST(round((y - pr) * 1.0e6) AS BIGINT)) AS BIGINT)
+         |      AS g0,
+         |    CAST(SUM(CAST(round((y - pr) * x * 1.0e6) AS BIGINT))
+         |      AS BIGINT) AS g1,
+         |    CAST(SUM(CAST(round(pr * (1.0 - pr) * 1.0e6) AS BIGINT))
+         |      AS BIGINT) AS sw,
+         |    CAST(SUM(CAST(round(pr * (1.0 - pr) * x * 1.0e6) AS BIGINT))
+         |      AS BIGINT) AS swx,
+         |    CAST(SUM(CAST(round(pr * (1.0 - pr) * x * x * 1.0e6)
+         |      AS BIGINT)) AS BIGINT) AS swxx
+         |  FROM (SELECT x, y,
+         |      1.0 / (1.0 + exp(-(a + b * x))) AS pr
+         |    FROM xy, p${i - 1})),
+         |p$i AS (SELECT
+         |    pa.a + (t.swxx2 * t.g02 - t.swx2 * t.g12)
+         |      / (t.sw2 * t.swxx2 - t.swx2 * t.swx2) AS a,
+         |    pa.b + (t.sw2 * t.g12 - t.swx2 * t.g02)
+         |      / (t.sw2 * t.swxx2 - t.swx2 * t.swx2) AS b
+         |  FROM p${i - 1} pa, (SELECT
+         |      CAST(g0 AS DOUBLE) / 1.0e6 AS g02,
+         |      CAST(g1 AS DOUBLE) / 1.0e6 AS g12,
+         |      CAST(sw AS DOUBLE) / 1.0e6 AS sw2,
+         |      CAST(swx AS DOUBLE) / 1.0e6 AS swx2,
+         |      CAST(swxx AS DOUBLE) / 1.0e6 AS swxx2
+         |    FROM s$i) t)""".stripMargin
+    }.mkString(",\n")
+    val tail = (0 to iters).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS iter, round(a, 6) AS intercept,
+         |  round(b, 6) AS slope FROM p$i""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"$header,\n$blocks\n$tail"
+  }
+
+  /** q304 oracle: Lloyd rounds UNROLLED — quartile init, argmin
+    * assignment with low-index ties, DECIMAL milli-mean updates,
+    * empty clusters keep their centroid (COALESCE). */
+  private def kmeansOracleSql(rounds: Int = 4): String = {
+    val assign = (p: String) =>
+      s"""CASE WHEN abs(v - $p.c0) <= abs(v - $p.c1)
+         |    AND abs(v - $p.c0) <= abs(v - $p.c2) THEN 0
+         |  WHEN abs(v - $p.c1) <= abs(v - $p.c2) THEN 1
+         |  ELSE 2 END""".stripMargin
+    val header =
+      """WITH o AS MATERIALIZED (SELECT o_totalprice AS v FROM orders),
+        |cent0 AS (SELECT quantile_cont(v, 0.25) AS c0,
+        |    quantile_cont(v, 0.5) AS c1,
+        |    quantile_cont(v, 0.75) AS c2 FROM o)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      s"""u$r AS (SELECT ${assign(s"cent${r - 1}")} AS k,
+         |    SUM(CAST(CAST(round(v * 1000.0) AS BIGINT)
+         |      AS DECIMAL(28,0))) AS s,
+         |    COUNT(*) AS n
+         |  FROM o, cent${r - 1} GROUP BY 1),
+         |cent$r AS (SELECT
+         |    COALESCE((SELECT CAST(s AS DOUBLE) / 1.0e3
+         |      / CAST(n AS DOUBLE) FROM u$r WHERE k = 0), c0) AS c0,
+         |    COALESCE((SELECT CAST(s AS DOUBLE) / 1.0e3
+         |      / CAST(n AS DOUBLE) FROM u$r WHERE k = 1), c1) AS c1,
+         |    COALESCE((SELECT CAST(s AS DOUBLE) / 1.0e3
+         |      / CAST(n AS DOUBLE) FROM u$r WHERE k = 2), c2) AS c2
+         |  FROM cent${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""fin AS (SELECT ${assign(s"cent$rounds")} AS cluster, v,
+         |    CASE ${assign(s"cent$rounds")}
+         |      WHEN 0 THEN cent$rounds.c0
+         |      WHEN 1 THEN cent$rounds.c1
+         |      ELSE cent$rounds.c2 END AS c
+         |  FROM o, cent$rounds)
+         |SELECT cluster,
+         |  round(CASE cluster WHEN 0 THEN (SELECT c0 FROM cent$rounds)
+         |    WHEN 1 THEN (SELECT c1 FROM cent$rounds)
+         |    ELSE (SELECT c2 FROM cent$rounds) END, 6) AS centroid,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(round((v - c) * (v - c)) AS BIGINT)) AS BIGINT)
+         |    AS inertia
+         |FROM fin GROUP BY cluster""".stripMargin
+    s"$header,\n$blocks,\n$tail"
   }
 
   /** q251 oracle: the HITS power loop UNROLLED as `iters` CTE blocks
@@ -5389,6 +5512,46 @@ object SparkEntry {
         |FROM x GROUP BY 1""".stripMargin,
     // q300: equi-depth histogram selectivity (histSelOracleSql)
     "q300_hist_selectivity" -> histSelOracleSql,
+    // q301: Cramér's V — one block per categorical pair
+    "q301_cramers_v" ->
+      (cramersSql("orders", "priority_x_status",
+        "o_orderpriority", "o_orderstatus") + "\nUNION ALL " +
+        cramersSql("documents", "lang_x_source", "lang", "source")),
+    // q302: pairwise means — exact group moments, pooled MSE from
+    // unit-squared surrogates, all contrasts on the 5-row grid
+    "q302_pairwise_means" ->
+      """WITH g AS MATERIALIZED (SELECT c_mktsegment AS seg,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(o_totalprice * 1000.0) AS BIGINT))
+        |      AS BIGINT) AS s,
+        |    SUM(CAST(CAST(round(o_totalprice * 1000.0) AS BIGINT)
+        |        AS DECIMAL(19,0))
+        |      * CAST(CAST(round(o_totalprice * 1000.0) AS BIGINT)
+        |        AS DECIMAL(19,0))) AS q
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |ms AS (SELECT CAST(SUM(CAST(round((CAST(q AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / 1.0e6) AS BIGINT)) AS BIGINT)
+        |    AS t6,
+        |    CAST(SUM(n) AS BIGINT) AS ntot, COUNT(*) AS k FROM g),
+        |mq AS (SELECT CAST(t6 AS DOUBLE)
+        |    / CAST(ntot - k AS DOUBLE) AS msq FROM ms)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+        |  round(CAST(a.s AS DOUBLE) / 1.0e3 / CAST(a.n AS DOUBLE)
+        |    - CAST(b.s AS DOUBLE) / 1.0e3 / CAST(b.n AS DOUBLE), 6)
+        |    AS mean_diff,
+        |  round(sqrt(msq * (1.0 / CAST(a.n AS DOUBLE)
+        |    + 1.0 / CAST(b.n AS DOUBLE))), 6) AS se,
+        |  round((CAST(a.s AS DOUBLE) / 1.0e3 / CAST(a.n AS DOUBLE)
+        |    - CAST(b.s AS DOUBLE) / 1.0e3 / CAST(b.n AS DOUBLE))
+        |    / sqrt(msq * (1.0 / CAST(a.n AS DOUBLE)
+        |      + 1.0 / CAST(b.n AS DOUBLE))), 6) AS t
+        |FROM g a JOIN g b ON a.seg < b.seg, mq""".stripMargin,
+    // q303: logistic Newton — the step loop unrolled
+    "q303_logistic" -> logisticOracleSql(),
+    // q304: 1-D k-means — the Lloyd loop unrolled
+    "q304_kmeans1d" -> kmeansOracleSql(),
     // q271: hard negatives — cross-label cosine argmax per anchor
     "q271_hard_negatives" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -963,6 +963,90 @@ object Profile {
       round((center + margin) / denom, 6).as("wilson_hi"))
   }
 
+  /** Cramér's V association matrix (q301) — effect SIZE for every
+    * categorical pair, the number [[chiSquareCells]]' raw χ²
+    * cannot give (χ² grows with n; V = √(χ²/(n·(min(r,c)−1))) is
+    * comparable across pairs and scales) and the categorical
+    * counterpart of [[corrMatrix]]. Each pair folds from ONE
+    * contingency aggregate: observed cells → row/col margins →
+    * χ² as a sum of round-9 integer surrogates (the expected
+    * counts are rationals of exact integers, so each cell's
+    * contribution is one fixed IEEE chain snapped before the
+    * order-free sum). */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def one(df: DataFrame, pair: String, a: Column, b: Column): DataFrame = {
+      val cells = df.groupBy(a.as("ra"), b.as("cb"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = sum(col("o")).over(Window.partitionBy(col("ra")))
+      val colT = sum(col("o")).over(Window.partitionBy(col("cb")))
+      val grand = sum(col("o")).over(Window.partitionBy())
+      val exp = rowT.cast("double") * colT.cast("double") / grand.cast("double")
+      val contrib = (col("o").cast("double") - exp) *
+        (col("o").cast("double") - exp) / exp
+      cells
+        .select(col("o"), col("ra"), col("cb"),
+          round(contrib * 1e9, 0).cast("long").as("c9"),
+          grand.as("n"))
+        .agg(sum(col("c9")).as("chi9"), max(col("n")).as("n"),
+          countDistinct(col("ra")).as("r"), countDistinct(col("cb")).as("c"))
+        .select(lit(pair).as("pair"), col("n"),
+          round(col("chi9").cast("double") / 1e9, 6).as("chi2"),
+          round(sqrt((col("chi9").cast("double") / 1e9)
+            / (col("n").cast("double")
+              * (least(col("r"), col("c")) - lit(1L)).cast("double"))), 6)
+            .as("cramers_v"))
+    }
+    val orders = Tables.orders(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    one(orders, "priority_x_status",
+      col("o_orderpriority"), col("o_orderstatus"))
+      .unionByName(one(docs, "lang_x_source", col("lang"), col("source")))
+  }
+
+  /** Pairwise post-hoc comparisons (q302) — every market-segment
+    * pair's mean order-value difference with the ANOVA pooled
+    * standard error (the Tukey-HSD working parts: the studentized
+    * cutoff is a table lookup the reader applies): which segments
+    * actually differ, after [[graft.rel.Relational.welchTTest]]'s
+    * single contrast. One scan reduces to per-group exact integer
+    * moments (milli-unit sums + DECIMAL squares); the pooled MSE
+    * and all k(k−1)/2 contrasts are arithmetic on that 5-row grid
+    * (self-joined pairs, broadcast-sized). */
+  def pairwiseMeans(spark: SparkSession, dir: String): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val xi = round(col("o_totalprice") * 1000.0, 0).cast("long")
+    val g = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), xi.as("x"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(d19(col("x")) * d19(col("x"))).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pooled within-group variance (ANOVA MSE), in original units²:
+    // each group's SS term snaps to a unit² integer surrogate (the
+    // double chain is identical cross-engine; the snap makes the
+    // 5-term sum order-free)
+    val term = col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")
+    val mse = g.select(round(term / 1e6, 0).cast("long").as("t6"), col("n"))
+      .agg((sum(col("t6")).cast("double")
+        / (sum(col("n")) - count(lit(1))).cast("double")).as("msq"))
+    def side(sfx: String) = g.select(col("seg").as(s"seg_$sfx"),
+      col("n").as(s"n_$sfx"), col("s").as(s"s_$sfx"))
+    def m(sfx: String) =
+      col(s"s_$sfx").cast("double") / 1e3 / col(s"n_$sfx").cast("double")
+    val se = sqrt(col("msq") * (lit(1.0) / col("n_a").cast("double")
+      + lit(1.0) / col("n_b").cast("double")))
+    side("a").join(side("b"), col("seg_a") < col("seg_b"))
+      .crossJoin(broadcast(mse))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        round(m("a") - m("b"), 6).as("mean_diff"),
+        round(se, 6).as("se"),
+        round((m("a") - m("b")) / se, 6).as("t"))
+  }
+
   /** Hill tail-index estimator (q282) — how heavy is the document-
     * length tail? α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k
     * order statistics (Hill 1975); α ≤ 2 means infinite variance —

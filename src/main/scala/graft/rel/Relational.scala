@@ -1115,6 +1115,104 @@ object Relational {
         round(col("b_raw"), 6).as("slope"), col("n_down"))
   }
 
+  /** Logistic regression by Newton–Raphson (q303) — P(order final)
+    * on scaled order value, 3 unrolled Newton steps from (0,0):
+    * the [[huberRegression]] recipe applied to the canonical GLM.
+    * Each step is ONE aggregate over the persisted (x, y)
+    * projection to five sufficient statistics (score Σ(y−p),
+    * Σ(y−p)x and Hessian Σw, Σwx, Σwx², w = p(1−p)), a 1-row
+    * collect, and a closed-form 2×2 solve whose scalars feed the
+    * next pass as literals. Determinism: per-row terms snap to
+    * round-6 micro surrogates BEFORE the order-free integer sums —
+    * σ(z) calls libm exp(), whose last ulp may differ between
+    * engines, and the snap makes that difference unobservable
+    * except exactly ON a rounding boundary (probability ~1e-10 per
+    * term at round-6 — the q223 ln-surrogate precedent, one notch
+    * coarser for the larger row count). */
+  def logisticNewton(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val xy = Tables.orders(spark, dir)
+      .select((col("o_totalprice") / lit(100000.0)).as("x"),
+        when(col("o_orderstatus") === "F", lit(1.0)).otherwise(lit(0.0))
+          .as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sur6(c: Column) = round(c * 1e6, 0).cast("long")
+    var (a, b) = (0.0, 0.0)
+    var out = Vector((0, a, b))
+    for (i <- 1 to iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-(lit(a) + lit(b) * col("x"))))
+      val w = p * (lit(1.0) - p)
+      val st = xy.agg(
+        sum(sur6(col("y") - p)).as("g0"),
+        sum(sur6((col("y") - p) * col("x"))).as("g1"),
+        sum(sur6(w)).as("sw"),
+        sum(sur6(w * col("x"))).as("swx"),
+        sum(sur6(w * col("x") * col("x"))).as("swxx")).head()
+      val (g0, g1) = (st.getLong(0) / 1e6, st.getLong(1) / 1e6)
+      val (sw, swx, swxx) =
+        (st.getLong(2) / 1e6, st.getLong(3) / 1e6, st.getLong(4) / 1e6)
+      val det = sw * swxx - swx * swx
+      a += (swxx * g0 - swx * g1) / det
+      b += (sw * g1 - swx * g0) / det
+      out :+= ((i, a, b))
+    }
+    out.toDF("iter", "a_raw", "b_raw")
+      .select(col("iter"), round(col("a_raw"), 6).as("intercept"),
+        round(col("b_raw"), 6).as("slope"))
+  }
+
+  /** 1-D k-means, Lloyd's algorithm unrolled (q304) — 3 clusters on
+    * order value, initialized at the exact quartiles (the portable
+    * q95 percentiles), 4 assign/update rounds: the HASH-GATED twin
+    * of the ANN family's driver-side Lloyd fit (q55/q56 stay
+    * rows-only because 64-D codebooks cannot ride a static oracle;
+    * the 1-D case proves the identical iteration arithmetic
+    * cross-engine). Each round is one scan-aggregate: assignment is
+    * an exact-double argmin (ties to the lower cluster), updates
+    * are DECIMAL milli-sums / counts, and the final report carries
+    * per-cluster inertia from integer surrogates. */
+  def kmeans1d(spark: SparkSession, dir: String, rounds: Int = 4)
+      : DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select(col("o_totalprice").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = o.agg(percentile(col("v"), lit(0.25)).as("c0"),
+      percentile(col("v"), lit(0.5)).as("c1"),
+      percentile(col("v"), lit(0.75)).as("c2")).head()
+    var cents = Vector(init.getDouble(0), init.getDouble(1),
+      init.getDouble(2))
+    def assign(cs: Vector[Double]): Column = {
+      val d = cs.map(c => abs(col("v") - lit(c)))
+      when(d(0) <= d(1) && d(0) <= d(2), 0)
+        .when(d(1) <= d(2), 1).otherwise(2)
+    }
+    for (_ <- 1 to rounds) {
+      val upd = o.groupBy(assign(cents).as("k"))
+        .agg(sum(round(col("v") * 1000.0, 0).cast("long")
+          .cast("decimal(28,0)")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[Int]("k") ->
+          (r.getDecimal(1).doubleValue / 1e3 / r.getLong(2)))
+        .toMap
+      cents = Vector(0, 1, 2).map(k => upd.getOrElse(k, cents(k)))
+    }
+    // inertia: per-row squared distance to the OWN centroid, in
+    // exact unit² surrogates
+    val cexpr = when(col("cluster") === 0, lit(cents(0)))
+      .when(col("cluster") === 1, lit(cents(1))).otherwise(lit(cents(2)))
+    o.select(col("v"), assign(cents).as("cluster"))
+      .select(col("v"), col("cluster"), cexpr.as("c"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(round((col("v") - col("c")) * (col("v") - col("c")), 0)
+          .cast("long")).as("inertia"))
+      .select(col("cluster"),
+        round(when(col("cluster") === 0, lit(cents(0)))
+          .when(col("cluster") === 1, lit(cents(1)))
+          .otherwise(lit(cents(2))), 6).as("centroid"),
+        col("n"), col("inertia"))
+  }
+
   /** CUPED variance reduction (q296) — Controlled experiments Using
     * Pre-Experiment Data (Deng et al., WSDM'13), the standard
     * experimentation-platform trick: adjust each user's experiment
