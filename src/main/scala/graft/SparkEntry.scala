@@ -354,6 +354,9 @@ object SparkEntry {
     "q302_pairwise_means" -> ((s, d) => graft.ext.Profile.pairwiseMeans(s, d)),
     "q303_logistic"       -> ((s, d) => Relational.logisticNewton(s, d)),
     "q304_kmeans1d"       -> ((s, d) => Relational.kmeans1d(s, d)),
+    "q305_kruskal"        -> ((s, d) => graft.ext.Profile.kruskalWallis(s, d)),
+    "q306_kendall_tau"    -> ((s, d) => graft.ext.Profile.kendallTau(s, d)),
+    "q307_l_diversity"    -> ((s, d) => graft.ext.Profile.lDiversity(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5552,6 +5555,72 @@ object SparkEntry {
     "q303_logistic" -> logisticOracleSql(),
     // q304: 1-D k-means — the Lloyd loop unrolled
     "q304_kmeans1d" -> kmeansOracleSql(),
+    // q305: Kruskal–Wallis — exact 2·avg_rank integers, per-group
+    // R²/n snapped to unit surrogates, tie correction from exact t³
+    "q305_kruskal" ->
+      """WITH sv AS MATERIALIZED (SELECT c_mktsegment AS seg,
+        |    o_totalprice AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, 2 * rank() OVER (ORDER BY v)
+        |    + COUNT(*) OVER (PARTITION BY v) - 1 AS r2 FROM sv),
+        |g AS (SELECT seg, COUNT(*) AS n_g,
+        |    CAST(SUM(r2) AS BIGINT) AS sr2 FROM r GROUP BY 1),
+        |hg AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k,
+        |    CAST(SUM(CAST(round((CAST(sr2 AS DOUBLE) / 2.0)
+        |      * (CAST(sr2 AS DOUBLE) / 2.0)
+        |      / CAST(n_g AS DOUBLE)) AS BIGINT)) AS BIGINT) AS t0
+        |  FROM g),
+        |ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS t3
+        |  FROM (SELECT COUNT(*) AS t FROM sv GROUP BY v))
+        |SELECT n, k, k - 1 AS df,
+        |  round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    * CAST(t0 AS DOUBLE)
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+        |  round(1.0 - CAST(t3 AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(n AS DOUBLE)), 9) AS tie_c,
+        |  round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    * CAST(t0 AS DOUBLE)
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |    / (1.0 - CAST(t3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+        |    AS h_corrected
+        |FROM hg, ties""".stripMargin,
+    // q306: Kendall τ-b — all-pairs over the bounded daily grid,
+    // every ingredient an exact integer count
+    "q306_kendall_tau" ->
+      """WITH daily AS MATERIALIZED (SELECT o_orderdate AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 1000.0) AS BIGINT))
+        |      AS BIGINT) AS x,
+        |    COUNT(*) AS y
+        |  FROM orders GROUP BY 1),
+        |pc AS (SELECT COUNT(*) AS n0,
+        |    CAST(SUM(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t1 AS (SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+        |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x)),
+        |t2 AS (SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+        |  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y))
+        |SELECT n0, c, d, n1, n2,
+        |  round(CAST(c - d AS DOUBLE)
+        |    / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)),
+        |    6) AS tau_b
+        |FROM pc, t1, t2""".stripMargin,
+    // q307: l-diversity — one QI-tuple aggregate
+    "q307_l_diversity" ->
+      """SELECT source, CAST(floor(n_chars / 1000.0) AS BIGINT)
+        |    AS len_kb,
+        |  COUNT(*) AS n, COUNT(DISTINCT lang) AS l,
+        |  COUNT(DISTINCT lang) >= 2 AS l_diverse
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // q271: hard negatives — cross-label cosine argmax per anchor
     "q271_hard_negatives" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -1079,4 +1079,106 @@ object Profile {
           / (col("slog") - lit(k.toLong) * lnSur(col("x_cutoff")))
             .cast("double") / sqrt(lit(k.toDouble)), 6).as("alpha_se"))
   }
+
+  /** Kruskal–Wallis H test (q305) — the nonparametric one-way ANOVA:
+    * do the market segments differ in order-value DISTRIBUTION, not
+    * just mean ([[pairwiseMeans]] assumes normal-ish tails; order
+    * values are heavy-tailed, exactly where rank tests earn their
+    * keep). Ranks use the exact 2·avg_rank integer device (q229/
+    * q239), so every per-group rank sum is an exact long; H and the
+    * tie correction C = 1 − Σ(t³−t)/(N³−N) are fixed IEEE chains
+    * over a k-row grid with per-group terms snapped to integer
+    * surrogates before the order-free sum. Cost: one global rank
+    * window (the intrinsic price of exact ranks — bin first at
+    * extreme cardinality, q172-style) + one value-group aggregate
+    * for ties; the customer dimension broadcasts. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+    // 2·avg_rank = 2·rank + ties − 1 stays integer under any tie
+    val r2 = lit(2L) * rank().over(Window.orderBy(col("v"))) +
+      count(lit(1)).over(Window.partitionBy(col("v"))) - lit(1L)
+    val g = sv.select(col("seg"), r2.as("r2"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_g"), sum(col("r2")).as("sr2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-group term R²/n snapped to a unit surrogate (R = sr2/2
+    // exact; the double chain is fixed, the snap makes the k-term
+    // sum order-free)
+    val term = (col("sr2").cast("double") / 2.0) *
+      (col("sr2").cast("double") / 2.0) / col("n_g").cast("double")
+    val hg = g.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      sum(round(term, 0).cast("long")).as("t0"))
+    // tie-size table from the SAME ranked base: Σ(t³−t) exact
+    val ties = sv.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("t3"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) *
+      col("t0").cast("double") - lit(3.0) * (nD + 1.0)
+    val c = lit(1.0) - col("t3").cast("double") / (nD * nD * nD - nD)
+    hg.crossJoin(broadcast(ties))
+      .select(col("n"), col("k"), (col("k") - 1L).as("df"),
+        round(h, 6).as("h"), round(c, 9).as("tie_c"),
+        round(h / c, 6).as("h_corrected"))
+  }
+
+  /** Kendall's τ-b (q306) over the daily (revenue, order-count)
+    * series — the concordance companion to [[spearman]]: robust to
+    * any monotone transform AND exactly tie-corrected by
+    * construction, because every ingredient is an integer pair
+    * count. The all-pairs self-join is over the DAILY grid — bounded
+    * by the calendar (≈2.4k rows regardless of data volume: 100 TB
+    * of orders still spans the same days), so the pair table is a
+    * broadcast-sized ~3M rows and never touches the fact table
+    * twice. Revenue compares via exact milli-long surrogates; τ-b =
+    * (C−D)/√((n0−n1)(n0−n2)) is one fixed chain over six longs. */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 1000.0, 0).cast("long"))
+          .as("x"),
+        count(lit(1)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(s: String) = daily.select(col("day").as(s"day_$s"),
+      col("x").as(s"x_$s"), col("y").as(s"y_$s"))
+    val sx = signum(col("x_a") - col("x_b"))
+    val sy = signum(col("y_a") - col("y_b"))
+    val pc = side("a").join(side("b"), col("day_a") < col("day_b"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(sx * sy > 0, 1L).otherwise(0L)).as("c"),
+        sum(when(sx * sy < 0, 1L).otherwise(0L)).as("d"),
+        sum(when(sx === 0 && sy =!= 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(sy === 0 && sx =!= 0, 1L).otherwise(0L)).as("ty"))
+    // n1/n2 from tie GROUPS (the standard formulation) — equal to
+    // tx/ty + joint ties; both engines compute the same longs
+    // t(t−1) is even, so the double division is exact and the long
+    // cast loss-free (sums stay ≪ 2⁵³)
+    val n1 = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+      .agg((sum(col("t") * (col("t") - 1L)) / 2L).cast("long").as("n1"))
+    val n2 = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg((sum(col("t") * (col("t") - 1L)) / 2L).cast("long").as("n2"))
+    pc.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("n0"), col("c"), col("d"), col("n1"), col("n2"),
+        round((col("c") - col("d")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double")
+            * (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
+  }
+
+  /** l-diversity audit (q307) — [[kAnonymity]]'s stronger sibling: a
+    * k-anonymous group is still a leak if everyone in it shares the
+    * sensitive value (the homogeneity attack), so the release gate
+    * also wants l = COUNT(DISTINCT sensitive) ≥ l_min per
+    * quasi-identifier group. QIs: (source, n_chars kilobucket);
+    * sensitive: lang. One shuffle on the QI tuple; the distinct
+    * rides the same aggregate. Result is |QI-space|-sized. */
+  def lDiversity(spark: SparkSession, dir: String, lMin: Int = 2)
+      : DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"),
+        floor(col("n_chars") / 1000.0).cast("long").as("len_kb"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("l"))
+      .withColumn("l_diverse", col("l") >= lMin)
 }
