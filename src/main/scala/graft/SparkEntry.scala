@@ -357,6 +357,8 @@ object SparkEntry {
     "q305_kruskal"        -> ((s, d) => graft.ext.Profile.kruskalWallis(s, d)),
     "q306_kendall_tau"    -> ((s, d) => graft.ext.Profile.kendallTau(s, d)),
     "q307_l_diversity"    -> ((s, d) => graft.ext.Profile.lDiversity(s, d)),
+    "q308_textrank"       -> ((s, d) => TextAnalysis.textRank(s, d)),
+    "q309_naive_bayes"    -> ((s, d) => TextAnalysis.naiveBayesLangId(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5621,6 +5623,83 @@ object SparkEntry {
         |  COUNT(*) AS n, COUNT(DISTINCT lang) AS l,
         |  COUNT(DISTINCT lang) >= 2 AS l_diverse
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // q308: TextRank — the snapped power loop as a recursive CTE
+    // (q116's recursive shape + the q251 round-12 surrogate device)
+    "q308_textrank" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT $toks AS ws FROM documents),
+         |pr0 AS (
+         |  SELECT least(ws[i], ws[i+1]) AS a,
+         |    greatest(ws[i], ws[i+1]) AS b
+         |  FROM w, UNNEST(range(1, len(ws))) AS u(i)
+         |  UNION ALL
+         |  SELECT least(ws[i], ws[i+2]), greatest(ws[i], ws[i+2])
+         |  FROM w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+         |und AS (SELECT a, b, COUNT(*) AS n_ab FROM pr0
+         |  WHERE a <> b GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |e AS (SELECT a, b, n_ab AS w FROM und
+         |      UNION ALL SELECT b, a, n_ab FROM und),
+         |outw AS (SELECT a, CAST(SUM(w) AS BIGINT) AS ow
+         |  FROM e GROUP BY a),
+         |en AS (SELECT e.a, e.b,
+         |    CAST(e.w AS DOUBLE) / CAST(outw.ow AS DOUBLE) AS p
+         |  FROM e JOIN outw USING (a)),
+         |nodes AS (SELECT DISTINCT a AS node FROM e),
+         |pr(iter, node, rank) AS (
+         |  SELECT 0, node, 1.0 / (SELECT COUNT(*) FROM nodes)
+         |  FROM nodes
+         |  UNION ALL
+         |  SELECT iter + 1, en.b,
+         |    0.15 / (SELECT COUNT(*) FROM nodes)
+         |    + 0.85 * (CAST(SUM(CAST(round(p.rank * en.p * 1e12)
+         |        AS BIGINT)) AS DOUBLE) / 1e12)
+         |  FROM pr p JOIN en ON p.node = en.a
+         |  WHERE iter < 8
+         |  GROUP BY iter, en.b)
+         |SELECT node AS word, round(rank, 6) AS rank
+         |FROM pr WHERE iter = 8
+         |ORDER BY rank DESC, word LIMIT 25""".stripMargin,
+    // q309: Naive Bayes lang-id — train counts, round-9 ln
+    // surrogates, exact long argmax, per-lang accuracy
+    "q309_naive_bayes" ->
+      s"""WITH dw AS MATERIALIZED (SELECT doc_id, lang,
+         |    UNNEST($toks) AS word FROM documents),
+         |train AS (SELECT * FROM dw WHERE doc_id % 5 <> 0),
+         |cw AS (SELECT lang, word, COUNT(*) AS c
+         |  FROM train GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t
+         |  FROM cw GROUP BY 1),
+         |vocab AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+         |  FROM cw),
+         |priors AS (SELECT lang, COUNT(*) AS nd FROM documents
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |prior AS (SELECT lang AS cand,
+         |    CAST(round(ln(CAST(nd AS DOUBLE)
+         |      / CAST((SELECT SUM(nd) FROM priors) AS DOUBLE)) * 1e9)
+         |      AS BIGINT) AS lp_prior
+         |  FROM priors),
+         |tw AS (SELECT doc_id, lang, word, COUNT(*) AS cnt
+         |  FROM dw WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+         |grid AS (SELECT lang AS cand, t, (SELECT v FROM vocab) AS v
+         |  FROM tot),
+         |sc AS (SELECT tw.doc_id, tw.lang, g.cand,
+         |    CAST(SUM(cnt * CAST(round(ln(
+         |        (CAST(COALESCE(cw.c, 0) AS DOUBLE) + 1.0)
+         |        / (CAST(g.t AS DOUBLE) + CAST(g.v AS DOUBLE))) * 1e9)
+         |      AS BIGINT)) AS BIGINT) AS ll
+         |  FROM tw CROSS JOIN grid g
+         |  LEFT JOIN cw ON cw.lang = g.cand AND cw.word = tw.word
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, lang, cand,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY ll + lp_prior DESC, cand) AS rn
+         |  FROM sc JOIN prior USING (cand))
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  round(CAST(SUM(CASE WHEN cand = lang THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+         |FROM best WHERE rn = 1 GROUP BY lang""".stripMargin,
     // q271: hard negatives — cross-label cosine argmax per anchor
     "q271_hard_negatives" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

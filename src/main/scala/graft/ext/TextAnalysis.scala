@@ -1689,4 +1689,148 @@ object TextAnalysis {
       .select(col("source"), col("phrase"), col("n_occur"),
         round(col("score"), 6).as("score"), col("rk"))
   }
+
+  /** TextRank keyword extraction (q308) — PageRank over the word
+    * co-occurrence graph (Mihalcea & Tarau, EMNLP'04): words are
+    * nodes, edges weight by co-occurrence count within a ±2 token
+    * window, and centrality in that graph IS keywordness — the
+    * graph-structural companion to [[collocations]]' pairwise PMI
+    * and [[rakeKeywords]]' degree scores. Pair generation is the
+    * linear slice-zip (never a positional self-join); the graph is
+    * pruned to edges with count ≥ minCount, so the power loop runs
+    * on a bounded vocabulary grid, coalesced to 1 partition (the
+    * q251 tiny-graph fast path — a few-k-node graph does not deserve
+    * 32 near-empty tasks per iteration).
+    *
+    * Determinism device (the [[graft.ext.Dedup.hits]] recipe, which
+    * lets the DuckDB oracle unroll the SAME loop as a recursive
+    * CTE): edge probabilities are exact-integer ratios, and each
+    * per-node incoming sum snaps to a round-12 integer surrogate —
+    * the rank trajectory is bit-identical in any engine and any
+    * partitioning. */
+  def textRank(spark: SparkSession, dir: String, maxDist: Int = 2,
+      minCount: Long = 5L, iters: Int = 8, topN: Int = 25): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairRows = (1 to maxDist).map { k =>
+      base.filter(size(col("ws")) > k)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - k),
+          slice(col("ws"), lit(k + 1), size(col("ws")) - k),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+        .select(least(col("p.x"), col("p.y")).as("word_a"),
+          greatest(col("p.x"), col("p.y")).as("word_b"))
+    }.reduce(_ unionByName _)
+    val und = pairRows
+      .filter(col("word_a") =!= col("word_b"))
+      .groupBy(col("word_a"), col("word_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    // symmetrize, normalize by out-weight (exact long / exact long),
+    // and collapse the small graph to one partition for the loop
+    val eBoth = und.select(col("word_a").as("a"), col("word_b").as("b"),
+        col("n_ab").as("w"))
+      .unionByName(und.select(col("word_b").as("a"),
+        col("word_a").as("b"), col("n_ab").as("w")))
+    val outW = eBoth.groupBy(col("a")).agg(sum(col("w")).as("out_w"))
+    val e = eBoth.join(outW, Seq("a"))
+      .select(col("a"), col("b"),
+        (col("w").cast("double") / col("out_w").cast("double")).as("p"))
+      .coalesce(1)
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("a").as("node")).distinct()
+      .coalesce(1).localCheckpoint(eager = true)
+    val n = nodes.count()
+    def sur12sum(c: Column): Column =
+      sum(round(c * 1e12, 0).cast("long")).cast("double") / 1e12
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = e.join(ranks, e("a") === ranks("node"))
+        .groupBy(col("b")).agg(sur12sum(col("p") * col("rank")).as("c"))
+      // undirected pruned graph: every node has in-edges, no
+      // dangling mass — the left join is belt-and-braces only
+      ranks = nodes.join(contrib, nodes("node") === col("b"), "left")
+        .select(col("node"), (lit(0.15 / n) +
+          lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+      if (i % 4 == 0 && i < iters)
+        ranks = ranks.coalesce(1).localCheckpoint(eager = true)
+    }
+    ranks
+      .select(col("node").as("word"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word")).limit(topN)
+  }
+
+  /** Multinomial Naive Bayes language ID (q309) — train word→lang
+    * likelihoods with Laplace smoothing on a deterministic 80/20
+    * doc_id split, score the held-out fold, report per-language
+    * accuracy: the supervised companion to the n-gram-heuristic
+    * [[langId]], and the canonical "does a bag-of-words model train
+    * at this scale" probe (training IS one groupBy — the model is a
+    * (vocab × langs)-sized table, broadcast back at scoring time).
+    *
+    * Determinism: every log-likelihood ln((c+1)/(tot+V)) and the
+    * log-prior snap to round-9 integer surrogates, so each test
+    * doc's per-language score is an EXACT long sum (libm's last ulp
+    * is unobservable off rounding boundaries) and the argmax — ties
+    * to the lexicographically smaller language — is exact, which is
+    * what lets the oracle replay the whole train/score/argmax
+    * pipeline. Unseen-in-train words contribute the same smoothed
+    * floor via the left join's coalesce. */
+  def naiveBayesLangId(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lnSur9(c: Column): Column = round(log(c) * 1e9, 0).cast("long")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("word"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // model: per (lang, word) token counts, per-lang totals, vocab V
+    val cw = train.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cw.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val vocab = cw.select(col("word")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+    val prior = priors.crossJoin(broadcast(
+        priors.agg(sum(col("nd")).as("ndt"))))
+      .select(col("lang").as("cand"),
+        lnSur9(col("nd").cast("double") / col("ndt").cast("double"))
+          .as("lp_prior"))
+    val langGrid = tot.crossJoin(broadcast(vocab))
+      .select(col("lang").as("cand"), col("t"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // test docs: per (doc, word) counts × each candidate language;
+    // the model join is a broadcast (vocab×langs is model-sized)
+    val testWords = docs.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = testWords
+      .crossJoin(broadcast(langGrid))
+      .join(broadcast(cw.select(col("lang").as("cand"), col("word"),
+        col("c"))), Seq("cand", "word"), "left")
+      .select(col("doc_id"), col("lang"), col("cand"), col("cnt"),
+        lnSur9((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+          (col("t").cast("double") + col("v").cast("double")))
+          .as("lp_w"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(col("cnt") * col("lp_w")).as("ll"))
+      .join(broadcast(prior), Seq("cand"))
+      .select(col("doc_id"), col("lang"), col("cand"),
+        (col("ll") + col("lp_prior")).as("score"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cand"))))
+      .filter(col("rn") === 1)
+    best.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cand") === col("lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("lang"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_docs").cast("double"), 6).as("accuracy"))
+  }
 }
