@@ -359,6 +359,9 @@ object SparkEntry {
     "q307_l_diversity"    -> ((s, d) => graft.ext.Profile.lDiversity(s, d)),
     "q308_textrank"       -> ((s, d) => TextAnalysis.textRank(s, d)),
     "q309_naive_bayes"    -> ((s, d) => TextAnalysis.naiveBayesLangId(s, d)),
+    "q310_brown_forsythe" -> ((s, d) => graft.ext.Profile.brownForsythe(s, d)),
+    "q311_sprt"           -> ((s, d) => Relational.sprtMonitor(s, d)),
+    "q312_good_turing"    -> ((s, d) => TextAnalysis.goodTuring(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5659,6 +5662,87 @@ object SparkEntry {
          |SELECT node AS word, round(rank, 6) AS rank
          |FROM pr WHERE iter = 8
          |ORDER BY rank DESC, word LIMIT 25""".stripMargin,
+    // q310: Brown–Forsythe — exact group medians, milli-surrogate
+    // |v−med|, per-group between/within snapped before the k-sum
+    "q310_brown_forsythe" ->
+      """WITH sv AS MATERIALIZED (SELECT c_mktsegment AS seg,
+        |    o_totalprice AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |med AS (SELECT seg, quantile_cont(v, 0.5) AS med
+        |  FROM sv GROUP BY 1),
+        |z AS (SELECT sv.seg,
+        |    CAST(round(abs(v - med) * 1000.0) AS BIGINT) AS z
+        |  FROM sv JOIN med ON sv.seg = med.seg),
+        |g AS (SELECT seg, COUNT(*) AS n_g, CAST(SUM(z) AS BIGINT) AS s,
+        |    SUM(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)))
+        |      AS q
+        |  FROM z GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, COUNT(*) AS k,
+        |    CAST(SUM(s) AS BIGINT) AS st FROM g),
+        |agg AS (SELECT MAX(n) AS n, MAX(k) AS k,
+        |    CAST(SUM(CAST(round(CAST(n_g AS DOUBLE)
+        |      * (CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |        - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |        - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / 1.0e6) AS BIGINT)) AS BIGINT) AS bt,
+        |    CAST(SUM(CAST(round((CAST(q AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n_g AS DOUBLE)) / 1.0e6) AS BIGINT)) AS BIGINT)
+        |      AS wt
+        |  FROM g, tot)
+        |SELECT n, k, k - 1 AS df1, n - k AS df2,
+        |  round((CAST(bt AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |    / (CAST(wt AS DOUBLE) / CAST(n - k AS DOUBLE)), 6) AS f
+        |FROM agg""".stripMargin,
+    // q311: SPRT — the shared Scala-computed surrogates inlined, the
+    // walk an exact-long cumsum over the daily grid
+    "q311_sprt" -> {
+      val (lw9, ll9, bound9) = Relational.sprtSurrogates()
+      s"""WITH pu AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+         |      END) AS purch_us
+         |  FROM events GROUP BY 1),
+         |daily AS (SELECT first_us - first_us % 86400000000 AS day_us,
+         |    COUNT(*) AS n_users,
+         |    CAST(SUM(CASE WHEN purch_us IS NOT NULL
+         |      AND purch_us - first_us <= 86400000000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+         |  FROM pu GROUP BY 1),
+         |c AS (SELECT day_us, n_users, n_conv,
+         |    CAST(SUM(n_conv * CAST($lw9 AS BIGINT)
+         |      + (n_users - n_conv) * CAST($ll9 AS BIGINT))
+         |      OVER (ORDER BY day_us
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS llr9
+         |  FROM daily)
+         |SELECT make_timestamp(day_us) AS day, n_users, n_conv,
+         |  round(CAST(llr9 AS DOUBLE) / 1.0e9, 6) AS llr,
+         |  CASE WHEN llr9 >= CAST($bound9 AS BIGINT) THEN 'accept_h1'
+         |    WHEN llr9 <= -CAST($bound9 AS BIGINT) THEN 'accept_h0'
+         |    ELSE 'continue' END AS decision
+         |FROM c""".stripMargin
+    },
+    // q312: Good–Turing over 4-gram shingle OCCURRENCES — exact
+    // count-of-counts grid arithmetic
+    "q312_good_turing" ->
+      s"""WITH w AS (SELECT $toks AS ws FROM documents),
+         |wc AS MATERIALIZED (SELECT word, COUNT(*) AS r FROM
+         |    (SELECT ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+         |        AS word
+         |      FROM w, UNNEST(range(1, len(ws) - 2)) AS u(i))
+         |  GROUP BY 1),
+         |nr AS (SELECT r, COUNT(*) AS n_r FROM wc GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tok FROM wc),
+         |h1 AS (SELECT n_r AS n1 FROM nr WHERE r = 1)
+         |SELECT a.r, a.n_r,
+         |  round(CAST(a.r + 1 AS DOUBLE)
+         |    * CAST(COALESCE(b.n_r, 0) AS DOUBLE)
+         |    / CAST(a.n_r AS DOUBLE), 6) AS r_star,
+         |  round(CAST(n1 AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         |    AS p_unseen
+         |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1, tt, h1
+         |WHERE a.r <= 10""".stripMargin,
     // q309: Naive Bayes lang-id — train counts, round-9 ln
     // surrogates, exact long argmax, per-lang accuracy
     "q309_naive_bayes" ->

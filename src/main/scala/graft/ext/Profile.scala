@@ -1167,6 +1167,55 @@ object Profile {
             * (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
   }
 
+  /** Brown–Forsythe test (q310) — Levene's homogeneity-of-variance
+    * test with the median center: do the market segments differ in
+    * order-value SPREAD? ([[kruskalWallis]] asks about location;
+    * equal-variance is the assumption [[pairwiseMeans]]' pooled MSE
+    * quietly makes, and this is the audit for it.) z = |v − med_g|
+    * per row, then one-way ANOVA F on z. Exactness: group medians
+    * are exact interpolated percentiles (identical chain in both
+    * engines, the q304 init device); per-row z snaps to a milli
+    * surrogate long, so group sums/squares are exact integers
+    * (squares through DECIMAL int128); the between/within terms
+    * snap per group before the k-row sums. Cost: one aggregate for
+    * the k medians (broadcast back), one scan for the moments. */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val sv = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = sv.groupBy(col("seg"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val z3 = round(abs(col("v") - col("med")) * 1000.0, 0).cast("long")
+    val g = sv.join(broadcast(med), Seq("seg"))
+      .select(col("seg"), z3.as("z"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_g"), sum(col("z")).as("s"),
+        sum(d19(col("z")) * d19(col("z"))).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = g.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      sum(col("s")).as("st"))
+    // between: n_g·(m_g − m)², within: q_g − s_g²/n_g — both in
+    // milli-units², snapped per group (fixed chains over exact ints)
+    val mG = col("s").cast("double") / col("n_g").cast("double")
+    val mAll = col("st").cast("double") / col("n").cast("double")
+    val between = col("n_g").cast("double") * (mG - mAll) * (mG - mAll)
+    val within = col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") /
+        col("n_g").cast("double")
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(round(between / 1e6, 0).cast("long")).as("bt"),
+        sum(round(within / 1e6, 0).cast("long")).as("wt"))
+      .select(col("n"), col("k"), (col("k") - 1L).as("df1"),
+        (col("n") - col("k")).as("df2"),
+        round((col("bt").cast("double") / (col("k") - 1L).cast("double"))
+          / (col("wt").cast("double") / (col("n") - col("k"))
+            .cast("double")), 6).as("f"))
+  }
+
   /** l-diversity audit (q307) — [[kAnonymity]]'s stronger sibling: a
     * k-anonymous group is still a leak if everyone in it shares the
     * sensitive value (the homogeneity attack), so the release gate

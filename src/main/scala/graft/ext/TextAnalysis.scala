@@ -1761,6 +1761,49 @@ object TextAnalysis {
       .orderBy(col("rank").desc, col("word")).limit(topN)
   }
 
+  /** Good–Turing frequency smoothing (q312) — the
+    * frequency-of-frequencies table N_r and the Turing-smoothed
+    * count r* = (r+1)·N_{r+1}/N_r for r ≤ maxR, plus the
+    * missing-mass estimate P(unseen) = N_1/N: what [[knBigrams]]'
+    * absolute discounting approximates, computed exactly — and the
+    * standard answer to "how much probability mass do n-grams we
+    * have never seen deserve" when sizing contamination/novelty
+    * checks at corpus scale. Granularity is the 4-token SHINGLE
+    * (this corpus has a closed ~31-word vocabulary — the word level
+    * has no tail; the shingle level is Zipfian, and is also the unit
+    * the dedup family operates on). Two bounded aggregates after the
+    * one shingle scan: occurrence counts → count-of-counts
+    * (|distinct r| rows, tiny); r* is a self-join on r+1 over that
+    * grid; every ratio is exact-long division. */
+  def goodTuring(spark: SparkSession, dir: String, maxR: Int = 10)
+      : DataFrame = {
+    // all OCCURRENCES (not the dedup family's distinct sets): stage
+    // tokens first (the inline-HOF cost gotcha), then slide
+    val wc = Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 4),
+        i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(4)))))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nr = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = wc.agg(sum(col("r")).as("n_tok"))
+      .crossJoin(nr.filter(col("r") === 1L)
+        .select(col("n_r").as("n1")))
+    nr.filter(col("r") <= maxR)
+      .join(nr.select((col("r") - 1L).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1L).cast("double") *
+          coalesce(col("n_r1"), lit(0L)).cast("double") /
+          col("n_r").cast("double"), 6).as("r_star"),
+        round(col("n1").cast("double") / col("n_tok").cast("double"), 6)
+          .as("p_unseen"))
+  }
+
   /** Multinomial Naive Bayes language ID (q309) — train word→lang
     * likelihoods with Laplace smoothing on a deterministic 80/20
     * doc_id split, score the held-out fold, report per-language

@@ -1610,6 +1610,64 @@ object Relational {
       when(se > 0.0, round((p1 - p0) / se, 6)).as("z"))
   }
 
+  /** SPRT sequential conversion monitor (q311) — Wald's sequential
+    * probability ratio test as a DAILY dashboard: is the 24h
+    * conversion rate at the design's p1 = 0.30 or the null's
+    * p0 = 0.25 (α = β = 0.05)? Unlike [[abTest]]'s one-shot z, the
+    * sequential form is what an experimentation platform actually
+    * runs — peek every day, stop early when the evidence crosses
+    * Wald's bounds ±ln(19). Scale shape: per-user conversion flags
+    * reduce to a DAILY cohort grid (first-event day), the LLR
+    * random walk is a cumulative sum over that bounded calendar
+    * grid — never a per-user global window. Exactness: the two
+    * per-user log-increments snap to round-9 integer surrogates, so
+    * the walk is an exact-long cumsum and the crossing flags are
+    * exact comparisons. */
+  /** The three round-9 integer surrogates (win-increment,
+    * lose-increment, Wald bound) shared verbatim by [[sprtMonitor]]
+    * and its oracle — computed ONCE in Scala so neither engine's
+    * ln/decimal-literal quirks can split them. */
+  def sprtSurrogates(p0: Double = 0.25, p1: Double = 0.30)
+      : (Long, Long, Long) = {
+    def s9(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    (s9(math.log(p1 / p0)), s9(math.log((1.0 - p1) / (1.0 - p0))),
+      s9(math.log(19.0)))
+  }
+
+  def sprtMonitor(spark: SparkSession, dir: String, p0: Double = 0.25,
+      p1: Double = 0.30, windowUs: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lw9, ll9, bound9) = sprtSurrogates(p0, p1)
+    val (lw, ll, bound) = (lit(lw9), lit(ll9), lit(bound9))
+    val us = unix_micros(col("ts"))
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(us).as("first_us"),
+        min(when(col("event_type") === "purchase", us)).as("purch_us"))
+      .select(
+        (col("first_us") - pmod(col("first_us"), lit(86400000000L)))
+          .as("day_us"),
+        when(col("purch_us").isNotNull &&
+          col("purch_us") - col("first_us") <= windowUs, 1L)
+          .otherwise(0L).as("conv"))
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val w = Window.orderBy(col("day_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val llr9 = sum(col("n_conv") * lw +
+      (col("n_users") - col("n_conv")) * ll).over(w)
+    daily
+      .select(timestamp_micros(col("day_us")).as("day"), col("n_users"),
+        col("n_conv"), llr9.as("llr9"))
+      .select(col("day"), col("n_users"), col("n_conv"),
+        round(col("llr9").cast("double") / 1e9, 6).as("llr"),
+        when(col("llr9") >= bound, "accept_h1")
+          .when(col("llr9") <= -bound, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** Pareto / ABC inventory analysis (q226): rank parts by revenue,
     * class A = parts covering the first 80% of cumulative revenue,
     * B = to 95%, C = the tail — the assortment-rationalization
