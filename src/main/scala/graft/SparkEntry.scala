@@ -362,6 +362,8 @@ object SparkEntry {
     "q310_brown_forsythe" -> ((s, d) => graft.ext.Profile.brownForsythe(s, d)),
     "q311_sprt"           -> ((s, d) => Relational.sprtMonitor(s, d)),
     "q312_good_turing"    -> ((s, d) => TextAnalysis.goodTuring(s, d)),
+    "q313_silhouette"     -> ((s, d) => Similarity.centroidSilhouette(s, d)),
+    "q314_jl_distortion"  -> ((s, d) => Similarity.jlDistortion(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5743,6 +5745,80 @@ object SparkEntry {
          |    AS p_unseen
          |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1, tt, h1
          |WHERE a.r <= 10""".stripMargin,
+    // q313: centroid silhouette — the q272 position-sum device,
+    // per-vector s snapped to a 1e6 surrogate before the label mean
+    "q313_silhouette" ->
+      """WITH b AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |nr AS (SELECT vec_id, label, emb,
+        |    sqrt(list_dot_product(emb, emb)) AS nrm FROM b),
+        |nx AS (SELECT vec_id, label,
+        |    list_transform(emb, v -> round(v / nrm, 6)) AS nx
+        |  FROM nr WHERE nrm > 0.0),
+        |sums AS (SELECT label, p AS pos,
+        |    CAST(SUM(CAST(nx[p + 1] AS DECIMAL(28,12))) AS DOUBLE) AS s
+        |  FROM nx CROSS JOIN UNNEST(range(0, 64)) AS u(p)
+        |  GROUP BY 1, 2),
+        |cn AS (SELECT label,
+        |    sqrt(CAST(SUM(CAST(s * s AS DECIMAL(28,12))) AS DOUBLE))
+        |      AS cn
+        |  FROM sums GROUP BY 1),
+        |dots AS (SELECT nx.vec_id, nx.label AS own,
+        |    sums.label AS cand,
+        |    CAST(SUM(CAST(nx.nx[p + 1] * sums.s AS DECIMAL(28,12)))
+        |      AS DOUBLE) AS dot
+        |  FROM nx CROSS JOIN UNNEST(range(0, 64)) AS u(p)
+        |  JOIN sums ON sums.pos = p
+        |  GROUP BY 1, 2, 3),
+        |d AS (SELECT dots.vec_id, own, cand, 1.0 - dot / cn.cn AS dist
+        |  FROM dots JOIN cn ON cn.label = dots.cand),
+        |ab AS (SELECT vec_id, own,
+        |    MAX(CASE WHEN cand = own THEN dist END) AS a,
+        |    MIN(CASE WHEN cand <> own THEN dist END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |s6 AS (SELECT own AS label,
+        |    CAST(round((CASE WHEN greatest(a, b) > 0
+        |      THEN (b - a) / greatest(a, b) ELSE 0.0 END) * 1e6)
+        |      AS BIGINT) AS s6
+        |  FROM ab)
+        |SELECT label, COUNT(*) AS n,
+        |  round(CAST(SUM(s6) AS DOUBLE) / 1e6
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+        |FROM s6 GROUP BY label""".stripMargin,
+    // q314: JL distortion — portable md5 sign matrix, DECIMAL
+    // projection sums, sequential-fold original distances
+    "q314_jl_distortion" ->
+      """WITH b AS MATERIALIZED (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings WHERE vec_id % 37 = 0),
+        |proj AS (SELECT vec_id, j,
+        |    round(CAST(SUM(CAST((CASE WHEN
+        |        CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+        |          || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+        |        THEN 1.0 ELSE -1.0 END) * x[p + 1]
+        |      AS DECIMAL(28,12))) AS DOUBLE) / 4.0, 6) AS y
+        |  FROM b CROSS JOIN UNNEST(range(0, 16)) AS uj(j)
+        |  CROSS JOIN UNNEST(range(0, 64)) AS up(p)
+        |  GROUP BY 1, 2),
+        |do2 AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        |    list_dot_product(a.x, a.x) + list_dot_product(b2.x, b2.x)
+        |      - 2.0 * list_dot_product(a.x, b2.x) AS d2_orig
+        |  FROM b a JOIN b b2 ON a.vec_id < b2.vec_id),
+        |dp AS (SELECT pa.vec_id AS id_a, pb.vec_id AS id_b,
+        |    CAST(SUM(CAST((pa.y - pb.y) * (pa.y - pb.y)
+        |      AS DECIMAL(28,12))) AS DOUBLE) AS d2_proj
+        |  FROM proj pa JOIN proj pb
+        |    ON pa.j = pb.j AND pa.vec_id < pb.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT CAST(round(d2_proj / d2_orig * 1e6) AS BIGINT)
+        |    AS r6
+        |  FROM do2 JOIN dp USING (id_a, id_b) WHERE d2_orig > 0.0)
+        |SELECT COUNT(*) AS n_pairs,
+        |  round(CAST(SUM(r6) AS DOUBLE) / 1e6
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ratio,
+        |  round(CAST(MIN(r6) AS DOUBLE) / 1e6, 6) AS min_ratio,
+        |  round(CAST(MAX(r6) AS DOUBLE) / 1e6, 6) AS max_ratio
+        |FROM r""".stripMargin,
     // q309: Naive Bayes lang-id — train counts, round-9 ln
     // surrogates, exact long argmax, per-lang accuracy
     "q309_naive_bayes" ->

@@ -1534,4 +1534,123 @@ object Similarity {
           / (lit(2.0 * k) - col("n_overlap").cast("double")), 6)
           .as("jaccard"))
   }
+
+  /** Centroid silhouette (q313) — per-label clustering quality with
+    * CENTROID distances (the simplified silhouette of Hruschka et
+    * al.): a = cosine distance to the own-label centroid, b = the
+    * nearest OTHER centroid, s = (b−a)/max(a,b), averaged per label.
+    * The full silhouette is O(n²); the centroid form is the one that
+    * survives 100 TB — everything reduces to the per-label
+    * POSITION-SUM table ([[labelCoherence]]'s device): cos(v, c_L) =
+    * Σ_p v_p·s_{L,p} / √(Σ_p s_{L,p}²), so the corpus is scanned
+    * once and the heavy join is (vectors × dim) against a
+    * (labels × dim) broadcast grid. Exactness: normalized
+    * coordinates round to 6, all sums fold through DECIMAL(28,12),
+    * per-vector s snaps to a 1e6 surrogate before the label mean. */
+  def centroidSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nx = Tables.embeddings(spark, dir)
+      .withColumn("nrm", nrm)
+      .filter(col("nrm") > 0.0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          v => round(v.cast("double") / col("nrm"), 6)).as("nx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
+    val sums = nx
+      .select(col("label"), posexplode(col("nx")).as(Seq("pos", "c")))
+      .groupBy(col("label"), col("pos")).agg(dsum(col("c")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnorm = sums.groupBy(col("label"))
+      .agg(sqrt(dsum(col("s") * col("s"))).as("cn"))
+    val dots = nx
+      .select(col("vec_id"), col("label").as("own"),
+        posexplode(col("nx")).as(Seq("pos", "c")))
+      .join(broadcast(sums.select(col("label").as("cand"), col("pos"),
+        col("s"))), Seq("pos"))
+      .groupBy(col("vec_id"), col("own"), col("cand"))
+      .agg(dsum(col("c") * col("s")).as("dot"))
+      .join(broadcast(cnorm.select(col("label").as("cand"),
+        col("cn"))), Seq("cand"))
+      .select(col("vec_id"), col("own"), col("cand"),
+        (lit(1.0) - col("dot") / col("cn")).as("dist"))
+    val ab = dots.groupBy(col("vec_id"), col("own"))
+      .agg(max(when(col("cand") === col("own"), col("dist"))).as("a"),
+        min(when(col("cand") =!= col("own"), col("dist"))).as("b"))
+    // a = b = 0 (a vector that IS its only-member centroid) would be
+    // an ANSI double-div-by-zero throw — silhouette 0 by convention
+    val s6 = round(when(greatest(col("a"), col("b")) > 0.0,
+      (col("b") - col("a")) / greatest(col("a"), col("b")))
+      .otherwise(lit(0.0)) * 1e6, 0).cast("long")
+    ab.select(col("own").as("label"), s6.as("s6"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("mean_silhouette"))
+  }
+
+  /** Johnson–Lindenstrauss projection + distortion audit (q314) —
+    * the dimensionality-reduction scale path an ANN pipeline takes
+    * BEFORE indexing (64-d → 16-d cuts index size 4× while JL bounds
+    * pairwise-distance distortion): project with a deterministic
+    * ±1/√k sign matrix derived from portable md5(j:p) parity (any
+    * engine — and any future re-run — reproduces the same matrix; no
+    * stored state), then audit the thing JL promises on a hash
+    * sample of vector pairs: ratio = ‖ya−yb‖²/‖xa−xb‖² near 1.
+    * Shapes: the projection is one (vectors × dim) explode joined to
+    * the broadcast (k × dim) sign grid — linear in corpus size,
+    * shards freely; the audit self-joins only the md5 sample.
+    * Exactness: projections fold through DECIMAL(28,12) and round
+    * to 6; original dots use the portable sequential array fold;
+    * per-pair ratios snap to 1e6 surrogates before the summary. */
+  def jlDistortion(spark: SparkSession, dir: String, k: Int = 16,
+      sampleMod: Int = 37): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
+    val base = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jGrid = (0 until k).map(j => lit(j)).toArray
+    // ±1 signs from md5("j:p") parity — the portable-hash family
+    val sign = when(
+      pmod(conv(substring(md5(concat_ws(":", col("j"), col("pos"))),
+        1, 8), 16, 10).cast("long"), lit(2)) === 0, 1.0).otherwise(-1.0)
+    val proj = base
+      .select(col("vec_id"), posexplode(col("x")).as(Seq("pos", "c")))
+      .crossJoin(broadcast(
+        spark.range(k).select(col("id").cast("int").as("j"))))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(dsum(sign * col("c")) / math.sqrt(k.toDouble), 6)
+        .as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // original squared distances via the portable sequential fold
+    val q = aggregate(col("x"), lit(0.0), (acc, v) => acc + v * v)
+    val xq = base.select(col("vec_id"), col("x"), q.as("q"))
+    def sideX(s: String) = xq.select(col("vec_id").as(s"id_$s"),
+      col("x").as(s"x_$s"), col("q").as(s"q_$s"))
+    val dOrig = sideX("a").join(sideX("b"), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("q_a") + col("q_b") - lit(2.0) *
+          aggregate(zip_with(col("x_a"), col("x_b"), (u, v) => u * v),
+            lit(0.0), (acc, v) => acc + v)).as("d2_orig"))
+    val dProj = proj.select(col("vec_id").as("id_a"), col("j"),
+        col("y").as("ya"))
+      .join(proj.select(col("vec_id").as("id_b"), col("j"),
+        col("y").as("yb")), Seq("j"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(dsum((col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .as("d2_proj"))
+    val r6 = round(col("d2_proj") / col("d2_orig") * 1e6, 0).cast("long")
+    dOrig.join(dProj, Seq("id_a", "id_b"))
+      .filter(col("d2_orig") > 0.0)
+      .select(r6.as("r6"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("r6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("mean_ratio"),
+        round(min(col("r6")).cast("double") / 1e6, 6).as("min_ratio"),
+        round(max(col("r6")).cast("double") / 1e6, 6).as("max_ratio"))
+  }
 }
