@@ -1,0 +1,171 @@
+package graft.rel
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ext.{Profile, Similarity, TextAnalysis}
+
+/** Sanity specs for the round-9 statistics / ML-audit operators
+  * (q301-q314). The DuckDB oracle in Verify is the authoritative
+  * gate; these pin internal invariants (bounds, consistency between
+  * reported columns, structural shape) that a hash compare alone
+  * would not explain when it breaks. */
+class StatsOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.init()
+  val sf = TestSpark.sf
+
+  test("cramers v: both pairs present, v in [0,1], chi2 nonnegative") {
+    val rows = Profile.cramersV(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("pair")).sorted.sameElements(
+      Seq("lang_x_source", "priority_x_status")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0L)
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      val v = r.getAs[Double]("cramers_v")
+      assert(v >= 0.0 && v <= 1.0 + 1e-9)
+    }
+  }
+
+  test("pairwise means: 10 ordered pairs, t consistent with diff/se") {
+    val rows = Profile.pairwiseMeans(spark, sf).collect()
+    assert(rows.length == 10) // C(5 segments, 2)
+    rows.foreach { r =>
+      assert(r.getAs[String]("seg_a") < r.getAs[String]("seg_b"))
+      assert(r.getAs[Double]("se") > 0.0)
+      assert(math.abs(r.getAs[Double]("t") -
+        r.getAs[Double]("mean_diff") / r.getAs[Double]("se")) < 2e-5)
+    }
+  }
+
+  test("logistic newton: starts at zero, moves, stays finite") {
+    val rows = Relational.logisticNewton(spark, sf).collect()
+      .sortBy(_.getAs[Int]("iter"))
+    assert(rows.map(_.getAs[Int]("iter")).sameElements(0 to 3))
+    assert(rows.head.getAs[Double]("intercept") == 0.0)
+    assert(rows.head.getAs[Double]("slope") == 0.0)
+    rows.foreach { r =>
+      assert(!r.getAs[Double]("intercept").isNaN)
+      assert(!r.getAs[Double]("slope").isNaN)
+    }
+    assert(rows.last.getAs[Double]("slope") != 0.0)
+  }
+
+  test("kmeans1d: 3 ordered clusters, counts conserve rows") {
+    val rows = Relational.kmeans1d(spark, sf).collect()
+      .sortBy(_.getAs[Int]("cluster"))
+    assert(rows.map(_.getAs[Int]("cluster")).sameElements(0 to 2))
+    // 1-D Lloyd preserves centroid order from the quartile init
+    val cents = rows.map(_.getAs[Double]("centroid"))
+    assert(cents.sameElements(cents.sorted))
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nOrders)
+    rows.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
+  }
+
+  test("kruskal-wallis: h nonnegative, ties only inflate h") {
+    val r = Profile.kruskalWallis(spark, sf).collect().head
+    assert(r.getAs[Long]("df") == r.getAs[Long]("k") - 1L)
+    assert(r.getAs[Double]("h") >= 0.0)
+    val c = r.getAs[Double]("tie_c")
+    assert(c > 0.0 && c <= 1.0)
+    assert(r.getAs[Double]("h_corrected") >= r.getAs[Double]("h") - 1e-9)
+  }
+
+  test("kendall tau-b: bounded, pair accounting closes") {
+    val r = Profile.kendallTau(spark, sf).collect().head
+    val tau = r.getAs[Double]("tau_b")
+    assert(tau >= -1.0 && tau <= 1.0)
+    assert(r.getAs[Long]("c") + r.getAs[Long]("d") <= r.getAs[Long]("n0"))
+    assert(r.getAs[Long]("n1") < r.getAs[Long]("n0"))
+    assert(r.getAs[Long]("n2") < r.getAs[Long]("n0"))
+  }
+
+  test("l-diversity: l bounded by global langs, flag consistent") {
+    val nLangs = graft.Tables.documents(spark, sf)
+      .select("lang").distinct().count()
+    val rows = Profile.lDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l")
+      assert(l >= 1L && l <= nLangs)
+      assert(r.getAs[Boolean]("l_diverse") == (l >= 2L))
+      assert(r.getAs[Long]("n") >= l)
+    }
+  }
+
+  test("textrank: top-25 distinct words, ranks positive descending") {
+    val rows = TextAnalysis.textRank(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getAs[String]("word")).distinct.length == 25)
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    assert(ranks.forall(_ > 0.0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("naive bayes: per-lang accuracy consistent and bounded") {
+    val rows = TextAnalysis.naiveBayesLangId(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val c = r.getAs[Long]("n_correct")
+      assert(c >= 0L && c <= n)
+      assert(math.abs(r.getAs[Double]("accuracy") -
+        c.toDouble / n.toDouble) < 2e-6)
+    }
+  }
+
+  test("brown-forsythe: f positive, dof accounting closes") {
+    val r = Profile.brownForsythe(spark, sf).collect().head
+    assert(r.getAs[Long]("df1") == r.getAs[Long]("k") - 1L)
+    assert(r.getAs[Long]("df2") ==
+      r.getAs[Long]("n") - r.getAs[Long]("k"))
+    assert(r.getAs[Double]("f") >= 0.0)
+  }
+
+  test("sprt: conversions bounded, llr walk matches the increments") {
+    val (lw9, ll9, _) = Relational.sprtSurrogates()
+    val rows = Relational.sprtMonitor(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_users"); val c = r.getAs[Long]("n_conv")
+      assert(c >= 0L && c <= n)
+      cum += c * lw9 + (n - c) * ll9
+      assert(math.abs(r.getAs[Double]("llr") - cum / 1e9) < 2e-6)
+      assert(Set("accept_h1", "accept_h0", "continue")
+        .contains(r.getAs[String]("decision")))
+    }
+  }
+
+  test("good-turing: hapaxes exist, r* and p_unseen well-formed") {
+    val rows = TextAnalysis.goodTuring(spark, sf).collect()
+    assert(rows.exists(_.getAs[Long]("r") == 1L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_r") > 0L)
+      assert(r.getAs[Double]("r_star") >= 0.0)
+      val p = r.getAs[Double]("p_unseen")
+      assert(p > 0.0 && p < 1.0)
+    }
+  }
+
+  test("silhouette: per-label means within [-1, 1]") {
+    val rows = Similarity.centroidSilhouette(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0L)
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+  }
+
+  test("jl distortion: sample pairs exist, ratio summary ordered") {
+    val r = Similarity.jlDistortion(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pairs") > 0L)
+    val (lo, mid, hi) = (r.getAs[Double]("min_ratio"),
+      r.getAs[Double]("mean_ratio"), r.getAs[Double]("max_ratio"))
+    assert(lo <= mid + 1e-9 && mid <= hi + 1e-9)
+    // JL with k=16 of 64 dims: distortion is bounded in practice
+    assert(lo > 0.0 && hi < 10.0)
+  }
+}
