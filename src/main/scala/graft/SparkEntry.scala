@@ -364,6 +364,7 @@ object SparkEntry {
     "q312_good_turing"    -> ((s, d) => TextAnalysis.goodTuring(s, d)),
     "q313_silhouette"     -> ((s, d) => Similarity.centroidSilhouette(s, d)),
     "q314_jl_distortion"  -> ((s, d) => Similarity.jlDistortion(s, d)),
+    "q315_markov_attrib"  -> ((s, d) => Relational.markovAttribution(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -5819,6 +5820,82 @@ object SparkEntry {
         |  round(CAST(MIN(r6) AS DOUBLE) / 1e6, 6) AS min_ratio,
         |  round(CAST(MAX(r6) AS DOUBLE) / 1e6, 6) AS max_ratio
         |FROM r""".stripMargin,
+    // q315: Markov removal-effect attribution — journey edges, the
+    // scenario-redirected chain, and the snapped power loop as a
+    // recursive CTE (q116/q308 shape)
+    "q315_markov_attrib" ->
+      """WITH RECURSIVE
+        |rows0 AS MATERIALIZED (SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |fpr AS (SELECT user_id, MIN(rn) AS fp_rn FROM rows0
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |pre AS (SELECT r.user_id, r.rn, r.event_type,
+        |    CASE WHEN f.fp_rn IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+        |      AS term
+        |  FROM rows0 r LEFT JOIN fpr f USING (user_id)
+        |  WHERE f.fp_rn IS NULL OR r.rn < f.fp_rn),
+        |trans AS (SELECT event_type AS src,
+        |    COALESCE(lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY rn), term) AS dst
+        |  FROM pre),
+        |starts AS (SELECT 'START' AS src, event_type AS dst FROM (
+        |    SELECT event_type, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY rn) AS rn2 FROM pre)
+        |  WHERE rn2 = 1),
+        |instant AS (SELECT 'START' AS src, 'CONV' AS dst
+        |  FROM fpr WHERE fp_rn = 1),
+        |edges AS (SELECT src, dst, COUNT(*) AS n FROM (
+        |    SELECT src, dst FROM trans
+        |    UNION ALL SELECT src, dst FROM starts
+        |    UNION ALL SELECT src, dst FROM instant) GROUP BY 1, 2),
+        |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM edges GROUP BY 1),
+        |scen AS (SELECT DISTINCT event_type AS scenario FROM pre
+        |  UNION ALL SELECT 'FULL'),
+        |sed0 AS (SELECT s.scenario, e.src,
+        |    CASE WHEN s.scenario <> 'FULL' AND e.dst = s.scenario
+        |      THEN 'NULL' ELSE e.dst END AS dst, e.n
+        |  FROM edges e CROSS JOIN scen s
+        |  WHERE s.scenario = 'FULL' OR e.src <> s.scenario),
+        |sed AS (SELECT scenario, src, dst, CAST(SUM(n) AS BIGINT) AS n
+        |  FROM sed0 GROUP BY 1, 2, 3),
+        |chain AS (SELECT sed.scenario, sed.src, sed.dst,
+        |    CAST(sed.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+        |  FROM sed JOIN tot USING (src)
+        |  UNION ALL
+        |  SELECT scenario, s, s, CAST(1.0 AS DOUBLE)
+        |  FROM scen CROSS JOIN (SELECT UNNEST(['CONV', 'NULL']) AS s)),
+        |mass(iter, scenario, state, m) AS (
+        |  -- anchor literal MUST be DOUBLE: a bare 1.0 is DECIMAL(2,1)
+        |  -- and would type (and quantize) the whole recursive column
+        |  SELECT 0, scenario, 'START', CAST(1.0 AS DOUBLE) FROM scen
+        |  UNION ALL
+        |  SELECT iter + 1, c.scenario, c.dst,
+        |    CAST(SUM(CAST(round(ms.m * c.p * 1e12) AS BIGINT))
+        |      AS DOUBLE) / 1e12
+        |  FROM mass ms JOIN chain c ON ms.scenario = c.scenario
+        |    AND ms.state = c.src
+        |  WHERE iter < 25
+        |  GROUP BY 1, 2, 3),
+        |pconv AS (SELECT s.scenario, COALESCE(mm.m, 0.0) AS pc
+        |  FROM scen s LEFT JOIN (SELECT scenario, m FROM mass
+        |    WHERE iter = 25 AND state = 'CONV') mm
+        |    ON s.scenario = mm.scenario),
+        |pf AS (SELECT pc AS p_full FROM pconv WHERE scenario = 'FULL'),
+        |rem AS (SELECT scenario AS channel, p_full, pc AS p_removed,
+        |    CAST(round((CASE WHEN p_full > 0 THEN 1.0 - pc / p_full
+        |      ELSE 0.0 END) * 1e9) AS BIGINT) AS re9
+        |  FROM pconv, pf WHERE scenario <> 'FULL'),
+        |rt AS (SELECT CAST(SUM(re9) AS BIGINT) AS re_tot FROM rem)
+        |SELECT channel, round(p_full, 6) AS p_full,
+        |  round(p_removed, 6) AS p_removed,
+        |  round(CAST(re9 AS DOUBLE) / 1e9, 6) AS removal_effect,
+        |  CASE WHEN re_tot > 0 THEN
+        |    round(CAST(re9 AS DOUBLE) / CAST(re_tot AS DOUBLE), 6)
+        |  END AS share
+        |FROM rem, rt""".stripMargin,
     // q309: Naive Bayes lang-id — train counts, round-9 ln
     // surrogates, exact long argmax, per-lang accuracy
     "q309_naive_bayes" ->

@@ -1920,6 +1920,128 @@ object Relational {
       .limit(topN)
   }
 
+  /** Markov removal-effect attribution (q315) — the data-driven
+    * multi-touch attribution model (Anderl et al. 2016) that
+    * [[touchAttribution]]'s first/last/linear heuristics
+    * approximate: model user journeys as a Markov chain
+    * (START → channel states → CONV/NULL absorbing), compute the
+    * chain's conversion probability by truncated power iteration,
+    * then each channel's removal effect = 1 − p(convert | channel
+    * redirected to NULL), normalized into attribution shares.
+    * Journey semantics: events ordered by (ts, event_id) per user,
+    * cut at the FIRST purchase (→ CONV; no purchase → NULL);
+    * channels are the non-purchase event types. Scale shape: ONE
+    * user-partitioned window pass builds the transition counts; the
+    * chain grids are (channels+2)² — bounded by the event-type
+    * vocabulary, not data volume — so the (scenarios × edges) power
+    * loop runs on a coalesced tiny table, and per-src denominators
+    * stay the FULL scenario's exact longs (redirection never changes
+    * a row's out-count). Determinism: probabilities are exact
+    * integer ratios, every mass reduction snaps to a round-12
+    * surrogate (the q251/q308 device — so the oracle unrolls the
+    * same loop as a recursive CTE), and removal effects snap to 1e9
+    * before the share normalization. */
+  def markovAttribution(spark: SparkSession, dir: String,
+      iters: Int = 25): DataFrame = {
+    import spark.implicits._
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        us.as("us"))
+      .withColumn("rn", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpr = rows.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("fp_rn"))
+    val flagged = rows.join(broadcast(fpr), Seq("user_id"), "left")
+    val pre = flagged
+      .filter(col("fp_rn").isNull || col("rn") < col("fp_rn"))
+      .select(col("user_id"), col("rn"), col("event_type"),
+        when(col("fp_rn").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+          .as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val trans = pre.select(col("event_type").as("src"),
+      coalesce(lead(col("event_type"), 1).over(w2), col("term"))
+        .as("dst"))
+    val starts = pre.withColumn("rn2", row_number().over(w2))
+      .filter(col("rn2") === 1)
+      .select(lit("START").as("src"), col("event_type").as("dst"))
+    // purchase-first users have an empty pre-journey: START → CONV
+    val instant = flagged.filter(col("fp_rn") === 1)
+      .select(col("user_id")).distinct()
+      .select(lit("START").as("src"), lit("CONV").as("dst"))
+    val edges = trans.unionByName(starts).unionByName(instant)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = edges.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+    val channels = pre.select(col("event_type").as("scenario"))
+      .distinct()
+    val scenarios = channels
+      .unionByName(Seq("FULL").toDF("scenario"))
+      .coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per scenario: drop the removed channel's out-edges, redirect
+    // its in-edges to NULL; denominators stay the FULL totals
+    val sed = edges.crossJoin(broadcast(scenarios))
+      .filter(col("scenario") === "FULL" ||
+        col("src") =!= col("scenario"))
+      .select(col("scenario"), col("src"),
+        when(col("scenario") =!= "FULL" &&
+          col("dst") === col("scenario"), lit("NULL"))
+          .otherwise(col("dst")).as("dst"),
+        col("n"))
+      .groupBy(col("scenario"), col("src"), col("dst"))
+      .agg(sum(col("n")).as("n"))
+      .join(tot, Seq("src"))
+      .select(col("scenario"), col("src"), col("dst"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+    val absorb = scenarios
+      .crossJoin(Seq("CONV", "NULL").toDF("state"))
+      .select(col("scenario"), col("state").as("src"),
+        col("state").as("dst"), lit(1.0).as("p"))
+    val chain = sed.unionByName(absorb).coalesce(1)
+      .localCheckpoint(eager = true)
+    def sur12sum(c: Column): Column =
+      sum(round(c * 1e12, 0).cast("long")).cast("double") / 1e12
+    var mass = scenarios.select(col("scenario"),
+      lit("START").as("state"), lit(1.0).as("m")).coalesce(1)
+    for (i <- 1 to iters) {
+      mass = mass
+        .join(chain.withColumnRenamed("scenario", "sc2"),
+          col("scenario") === col("sc2") && col("state") === col("src"))
+        .groupBy(col("scenario"), col("dst"))
+        .agg(sur12sum(col("m") * col("p")).as("m"))
+        .withColumnRenamed("dst", "state")
+      if (i % 5 == 0 && i < iters)
+        mass = mass.coalesce(1).localCheckpoint(eager = true)
+    }
+    val pconv = scenarios
+      .join(mass.filter(col("state") === "CONV")
+        .select(col("scenario"), col("m")), Seq("scenario"), "left")
+      .select(col("scenario"), coalesce(col("m"), lit(0.0)).as("pc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pFull = pconv.filter(col("scenario") === "FULL")
+      .select(col("pc").as("p_full"))
+    val re9 = round(when(col("p_full") > 0.0,
+      lit(1.0) - col("pc") / col("p_full")).otherwise(lit(0.0))
+      * 1e9, 0).cast("long")
+    val rem = pconv.filter(col("scenario") =!= "FULL")
+      .crossJoin(broadcast(pFull))
+      .select(col("scenario").as("channel"), col("p_full"),
+        col("pc").as("p_removed"), re9.as("re9"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reTot = rem.agg(sum(col("re9")).as("re_tot"))
+    rem.crossJoin(broadcast(reTot))
+      .select(col("channel"), round(col("p_full"), 6).as("p_full"),
+        round(col("p_removed"), 6).as("p_removed"),
+        round(col("re9").cast("double") / 1e9, 6).as("removal_effect"),
+        when(col("re_tot") > 0L,
+          round(col("re9").cast("double") / col("re_tot").cast("double"),
+            6)).as("share"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * streams: P(next event type | event type), the session-path
     * primitive behind "what do users do after X" product analytics.
