@@ -365,6 +365,7 @@ object SparkEntry {
     "q313_silhouette"     -> ((s, d) => Similarity.centroidSilhouette(s, d)),
     "q314_jl_distortion"  -> ((s, d) => Similarity.jlDistortion(s, d)),
     "q315_markov_attrib"  -> ((s, d) => Relational.markovAttribution(s, d)),
+    "q316_pca_top"        -> ((s, d) => Similarity.pcaTopComponent(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -806,6 +807,58 @@ object SparkEntry {
          |  CAST(SUM(CAST(round((v - c) * (v - c)) AS BIGINT)) AS BIGINT)
          |    AS inertia
          |FROM fin GROUP BY cluster""".stripMargin
+    s"$header,\n$blocks,\n$tail"
+  }
+
+  /** q316 oracle: the PCA power loop UNROLLED as CTE blocks — the
+    * covariance grid from DECIMAL moment sums, then per step a
+    * snapped matvec, a snapped norm, and the normalized vector. */
+  private def pcaOracleSql(iters: Int = 12): String = {
+    val header =
+      """WITH x AS MATERIALIZED (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cell AS MATERIALIZED (SELECT vec_id, p, emb[p + 1] AS c
+        |  FROM x CROSS JOIN UNNEST(range(0, 64)) AS u(p)),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM x),
+        |mm AS (SELECT p, CAST(SUM(CAST(c AS DECIMAL(28,12)))
+        |    AS DOUBLE) AS s
+        |  FROM cell GROUP BY 1),
+        |spq AS (SELECT a.p AS p, b.p AS q,
+        |    CAST(SUM(CAST(a.c * b.c AS DECIMAL(28,12))) AS DOUBLE)
+        |      AS s2
+        |  FROM cell a JOIN cell b USING (vec_id) GROUP BY 1, 2),
+        |cov AS MATERIALIZED (SELECT spq.p, spq.q,
+        |    (s2 - n * (ma.s / n) * (mb.s / n)) / (n - 1.0) AS cv
+        |  FROM spq JOIN mm ma ON ma.p = spq.p
+        |  JOIN mm mb ON mb.p = spq.q, nn),
+        |v0 AS MATERIALIZED (SELECT p, CAST(0.125 AS DOUBLE) AS v
+        |  FROM (SELECT UNNEST(range(0, 64)) AS p))""".stripMargin
+    // AS MATERIALIZED per block: each v$i is referenced twice (w and
+    // n legs), so plain-CTE inlining would double the tree per
+    // iteration — 2^iters copies of the covariance pipeline.
+    val blocks = (1 to iters).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT c.p,
+         |    CAST(SUM(CAST(round(c.cv * v.v * 1e12) AS BIGINT))
+         |      AS DOUBLE) / 1e12 AS w
+         |  FROM cov c JOIN v${i - 1} v ON v.p = c.q GROUP BY 1),
+         |n$i AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(round(w * w * 1e12)
+         |    AS BIGINT)) AS DOUBLE) / 1e12) AS nrm FROM w$i),
+         |v$i AS MATERIALIZED (SELECT p, w / nrm AS v FROM w$i, n$i)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""wf AS MATERIALIZED (SELECT c.p,
+         |    CAST(SUM(CAST(round(c.cv * v.v * 1e12) AS BIGINT))
+         |      AS DOUBLE) / 1e12 AS w
+         |  FROM cov c JOIN v$iters v ON v.p = c.q GROUP BY 1),
+         |lam AS (SELECT CAST(SUM(CAST(round(v.v * wf.w * 1e12)
+         |    AS BIGINT)) AS DOUBLE) / 1e12 AS lambda
+         |  FROM v$iters v JOIN wf ON wf.p = v.p),
+         |tr AS (SELECT CAST(SUM(CAST(round(cv * 1e12) AS BIGINT))
+         |    AS DOUBLE) / 1e12 AS trace FROM cov WHERE p = q)
+         |SELECT CAST(v.p AS INTEGER) AS pos, round(v.v, 6) AS loading,
+         |  round(lambda, 6) AS lambda,
+         |  round(lambda / trace, 6) AS explained_share
+         |FROM v$iters v, lam, tr""".stripMargin
     s"$header,\n$blocks,\n$tail"
   }
 
@@ -5896,6 +5949,8 @@ object SparkEntry {
         |    round(CAST(re9 AS DOUBLE) / CAST(re_tot AS DOUBLE), 6)
         |  END AS share
         |FROM rem, rt""".stripMargin,
+    // q316: PCA top component — the power loop unrolled
+    "q316_pca_top" -> pcaOracleSql(),
     // q309: Naive Bayes lang-id — train counts, round-9 ln
     // surrogates, exact long argmax, per-lang accuracy
     "q309_naive_bayes" ->

@@ -1590,6 +1590,72 @@ object Similarity {
           count(lit(1)).cast("double"), 6).as("mean_silhouette"))
   }
 
+  /** PCA top principal component by power iteration (q316) — the
+    * first eigenvector/eigenvalue of the embedding covariance and
+    * its explained-variance share: the spectrum health check behind
+    * [[embedDispersion]] (a dominant component ⇒ anisotropic,
+    * whitening-worthy space — the q278 whitening op's diagnostic).
+    * Scale shape is the Gram-matrix altitude: ONE corpus scan
+    * reduces to the d×d = 64×64 moment grid (n·d² work, the
+    * standard tall-skinny covariance path — never a row×row Gram),
+    * and the 12-step power loop runs entirely on the 4096-cell
+    * coalesced grid. Determinism: moment sums fold through
+    * DECIMAL(28,12); covariance cells are one fixed chain; every
+    * matvec/norm reduction snaps to round-12 surrogates (the
+    * q251/q308 device), so the oracle unrolls the identical loop as
+    * CTE blocks. Sign is pinned by the all-positive start vector. */
+  def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 12)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
+    def snap12(c: Column) =
+      sum(round(c * 1e12, 0).cast("long")).cast("double") / 1e12
+    val cell = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), v => v.cast("double")))
+          .as(Seq("p", "c")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = Tables.embeddings(spark, dir).count()
+    val nD = lit(n.toDouble)
+    val mm = cell.groupBy(col("p")).agg(dsum(col("c")).as("s"))
+    val spq = cell.select(col("vec_id"), col("p"), col("c"))
+      .join(cell.select(col("vec_id"), col("p").as("q"),
+        col("c").as("cq")), Seq("vec_id"))
+      .groupBy(col("p"), col("q"))
+      .agg(dsum(col("c") * col("cq")).as("s2"))
+    val cov = spq
+      .join(mm.select(col("p"), col("s").as("sa")), Seq("p"))
+      .join(mm.select(col("p").as("q"), col("s").as("sb")), Seq("q"))
+      .select(col("p"), col("q"),
+        ((col("s2") - nD * (col("sa") / nD) * (col("sb") / nD))
+          / (nD - lit(1.0))).as("cv"))
+      .coalesce(1).localCheckpoint(eager = true)
+    val wAll = Window.partitionBy(lit(1))
+    def matvec(v: DataFrame): DataFrame =
+      cov.join(v.select(col("p").as("q"), col("v").as("vq")), Seq("q"))
+        .groupBy(col("p")).agg(snap12(col("cv") * col("vq")).as("w"))
+    var v = spark.range(64)
+      .select(col("id").cast("int").as("p"), lit(0.125).as("v"))
+      .coalesce(1)
+    for (i <- 1 to iters) {
+      val wv = matvec(v)
+      v = wv.select(col("p"), (col("w") /
+        sqrt(sum(round(col("w") * col("w") * 1e12, 0).cast("long"))
+          .over(wAll).cast("double") / 1e12)).as("v"))
+      if (i % 4 == 0 && i < iters)
+        v = v.coalesce(1).localCheckpoint(eager = true)
+    }
+    val wf = matvec(v).withColumnRenamed("w", "wf")
+    val lam = v.join(wf, Seq("p"))
+      .agg(snap12(col("v") * col("wf")).as("lambda"))
+    val tr = cov.filter(col("p") === col("q"))
+      .agg(snap12(col("cv")).as("trace"))
+    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("p").as("pos"), round(col("v"), 6).as("loading"),
+        round(col("lambda"), 6).as("lambda"),
+        round(col("lambda") / col("trace"), 6).as("explained_share"))
+  }
+
   /** Johnson–Lindenstrauss projection + distortion audit (q314) —
     * the dimensionality-reduction scale path an ANN pipeline takes
     * BEFORE indexing (64-d → 16-d cuts index size 4× while JL bounds
