@@ -168,4 +168,36 @@ class StatsOpsSpec extends AnyFunSuite {
     // JL with k=16 of 64 dims: distortion is bounded in practice
     assert(lo > 0.0 && hi < 10.0)
   }
+
+  test("markov attribution: shares sum to 1, removal lowers p_conv") {
+    import graft.rel.Relational
+    val rows = Relational.markovAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pf, pr) = (r.getAs[Double]("p_full"),
+        r.getAs[Double]("p_removed"))
+      assert(pf >= 0.0 && pf <= 1.0 && pr >= 0.0 && pr <= 1.0)
+      // removing a channel cannot create conversion paths
+      assert(pr <= pf + 1e-6)
+      assert(r.getAs[Double]("removal_effect") >= -1e-9)
+    }
+    val shares = rows.map(_.getAs[Double]("share"))
+    if (shares.exists(_ > 0.0))
+      assert(math.abs(shares.sum - 1.0) < 1e-4)
+  }
+
+  test("pca top: unit loading norm, 0 < share <= 1, lambda <= trace") {
+    val rows = Similarity.pcaTopComponent(spark, sf).collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3)
+    val lam = rows.head.getAs[Double]("lambda")
+    val share = rows.head.getAs[Double]("explained_share")
+    assert(lam > 0.0)
+    assert(share > 0.0 && share <= 1.0 + 1e-9)
+    assert(rows.forall(r => r.getAs[Double]("lambda") == lam &&
+      r.getAs[Double]("explained_share") == share))
+    // dominant-eigenvector residual: cov·v ≈ λ·v would need the grid
+    // here; share <= 1 already pins λ <= trace = Σ eigenvalues.
+  }
 }
