@@ -1974,72 +1974,60 @@ object Relational {
       .select(lit("START").as("src"), lit("CONV").as("dst"))
     val edges = trans.unionByName(starts).unionByName(instant)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = edges.groupBy(col("src")).agg(sum(col("n")).as("tot"))
-    val channels = pre.select(col("event_type").as("scenario"))
-      .distinct()
-    val scenarios = channels
-      .unionByName(Seq("FULL").toDF("scenario"))
-      .coalesce(1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Driver-side scenario loop over the COLLECTED edge counts: the
+    // grid is (event-type vocabulary + 2)² — bounded by vocab, never
+    // by data volume (the Lloyd-fit / q316 altitude). The distributed
+    // version ran 25 joins over a coalesced tiny table per window and
+    // was pure scheduler overhead. Arithmetic replicates the gated
+    // plan bit-for-bit: p = exact-long ratio (same IEEE divide), each
+    // mass reduction sums round-HALF_UP 1e12 long surrogates (Spark
+    // `round` = BigDecimal.valueOf(x).setScale(0, HALF_UP); exact
+    // integer adds are order-free), removal effects snap to 1e9.
+    val edgeRows = edges.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totM = edgeRows.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._3).sum }
+    val chans = edgeRows.map(_._1)
+      .filter(s => s != "START" && s != "CONV" && s != "NULL")
+      .distinct.sorted
+    def rnd(x: Double, scale: Double): Long =
+      java.math.BigDecimal.valueOf(x * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     // per scenario: drop the removed channel's out-edges, redirect
     // its in-edges to NULL; denominators stay the FULL totals
-    val sed = edges.crossJoin(broadcast(scenarios))
-      .filter(col("scenario") === "FULL" ||
-        col("src") =!= col("scenario"))
-      .select(col("scenario"), col("src"),
-        when(col("scenario") =!= "FULL" &&
-          col("dst") === col("scenario"), lit("NULL"))
-          .otherwise(col("dst")).as("dst"),
-        col("n"))
-      .groupBy(col("scenario"), col("src"), col("dst"))
-      .agg(sum(col("n")).as("n"))
-      .join(tot, Seq("src"))
-      .select(col("scenario"), col("src"), col("dst"),
-        (col("n").cast("double") / col("tot").cast("double")).as("p"))
-    val absorb = scenarios
-      .crossJoin(Seq("CONV", "NULL").toDF("state"))
-      .select(col("scenario"), col("state").as("src"),
-        col("state").as("dst"), lit(1.0).as("p"))
-    val chain = sed.unionByName(absorb).coalesce(1)
-      .localCheckpoint(eager = true)
-    def sur12sum(c: Column): Column =
-      sum(round(c * 1e12, 0).cast("long")).cast("double") / 1e12
-    var mass = scenarios.select(col("scenario"),
-      lit("START").as("state"), lit(1.0).as("m")).coalesce(1)
-    for (i <- 1 to iters) {
-      mass = mass
-        .join(chain.withColumnRenamed("scenario", "sc2"),
-          col("scenario") === col("sc2") && col("state") === col("src"))
-        .groupBy(col("scenario"), col("dst"))
-        .agg(sur12sum(col("m") * col("p")).as("m"))
-        .withColumnRenamed("dst", "state")
-      if (i % 5 == 0 && i < iters)
-        mass = mass.coalesce(1).localCheckpoint(eager = true)
+    def pConv(scenario: String): Double = {
+      val chain = edgeRows.toSeq
+        .filter { case (s, _, _) => scenario == "FULL" || s != scenario }
+        .map { case (s, d, n) =>
+          (s, if (scenario != "FULL" && d == scenario) "NULL" else d, n)
+        }
+        .groupBy(e => (e._1, e._2))
+        .map { case ((s, d), es) =>
+          (s, d, es.map(_._3).sum.toDouble / totM(s).toDouble)
+        }.toSeq ++ Seq(("CONV", "CONV", 1.0), ("NULL", "NULL", 1.0))
+      val out = chain.groupBy(_._1)
+      var mass = Map("START" -> 1.0)
+      for (_ <- 1 to iters) {
+        val acc = scala.collection.mutable.Map.empty[String, Long]
+        for ((state, m) <- mass; (_, d, p) <- out.getOrElse(state, Nil))
+          acc(d) = acc.getOrElse(d, 0L) + rnd(m * p, 1e12)
+        mass = acc.map { case (d, s) => d -> s / 1e12 }.toMap
+      }
+      mass.getOrElse("CONV", 0.0)
     }
-    val pconv = scenarios
-      .join(mass.filter(col("state") === "CONV")
-        .select(col("scenario"), col("m")), Seq("scenario"), "left")
-      .select(col("scenario"), coalesce(col("m"), lit(0.0)).as("pc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pFull = pconv.filter(col("scenario") === "FULL")
-      .select(col("pc").as("p_full"))
-    val re9 = round(when(col("p_full") > 0.0,
-      lit(1.0) - col("pc") / col("p_full")).otherwise(lit(0.0))
-      * 1e9, 0).cast("long")
-    val rem = pconv.filter(col("scenario") =!= "FULL")
-      .crossJoin(broadcast(pFull))
-      .select(col("scenario").as("channel"), col("p_full"),
-        col("pc").as("p_removed"), re9.as("re9"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reTot = rem.agg(sum(col("re9")).as("re_tot"))
-    rem.crossJoin(broadcast(reTot))
-      .select(col("channel"), round(col("p_full"), 6).as("p_full"),
-        round(col("p_removed"), 6).as("p_removed"),
-        round(col("re9").cast("double") / 1e9, 6).as("removal_effect"),
-        when(col("re_tot") > 0L,
-          round(col("re9").cast("double") / col("re_tot").cast("double"),
-            6)).as("share"))
+    val pf = pConv("FULL")
+    val rem = chans.map { c =>
+      val pc = pConv(c)
+      val re9 = rnd(if (pf > 0.0) 1.0 - pc / pf else 0.0, 1e9)
+      (c, pc, re9)
+    }
+    val reTot = rem.map(_._3).sum
+    rem.toSeq.map { case (c, pc, re9) =>
+      (c, r6(pf), r6(pc), r6(re9.toDouble / 1e9),
+        if (reTot > 0L) Some(r6(re9.toDouble / reTot.toDouble)) else None)
+    }.toDF("channel", "p_full", "p_removed", "removal_effect", "share")
   }
 
   /** First-order Markov transition matrix over per-user event
