@@ -801,9 +801,10 @@ object Dedup {
     // power-iteration job — 32 near-empty partitions × ~6 jobs ×
     // `iters` was pure scheduler overhead (measured 16.8 s at
     // q251's 5-node graph). Big graphs keep their parallelism.
-    val parts = if (n < 10000) 1 else e1.rdd.getNumPartitions
-    val e = e1.coalesce(parts)
-    val nodes = nodes1.coalesce(parts)
+    // (This rule is now the shared Guards.coalesceTiny — textRank
+    // and modularity adopt the same threshold.)
+    val e = graft.ext.Guards.coalesceTiny(e1, n)
+    val nodes = graft.ext.Guards.coalesceTiny(nodes1, n)
     // Norm via a whole-frame window (NOT crossJoin(broadcast(agg))):
     // the broadcast form forces TWO materialization jobs per
     // iteration (the agg for the broadcast + the main plan, each
@@ -836,8 +837,8 @@ object Dedup {
       // bound plan depth for the optimizer, not for recompute (the
       // DAG is linear); one truncate job every 4th round
       if (i % 4 == 0 && i < iters) {
-        hub = truncate(hub.coalesce(parts))
-        auth = truncate(auth.coalesce(parts))
+        hub = truncate(graft.ext.Guards.coalesceTiny(hub, n))
+        auth = truncate(graft.ext.Guards.coalesceTiny(auth, n))
       }
     }
     hub.join(auth, Seq("node"))

@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Fail-fast guards for the two driver-altitude patterns used across
+  * the repo.
+  *
+  * Driver-side loops over a COLLECTED grid (the q315/q316/Lloyd-fit
+  * altitude) are only safe when the grid is bounded by a vocabulary
+  * or a schema constant, never by data volume. Where that bound is
+  * structural (a literal `limit`, a scan-pruned `vec_id < n` filter,
+  * a `groupBy` over k∈{0,1,2}) nothing extra is needed; where it is
+  * an ASSUMPTION about the data ("event types are a small vocabulary",
+  * "embeddings are 64-dim"), [[boundedGrid]] turns a silent driver
+  * OOM into an immediate, named error — the
+  * [[graft.ext.Linkage]] `maxBucket` fail-fast philosophy applied to
+  * collects. A 100 TB events table whose `event_type` carries URLs
+  * must ERROR, not take down the driver.
+  *
+  * [[coalesceTiny]] is the complementary rule for the grids we keep
+  * DISTRIBUTED but iterate over: a bounded node grid does not deserve
+  * `spark.sql.shuffle.partitions` tasks per power-iteration job
+  * (measured 16.8 s of pure scheduler overhead at q251's 5-node
+  * graph), but a large pruned graph must KEEP its parallelism — the
+  * adaptive rule from `Dedup.hits`, shared so every iterative caller
+  * picks the same threshold.
+  */
+object Guards {
+
+  /** Collect a grid that is SUPPOSED to be vocabulary-bounded, and
+    * THROW if the data says otherwise. One job, no pre-count: the
+    * plan fetches at most `maxRows + 1` rows, so the failure path
+    * costs one truncated collect rather than an OOM. Row order is
+    * whatever the limit returns — callers must be order-insensitive
+    * (every current caller re-aggregates the rows driver-side).
+    */
+  def boundedGrid(df: DataFrame, maxRows: Int, what: String): Array[Row] = {
+    require(maxRows > 0, s"boundedGrid($what): maxRows must be positive")
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length > maxRows)
+      throw new IllegalStateException(
+        s"$what: driver-side grid exceeds maxRows=$maxRows. The " +
+          "bounded-vocabulary assumption this driver-altitude loop " +
+          "relies on does not hold on this data — keep the " +
+          "computation distributed, pre-prune the vocabulary, or " +
+          "raise the cap deliberately.")
+    rows
+  }
+
+  /** Adaptive single-partition collapse for bounded iterative grids:
+    * collapse to 1 partition only when the grid is genuinely tiny
+    * (n < cap nodes/edges), so power loops over vocabulary graphs run
+    * one task per job while a large pruned graph keeps its
+    * parallelism. The `Dedup.hits` n < 10000 rule as the shared
+    * helper (VERDICT r9 item 3). */
+  def coalesceTiny(df: DataFrame, n: Long, cap: Long = 10000L): DataFrame =
+    if (n < cap) df.coalesce(1) else df
+}

@@ -1646,9 +1646,13 @@ object Similarity {
     // is bit-identical to the unrolled DuckDB oracle: Spark `round`
     // is BigDecimal.valueOf(x).setScale(0, HALF_UP), and the snapped
     // long sums are exact integer adds (order-free on both sides).
+    // The d=64 bound is the embeddings SCHEMA on this corpus, but the
+    // grid row count is still data-derived (d² cells) — boundedGrid
+    // makes a 10k-dim embedding column fail fast, not OOM the driver.
     val d = 64
-    val grid = cov.collect().map(r =>
-      (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val grid = graft.ext.Guards
+      .boundedGrid(cov, 262144, "pcaTopComponent covariance grid")
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     def rnd12(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     def matvec(v: Array[Double]): Array[Double] = {

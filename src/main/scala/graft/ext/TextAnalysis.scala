@@ -1021,14 +1021,18 @@ object TextAnalysis {
     * chain, reported per community. */
   def modularity(spark: SparkSession, dir: String, n: Int = 4,
       minShared: Long = 3L): DataFrame = {
-    val e0 = sourceOverlap(spark, dir, n)
+    // adaptive collapse (shared q251 rule): the SOURCE-level grid is
+    // tiny here, but a huge provenance graph keeps its parallelism —
+    // count the persisted edge list once, then collapse only if tiny
+    val eAll = sourceOverlap(spark, dir, n)
       .filter(col("n_shared") >= minShared)
       .select(col("source_a").as("sa"), col("source_b").as("sb"))
-      .coalesce(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val comp = graft.ext.Dedup.connectedComponents(e0, "sa", "sb")
-      .select(col("id"), col("label"))
-      .coalesce(1)
+    val nEdges = eAll.count()
+    val e0 = graft.ext.Guards.coalesceTiny(eAll, nEdges)
+    val comp = graft.ext.Guards.coalesceTiny(
+      graft.ext.Dedup.connectedComponents(e0, "sa", "sb")
+        .select(col("id"), col("label")), nEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mRow = e0.agg(count(lit(1)).as("m"))
     val ein = e0
@@ -1734,14 +1738,21 @@ object TextAnalysis {
       .unionByName(und.select(col("word_b").as("a"),
         col("word_a").as("b"), col("n_ab").as("w")))
     val outW = eBoth.groupBy(col("a")).agg(sum(col("w")).as("out_w"))
-    val e = eBoth.join(outW, Seq("a"))
+    // adaptive collapse (the shared q251 rule, Guards.coalesceTiny):
+    // this corpus prunes to a tiny vocab graph where one task per
+    // power-iteration job is right, but a LARGE pruned graph must
+    // keep its parallelism — so count nodes first, then collapse
+    // only if tiny. Arithmetic is partitioning-free (round-12 long
+    // surrogates), so the width choice never touches the hash gate.
+    val e1 = eBoth.join(outW, Seq("a"))
       .select(col("a"), col("b"),
         (col("w").cast("double") / col("out_w").cast("double")).as("p"))
-      .coalesce(1)
       .localCheckpoint(eager = true)
-    val nodes = e.select(col("a").as("node")).distinct()
-      .coalesce(1).localCheckpoint(eager = true)
-    val n = nodes.count()
+    val nodes1 = e1.select(col("a").as("node")).distinct()
+    val n = nodes1.count()
+    val e = graft.ext.Guards.coalesceTiny(e1, n)
+    val nodes = graft.ext.Guards.coalesceTiny(nodes1, n)
+      .localCheckpoint(eager = true)
     def sur12sum(c: Column): Column =
       sum(round(c * 1e12, 0).cast("long")).cast("double") / 1e12
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
@@ -1754,7 +1765,8 @@ object TextAnalysis {
         .select(col("node"), (lit(0.15 / n) +
           lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
       if (i % 4 == 0 && i < iters)
-        ranks = ranks.coalesce(1).localCheckpoint(eager = true)
+        ranks = graft.ext.Guards.coalesceTiny(ranks, n)
+          .localCheckpoint(eager = true)
     }
     ranks
       .select(col("node").as("word"), round(col("rank"), 6).as("rank"))

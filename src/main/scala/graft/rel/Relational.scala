@@ -1942,7 +1942,7 @@ object Relational {
     * same loop as a recursive CTE), and removal effects snap to 1e9
     * before the share normalization. */
   def markovAttribution(spark: SparkSession, dir: String,
-      iters: Int = 25): DataFrame = {
+      iters: Int = 25, maxGrid: Int = 65536): DataFrame = {
     import spark.implicits._
     val us = unix_micros(col("ts"))
     val w = Window.partitionBy(col("user_id"))
@@ -1983,7 +1983,11 @@ object Relational {
     // mass reduction sums round-HALF_UP 1e12 long surrogates (Spark
     // `round` = BigDecimal.valueOf(x).setScale(0, HALF_UP); exact
     // integer adds are order-free), removal effects snap to 1e9.
-    val edgeRows = edges.collect()
+    // The vocabulary bound is an ASSUMPTION about events.event_type,
+    // not a structural fact — boundedGrid turns an event_type column
+    // full of URLs into a fail-fast error instead of a driver OOM.
+    val edgeRows = graft.ext.Guards
+      .boundedGrid(edges, maxGrid, "markovAttribution edge grid")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val totM = edgeRows.groupBy(_._1)
       .map { case (s, es) => s -> es.map(_._3).sum }

@@ -186,6 +186,50 @@ class StatsOpsSpec extends AnyFunSuite {
       assert(math.abs(shares.sum - 1.0) < 1e-4)
   }
 
+  test("markov attribution: boundedGrid fails fast on an unbounded event-type vocabulary") {
+    import graft.rel.Relational
+    import spark.implicits._
+    // Adversarial fixture (VERDICT r9 item 1): event_type carries
+    // per-row URLs, so the (vocab+2)² edge grid grows with DATA, not
+    // vocabulary — the driver-altitude assumption q315 relies on.
+    // The guard must turn that into a named error, never an OOM.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-adv-events").toString
+    val rows = (1 to 120).flatMap { u =>
+      (1 to 4).map { i =>
+        (u.toLong * 10 + i,
+          new java.sql.Timestamp(1700000000000L + u * 1000L + i * 7L),
+          u.toLong, s"https://spam.example/$u/$i")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ex = intercept[IllegalStateException] {
+      Relational.markovAttribution(spark, dir, maxGrid = 100).collect()
+    }
+    assert(ex.getMessage.contains("markovAttribution edge grid"))
+    assert(ex.getMessage.contains("maxRows=100"))
+  }
+
+  test("boundedGrid: returns the full grid under the cap, throws past it") {
+    import graft.ext.Guards
+    import spark.implicits._
+    val df = (1 to 50).toDF("v")
+    assert(Guards.boundedGrid(df, 50, "test grid").length == 50)
+    val ex = intercept[IllegalStateException] {
+      Guards.boundedGrid(df, 49, "test grid")
+    }
+    assert(ex.getMessage.contains("test grid"))
+  }
+
+  test("coalesceTiny: collapses tiny grids to 1 partition, leaves big ones alone") {
+    import graft.ext.Guards
+    import spark.implicits._
+    val df = (1 to 100).toDF("v").repartition(4)
+    assert(Guards.coalesceTiny(df, 100L).rdd.getNumPartitions == 1)
+    assert(Guards.coalesceTiny(df, 20000L).rdd.getNumPartitions == 4)
+  }
+
   test("pca top: unit loading norm, 0 < share <= 1, lambda <= trace") {
     val rows = Similarity.pcaTopComponent(spark, sf).collect()
     assert(rows.length == 64)
