@@ -637,11 +637,26 @@ object Dedup {
     * lost executor kills the (truncated-lineage) job. Passing a
     * cluster-FS directory switches every truncation to reliable
     * `checkpoint` so the iteration survives executor loss. Default
-    * stays local: right for local[N] and for the bench. */
+    * stays local: right for local[N] and for the bench.
+    *
+    * `algorithm`: `"labelprop"` (default — one-hop min propagation,
+    * O(diameter) rounds, one shuffle join per round) or `"doubling"`
+    * (pointer doubling: each round ALSO shortcuts l(x) ← l(l(x)) via
+    * a label self-join, so the propagation horizon doubles per round
+    * — O(log diameter) rounds at two joins each; Shiloach-Vishkin /
+    * Rastogi et al. 2013 hash-to-min family). Both land on the same
+    * fixpoint (labels decrease monotonically to the component min;
+    * parity-spec'd on path/star/clique fixtures), so gated callers
+    * keep the default while a chain-shaped 100 TB dup cluster — where
+    * label-prop would hit `maxIter` and THROW — switches to
+    * `"doubling"` and finishes: 2^20 diameter within default maxIter. */
   def connectedComponents(edges: DataFrame, src: String = "doc_a",
       dst: String = "doc_b", maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      failOnNonConvergence: Boolean = true): DataFrame = {
+      failOnNonConvergence: Boolean = true,
+      algorithm: String = "labelprop"): DataFrame = {
+    require(algorithm == "labelprop" || algorithm == "doubling",
+      s"connectedComponents: unknown algorithm '$algorithm'")
     checkpointDir.foreach(d =>
       edges.sparkSession.sparkContext.setCheckpointDir(d))
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
@@ -669,10 +684,25 @@ object Dedup {
     while (it < maxIter && !converged) {
       val msgs = labels.join(e, col("id") === col("a"))
         .select(col("b").as("id"), col("label"))
-      labels = truncate(
-        labels.unionByName(msgs)
-          .groupBy(col("id")).agg(min(col("label")).as("label")),
-        eager = false)
+      val hop = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      labels =
+        if (algorithm == "doubling") {
+          // pointer-doubling shortcut: l(x) ← l(l(x)). Labels are
+          // always node ids, so every label resolves in the hop table
+          // (the inner self-join is total); the hop table is truncated
+          // EAGERLY first so the self-join reads materialized
+          // partitions instead of executing its lineage twice. l is
+          // monotone (l(m) ≤ m ∀m), so the shortcut only ever
+          // decreases a label and the sum witness stays valid.
+          val m = truncate(hop, eager = true)
+          val parent = m.select(col("id").as("pid"),
+            col("label").as("plabel"))
+          truncate(
+            m.join(parent, m("label") === parent("pid"))
+              .select(m("id"), col("plabel").as("label")),
+            eager = false)
+        } else truncate(hop, eager = false)
       // the witness action materializes the checkpoint: labels only
       // decrease, so an unchanged sum ⇔ an unchanged fixpoint
       val s = labelSum(labels)
@@ -693,7 +723,8 @@ object Dedup {
       val msg =
         s"connectedComponents exited via maxIter=$maxIter WITHOUT " +
           "converging: labels are partially propagated and component " +
-          "ids are NOT final. Raise maxIter."
+          "ids are NOT final. Raise maxIter or switch to " +
+          "algorithm=\"doubling\" (O(log diameter) rounds)."
       if (failOnNonConvergence) throw new IllegalStateException(msg)
       else System.err.println(s"[graft] $msg")
     }

@@ -108,6 +108,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert((1L to 10L).forall(full(_) == 1L))
   }
 
+  test("connected components: pointer doubling matches label-prop on path/star/clique") {
+    import spark.implicits._
+    // parity on the three canonical shapes (VERDICT r9 item 4): a
+    // long path (diameter stress), a star (the LSH anchor shape),
+    // a clique, plus an isolated pair — same fixpoint, both algos
+    val path = (1L to 30L).map(i => (i, i + 1))
+    val star = (101L to 120L).map(i => (100L, i))
+    val clique = (for {a <- 200L to 205L; b <- a + 1 to 205L}
+      yield (a, b)).toSeq
+    val edges = (path ++ star ++ clique ++ Seq((300L, 301L)))
+      .toDF("doc_a", "doc_b")
+    def labelsOf(algo: String, iters: Int = 40) =
+      Dedup.connectedComponents(edges, maxIter = iters, algorithm = algo)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = labelsOf("labelprop")
+    val pd = labelsOf("doubling")
+    assert(pd == lp, "doubling fixpoint diverged from label-prop")
+    assert((1L to 31L).forall(pd(_) == 1L))
+    assert((100L to 120L).forall(pd(_) == 100L))
+    assert((200L to 205L).forall(pd(_) == 200L))
+  }
+
+  test("connected components: doubling converges in O(log d) where label-prop hits maxIter") {
+    import spark.implicits._
+    // a 60-hop chain: one-hop label-prop needs ~60 rounds and THROWS
+    // at maxIter=10; pointer doubling's horizon doubles per round, so
+    // 10 rounds cover 2^10 hops — the chain-shaped 100 TB dup cluster
+    // failure class the doubling variant exists to end
+    val chain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 10).collect()
+    }
+    val pd = Dedup.connectedComponents(chain, maxIter = 10,
+      algorithm = "doubling").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 61L).forall(pd(_) == 1L))
+  }
+
   test("portable cms watchlist: a token the corpus never produced reports est_count 0, not absence") {
     val rows = graft.ext.Profile.cmsPortableHitters(spark, sf,
       candidates = Some(Seq("the", "zzz_never_in_corpus"))).collect()
