@@ -438,23 +438,58 @@ object Profile {
   def psi(spark: SparkSession, dir: String,
       cutoff: String = "1998-01-01"): DataFrame = {
     val cut = lit(cutoff).cast("timestamp")
-    val base = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
-    val pctAggs = (1 to 9).map(i =>
-      expr(s"percentile(o_totalprice, 0.${i})").as(s"p$i"))
-    val bounds = base.agg(pctAggs.head, pctAggs.tail: _*)
-    val bucket = (1 to 9).map(i =>
-      when(col("o_totalprice") > col(s"p$i"), 1).otherwise(0))
-      .reduce(_ + _) + 1
     // persisted: the totals row and the output both read the ≤10-row
     // cell table — unpersisted, each consumer re-expands BOTH orders
     // scans (cells + the percentile pass) into 4 fact scans
     val cells = Tables.orders(spark, dir)
-      .join(broadcast(bounds))
-      .select(bucket.as("bin"), (col("o_orderdate") < cut).as("is_base"))
+      .join(broadcast(psiBounds(spark, dir, cutoff)))
+      .select(psiBucket(col("o_totalprice")).as("bin"),
+        (col("o_orderdate") < cut).as("is_base"))
       .groupBy(col("bin"))
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("base_n"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("cur_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    psiFinalize(cells)
+  }
+
+  /** The baseline-decile boundary row shared by batch [[psi]] and the
+    * streaming monitor ([[graft.streaming.StreamOps.psiMonitorStream]])
+    * — the frozen model artifact a continuous monitor captures once
+    * offline, exactly like the DSIR ratio map or the IVF codebooks. */
+  def psiBounds(spark: SparkSession, dir: String,
+      cutoff: String = "1998-01-01"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val base = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val pctAggs = (1 to 9).map(i =>
+      expr(s"percentile(o_totalprice, 0.${i})").as(s"p$i"))
+    base.agg(pctAggs.head, pctAggs.tail: _*)
+  }
+
+  /** Baseline-period per-bin counts, the second frozen artifact the
+    * streaming monitor needs (a stream never re-sees the baseline).
+    * Bins base rows with the SAME bucket expression as [[psi]]'s
+    * combined scan, so the streamed cells table is row-identical. */
+  def psiBaseBins(spark: SparkSession, dir: String,
+      cutoff: String = "1998-01-01"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+      .join(broadcast(psiBounds(spark, dir, cutoff)))
+      .select(psiBucket(col("o_totalprice")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("base_n"))
+  }
+
+  /** Decile-bucket assignment against a joined [[psiBounds]] row: a
+    * sum of nine comparisons, codegen-friendly, no UDF. */
+  private[graft] def psiBucket(price: Column): Column =
+    (1 to 9).map(i =>
+      when(price > col(s"p$i"), 1).otherwise(0)).reduce(_ + _) + 1
+
+  /** The PSI arithmetic over a (bin, base_n, cur_n) cell table — ONE
+    * shared tail for the batch query and every micro-batch of the
+    * streaming monitor, so stream/batch parity is structural rather
+    * than re-implemented. Callers hand in a cell table that is tiny
+    * (≤ bins+1 rows) and, if consumed twice upstream, persisted. */
+  private[graft] def psiFinalize(cells: DataFrame): DataFrame = {
     val tot = cells.agg(sum(col("base_n")).as("base_tot"),
       sum(col("cur_n")).as("cur_tot"))
     val bf = col("base_n").cast("double") / col("base_tot").cast("double")

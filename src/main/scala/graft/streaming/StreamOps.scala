@@ -423,6 +423,45 @@ object StreamOps {
       .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
       .filter(col("sd") > 0)
 
+  /** Streaming PSI drift monitor — the q228 batch core run
+    * CONTINUOUSLY (VERDICT r9 item 6): production curation does not
+    * re-run the drift query nightly, it watches the live feed. The
+    * frozen artifacts come from the batch side exactly like
+    * [[anomalyStream]]'s mu/sd and [[dsirScoreStream]]'s ratio map —
+    * `bounds` = [[graft.ext.Profile.psiBounds]] (the baseline decile
+    * row, broadcast into the scan) and `baseBins` =
+    * [[graft.ext.Profile.psiBaseBins]] (per-bin baseline counts; a
+    * stream never re-sees the baseline period). Per micro-batch: the
+    * running per-bin counts of everything streamed so far (a
+    * Complete-mode aggregate whose state is ≤ bins+1 rows — bounded
+    * by construction, no watermark needed), full-outer-joined with
+    * the baseline bins and finalized by the SAME
+    * [[graft.ext.Profile.psiFinalize]] arithmetic the batch query
+    * ends with — stream/batch parity is structural, not
+    * re-implemented (spec: after streaming the whole current period
+    * in micro-batches, the emitted frame row-equals batch psi). */
+  def psiMonitorStream(current: DataFrame, bounds: DataFrame,
+      baseBins: DataFrame)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val counts = current
+      .withColumn("k__", lit(1))
+      .join(broadcast(bounds.withColumn("k__", lit(1))), "k__")
+      .select(graft.ext.Profile.psiBucket(col("o_totalprice")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cur_n"))
+    // no trigger pinned: callers pick (AvailableNow for a catch-up
+    // run, the default micro-batch trigger for a live monitor)
+    counts.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cells = baseBins
+          .join(batch.select(col("bin"), col("cur_n")), Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("base_n"), lit(0L)).as("base_n"),
+            coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+        sink(graft.ext.Profile.psiFinalize(cells), id)
+      }
+  }
+
   /** End-to-end STREAMING corpus curation — the batch
     * [[graft.ext.TextAnalysis.curatedDocs]] composition re-expressed
     * over an ingest stream of (doc_id, text, ts): the quality gates

@@ -778,6 +778,46 @@ class StreamOpsSpec extends AnyFunSuite {
       s"state did not survive restart: $rows")
   }
 
+  test("streaming psi monitor finalizes to the batch psi rows after draining the current period") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = TestSpark.sf
+    val cutoff = "1998-01-01"
+    // frozen artifacts, fit batch-side exactly like production would
+    val bounds = graft.ext.Profile.psiBounds(spark, sf, cutoff)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bounds.count()
+    val baseBins = graft.ext.Profile.psiBaseBins(spark, sf, cutoff)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    baseBins.count()
+    // the REAL current-period rows, streamed in two micro-batches
+    val cur = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= org.apache.spark.sql.functions
+        .lit(cutoff).cast("timestamp"))
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    assert(cur.nonEmpty)
+    val (b1, b2) = cur.splitAt(cur.length / 2)
+    val src = MemoryStream[Double]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamOps.psiMonitorStream(
+      src.toDF().withColumnRenamed("value", "o_totalprice"),
+      bounds, baseBins) { (psi, _) => last = psi.collect() }
+      .start()
+    src.addData(b1.toSeq: _*); q.processAllAvailable()
+    src.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getInt(0)
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        Option(r.get(5)))
+    val streamed = last.map(r => key(r) -> tup(r)).toMap
+    val batch = graft.ext.Profile.psi(spark, sf, cutoff).collect()
+      .map(r => key(r) -> tup(r)).toMap
+    assert(streamed == batch,
+      s"stream/batch psi diverged:\nstream=$streamed\nbatch=$batch")
+    bounds.unpersist(); baseBins.unpersist()
+  }
+
   test("streaming kmv state equals the batch sketch over the same rows (merge across batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
