@@ -45,7 +45,18 @@ object BenchSf1 {
     // is not sketch-bounded), rec-eval rides the CF basket self-join
     // plus a per-user rec-pair join, and novelty joins the full
     // (doc, shingle) table back to its first-seen aggregate
-    "q290_sketch_jaccard", "q280_rec_eval", "q291_novelty")
+    "q290_sketch_jaccard", "q280_rec_eval", "q291_novelty",
+    // r10 additions (VERDICT r9 item 2): the new graph/stats families
+    // had no scaling row. The iterative graph loops (HITS, BFS,
+    // TextRank, modularity via CC) are the interesting ones — their
+    // tiny-graph coalesce fast paths must not mask super-linear edge
+    // growth at 10×; user-CF is the second basket-shaped self-join;
+    // Huber/k-means are bounded-round rescan loops over the one
+    // table that grows; q315/q316 stress the guarded driver-altitude
+    // grids (vocab/dim-bounded — their cost must stay in the scans)
+    "q240_user_cf", "q251_event_hits", "q292_bfs_hops", "q297_modularity",
+    "q298_huber", "q304_kmeans1d", "q308_textrank",
+    "q315_markov_attrib", "q316_pca_top")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -366,6 +366,11 @@ object SparkEntry {
     "q314_jl_distortion"  -> ((s, d) => Similarity.jlDistortion(s, d)),
     "q315_markov_attrib"  -> ((s, d) => Relational.markovAttribution(s, d)),
     "q316_pca_top"        -> ((s, d) => Similarity.pcaTopComponent(s, d)),
+    // q317: q45's exact clustering semantics through the
+    // pointer-doubling CC (O(log diameter) rounds) — same oracle SQL,
+    // so the gate proves algorithm parity on real corpus data
+    "q317_cc_doubling"    -> ((s, d) =>
+      Dedup.nearDupClusters(s, d, algorithm = "doubling")),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -1108,7 +1113,9 @@ object SparkEntry {
     "q55_ivf_probe", "q56_ivf_index", "q142_pq_probe",
     "q143_pq_stats", "q144_ivfpq_probe")
 
-  def oracleSql: Map[String, String] = Map(
+  /** The hand-written oracle map; [[oracleSql]] adds the alias
+    * entries (q317 reuses q45's SQL verbatim) on top. */
+  private lazy val staticOracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
@@ -6830,4 +6837,11 @@ object SparkEntry {
         |  ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
   )
+
+  // q317 runs the SAME clustering semantics as q45 through the
+  // pointer-doubling CC variant — one oracle, two algorithms: the
+  // hash gate proves on real data (not just fixtures) that the
+  // O(log diameter) path lands on the identical fixpoint
+  def oracleSql: Map[String, String] = staticOracleSql +
+    ("q317_cc_doubling" -> staticOracleSql("q45_dedup_clusters"))
 }

@@ -904,8 +904,9 @@ object Dedup {
     * against a DuckDB recursive-CTE oracle; the scale path is the same
     * call over [[jaccardVerify]]'s LSH-verified edges. */
   def nearDupClusters(spark: SparkSession, dir: String, maxId: Long = 100L,
-      threshold: Double = 0.5): DataFrame =
-    connectedComponents(jaccardPairs(spark, dir, maxId, threshold))
+      threshold: Double = 0.5, algorithm: String = "labelprop"): DataFrame =
+    connectedComponents(jaccardPairs(spark, dir, maxId, threshold),
+      algorithm = algorithm)
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
 
   /** Near-dup clusters on the LSH SCALE PATH: connected components
