@@ -923,16 +923,19 @@ object TextAnalysis {
     * ids. */
   def kcore(spark: SparkSession, dir: String, n: Int = 4,
       minShared: Long = 3L, rounds: Int = 6): DataFrame = {
-    // coalesce(1): the SOURCE-level edge grid is bounded (pairs of
-    // source names, not documents) — running the 12-round peel loop
-    // at spark.sql.shuffle.partitions width was pure scheduler
-    // overhead (measured 17.8 s → ~3 s); the heavy shingle join
-    // inside sourceOverlap keeps full parallelism and is persisted
-    val e0 = sourceOverlap(spark, dir, n)
+    // Adaptive collapse (shared q251 rule): the SOURCE-level edge
+    // grid is bounded (pairs of source names, not documents) —
+    // running the 12-round peel loop at spark.sql.shuffle.partitions
+    // width was pure scheduler overhead (measured 17.8 s → ~3 s) —
+    // but the rule, not an unconditional coalesce(1), so a
+    // URL-cardinality source column would keep its parallelism; the
+    // heavy shingle join inside sourceOverlap is persisted either way
+    val eAll = sourceOverlap(spark, dir, n)
       .filter(col("n_shared") >= minShared)
       .select(col("source_a").as("sa"), col("source_b").as("sb"))
-      .coalesce(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eAll.count()
+    val e0 = graft.ext.Guards.coalesceTiny(eAll, nEdges)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("sa").as("node"))
         .unionByName(e.select(col("sb").as("node")))
@@ -944,11 +947,13 @@ object TextAnalysis {
         e = e
           .join(keep.select(col("node").as("sa")), Seq("sa"), "left_semi")
           .join(keep.select(col("node").as("sb")), Seq("sb"), "left_semi")
-          // every round, back to 1 partition: each round's degrees +
-          // two semi-joins re-widen the tiny grid to the session
-          // shuffle width; truncating per round keeps every peel job
-          // one task and the lineage flat
-          .coalesce(1).localCheckpoint(eager = true)
+          // every round, back down: each round's degrees + two
+          // semi-joins re-widen the grid to the session shuffle
+          // width; the adaptive re-collapse keeps every peel job one
+          // task on a tiny grid (and the lineage flat) without
+          // serializing a genuinely large graph
+          .transform(graft.ext.Guards.coalesceTiny(_, nEdges))
+          .localCheckpoint(eager = true)
       }
       e.select(col("sa").as("node"))
         .unionByName(e.select(col("sb").as("node"))).distinct()

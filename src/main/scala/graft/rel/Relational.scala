@@ -1640,12 +1640,17 @@ object Relational {
   }
 
   def sprtMonitor(spark: SparkSession, dir: String, p0: Double = 0.25,
-      p1: Double = 0.30, windowUs: Long = 86400000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (lw9, ll9, bound9) = sprtSurrogates(p0, p1)
-    val (lw, ll, bound) = (lit(lw9), lit(ll9), lit(bound9))
+      p1: Double = 0.30, windowUs: Long = 86400000000L): DataFrame =
+    sprtFinalize(sprtDailyCohorts(spark, dir, windowUs), p0, p1)
+
+  /** Per-user cohort rows (day_us, conv): first-event day and
+    * converted-within-window flag — the upstream sessionizer output
+    * the STREAMING monitor consumes
+    * ([[graft.streaming.StreamOps.sprtMonitorStream]]). */
+  def sprtUserCohorts(spark: SparkSession, dir: String,
+      windowUs: Long = 86400000000L): DataFrame = {
     val us = unix_micros(col("ts"))
-    val daily = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(min(us).as("first_us"),
         min(when(col("event_type") === "purchase", us)).as("purch_us"))
@@ -1655,8 +1660,28 @@ object Relational {
         when(col("purch_us").isNotNull &&
           col("purch_us") - col("first_us") <= windowUs, 1L)
           .otherwise(0L).as("conv"))
+  }
+
+  /** The per-day cohort grid [[sprtMonitor]] walks: [[sprtUserCohorts]]
+    * reduced to (day_us, n_users, n_conv). */
+  def sprtDailyCohorts(spark: SparkSession, dir: String,
+      windowUs: Long = 86400000000L): DataFrame =
+    sprtUserCohorts(spark, dir, windowUs)
       .groupBy(col("day_us"))
       .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+
+  /** The SPRT walk over a (day_us, n_users, n_conv) grid — ONE
+    * shared tail for the batch query and every micro-batch of
+    * [[graft.streaming.StreamOps.sprtMonitorStream]] (the q228/PSI
+    * sharing discipline): the exact-long LLR cumsum over the bounded
+    * calendar grid and Wald's ±ln(19) crossing decisions, surrogates
+    * from [[sprtSurrogates]] so no engine- or path-dependent ln can
+    * split batch from stream. */
+  private[graft] def sprtFinalize(daily: DataFrame, p0: Double,
+      p1: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lw9, ll9, bound9) = sprtSurrogates(p0, p1)
+    val (lw, ll, bound) = (lit(lw9), lit(ll9), lit(bound9))
     val w = Window.orderBy(col("day_us"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val llr9 = sum(col("n_conv") * lw +

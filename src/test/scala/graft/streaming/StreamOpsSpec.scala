@@ -818,6 +818,32 @@ class StreamOpsSpec extends AnyFunSuite {
     bounds.unpersist(); baseBins.unpersist()
   }
 
+  test("streaming sprt monitor walks to the batch q311 decisions after draining the cohorts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = TestSpark.sf
+    // the REAL per-user cohort rows, streamed in two micro-batches
+    val rows = graft.rel.Relational.sprtUserCohorts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val src = MemoryStream[(Long, Long)]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamOps.sprtMonitorStream(
+      src.toDF().toDF("day_us", "conv")) { (sprt, _) => last = sprt.collect() }
+      .start()
+    src.addData(b1.toSeq: _*); q.processAllAvailable()
+    src.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    def m(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toMap
+    val batch = m(graft.rel.Relational.sprtMonitor(spark, sf).collect())
+    val streamed = m(last)
+    assert(streamed == batch,
+      s"stream/batch sprt diverged:\nstream=$streamed\nbatch=$batch")
+  }
+
   test("streaming kmv state equals the batch sketch over the same rows (merge across batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
