@@ -56,12 +56,27 @@ object BenchSf1 {
     // grids (vocab/dim-bounded — their cost must stay in the scans)
     "q240_user_cf", "q251_event_hits", "q292_bfs_hops", "q297_modularity",
     "q298_huber", "q304_kmeans1d", "q308_textrank",
-    "q315_markov_attrib", "q316_pca_top")
+    "q315_markov_attrib", "q316_pca_top",
+    // r11 additions (VERDICT r10 item 4): the pointer-doubling CC is
+    // the designated giant-diameter scale path but had no scaling row
+    // — q45 (labelprop fixpoint via the auto policy) vs q317
+    // (doubling) price the two-joins-per-round trade on IDENTICAL
+    // edges at 10×; q59 is the production LSH cluster pipeline the
+    // auto policy now protects end-to-end
+    "q45_dedup_clusters", "q317_cc_doubling", "q59_lsh_clusters")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val sf1 = if (args.length > 1) args(1) else "testdata_sf1"
     val nPasses = if (args.length > 2) args(2).toInt else 2
+    // args(3): comma-separated query filter, args(4): artifact path —
+    // lets the SAME harness price a bigger replica on a targeted
+    // family (the 50× sf5 probe, VERDICT r10 item 7) without paying
+    // the full probe list at that scale
+    val queries = if (args.length > 3 && args(3).nonEmpty)
+      probeQueries.filter(q => args(3).split(",").exists(q.contains))
+    else probeQueries
+    val outFile = if (args.length > 4) args(4) else "BENCH_SF1.json"
     require(new java.io.File(s"$sf1/documents.parquet").exists(),
       s"$sf1 missing — generate it first: sbt \"runMain graft.DevScaleGen\"")
     val spark = SparkSession.builder()
@@ -83,7 +98,7 @@ object BenchSf1 {
     // local[4] heap and inflated the two biggest sf1 self-joins
     // (q150/q157) ~2× purely from storage/execution memory contention.
     val samples = (1 to nPasses).flatMap { p =>
-      for ((label, dir) <- dirs; q <- probeQueries) yield {
+      for ((label, dir) <- dirs; q <- queries) yield {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(q)(spark, dir).count(); true }
@@ -93,7 +108,7 @@ object BenchSf1 {
         (q, label) -> (if (ok) dt else Bench.failureSentinel(dt))
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val rows = probeQueries.map { q =>
+    val rows = queries.map { q =>
       val (m01, fail01) = Bench.summarize(samples((q, "sf01")))
       val (m1, fail1) = Bench.summarize(samples((q, "sf1")))
       val ratio = if (m01 > 0 && m1 >= 0) m1 / m01 else -1.0
@@ -103,10 +118,10 @@ object BenchSf1 {
       .mkString(s"""{"metric":"sf1_scaling","n_passes":$nPasses,"sf01_dir":"$sf01","sf1_dir":"$sf1","queries":{""", ",", "}}")
     println(line)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SF1.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch {
       case e: java.io.IOException =>
-        System.err.println(s"[bench-sf1] BENCH_SF1.json write failed: $e")
+        System.err.println(s"[bench-sf1] $outFile write failed: $e")
     }
     spark.stop()
   }

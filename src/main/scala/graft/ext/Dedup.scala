@@ -397,7 +397,8 @@ object Dedup {
   /** [[lshDedupClusters]] over the portable verified edges. */
   def lshDedupClustersPortable(spark: SparkSession, dir: String,
       k: Int = 3, threshold: Double = 0.7): DataFrame =
-    connectedComponents(jaccardVerifyPortable(spark, dir, k, threshold))
+    connectedComponents(jaccardVerifyPortable(spark, dir, k, threshold),
+        algorithm = "auto")
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
 
   /** Asymmetric CONTAINMENT dedup: C = |S(A)∩S(B)| / min(|S(A)|,
@@ -649,13 +650,22 @@ object Dedup {
     * parity-spec'd on path/star/clique fixtures), so gated callers
     * keep the default while a chain-shaped 100 TB dup cluster — where
     * label-prop would hit `maxIter` and THROW — switches to
-    * `"doubling"` and finishes: 2^20 diameter within default maxIter. */
+    * `"doubling"` and finishes: ~2^19 diameter within default
+    * maxIter=20 (reach after round r is 2^(r+1)−2, and the
+    * unchanged-sum convergence witness costs ONE extra no-change
+    * round beyond label coverage — ADVICE r10). `"auto"` runs
+    * labelprop and, on hitting `maxIter` unconverged, RESUMES with
+    * doubling rounds from the partial labels (safe: labels are node
+    * ids that only decrease, so the self-join stays total and the
+    * fixpoint is unchanged) — the policy the gated scale callers use
+    * so no production path can fail on component diameter. */
   def connectedComponents(edges: DataFrame, src: String = "doc_a",
       dst: String = "doc_b", maxIter: Int = 20,
       checkpointDir: Option[String] = None,
       failOnNonConvergence: Boolean = true,
       algorithm: String = "labelprop"): DataFrame = {
-    require(algorithm == "labelprop" || algorithm == "doubling",
+    require(algorithm == "labelprop" || algorithm == "doubling" ||
+        algorithm == "auto",
       s"connectedComponents: unknown algorithm '$algorithm'")
     checkpointDir.foreach(d =>
       edges.sparkSession.sparkContext.setCheckpointDir(d))
@@ -681,13 +691,24 @@ object Dedup {
     var lastSum = labelSum(labels) // materializes the initial table
     var it = 0
     var converged = false
-    while (it < maxIter && !converged) {
+    // "auto" = labelprop until the round budget runs out, then RESUME
+    // with doubling rounds from the partial labels and a fresh budget.
+    // The resume is safe because labels are always node ids and only
+    // decrease: the doubling self-join stays total over any partial
+    // label table, and monotonicity means the fixpoint (and the sum
+    // witness) are algorithm-independent — so the cheap one-join
+    // rounds handle the shallow clusters real corpora have, and the
+    // O(log diameter) machinery only turns on when the data proves
+    // it's needed, without restarting from scratch.
+    var mode = if (algorithm == "doubling") "doubling" else "labelprop"
+    var budget = maxIter
+    while (it < budget && !converged) {
       val msgs = labels.join(e, col("id") === col("a"))
         .select(col("b").as("id"), col("label"))
       val hop = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
       labels =
-        if (algorithm == "doubling") {
+        if (mode == "doubling") {
           // pointer-doubling shortcut: l(x) ← l(l(x)). Labels are
           // always node ids, so every label resolves in the hop table
           // (the inner self-join is total); the hop table is truncated
@@ -709,6 +730,16 @@ object Dedup {
       converged = s == lastSum
       lastSum = s
       it += 1
+      if (!converged && it == budget && algorithm == "auto" &&
+          mode == "labelprop") {
+        mode = "doubling"
+        budget += maxIter
+        System.err.println(
+          s"[graft] connectedComponents: labelprop hit maxIter=$maxIter " +
+            "without converging (component diameter exceeds the round " +
+            "budget); escalating to pointer doubling from the partial " +
+            "labels.")
+      }
     }
     // FAIL, not warn: a cluster chain with diameter > maxIter leaves
     // labels PARTIALLY propagated — correct-looking output, wrong
@@ -833,8 +864,12 @@ object Dedup {
     // `iters` was pure scheduler overhead (measured 16.8 s at
     // q251's 5-node graph). Big graphs keep their parallelism.
     // (This rule is now the shared Guards.coalesceTiny — textRank
-    // and modularity adopt the same threshold.)
-    val e = graft.ext.Guards.coalesceTiny(e1, n)
+    // and modularity adopt the same threshold.) The edge frame gates
+    // on its OWN count: <10k nodes can still mean a dense
+    // millions-of-edges graph, and the edges are the per-iteration
+    // join work (ADVICE r10; the kcore rule). e1 is truncated, so
+    // the count reads materialized partitions.
+    val e = graft.ext.Guards.coalesceTiny(e1, e1.count())
     val nodes = graft.ext.Guards.coalesceTiny(nodes1, n)
     // Norm via a whole-frame window (NOT crossJoin(broadcast(agg))):
     // the broadcast form forces TWO materialization jobs per
@@ -904,7 +939,7 @@ object Dedup {
     * against a DuckDB recursive-CTE oracle; the scale path is the same
     * call over [[jaccardVerify]]'s LSH-verified edges. */
   def nearDupClusters(spark: SparkSession, dir: String, maxId: Long = 100L,
-      threshold: Double = 0.5, algorithm: String = "labelprop"): DataFrame =
+      threshold: Double = 0.5, algorithm: String = "auto"): DataFrame =
     connectedComponents(jaccardPairs(spark, dir, maxId, threshold),
       algorithm = algorithm)
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
@@ -919,7 +954,8 @@ object Dedup {
     * rep_id != doc_id. */
   def lshDedupClusters(spark: SparkSession, dir: String, k: Int = 3,
       threshold: Double = 0.7): DataFrame =
-    connectedComponents(jaccardVerify(spark, dir, k, threshold))
+    connectedComponents(jaccardVerify(spark, dir, k, threshold),
+        algorithm = "auto")
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
 
   /** EXACT similarity join by PREFIX FILTERING (PPJoin-style,

@@ -36,6 +36,7 @@ object Guards {
     */
   def boundedGrid(df: DataFrame, maxRows: Int, what: String): Array[Row] = {
     require(maxRows > 0, s"boundedGrid($what): maxRows must be positive")
+    // collect-ok: this IS the guard — the plan fetches ≤ maxRows+1
     val rows = df.limit(maxRows + 1).collect()
     if (rows.length > maxRows)
       throw new IllegalStateException(

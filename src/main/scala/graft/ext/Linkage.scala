@@ -115,7 +115,10 @@ object Linkage {
       .select(col("ca"), col("cb"), col("na"), col("nb")).distinct()
       .filter(levenshtein(col("na"), col("nb")) <= maxDist)
       .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
-    val comps = Dedup.connectedComponents(edges)
+    // "auto": a pathological entity chain (A≈B≈C≈… each within edit
+    // distance) exceeds any fixed diameter budget; escalation to
+    // pointer doubling means resolution finishes instead of throwing
+    val comps = Dedup.connectedComponents(edges, algorithm = "auto")
     val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     comps.join(sizes, "label")
       .select(col("id").as("c_custkey"), col("label").as("entity_id"),

@@ -298,6 +298,8 @@ object Sampling {
     val toks = Tables.documents(spark, dir)
       .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("lang"), hashBucket(col("tok"), buckets).as("b"))
+    // collect-ok: ≤ `buckets` rows — the ratio table is keyed by the
+    // fixed hash-bucket domain, never by corpus size
     importanceRatioTable(toks, targetLang, buckets).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
   }
@@ -438,24 +440,34 @@ object Sampling {
     * every observed length are divisions of exact longs (IEEE-exact
     * rounding → cross-engine identical), so the max gap hash-gates.
     * Single-source corpora produce zero rows (no complement). */
-  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sv = Tables.documents(spark, dir)
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksFinalize(Tables.documents(spark, dir)
       .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val srcTot = sv.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The KS tail of [[ksDrift]] over the reduced per-(source,
+    * n_chars) count grid `cells` — factored out so the STREAMING
+    * monitor ([[graft.streaming.StreamOps.ksMonitorStream]]) finalizes
+    * each micro-batch's running counts with the SAME arithmetic the
+    * batch query ends with: stream/batch parity is structural, not
+    * re-implemented (the psiFinalize/sprtFinalize recipe). Everything
+    * below runs on the tiny source × observed-length grid; both ECDFs
+    * are divisions of exact longs, so the max gap hash-gates. */
+  private[graft] def ksFinalize(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
     // corpus-wide cumulative counts: a window over the distinct-length
     // table (bounded), not the corpus
     val wv = Window.orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val vals = sv.groupBy(col("n_chars")).agg(sum(col("c")).as("c_v"))
+    val vals = cells.groupBy(col("n_chars")).agg(sum(col("c")).as("c_v"))
       .withColumn("cum_all", sum(col("c_v")).over(wv))
       .select(col("n_chars"), col("cum_all"))
-    val tot = sv.agg(sum(col("c")).as("n_tot"))
+    val tot = cells.agg(sum(col("c")).as("n_tot"))
     val ws = Window.partitionBy(col("source")).orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     srcTot.crossJoin(broadcast(vals))
-      .join(sv, Seq("source", "n_chars"), "left")
+      .join(cells, Seq("source", "n_chars"), "left")
       .withColumn("cum_s", sum(coalesce(col("c"), lit(0L))).over(ws))
       .join(broadcast(tot))
       .filter(col("n_tot") > col("n_s"))

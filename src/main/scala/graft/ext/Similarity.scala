@@ -209,6 +209,7 @@ object Similarity {
       // the fitted centroids — are byte-stable across partitionings.
       val sample = Tables.embeddings(spark, dir)
         .filter(col("vec_id") < sampleN)
+        // collect-ok: ≤ sampleN rows by the pushed vec_id predicate
         .select(col("vec_id"), col("embedding")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -306,6 +307,7 @@ object Similarity {
     pqCache.getOrElseUpdate((dir, m, ksub, iters, sampleN), {
       val sample = Tables.embeddings(spark, dir)
         .filter(col("vec_id") < sampleN)
+        // collect-ok: ≤ sampleN rows by the pushed vec_id predicate
         .select(col("vec_id"), col("embedding")).collect()
         .sortBy(_.getLong(0))
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -468,7 +470,7 @@ object Similarity {
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding"), lshBucket(col("embedding"), 64, bits).as("bucket"))
-      .collect().head
+      .collect().head // collect-ok: one row — vec_id equality filter
     val qEmb = q.getSeq[Float](0)
     val qBucket = q.getLong(1)
     spark.read.parquet(indexPath)
@@ -502,7 +504,7 @@ object Similarity {
       .filter(col("vec_id") === queryId)
       .select(col("embedding"),
         graft.functions.exprs.ivf_cells(col("embedding"), cents, nProbe).as("cells"))
-      .collect().head
+      .collect().head // collect-ok: one row — vec_id equality filter
     val qEmb = q.getSeq[Float](0)
     val qCells = q.getSeq[Int](1)
     spark.read.parquet(indexPath)
@@ -1458,7 +1460,7 @@ object Similarity {
       val picks = scored.withColumn("rn", row_number().over(wPick))
         .filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), col("rel_i"), col("score_i"))
-        .collect() // |queryIds| rows per iteration — bounded
+        .collect() // collect-ok: |queryIds| rows per iteration — bounded
       selected ++= picks.map(r =>
         (r.getLong(0), i, r.getLong(1), r.getLong(2), r.getLong(3)))
     }
@@ -1648,10 +1650,13 @@ object Similarity {
     // long sums are exact integer adds (order-free on both sides).
     // The d=64 bound is the embeddings SCHEMA on this corpus, but the
     // grid row count is still data-derived (d² cells) — boundedGrid
-    // makes a 10k-dim embedding column fail fast, not OOM the driver.
+    // makes a wider embedding column fail fast, not OOM the driver.
+    // Cap at EXACTLY d*d: the matvec arrays below are sized d, so a
+    // 65-dim corpus must die in the named guard, not as an anonymous
+    // ArrayIndexOutOfBoundsException in acc(p) (ADVICE r10).
     val d = 64
     val grid = graft.ext.Guards
-      .boundedGrid(cov, 262144, "pcaTopComponent covariance grid")
+      .boundedGrid(cov, d * d, "pcaTopComponent covariance grid")
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     def rnd12(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()

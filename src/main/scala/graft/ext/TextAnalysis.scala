@@ -1036,7 +1036,8 @@ object TextAnalysis {
     val nEdges = eAll.count()
     val e0 = graft.ext.Guards.coalesceTiny(eAll, nEdges)
     val comp = graft.ext.Guards.coalesceTiny(
-      graft.ext.Dedup.connectedComponents(e0, "sa", "sb")
+      graft.ext.Dedup.connectedComponents(e0, "sa", "sb",
+          algorithm = "auto")
         .select(col("id"), col("label")), nEdges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mRow = e0.agg(count(lit(1)).as("m"))
@@ -1755,7 +1756,12 @@ object TextAnalysis {
       .localCheckpoint(eager = true)
     val nodes1 = e1.select(col("a").as("node")).distinct()
     val n = nodes1.count()
-    val e = graft.ext.Guards.coalesceTiny(e1, n)
+    // the EDGE frame collapses on its own count, not the node count:
+    // a dense co-occurrence graph can carry millions of edges over
+    // <10k nodes, and those edges — not the nodes — are the per-
+    // iteration join work (ADVICE r10; the kcore rule). e1 is already
+    // materialized (eager localCheckpoint), so the count is a scan.
+    val e = graft.ext.Guards.coalesceTiny(e1, e1.count())
     val nodes = graft.ext.Guards.coalesceTiny(nodes1, n)
       .localCheckpoint(eager = true)
     def sur12sum(c: Column): Column =

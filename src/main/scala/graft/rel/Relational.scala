@@ -1188,8 +1188,8 @@ object Relational {
         .when(d(1) <= d(2), 1).otherwise(2)
     }
     for (_ <- 1 to rounds) {
-      // collect is STRUCTURALLY bounded: groupBy(assign) has ≤ 3
-      // groups by construction — no Guards.boundedGrid needed (the
+      // collect-ok: STRUCTURALLY bounded — groupBy(assign) has ≤ 3
+      // groups by construction, no Guards.boundedGrid needed (the
       // q315 guard is for vocab ASSUMPTIONS, not schema constants)
       val upd = o.groupBy(assign(cents).as("k"))
         .agg(sum(round(col("v") * 1000.0, 0).cast("long")

@@ -490,6 +490,33 @@ object StreamOps {
       }
   }
 
+  /** Streaming two-sample KS drift monitor — the q213 batch core run
+    * continuously, completing the drift-monitor trio after
+    * [[psiMonitorStream]] (binned categorical shift) and
+    * [[sprtMonitorStream]] (sequential decision): KS watches a
+    * numeric marginal's whole ECDF, the "did this crawl's length
+    * distribution shift" dashboard. Input is the ingest stream of
+    * (source, n_chars) document rows. Per micro-batch: Complete-mode
+    * per-(source, length) counts — state is the source ×
+    * observed-length GRID, bounded by the length domain (≤ ~10⁵
+    * distinct values no matter how many documents stream through),
+    * no watermark needed — finalized by the SAME
+    * [[graft.ext.Sampling.ksFinalize]] arithmetic batch q213 ends
+    * with, so the streamed D statistics can never diverge from the
+    * batch recompute over the same documents (parity spec:
+    * stream-row-equals-batch after draining the corpus). */
+  def ksMonitorStream(docs: DataFrame)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cells = docs
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    cells.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.ext.Sampling.ksFinalize(batch), id)
+      }
+  }
+
   /** End-to-end STREAMING corpus curation — the batch
     * [[graft.ext.TextAnalysis.curatedDocs]] composition re-expressed
     * over an ingest stream of (doc_id, text, ts): the quality gates

@@ -146,6 +146,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert((1L to 61L).forall(pd(_) == 1L))
   }
 
+  test("connected components: auto escalates to doubling instead of throwing on a deep chain") {
+    import spark.implicits._
+    // the VERDICT r10 item-3 policy: production callers must not be
+    // able to fail on component diameter. Same 60-hop chain where
+    // labelprop at maxIter=10 THROWS (previous spec) — "auto" burns
+    // its labelprop budget, resumes with doubling from the PARTIAL
+    // labels, and lands on the exact fixpoint
+    val chain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val auto = Dedup.connectedComponents(chain, maxIter = 10,
+      algorithm = "auto").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 61L).forall(auto(_) == 1L))
+    // and on a shallow graph, auto converges inside the labelprop
+    // phase — same fixpoint as plain labelprop (the gated-query case)
+    val star = (101L to 120L).map(i => (100L, i)).toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(star, algorithm = "auto").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = Dedup.connectedComponents(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == lp)
+  }
+
   test("portable cms watchlist: a token the corpus never produced reports est_count 0, not absence") {
     val rows = graft.ext.Profile.cmsPortableHitters(spark, sf,
       candidates = Some(Seq("the", "zzz_never_in_corpus"))).collect()

@@ -844,6 +844,35 @@ class StreamOpsSpec extends AnyFunSuite {
       s"stream/batch sprt diverged:\nstream=$streamed\nbatch=$batch")
   }
 
+  test("streaming ks monitor finalizes to the batch q213 rows after draining the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = TestSpark.sf
+    // the REAL (source, n_chars) document rows, streamed in two
+    // micro-batches — the Complete-mode grid must finalize to exactly
+    // the batch operator's D statistics (shared ksFinalize tail)
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val src = MemoryStream[(String, Long)]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val q = StreamOps.ksMonitorStream(
+      src.toDF().toDF("source", "n_chars")) { (ks, _) => last = ks.collect() }
+      .start()
+    src.addData(b1.toSeq: _*); q.processAllAvailable()
+    src.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    def m(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = m(graft.ext.Sampling.ksDrift(spark, sf).collect())
+    val streamed = m(last)
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch ks diverged:\nstream=$streamed\nbatch=$batch")
+  }
+
   test("streaming kmv state equals the batch sketch over the same rows (merge across batches)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
