@@ -972,8 +972,23 @@ object Dedup {
     * 1-gram sets are degenerate on small-vocabulary corpora: nearly
     * every pair passes, so the filter would block nothing), and
     * blocking on the rarest shingles keeps join groups small.
-    * Candidates then verify exact Jaccard (the same
-    * [[jaccard_sim]]/threshold math as [[jaccardVerify]]).
+    * Candidates additionally pass PPJoin's two exact pruning
+    * predicates evaluated on the equi-join row itself — both are
+    * NECESSARY conditions for Jaccard ≥ t, so recall is untouched:
+    *   - LENGTH filter: J ≤ min(|a|,|b|)/max(|a|,|b|), so a true
+    *     pair needs min ≥ t·max — a column compare that kills
+    *     cross-size candidates before the shuffle.
+    *   - POSITIONAL filter: a pair with J ≥ t needs overlap
+    *     α = ⌈t·(|a|+|b|)/(1+t)⌉; its FIRST common token (global
+    *     order) sits at positions (pa, pb) inside both prefixes and
+    *     bounds the overlap by 1 + min(|a|−pa, |b|−pb) ≥ α. Rows
+    *     for later common tokens may fail the bound spuriously, but
+    *     the first-token row always survives for a true pair, and
+    *     `distinct()` needs only one surviving row per pair.
+    * Both predicates take an ε = 1e-9 slack against double rounding
+    * (over-keeping a borderline candidate is safe; the verify step
+    * recomputes exact Jaccard). Candidates then verify exact Jaccard
+    * (the same [[jaccard_sim]]/threshold math as [[jaccardVerify]]).
     *
     * Scale notes: correctness needs only a CONSISTENT total order,
     * so the per-doc ordering sorts by (global count, shingle)
@@ -982,11 +997,22 @@ object Dedup {
     * the exploded shingles on the shingle key (AQE picks
     * broadcast/shuffle by its actual size). No all-pairs anywhere,
     * and the result is EXACTLY the brute-force join's — the oracle
-    * is the FULL corpus, not a bounded window. */
+    * is the FULL corpus, not a bounded window. The length+positional
+    * filters are what hold the candidate count near-linear on
+    * mass-duplicated corpora: prefix-token groups grow with sf, and
+    * without them every in-group pair (quadratic) reaches the
+    * verify join. */
   def jaccardJoinPrefix(spark: SparkSession, dir: String, k: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    jaccardJoinPrefixOn(shingleTable(spark, dir, k), threshold)
+
+  /** [[jaccardJoinPrefix]]'s core over an explicit (doc_id, sh)
+    * shingle table — split out so the boundary spec can feed
+    * adversarial fixtures (pairs at EXACTLY J = t, sizes at exactly
+    * the min = t·max length-filter edge) without a parquet corpus. */
+  def jaccardJoinPrefixOn(docs: DataFrame,
+      threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = shingleTable(spark, dir, k)
     val exploded = docs
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("t"))
@@ -997,9 +1023,16 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("n"), col("t"))))
       .filter(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("t"), col("doc_id"))
+      .select(col("t"), col("doc_id"), col("sz"), col("pos"))
+    val eps = 1e-9
+    val overlapNeeded = // α: exact-rational form of ⌈t(sa+sb)/(1+t)⌉
+      lit(threshold) * (col("a.sz") + col("b.sz")) / (1.0 + threshold)
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")) - eps &&
+          lit(1) + least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos")) >= overlapNeeded - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(docs, cands, threshold)

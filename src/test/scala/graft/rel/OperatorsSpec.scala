@@ -1277,6 +1277,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix join pruning filters keep pairs at the exact J = t and min = t·max boundaries") {
+    import spark.implicits._
+    // Adversarial fixture for the PPJoin length/positional filters at
+    // t = 0.7: doc 1 ⊂ doc 2 with |∩| = 7, |∪| = 10 puts BOTH the
+    // jaccard (7/10) and the length ratio (sizes 7 vs 10) exactly ON
+    // the threshold — any rounding slip in the filters drops a valid
+    // pair. Ground truth is the unfiltered all-pairs verify.
+    val s = (i: Int) => s"sh$i"
+    val docs = Seq(
+      1L -> (1 to 7).map(s),                       // J(1,2) = 7/10 = t exactly
+      2L -> (1 to 10).map(s),
+      3L -> ((1 to 6).map(s) :+ "uniq3"),          // J(1,3) = 6/8 = 0.75
+      4L -> (1 to 7).map(s),                       // identical to 1 → J = 1
+      5L -> (1 to 4).map(s),                       // J(1,5) = 4/7 < t, len-filtered
+      6L -> Seq("d1", "d2", "d3")                  // disjoint
+    ).toDF("doc_id", "sh")
+    val got = Dedup.jaccardJoinPrefixOn(docs, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ids = docs.select("doc_id").as[Long].collect()
+    val brute = ids.flatMap(a => ids.filter(_ > a).map(a -> _)).toSeq
+      .toDF("doc_a", "doc_b")
+    val truth = Dedup.verifyPairs(docs, brute, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(truth.contains((1L, 2L)) && truth((1L, 2L)) == 0.7) // fixture is on-boundary
+    assert(got == truth, s"filtered=$got truth=$truth")
+  }
+
   test("jaccard verify window twin agrees with the shared verification core") {
     // the twin's all-pairs candidates are a superset of any LSH
     // candidate set inside the window, so every LSH-verified pair in
