@@ -1609,31 +1609,36 @@ object Similarity {
   def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 12)
       : DataFrame = {
     import spark.implicits._
-    def dsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
     val nD = lit(n.toDouble)
-    val mm = emb
-      .select(posexplode(transform(col("embedding"),
-        v => v.cast("double"))).as(Seq("p", "c")))
-      .groupBy(col("p")).agg(dsum(col("c")).as("s"))
-    // Moment grid WITHOUT a self-join: each row emits its d×d outer
-    // product inline (one codegen'd explode), and the hash aggregate
-    // combines map-side into 4096 (p,q) groups — the shuffle moves
-    // only partial grids, never row-level products. Same product
-    // multiset as the oracle's cell⋈cell, so the DECIMAL sums match.
+    // Moment grid in ONE typed-Aggregator scan (graft.exec.SnappedGram):
+    // each partition folds its rows' d×d outer products plus the d
+    // column sums into one (d²+d)-cell Long buffer with the EXACT
+    // decimal(28,12) per-product snap (fast fma path, BigDecimal
+    // fallback in the guard band — see SnappedGram's scaladoc), so
+    // the shuffle moves partitions×4160 cells, never row-level
+    // products, and the same product multiset as the oracle's
+    // cell⋈cell DECIMAL sums comes out bit-identical. This replaced
+    // an interpreted nested-transform explode of n·d² structs that
+    // dominated the whole query (BENCH_SF1 q316 37.7 s at sf1 → the
+    // grid stage was ~500 ns/product of generator+cast overhead).
     // repartition first: the source is a single small parquet split,
-    // and the interpreted HOF outer product is CPU-bound per row —
-    // without the spread the whole n·d² eval runs in ONE task.
-    val spq = emb
+    // and the per-row d² fold is CPU-bound — without the spread the
+    // whole n·d² fold runs in ONE task.
+    val d = 64
+    val cells = emb
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(explode(flatten(transform(col("embedding"), (x, p) =>
-        transform(col("embedding"), (y, q) => struct(
-          p.as("p"), q.as("q"),
-          (x.cast("double") * y.cast("double")).as("xy")))))).as("e"))
-      .select(col("e.p"), col("e.q"), col("e.xy"))
-      .groupBy(col("p"), col("q"))
-      .agg(dsum(col("xy")).as("s2"))
+      .select(transform(col("embedding"), v => v.cast("double")).as("e"))
+      .as[Array[Double]]
+      .select(graft.exec.SnappedGram.GramMomentAgg(d).toColumn.name("buf"))
+      .select(posexplode(col("buf")).as(Seq("i", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mm = cells.filter(col("i") >= d * d)
+      .select((col("i") - d * d).cast("int").as("p"), col("v").as("s"))
+    val spq = cells.filter(col("i") < d * d)
+      .select((col("i") / d).cast("int").as("p"),
+        pmod(col("i"), lit(d)).cast("int").as("q"), col("v").as("s2"))
     val cov = spq
       .join(mm.select(col("p"), col("s").as("sa")), Seq("p"))
       .join(mm.select(col("p").as("q"), col("s").as("sb")), Seq("q"))
@@ -1653,8 +1658,8 @@ object Similarity {
     // makes a wider embedding column fail fast, not OOM the driver.
     // Cap at EXACTLY d*d: the matvec arrays below are sized d, so a
     // 65-dim corpus must die in the named guard, not as an anonymous
-    // ArrayIndexOutOfBoundsException in acc(p) (ADVICE r10).
-    val d = 64
+    // ArrayIndexOutOfBoundsException in acc(p) (ADVICE r10) — and
+    // GramMomentAgg already fails by name on any non-d-dim row.
     val grid = graft.ext.Guards
       .boundedGrid(cov, d * d, "pcaTopComponent covariance grid")
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
