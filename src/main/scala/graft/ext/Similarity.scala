@@ -1606,6 +1606,21 @@ object Similarity {
     * matvec/norm reduction snaps to round-12 surrogates (the
     * q251/q308 device), so the oracle unrolls the identical loop as
     * CTE blocks. Sign is pinned by the all-positive start vector. */
+  /** q316's one-scan moment stage, exposed for the plan audit: the
+    * (d²+d)-cell [[graft.exec.SnappedGram.GramMomentAgg]] buffer
+    * unpacked to (i, v) rows. The ONLY generator in this frame sits
+    * above the aggregate (grid-sized input) — PlanAuditSpec pins
+    * that, so the n·d² row-level explode this stage replaced cannot
+    * silently return. */
+  def gramCells(emb: DataFrame, d: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb
+      .select(transform(col("embedding"), v => v.cast("double")).as("e"))
+      .as[Array[Double]]
+      .select(graft.exec.SnappedGram.GramMomentAgg(d).toColumn.name("buf"))
+      .select(posexplode(col("buf")).as(Seq("i", "v")))
+  }
+
   def pcaTopComponent(spark: SparkSession, dir: String, iters: Int = 12)
       : DataFrame = {
     import spark.implicits._
@@ -1627,12 +1642,8 @@ object Similarity {
     // and the per-row d² fold is CPU-bound — without the spread the
     // whole n·d² fold runs in ONE task.
     val d = 64
-    val cells = emb
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(transform(col("embedding"), v => v.cast("double")).as("e"))
-      .as[Array[Double]]
-      .select(graft.exec.SnappedGram.GramMomentAgg(d).toColumn.name("buf"))
-      .select(posexplode(col("buf")).as(Seq("i", "v")))
+    val cells = gramCells(
+      emb.repartition(spark.sparkContext.defaultParallelism), d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = cells.filter(col("i") >= d * d)
       .select((col("i") - d * d).cast("int").as("p"), col("v").as("s"))

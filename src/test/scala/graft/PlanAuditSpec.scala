@@ -47,4 +47,45 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("q316 gram stage: every explode sits above an aggregate (the n·d² row-level explode must not come back)") {
+    // The r11 rewrite replaced an interpreted explode of n·d² outer-
+    // product structs with the one-scan GramMomentAgg; the only
+    // generator left unpacks the (d²+d)-cell buffer. Structural pin
+    // on the exposed gramCells stage (the query's final frame is a
+    // driver-built LocalTableScan, so the audit targets the stage):
+    // each Generate's subtree must contain an Aggregate, so its input
+    // is grid-sized — a Generate feeding straight off the scan is the
+    // regression this guards against.
+    val plan = graft.ext.Similarity
+      .gramCells(graft.Tables.embeddings(spark, sf), 64)
+      .queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "expected the buffer-unpacking generator")
+    gens.foreach { g =>
+      val aggBelow = g.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(aggBelow, s"row-level Generate over:\n${g.child.treeString.take(800)}")
+    }
+    assert(plan.toString.toLowerCase.contains("grammomentagg"),
+      s"the typed Gram aggregator is gone from the plan:\n${plan.treeString.take(800)}")
+  }
+
+  test("q150: the candidate join stays equi-keyed despite the PPJoin range predicates") {
+    // The length/positional filters are extra join-condition
+    // predicates on the prefix-token equi-join; if a refactor ever
+    // drops the equality key, Spark falls back to a cartesian /
+    // nested-loop pair join — the exact blow-up prefix filtering
+    // exists to avoid.
+    val phys = SparkEntry.queries("q150_prefix_join")(spark, sf)
+      .queryExecution.sparkPlan
+    val bad = phys.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c.nodeName
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi pair join in q150: $bad")
+  }
 }
