@@ -371,6 +371,16 @@ object SparkEntry {
     // so the gate proves algorithm parity on real corpus data
     "q317_cc_doubling"    -> ((s, d) =>
       Dedup.nearDupClusters(s, d, algorithm = "doubling")),
+    // q318: the exact prefix join at a SECOND threshold (t = 0.5).
+    // The corpus's pair-similarity distribution is bimodal (near-dups
+    // ≥ 0.9, everything else < 0.1), so the output matches q150's —
+    // which is the point: at t = 0.5 the prefix length, the length-
+    // filter band, and the positional α are all DIFFERENT, and the
+    // hash gate proves the r11 PPJoin pruning retains every true
+    // pair under the second parameterization too (a t-dependent
+    // bound bug that happens to pass at 0.7 fails here).
+    "q318_prefix_join_t5" -> ((s, d) =>
+      Dedup.jaccardJoinPrefix(s, d, threshold = 0.5)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -6843,5 +6853,10 @@ object SparkEntry {
   // hash gate proves on real data (not just fixtures) that the
   // O(log diameter) path lands on the identical fixpoint
   def oracleSql: Map[String, String] = staticOracleSql +
-    ("q317_cc_doubling" -> staticOracleSql("q45_dedup_clusters"))
+    ("q317_cc_doubling" -> staticOracleSql("q45_dedup_clusters")) +
+    // q318 is q150's brute-force full-corpus oracle at the 0.5
+    // threshold — one oracle family, two operating points, keeping
+    // the Spark default and the derived SQL in sync by construction
+    ("q318_prefix_join_t5" ->
+      staticOracleSql("q150_prefix_join").replace(">= 0.7", ">= 0.5"))
 }
