@@ -73,9 +73,15 @@ object BenchSf1 {
     // lets the SAME harness price a bigger replica on a targeted
     // family (the 50× sf5 probe, VERDICT r10 item 7) without paying
     // the full probe list at that scale
-    val queries = if (args.length > 3 && args(3).nonEmpty)
+    val filtered = args.length > 3 && args(3).nonEmpty
+    val queries = if (filtered)
       probeQueries.filter(q => args(3).split(",").exists(q.contains))
     else probeQueries
+    // a filtered run MUST name its own artifact: defaulting would
+    // overwrite the committed full-probe BENCH_SF1.json with a
+    // partial row set
+    require(!filtered || args.length > 4,
+      "a query filter (arg 4) requires an explicit output file (arg 5)")
     val outFile = if (args.length > 4) args(4) else "BENCH_SF1.json"
     require(new java.io.File(s"$sf1/documents.parquet").exists(),
       s"$sf1 missing — generate it first: sbt \"runMain graft.DevScaleGen\"")

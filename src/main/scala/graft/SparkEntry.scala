@@ -6856,7 +6856,16 @@ object SparkEntry {
     ("q317_cc_doubling" -> staticOracleSql("q45_dedup_clusters")) +
     // q318 is q150's brute-force full-corpus oracle at the 0.5
     // threshold — one oracle family, two operating points, keeping
-    // the Spark default and the derived SQL in sync by construction
-    ("q318_prefix_join_t5" ->
-      staticOracleSql("q150_prefix_join").replace(">= 0.7", ">= 0.5"))
+    // the Spark default and the derived SQL in sync by construction.
+    // The derivation FAILS LOUDLY if the q150 SQL is ever reworded so
+    // the threshold pattern no longer matches — a silent no-op would
+    // leave q318 gating against 0.7 and (on this bimodal corpus)
+    // still passing, evaporating the second-threshold coverage.
+    ("q318_prefix_join_t5" -> {
+      val base = staticOracleSql("q150_prefix_join")
+      val swapped = base.replace(">= 0.7", ">= 0.5")
+      require(swapped != base,
+        "q318 oracle derivation: '>= 0.7' not found in the q150 oracle SQL")
+      swapped
+    })
 }

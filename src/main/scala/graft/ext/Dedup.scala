@@ -751,11 +751,23 @@ object Dedup {
     // One-hop propagation needs maxIter ≥ the cluster diameter; raise
     // it (or switch to pointer-doubling) if this ever fires.
     if (!converged) {
+      // the advice must match the path taken: under auto the doubling
+      // escalation ALREADY ran, so "switch to doubling" would tell the
+      // reader to do the thing that just failed — and the round count
+      // reported must be the budget actually consumed
       val msg =
-        s"connectedComponents exited via maxIter=$maxIter WITHOUT " +
-          "converging: labels are partially propagated and component " +
-          "ids are NOT final. Raise maxIter or switch to " +
-          "algorithm=\"doubling\" (O(log diameter) rounds)."
+        if (algorithm == "auto" && mode == "doubling")
+          s"connectedComponents (auto) exited after $it rounds " +
+            s"(labelprop $maxIter + doubling ${it - maxIter}, escalation " +
+            "already applied) WITHOUT converging: labels are partially " +
+            "propagated and component ids are NOT final. Raise maxIter " +
+            "— doubling covers diameter ~2^rounds, so a small increase " +
+            "goes far."
+        else
+          s"connectedComponents exited via maxIter=$maxIter WITHOUT " +
+            "converging: labels are partially propagated and component " +
+            "ids are NOT final. Raise maxIter or switch to " +
+            "algorithm=\"doubling\" (O(log diameter) rounds)."
       if (failOnNonConvergence) throw new IllegalStateException(msg)
       else System.err.println(s"[graft] $msg")
     }
@@ -974,7 +986,10 @@ object Dedup {
     * blocking on the rarest shingles keeps join groups small.
     * Candidates additionally pass PPJoin's two exact pruning
     * predicates evaluated on the equi-join row itself — both are
-    * NECESSARY conditions for Jaccard ≥ t, so recall is untouched:
+    * NECESSARY conditions for Jaccard ≥ tEff = t − 6e-5 (the slack
+    * mirrors the verify/oracle predicate, which accepts
+    * round(J, 4) ≥ t — see the soundness comment in the body), so
+    * recall is untouched:
     *   - LENGTH filter: J ≤ min(|a|,|b|)/max(|a|,|b|), so a true
     *     pair needs min ≥ t·max — a column compare that kills
     *     cross-size candidates before the shuffle.
@@ -985,9 +1000,9 @@ object Dedup {
     *     for later common tokens may fail the bound spuriously, but
     *     the first-token row always survives for a true pair, and
     *     `distinct()` needs only one surviving row per pair.
-    * Both predicates take an ε = 1e-9 slack against double rounding
-    * (over-keeping a borderline candidate is safe; the verify step
-    * recomputes exact Jaccard). Candidates then verify exact Jaccard
+    * Both predicates additionally take an ε = 1e-9 slack against
+    * double rounding (over-keeping a borderline candidate is safe;
+    * the verify step recomputes exact Jaccard). Candidates then verify exact Jaccard
     * (the same [[jaccard_sim]]/threshold math as [[jaccardVerify]]).
     *
     * Scale notes: correctness needs only a CONSISTENT total order,
@@ -1013,6 +1028,16 @@ object Dedup {
   def jaccardJoinPrefixOn(docs: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Soundness base for EVERY pruning bound (prefix length, length
+    // filter, positional α): the verify predicate — and the DuckDB
+    // oracle — accept round(J, 4) >= t, i.e. true J down to
+    // t − 5e-5. Bounds derived from "J ≥ t" would prune a pair at
+    // J = t − 3e-5 that the rounded verify keeps (silent output
+    // loss the bimodal test corpus cannot catch). All bounds
+    // therefore use tEff = t − 6e-5: necessary conditions for
+    // J ≥ tEff, which every round-4-accepted pair satisfies; the
+    // handful of extra candidates die in verify.
+    val tEff = threshold - 6e-5
     val exploded = docs
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("t"))
@@ -1022,15 +1047,15 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("n"), col("t"))))
       .filter(col("pos") <=
-        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        col("sz") - ceil(lit(tEff) * col("sz")) + 1)
       .select(col("t"), col("doc_id"), col("sz"), col("pos"))
     val eps = 1e-9
-    val overlapNeeded = // α: exact-rational form of ⌈t(sa+sb)/(1+t)⌉
-      lit(threshold) * (col("a.sz") + col("b.sz")) / (1.0 + threshold)
+    val overlapNeeded = // α: exact-rational form of ⌈tEff(sa+sb)/(1+tEff)⌉
+      lit(tEff) * (col("a.sz") + col("b.sz")) / (1.0 + tEff)
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")) >=
-            lit(threshold) * greatest(col("a.sz"), col("b.sz")) - eps &&
+            lit(tEff) * greatest(col("a.sz"), col("b.sz")) - eps &&
           lit(1) + least(col("a.sz") - col("a.pos"),
             col("b.sz") - col("b.pos")) >= overlapNeeded - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

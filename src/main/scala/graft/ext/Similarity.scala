@@ -1615,6 +1615,10 @@ object Similarity {
   def gramCells(emb: DataFrame, d: Int): DataFrame = {
     import emb.sparkSession.implicits._
     emb
+      // null embeddings contribute nothing, matching the replaced
+      // posexplode path (explode of null = zero rows); without the
+      // filter the typed reduce would NPE anonymously on the null row
+      .filter(col("embedding").isNotNull)
       .select(transform(col("embedding"), v => v.cast("double")).as("e"))
       .as[Array[Double]]
       .select(graft.exec.SnappedGram.GramMomentAgg(d).toColumn.name("buf"))

@@ -513,7 +513,14 @@ object StreamOps {
     cells.writeStream
       .outputMode(OutputMode.Complete())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(graft.ext.Sampling.ksFinalize(batch), id)
+        // ksFinalize references its input in FOUR subtrees (per-source
+        // totals, the value grid, the corpus total, the left join) —
+        // persist so each micro-batch reads the Complete-mode state
+        // once, not four times (the batch twin persists for the same
+        // reason)
+        val b = batch.persist()
+        try sink(graft.ext.Sampling.ksFinalize(b), id)
+        finally b.unpersist()
       }
   }
 

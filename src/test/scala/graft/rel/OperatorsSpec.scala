@@ -1304,6 +1304,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == truth, s"filtered=$got truth=$truth")
   }
 
+  test("prefix join pruning keeps a pair whose jaccard rounds UP to the threshold") {
+    import spark.implicits._
+    // true J = 13999/20000 = 0.69995 < 0.7, but the verify predicate
+    // (and the DuckDB oracle) accept round(J, 4) = 0.7000 — so the
+    // pruning bounds must be derived from tEff = t − 6e-5, not t.
+    // Pre-fix this pair was provably lost TWICE over: the t-based
+    // length filter requires 13999 ≥ 0.7·20000 = 14000, and the
+    // t-based prefix of doc 2 (6001 tokens) stops one short of its
+    // first common token at position 6002.
+    val a = (1 to 13999).map(i => f"s$i%05d")
+    val b = (1 to 20000).map(i => f"s$i%05d")
+    val docs = Seq(1L -> a, 2L -> b).toDF("doc_id", "sh")
+    val got = Dedup.jaccardJoinPrefixOn(docs, 0.7).collect()
+    assert(got.length == 1, s"pair lost by pruning: ${got.toSeq}")
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(got.head.getDouble(2) == 0.7)
+  }
+
   test("jaccard verify window twin agrees with the shared verification core") {
     // the twin's all-pairs candidates are a superset of any LSH
     // candidate set inside the window, so every LSH-verified pair in
