@@ -1172,14 +1172,31 @@ object Relational {
     * an exact-double argmin (ties to the lower cluster), updates
     * are DECIMAL milli-sums / counts, and the final report carries
     * per-cluster inertia from integer surrogates. */
-  def kmeans1d(spark: SparkSession, dir: String, rounds: Int = 4)
-      : DataFrame = {
+  def kmeans1d(spark: SparkSession, dir: String, rounds: Int = 4,
+      exactInit: Boolean = true): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir).select(col("o_totalprice").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val init = o.agg(percentile(col("v"), lit(0.25)).as("c0"),
-      percentile(col("v"), lit(0.5)).as("c1"),
-      percentile(col("v"), lit(0.75)).as("c2")).head()
+    // exactInit = true is the ORACLE artifact (DuckDB needs
+    // bit-identical initial centers); it is also the measured 100×
+    // limit — the exact percentile buffers every value and went
+    // super-linear (153×) + OOM'd an 8 GB heap at sf10 (BASELINE
+    // r11). Production calls exactInit = false: the same quartile
+    // init through approx_percentile's mergeable KLL sketch (the
+    // q95 → quantileBucketsApprox swap), O(sketch) memory at any
+    // scale; Lloyd's rounds — identical either way — wash out the
+    // ≤ 0.01 %-rank init perturbation on any well-separated data
+    // (spec: same final cluster sizes on the gate corpus).
+    val init =
+      if (exactInit)
+        o.agg(percentile(col("v"), lit(0.25)).as("c0"),
+          percentile(col("v"), lit(0.5)).as("c1"),
+          percentile(col("v"), lit(0.75)).as("c2")).head()
+      else
+        o.agg(approx_percentile(col("v"), lit(0.25), lit(10000)).as("c0"),
+          approx_percentile(col("v"), lit(0.5), lit(10000)).as("c1"),
+          approx_percentile(col("v"), lit(0.75), lit(10000)).as("c2"))
+          .head()
     var cents = Vector(init.getDouble(0), init.getDouble(1),
       init.getDouble(2))
     def assign(cs: Vector[Double]): Column = {

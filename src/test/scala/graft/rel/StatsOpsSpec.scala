@@ -63,6 +63,27 @@ class StatsOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
   }
 
+  test("kmeans1d production approx-init converges to the exact-init clustering") {
+    // exactInit = true is the oracle artifact and the measured 100×
+    // limit (super-linear + OOM at default heap — BASELINE r11); the
+    // production sketch init must land on the same Lloyd fixpoint on
+    // well-separated data: identical cluster populations, inertia
+    // within a whisker (final centroids may differ in the last
+    // decimals when a boundary point sits between the two inits)
+    def canon(exact: Boolean) =
+      Relational.kmeans1d(spark, sf, exactInit = exact).collect()
+        .sortBy(_.getAs[Int]("cluster"))
+        .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n"),
+          r.getAs[Long]("inertia")))
+    val (e, a) = (canon(true), canon(false))
+    assert(e.map(t => (t._1, t._2)).sameElements(a.map(t => (t._1, t._2))),
+      s"cluster populations diverged: exact=${e.toSeq} approx=${a.toSeq}")
+    e.zip(a).foreach { case ((_, _, ie), (_, _, ia)) =>
+      assert(math.abs(ie - ia) <= math.max(1L, ie / 100),
+        s"inertia diverged: $ie vs $ia")
+    }
+  }
+
   test("kruskal-wallis: h nonnegative, ties only inflate h") {
     val r = Profile.kruskalWallis(spark, sf).collect().head
     assert(r.getAs[Long]("df") == r.getAs[Long]("k") - 1L)
