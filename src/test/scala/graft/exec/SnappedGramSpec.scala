@@ -6,9 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** The SnappedGram exactness contract: snap12's fast fma path must be
-  * BIT-IDENTICAL to Spark's cast(double as decimal(28,12)) — i.e. to
-  * rounding the EXACT binary value of the double at scale 12,
-  * HALF_UP — and the one-scan GramMomentAgg must reproduce the
+  * BIT-IDENTICAL to Spark's cast(double as decimal(28,12)) — which
+  * rounds the SHORTEST-REPR string value of the double at scale 12,
+  * HALF_UP (Decimal.set(Double) → BigDecimal(Double.toString(d)),
+  * NOT the exact binary value — they diverge at e.g. 5e-13, whose
+  * nearest double is 4.9999…e-13 in binary but prints "5.0E-13";
+  * ADVICE r11) — and the one-scan GramMomentAgg must reproduce the
   * literal cast-and-sum DataFrame cell for cell. q316's hash-matched
   * oracle rides on both. */
 class SnappedGramSpec extends AnyFunSuite {
@@ -16,20 +19,47 @@ class SnappedGramSpec extends AnyFunSuite {
   lazy val spark = TestSpark.init()
 
   private def ref12(x: Double): Long =
-    new java.math.BigDecimal(x)
+    new java.math.BigDecimal(java.lang.Double.toString(x))
       .setScale(12, java.math.RoundingMode.HALF_UP)
       .movePointRight(12).longValueExact()
 
-  test("snap12 equals the exact BigDecimal reference on adversarial values") {
-    val targeted = Seq(
-      0.0, -0.0, 1.0, -1.0, 1e-12, -1e-12, 5e-13, -5e-13, // the .5 tie scale
-      1.5e-12, 2.5e-12, -2.5e-12, // ties at 1.5, 2.5 (HALF_UP away from zero)
-      4.9999999999995e-1, 0.5, 0.1, 0.3, 0.7, // classic unrepresentables
-      1.0000000000005, -1.0000000000005, // tie at integer+.5 scale
-      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE, // subnormals → 0
-      2.220446049250313e-16, 0.9999999999999999,
-      4503.599627370495, 4503.599627370497, // straddle the FastMax/1e12 edge
-      123456.789012345678, -98765.4321098765)
+  // the values where string-repr and exact-binary rounding DISAGREE
+  // (double just below the decimal tie, shortest repr exactly on it)
+  // plus ordinary adversarial ties/unrepresentables
+  private val targeted = Seq(
+    0.0, -0.0, 1.0, -1.0, 1e-12, -1e-12, 5e-13, -5e-13, // the .5 tie scale
+    1.5e-12, 2.5e-12, -2.5e-12, // ties at 1.5, 2.5 (HALF_UP away from zero)
+    4.9999999999995e-1, 0.5, 0.1, 0.3, 0.7, // classic unrepresentables
+    1.0000000000005, -1.0000000000005, // tie at integer+.5 scale
+    java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE, // subnormals → 0
+    2.220446049250313e-16, 0.9999999999999999,
+    4503.599627370495, 4503.599627370497, // straddle the FastMax/1e12 edge
+    123456.789012345678, -98765.4321098765)
+
+  test("snap12 equals Spark's ACTUAL cast(decimal(28,12)) unscaled value — divergent ties included") {
+    import spark.implicits._
+    // the authority itself, not a hand-rolled model of it: push every
+    // targeted value through Catalyst's cast and compare unscaled longs
+    val got = targeted.toDF("x")
+      .select(col("x"), col("x").cast("decimal(28,12)").as("d"))
+      .collect()
+      .map(r => r.getDouble(0) ->
+        r.getDecimal(1).movePointRight(12).longValueExact())
+    got.foreach { case (x, u) =>
+      assert(SnappedGram.snap12(x) == u, s"spark cast parity x=$x")
+      assert(ref12(x) == u, s"ref12 models the cast wrongly at x=$x")
+    }
+    // the ADVICE divergence is REAL on this Spark build: the exact-
+    // binary rounding lands on the other side for these ties — if this
+    // ever fails, the cast semantics changed and slow12 must follow
+    def binary12(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .movePointRight(12).longValueExact()
+    assert(ref12(5e-13) == 1L && binary12(5e-13) == 0L)
+    assert(ref12(2.5e-12) == 3L && binary12(2.5e-12) == 2L)
+  }
+
+  test("snap12 equals the string-based BigDecimal reference on adversarial values") {
     targeted.foreach { x =>
       assert(SnappedGram.snap12(x) == ref12(x), s"targeted x=$x")
     }
@@ -68,6 +98,11 @@ class SnappedGramSpec extends AnyFunSuite {
       Array(0.1, -0.2345678901234567, 3.3333333333333335),
       Array(1e-7, 0.9999999999999999, -2.718281828459045),
       Array(0.5, -0.5, 0.0),
+      // string-vs-binary divergent ties AS PRODUCTS: 5e-13·1 and
+      // 2.5e-12·1 land exactly on the ADVICE r11 values where the
+      // old exact-binary snap disagreed with the cast — this fixture
+      // fails against a binary-rounding snap12
+      Array(5e-13, 1.0, 2.5e-12),
       Array(1.4142135623730951, 0.3010299956639812, -1e-13))
     val ds = rows.toDF("e").as[Array[Double]]
     val got = ds
