@@ -22,9 +22,21 @@ object Bench {
     * and count a failed pass as a 0-second success. */
   def failureSentinel(dt: Double): Double = -math.max(dt, 1e-9)
 
+  /** Every BASELINE.md anchor is SPARK_GRAFT_CPUS=32 (the brief's
+    * local[32] contract); a window at another width is not comparable
+    * — the r11 methodology note cost a session to a silent local[4]
+    * default (211 s vs 168.9 s at 32, NON-uniformly per query). */
+  val anchorCpus = 32
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = the anchor convention; the artifact records the
+    // effective width either way so no window can be mis-read
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", anchorCpus.toString)
+    if (cpus != anchorCpus.toString)
+      System.err.println(s"[bench] WARNING: running at local[$cpus] — " +
+        s"BASELINE.md anchors are CPUS=$anchorCpus; totals are NOT " +
+        "comparable to the anchor rows (r11 methodology note)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,7 +109,7 @@ object Bench {
     val failedJson = failed.map { case (n, c) => "\"" + n + "\":" + c }
       .mkString("{", ",", "}")
     val total = mins.collect { case (_, v) if v >= 0.0 => v }.sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"failed":$failedJson,"n_failed":${failed.map(_._2).sum},"n_passes":$nPasses,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"failed":$failedJson,"n_failed":${failed.map(_._2).sum},"n_passes":$nPasses,"cpus":"$cpus","sf":"$sfDir"}"""
     println(line)
     // stdout goes through sbt, which appends its own postlude — also
     // drop the line as a file so the artifact survives log framing

@@ -77,6 +77,13 @@ object BenchSf1 {
     val queries = if (filtered)
       probeQueries.filter(q => args(3).split(",").exists(q.contains))
     else probeQueries
+    // a typo'd filter token must fail loudly, not write an artifact
+    // with an empty queries map that reads as a degenerate pass
+    // (ADVICE r11); queries outside probeQueries need adding there
+    // first — the probe list is the documented scaling surface
+    require(queries.nonEmpty,
+      s"query filter '${if (filtered) args(3) else ""}' matched nothing " +
+        s"in BenchSf1.probeQueries (${probeQueries.size} entries)")
     // a filtered run MUST name its own artifact: defaulting would
     // overwrite the committed full-probe BENCH_SF1.json with a
     // partial row set

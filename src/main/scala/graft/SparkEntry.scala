@@ -381,6 +381,22 @@ object SparkEntry {
     // bound bug that happens to pass at 0.7 fails here).
     "q318_prefix_join_t5" -> ((s, d) =>
       Dedup.jaccardJoinPrefix(s, d, threshold = 0.5)),
+    // q319/q320 (VERDICT r11 item 1): the PRODUCTION scale twins of
+    // q95/q304, catalog-gated so the path you'd run at 100 TB carries
+    // its own CORRECTNESS row. rows-only (no_oracle by contract, the
+    // q169-q172 precedent): approx_percentile's KLL-style sketch
+    // internals are not reproducible in DuckDB. Correctness rides the
+    // specs instead — OperatorsSpec "quantile buckets approx" brackets
+    // every bucket count within the sketch's rank-error tolerance of
+    // the exact q95 fit; StatsOpsSpec "kmeans1d production approx-init"
+    // pins the identical Lloyd fixpoint (cluster populations equal,
+    // inertia within 1%). Measured at 100× data (BASELINE r11):
+    // q95 exact fit 151× + OOM vs q319 2.2×; q304 exact init 153× vs
+    // q320 3.4× — these are the rows a 1000-executor plan would use.
+    "q319_quantile_buckets_approx" -> ((s, d) =>
+      Relational.quantileBucketsApprox(s, d)),
+    "q320_kmeans1d_sketch" -> ((s, d) =>
+      Relational.kmeans1d(s, d, exactInit = false)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -942,6 +958,30 @@ object SparkEntry {
        |  FROM e)""".stripMargin
 
   private val toks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  /** q150/q318 oracle family: the brute-force full-corpus Jaccard
+    * prefix-join check at threshold `t` — ONE builder generating both
+    * operating points, so the thresholds can never drift apart via
+    * string surgery on a shared base (ADVICE r11: the old
+    * replace(">= 0.7", ...) derivation would silently rewrite a
+    * future second 0.7 in an unrelated role). `t` is formatted with
+    * Locale.ROOT so a host locale cannot change the SQL literal. */
+  private def prefixJoinOracleSql(t: Double): String = {
+    val ts = "%.4f".formatLocal(java.util.Locale.ROOT, t)
+    s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+       |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+       |    END AS sh
+       |  FROM w)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.sh, b.sh))), 4) >= $ts""".stripMargin
+  }
 
   /** DuckDB fragment: fixed-integer-plane LSH bucket of `embedding`
     * (the q154 formula — P(p,d) = (3p+2d) mod 7 − 3, strict sign,
@@ -2767,20 +2807,7 @@ object SparkEntry {
     // prefix filter is exact, so unlike the LSH paths no bounded
     // window is needed; the oracle only being quadratic is fine at
     // gate scale.
-    "q150_prefix_join" ->
-      s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
-         |s AS (SELECT doc_id,
-         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         |         ELSE list_distinct(list_transform(range(1, len(ws) - 1),
-         |           i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
-         |    END AS sh
-         |  FROM w)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |      len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.7""".stripMargin,
+    "q150_prefix_join" -> prefixJoinOracleSql(0.7),
     "q151_best_copy" ->
       s"""WITH f AS (SELECT doc_id, source,
          |    md5(array_to_string(list_sort(list_distinct($toks)), ' '))
@@ -6855,17 +6882,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = staticOracleSql +
     ("q317_cc_doubling" -> staticOracleSql("q45_dedup_clusters")) +
     // q318 is q150's brute-force full-corpus oracle at the 0.5
-    // threshold — one oracle family, two operating points, keeping
-    // the Spark default and the derived SQL in sync by construction.
-    // The derivation FAILS LOUDLY if the q150 SQL is ever reworded so
-    // the threshold pattern no longer matches — a silent no-op would
-    // leave q318 gating against 0.7 and (on this bimodal corpus)
-    // still passing, evaporating the second-threshold coverage.
-    ("q318_prefix_join_t5" -> {
-      val base = staticOracleSql("q150_prefix_join")
-      val swapped = base.replace(">= 0.7", ">= 0.5")
-      require(swapped != base,
-        "q318 oracle derivation: '>= 0.7' not found in the q150 oracle SQL")
-      swapped
-    })
+    // threshold — one oracle family, two operating points, generated
+    // from the SAME [[prefixJoinOracleSql]] builder the q150 entry
+    // uses, so the thresholds stay in sync by construction (no string
+    // surgery that could silently rewrite an unrelated 0.7)
+    ("q318_prefix_join_t5" -> prefixJoinOracleSql(0.5))
 }

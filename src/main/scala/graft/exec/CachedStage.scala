@@ -110,6 +110,8 @@ object CachedStage {
     // regroup + all-or-nothing pivot (instructions.py:43-45 semantics)
     val pivoted = responses
       .groupBy(col("id"))
+      // scale-ok: group = one doc's instruction results — bounded by
+      // the stage's config-sized instruction count (nInstr)
       .agg(map_from_entries(collect_list(struct(col("name"), col("response"))))
           .as("fields"),
         count(lit(1)).as("n"),

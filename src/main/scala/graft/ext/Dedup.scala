@@ -640,7 +640,7 @@ object Dedup {
     * `checkpoint` so the iteration survives executor loss. Default
     * stays local: right for local[N] and for the bench.
     *
-    * `algorithm`: `"labelprop"` (default — one-hop min propagation,
+    * `algorithm`: `"labelprop"` (one-hop min propagation,
     * O(diameter) rounds, one shuffle join per round) or `"doubling"`
     * (pointer doubling: each round ALSO shortcuts l(x) ← l(l(x)) via
     * a label self-join, so the propagation horizon doubles per round
@@ -657,13 +657,17 @@ object Dedup {
     * labelprop and, on hitting `maxIter` unconverged, RESUMES with
     * doubling rounds from the partial labels (safe: labels are node
     * ids that only decrease, so the self-join stays total and the
-    * fixpoint is unchanged) — the policy the gated scale callers use
-    * so no production path can fail on component diameter. */
+    * fixpoint is unchanged) — and is the DEFAULT (VERDICT r11
+    * item 2): no caller can fail on component diameter unless it
+    * opts into plain labelprop explicitly. The fixpoint is
+    * algorithm-independent (labels are node ids, monotone
+    * decreasing), so gated oracles are unaffected; the default
+    * policy is spec-pinned in OperatorsSpec. */
   def connectedComponents(edges: DataFrame, src: String = "doc_a",
       dst: String = "doc_b", maxIter: Int = 20,
       checkpointDir: Option[String] = None,
       failOnNonConvergence: Boolean = true,
-      algorithm: String = "labelprop"): DataFrame = {
+      algorithm: String = "auto"): DataFrame = {
     require(algorithm == "labelprop" || algorithm == "doubling" ||
         algorithm == "auto",
       s"connectedComponents: unknown algorithm '$algorithm'")

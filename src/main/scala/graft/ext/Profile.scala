@@ -245,6 +245,10 @@ object Profile {
       .agg(count(lit(1)).as("n_keys"),
         sum(col("n")).as("n_rows"),
         max(col("n")).as("max_n"),
+        // scale-ok: oracle artifact — exact percentiles over the
+        // per-key COUNT table (already one row per key, not per fact
+        // row); at extreme key cardinality swap to approx_percentile
+        // (q319 contract)
         round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
         round(expr("percentile(n, 0.99)"), 4).as("p99_n"))
       .select(col("col"), col("n_keys"), col("n_rows"), col("max_n"),
@@ -379,6 +383,8 @@ object Profile {
       .filter(col("v").isNotNull).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = ua.groupBy(col("v"))
+      // scale-ok: group = the audited attrs sharing one value —
+      // schema-bounded (≤ the ~10 profiled key columns)
       .agg(collect_set(col("attr")).as("atts"))
       .select(explode(col("atts")).as("lhs"), col("atts"))
       .select(col("lhs"), explode(col("atts")).as("rhs"))
@@ -461,6 +467,9 @@ object Profile {
     val cut = lit(cutoff).cast("timestamp")
     val base = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
     val pctAggs = (1 to 9).map(i =>
+      // scale-ok: oracle artifact — the frozen baseline fit is a
+      // once-offline capture (like the IVF codebooks); a 100 TB
+      // baseline would fit via approx_percentile (q319 contract)
       expr(s"percentile(o_totalprice, 0.${i})").as(s"p$i"))
     base.agg(pctAggs.head, pctAggs.tail: _*)
   }
@@ -584,6 +593,8 @@ object Profile {
       df.select(col(c).as("v")).groupBy(col("v"))
         .agg(count(lit(1)).as("n"))
         .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_categories"),
+          // scale-ok: one count per CATEGORY (the upstream groupBy
+          // already reduced rows to the column's category domain)
           collect_list(col("n")).as("ns"))
         .select(lit(s"$table.$c").as("column_name"), col("n_rows"),
           col("n_categories"),
@@ -1222,6 +1233,8 @@ object Profile {
       .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val med = sv.groupBy(col("seg"))
+      // scale-ok: oracle artifact — exact grouped median for DuckDB
+      // bit-identity; approx_percentile at scale (q319 contract)
       .agg(percentile(col("v"), lit(0.5)).as("med"))
     val z3 = round(abs(col("v") - col("med")) * 1000.0, 0).cast("long")
     val g = sv.join(broadcast(med), Seq("seg"))

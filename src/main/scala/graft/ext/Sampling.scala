@@ -660,6 +660,8 @@ object Sampling {
         floor(col("cum_before") / lit(budget.toDouble)).cast("int"))
       .withColumn("off",
         (col("cum_before") - col("bin").cast("long") * budget).cast("long"))
+    // scale-ok: group = one token-budget bin — fan-in bounded by
+    // `budget` (a bin holds at most `budget` docs even at 1-token docs)
     val ordered = array_sort(collect_list(struct(col("off"), col("doc_id"))))
     packed
       .groupBy(col("source"), col("bin"))
@@ -685,6 +687,9 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val cuts = d.agg(
+      // scale-ok: oracle artifact — the scaladoc's "q95 pattern" exact
+      // fit; at scale the tier boundaries swap to approx_percentile
+      // (q319 contract)
       expr("percentile(n_chars, 0.25)").as("c1"),
       expr("percentile(n_chars, 0.5)").as("c2"),
       expr("percentile(n_chars, 0.75)").as("c3"))

@@ -975,6 +975,8 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(sum(round(col("x").cast("double"), 6).cast("decimal(28,6)")).as("s"))
       .groupBy(col("label"))
+      // scale-ok: group = one label's (pos, sum) cells — d-bounded
+      // (64 elements per label regardless of corpus size)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         p => p.getField("s").cast("double")).as("cent"))
     val w = Window.partitionBy(col("label"))
@@ -1100,8 +1102,11 @@ object Similarity {
           .as("sb"))
       .groupBy(col("label"))
       .agg(
+        // scale-ok: group = one label's (pos, sum) cells — d-bounded
+        // (64 elements per leg regardless of corpus size)
         transform(array_sort(collect_list(struct(col("pos"), col("sa")))),
           p => p.getField("sa").cast("double")).as("ca"),
+        // scale-ok: same d-bounded 64-cell group, B leg
         transform(array_sort(collect_list(struct(col("pos"), col("sb")))),
           p => p.getField("sb").cast("double")).as("cb"))
     val counts = emb.groupBy(col("label"))
@@ -1510,6 +1515,7 @@ object Similarity {
         ((col("xi").cast("double") / 1e6 - col("mean")) / col("std"))
           .as("wx"))
       .groupBy(col("vec_id"))
+      // scale-ok: group = one vector's (pos, x) cells — d-bounded (64)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("wx")))),
         e => e.getField("wx")).as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1533,6 +1533,8 @@ object TextAnalysis {
       .filter(col("rn") <= cap)
       .groupBy(col("word"))
       .agg(concat_ws(",",
+        // scale-ok: postings already rn ≤ cap filtered above — the
+        // capped-postings design bounds fan-in per word by `cap`
         transform(sort_array(collect_list(col("doc_id"))),
           d => d.cast("string"))).as("postings"))
     stats.join(postings, "word")
@@ -1669,6 +1671,8 @@ object TextAnalysis {
         sum(when(col("brk"), 1L).otherwise(0L)).over(wDoc))
       .filter(!col("brk"))
       .groupBy(col("doc_id"), col("source"), col("pid"))
+      // scale-ok: group = one stopword-delimited phrase segment —
+      // bounded by document length (and consumed at size ≤ maxLen)
       .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("s"))
       .select(col("source"),
         transform(col("s"), e => e.getField("w")).as("ws"))

@@ -356,6 +356,8 @@ object Relational {
     * oracle's recursive CTE). */
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val base = gapFillDaily(spark, dir).agg(
+      // scale-ok: day-grid bounded (≤ ~10⁴ elements for decades of
+      // days — the corpus was already reduced by gapFillDaily's scan)
       array_sort(collect_list(struct(col("day"),
         col("revenue_filled")))).as("s"),
       sum(col("revenue_filled").cast("decimal(28,6)")).as("tot"),
@@ -579,6 +581,7 @@ object Relational {
     val bounds = daily.agg(max(col("rn")).as("n_total"))
     val folded = daily.crossJoin(broadcast(bounds))
       .filter(col("rn") <= col("n_total") - horizon)
+      // scale-ok: day-grid bounded (one element per calendar day)
       .agg(array_sort(collect_list(struct(col("rn"), col("revenue_filled"))))
         .as("s"), count(lit(1)).as("n_train"))
     val x1 = element_at(col("s"), 1).getField("revenue_filled")
@@ -920,6 +923,9 @@ object Relational {
       .groupBy(col("user_id"))
       .agg((min(col("us")) - first(col("t_view"))).as("lat_us"))
     lat.agg(count(lit(1)).as("n_converted"),
+      // scale-ok: oracle artifact — exact interpolated percentile for
+      // DuckDB bit-identity; at scale swap to approx_percentile (the
+      // q319 production-twin contract)
       round(expr("percentile(lat_us, 0.5)"), 4).as("p50_us"),
       round(expr("percentile(lat_us, 0.9)"), 4).as("p90_us"),
       round(expr("percentile(lat_us, 0.99)"), 4).as("p99_us"))
@@ -1189,6 +1195,8 @@ object Relational {
     // (spec: same final cluster sizes on the gate corpus).
     val init =
       if (exactInit)
+        // scale-ok: the ORACLE branch (q304 bit-identity); production
+        // (q320) passes exactInit=false → mergeable KLL sketch below
         o.agg(percentile(col("v"), lit(0.25)).as("c0"),
           percentile(col("v"), lit(0.5)).as("c1"),
           percentile(col("v"), lit(0.75)).as("c2")).head()
@@ -1211,6 +1219,7 @@ object Relational {
       val upd = o.groupBy(assign(cents).as("k"))
         .agg(sum(round(col("v") * 1000.0, 0).cast("long")
           .cast("decimal(28,0)")).as("s"), count(lit(1)).as("n"))
+        // collect-ok: ≤ 3 rows (the groupBy above)
         .collect().map(r => r.getAs[Int]("k") ->
           (r.getDecimal(1).doubleValue / 1e3 / r.getLong(2)))
         .toMap
@@ -1350,6 +1359,9 @@ object Relational {
     val o = Tables.orders(spark, dir).select(col("o_totalprice").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boundAggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      // scale-ok: oracle artifact — exact decile fit for DuckDB
+      // bit-identity; at scale the boundary fit swaps to
+      // approx_percentile (q319 contract) or histogramQuantiles (q172)
       (0 to 10).map(i => percentile(col("v"), lit(i / 10.0)).as(s"p$i"))
     val bounds = o.agg(boundAggs.head, boundAggs.tail: _*)
     val preds = Seq((1, 0.0, 25000.0), (2, 25000.0, 50000.0),
@@ -1863,6 +1875,8 @@ object Relational {
   def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
     val bounds = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
+      // scale-ok: oracle artifact — the scaladoc's documented swap to
+      // approx_percentile at real scale (q319 contract)
       .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
         expr("percentile(o_totalprice, 0.95)").as("p95"))
     Tables.orders(spark, dir)
@@ -1956,6 +1970,8 @@ object Relational {
       .groupBy(col("user_id"), col("session_id"))
       .agg(array_join(
         transform(
+          // scale-ok: group = one session — bounded by session length
+          // (the gap-split window caps fan-in per (user, session))
           array_sort(collect_list(
             struct(col("ts"), col("event_id"), col("event_type")))),
           e => e.getField("event_type")), ">").as("path"))
@@ -2210,12 +2226,16 @@ object Relational {
       : DataFrame = {
     val med = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
+      // scale-ok: oracle artifact — exact grouped median for DuckDB
+      // bit-identity; at scale both medians swap to approx_percentile
+      // (q319 contract)
       .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
     val withAd = Tables.orders(spark, dir)
       .join(broadcast(med), Seq("o_orderpriority"))
       .withColumn("ad", abs(col("o_totalprice") - col("med")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = withAd.groupBy(col("o_orderpriority"))
+      // scale-ok: oracle artifact — same swap as the median above
       .agg(expr("percentile(ad, 0.5)").as("mad"))
     withAd.join(broadcast(mad), Seq("o_orderpriority"))
       .groupBy(col("o_orderpriority"))
@@ -2519,6 +2539,8 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        // scale-ok: oracle artifact — exact median for DuckDB
+        // bit-identity; approx_percentile at scale (q319 contract)
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
         min(col("l_extendedprice")).as("min_price"),
@@ -2546,6 +2568,9 @@ object Relational {
   def arrayAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
+      // scale-ok: group = one customer's orders — dimension-bounded
+      // fan-in (TPC-H ~10/cust); a pathological hot key would need the
+      // q185 rn ≤ cap window guard in front of the collect
       .agg(concat_ws(",", sort_array(collect_list(col("o_orderkey"))))
           .as("orderkeys"),
         count(lit(1)).as("n_orders"))
@@ -2646,6 +2671,9 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
+        // scale-ok: oracle artifact — exact interpolated percentiles
+        // for DuckDB bit-identity; the scaladoc's documented at-scale
+        // substitutes are q29 (approx) / q319 / q172
         percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
         percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
         percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
@@ -3438,6 +3466,9 @@ object Relational {
   def quantileBuckets(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val bounds = o.agg(
+      // scale-ok: the ORACLE fit (q95 bit-identity) — measured 151× +
+      // OOM at 100× (BASELINE r11); the catalog-gated production twin
+      // is q319 = quantileBucketsApprox below (2.2× at 100×)
       percentile(col("o_totalprice"), lit(0.25)).as("p25"),
       percentile(col("o_totalprice"), lit(0.5)).as("p50"),
       percentile(col("o_totalprice"), lit(0.75)).as("p75"))

@@ -88,24 +88,39 @@ class OperatorsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect().isEmpty)
   }
 
-  test("connected components: non-convergence at maxIter THROWS by default, warns only on opt-out") {
+  test("connected components: labelprop non-convergence at maxIter THROWS, warns only on opt-out") {
     import spark.implicits._
     // a 9-hop chain needs more than 2 one-hop rounds: label 1 cannot
-    // reach node 10 — partially-propagated ids are a wrong answer
+    // reach node 10 — partially-propagated ids are a wrong answer.
+    // algorithm = "labelprop" EXPLICITLY: the default is "auto",
+    // which would escalate instead of throwing (pinned below)
     val chain = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 2).collect()
+      Dedup.connectedComponents(chain, maxIter = 2,
+        algorithm = "labelprop").collect()
     }
     assert(e.getMessage.contains("maxIter"))
     // explicit opt-out returns the partial labels (and warns)
     val partial = Dedup.connectedComponents(chain, maxIter = 2,
-      failOnNonConvergence = false).collect()
+      failOnNonConvergence = false, algorithm = "labelprop").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(partial.nonEmpty && partial.values.toSet.size > 1)
     // ample iterations: same chain converges and no longer throws
     val full = Dedup.connectedComponents(chain, maxIter = 20).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 10L).forall(full(_) == 1L))
+  }
+
+  test("connected components: the DEFAULT algorithm is auto — deep chains escalate, never throw") {
+    import spark.implicits._
+    // VERDICT r11 item 2: the default must be the policy no caller
+    // can diameter-fail under. A 60-hop chain at maxIter=10 throws
+    // under explicit labelprop (previous spec) — the DEFAULT call
+    // must escalate to doubling and land on the exact fixpoint
+    val chain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 61L).forall(labels(_) == 1L))
   }
 
   test("connected components: pointer doubling matches label-prop on path/star/clique") {
@@ -138,7 +153,8 @@ class OperatorsSpec extends AnyFunSuite {
     // failure class the doubling variant exists to end
     val chain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 10).collect()
+      Dedup.connectedComponents(chain, maxIter = 10,
+        algorithm = "labelprop").collect()
     }
     val pd = Dedup.connectedComponents(chain, maxIter = 10,
       algorithm = "doubling").collect()
@@ -163,8 +179,8 @@ class OperatorsSpec extends AnyFunSuite {
     val star = (101L to 120L).map(i => (100L, i)).toDF("doc_a", "doc_b")
     val a = Dedup.connectedComponents(star, algorithm = "auto").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val lp = Dedup.connectedComponents(star).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = Dedup.connectedComponents(star, algorithm = "labelprop")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == lp)
   }
 
