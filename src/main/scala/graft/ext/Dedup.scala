@@ -1030,6 +1030,34 @@ object Dedup {
     * adversarial fixtures (pairs at EXACTLY J = t, sizes at exactly
     * the min = t·max length-filter edge) without a parquet corpus. */
   def jaccardJoinPrefixOn(docs: DataFrame,
+      threshold: Double): DataFrame =
+    verifyPairs(docs, prefixCandidatesOn(docs, threshold), threshold)
+
+  /** The pruning-bound constants the batch join and the streaming
+    * prefilter ([[graft.streaming.StreamOps.prefixCandidateStream]])
+    * must share — factored so the two paths cannot drift: tEff is
+    * the ROUNDED-verify-matched effective threshold (see the
+    * soundness comment in [[prefixCandidatesOn]]), eps the
+    * double-rounding slack (over-keeping is safe; verify recomputes
+    * exact Jaccard). The scala-side predicate twins of the batch
+    * Column filters live here too; the stream/batch candidate-set
+    * EQUALITY is spec-pinned (StreamOpsSpec), which is what keeps
+    * the duplicated arithmetic honest. */
+  private[graft] def prefixTEff(threshold: Double): Double =
+    threshold - 6e-5
+  private[graft] val prefixEps = 1e-9
+  private[graft] def prefixLengthOk(sa: Int, sb: Int,
+      tEff: Double): Boolean =
+    math.min(sa, sb) >= tEff * math.max(sa, sb) - prefixEps
+  private[graft] def prefixPositionalOk(sa: Int, pa: Int, sb: Int,
+      pb: Int, tEff: Double): Boolean =
+    1 + math.min(sa - pa, sb - pb) >=
+      tEff * (sa + sb) / (1.0 + tEff) - prefixEps
+
+  /** [[jaccardJoinPrefixOn]]'s CANDIDATE stage (pre-verify) — split
+    * out so the streaming prefilter's parity spec can pin candidate-
+    * set equality without paying verification. */
+  private[graft] def prefixCandidatesOn(docs: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Soundness base for EVERY pruning bound (prefix length, length
@@ -1041,7 +1069,7 @@ object Dedup {
     // therefore use tEff = t − 6e-5: necessary conditions for
     // J ≥ tEff, which every round-4-accepted pair satisfies; the
     // handful of extra candidates die in verify.
-    val tEff = threshold - 6e-5
+    val tEff = prefixTEff(threshold)
     val exploded = docs
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("t"))
@@ -1053,10 +1081,10 @@ object Dedup {
       .filter(col("pos") <=
         col("sz") - ceil(lit(tEff) * col("sz")) + 1)
       .select(col("t"), col("doc_id"), col("sz"), col("pos"))
-    val eps = 1e-9
+    val eps = prefixEps
     val overlapNeeded = // α: exact-rational form of ⌈tEff(sa+sb)/(1+tEff)⌉
       lit(tEff) * (col("a.sz") + col("b.sz")) / (1.0 + tEff)
-    val cands = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.sz"), col("b.sz")) >=
             lit(tEff) * greatest(col("a.sz"), col("b.sz")) - eps &&
@@ -1064,7 +1092,53 @@ object Dedup {
             col("b.sz") - col("b.pos")) >= overlapNeeded - eps)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(docs, cands, threshold)
+  }
+
+  /** ROW-LOCAL prefix projection against a FROZEN shingle-frequency
+    * map — the stateless half of the STREAMING PPJoin prefilter
+    * ([[graft.streaming.StreamOps.prefixCandidateStream]]), shared
+    * here so the batch parity spec can drive it without a stream.
+    * Emits exactly [[prefixCandidatesOn]]'s prefix rows
+    * (t, doc_id, sz, pos + every non-text input column): shingles
+    * are ordered by (freq(t), t) — absent tokens count 0, i.e. sort
+    * RAREST-first — the prefix keeps the first
+    * sz − ⌈tEff·sz⌉ + 1 entries, positions are 1-based ranks in the
+    * sorted order.
+    *
+    * Why a frozen map is SOUND, not just convenient: every pruning
+    * bound in the PPJoin family needs only a CONSISTENT total order
+    * over tokens (the prefix-length/positional arguments never use
+    * what the frequencies MEAN, only that both sides of a pair
+    * ordered their shingles identically). Any fixed map — stale,
+    * top-N-capped (absent ⇒ 0 ⇒ rarest-first), even empty — yields
+    * a consistent (freq, token) order, so recall stays EXACT;
+    * staleness only costs pruning efficiency (common tokens
+    * mistaken for rare inflate candidate counts). Spec-pinned both
+    * ways: candidate-set EQUALITY vs the batch join under the true
+    * corpus frequencies, and recall (verified-pair superset) under a
+    * deliberately EMPTY map. At 100 TB the map is the standard
+    * frozen model artifact (DSIR ratios, IVF codebooks, PSI bounds):
+    * capture top-N document frequencies offline, broadcast. */
+  def prefixProjectFrozen(docs: DataFrame, freq: Map[String, Long],
+      threshold: Double, k: Int = 3): DataFrame = {
+    val tEff = prefixTEff(threshold)
+    val m = typedlit(freq)
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
+      .withColumn("sh", shinglesFromTokens(tokens(col("text")), k))
+      .withColumn("sz", size(col("sh")))
+      // struct sort = (n, t) ascending — the identical total order
+      // prefixCandidatesOn's row_number window uses
+      .withColumn("srt", array_sort(transform(col("sh"),
+        t => struct(coalesce(element_at(m, t), lit(0L)).as("n"),
+          t.as("t")))))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(tEff) * col("sz")) + 1).cast("int"))
+      .select(keep :+ col("sz") :+
+        posexplode(slice(col("srt"), lit(1), col("plen"))): _*)
+      .withColumnRenamed("pos", "pos0")
+      .select(keep :+ col("col.t").as("t") :+ col("sz") :+
+        (col("pos0") + 1).as("pos"): _*)
   }
 
   /** Token-set (1-gram) Jaccard over a bounded id range — the

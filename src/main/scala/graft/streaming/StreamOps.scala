@@ -22,6 +22,11 @@ final case class TimedHashedDoc(contentHash: String, docId: Long,
   * expiry (event-time ms). */
 final case class LshBucketState(anchor: Long, seen: Map[Long, Long])
 
+/** Per-prefix-token state for [[StreamOps.prefixCandidateStream]]:
+  * doc_id → (shingle-set size, 1-based prefix position of this
+  * token, entry-expiry epoch-ms). */
+final case class PrefixTokenState(seen: Map[Long, (Int, Int, Long)])
+
 /** Structured Streaming surface. The reference explicitly cannot
   * stream end-to-end (/root/reference/README.md:96-97) because each
   * reduce depends on the previous stage's complete output — but that
@@ -700,6 +705,91 @@ object StreamOps {
             // too (a quiet bucket re-anchors on its next arrival)
             val maxExp = if (seen.isEmpty) wm + dedupMs
               else seen.valuesIterator.max
+            state.setTimeoutTimestamp(math.max(maxExp, wm + 1))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** STREAMING PPJoin candidate prefilter — the streaming member of
+    * the exact-prefix-join family (q150/q318 were batch-only; this
+    * closes the gap the way the drift trio did: one shared core, two
+    * execution modes). Docs (doc_id, text, ts) arriving on a stream
+    * are prefix-projected ROW-LOCALLY against a FROZEN
+    * shingle-frequency map ([[graft.ext.Dedup.prefixProjectFrozen]] —
+    * the stateless half, shared with the batch parity spec), then a
+    * keyed state per PREFIX TOKEN holds the docs seen within the TTL
+    * horizon and emits a candidate pair for every co-bucketed pair
+    * that passes PPJoin's LENGTH and POSITIONAL filters — the same
+    * tEff-derived bounds as the batch join
+    * ([[graft.ext.Dedup.prefixTEff]]/`prefixLengthOk`/
+    * `prefixPositionalOk`), so the candidate sets are IDENTICAL on
+    * identical inputs (spec-pinned equality vs
+    * [[graft.ext.Dedup.prefixCandidatesOn]] under the true corpus
+    * frequencies).
+    *
+    * Semantics: exact sliding-corpus candidate join — every pair of
+    * docs arriving within `pairTtl` of each other that the batch
+    * PPJoin would pair IS emitted (when its second member arrives);
+    * pairs farther apart than the horizon are not (the standard
+    * watermark-bounded-state trade, same contract as every
+    * watermarked dedup). Recall within the horizon is EXACT under
+    * ANY frozen map — the pruning bounds need only a consistent
+    * token order, which any fixed map induces (see
+    * prefixProjectFrozen's soundness note; spec-pinned with an
+    * empty map). State per token = the docs carrying that token in
+    * their PREFIX within the horizon — prefix tokens are the
+    * RAREST-first slice, so per-token fan-in is small by
+    * construction, and eviction bounds it in time. A pair sharing
+    * several prefix tokens may emit once per token (and re-delivered
+    * docs refresh their entry without re-emitting); the downstream
+    * verifier dedups pairs — it is idempotent over them, exactly as
+    * the batch join's `distinct()` is.
+    *
+    * Output rows: (doc_a, doc_b), doc_a < doc_b — feed
+    * [[graft.ext.Dedup.verifyPairs]]-style exact-Jaccard
+    * verification batch-side or per micro-batch. */
+  def prefixCandidateStream(docs: DataFrame, freq: Map[String, Long],
+      threshold: Double = 0.7, k: Int = 3,
+      pairTtl: java.time.Duration = java.time.Duration.ofMinutes(10),
+      watermarkDelay: String = "10 seconds"): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    val tEff = graft.ext.Dedup.prefixTEff(threshold)
+    val ttlMs = pairTtl.toMillis
+    graft.ext.Dedup.prefixProjectFrozen(docs, freq, threshold, k)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("t"), col("doc_id"), col("sz"), col("pos"), col("ts"))
+      .as[(String, Long, Int, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PrefixTokenState, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Int, Int, java.sql.Timestamp)],
+            state: GroupState[PrefixTokenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val rs = rows.toSeq.sortBy(r => (r._5.getTime, r._2))
+            var seen = state.getOption.getOrElse(PrefixTokenState(Map.empty))
+              .seen.filter { case (_, (_, _, exp)) => exp > wm }
+            val out = Seq.newBuilder[(Long, Long)]
+            rs.foreach { case (_, id, sz, pos, ts) =>
+              val exp = ts.getTime + ttlMs
+              seen.get(id) match {
+                case Some((osz, opos, prev)) => // re-delivery: refresh only
+                  seen = seen.updated(id, (osz, opos, math.max(prev, exp)))
+                case None =>
+                  seen.foreach { case (oid, (osz, opos, _)) =>
+                    if (graft.ext.Dedup.prefixLengthOk(sz, osz, tEff) &&
+                        graft.ext.Dedup.prefixPositionalOk(
+                          sz, pos, osz, opos, tEff))
+                      out += ((math.min(id, oid), math.max(id, oid)))
+                  }
+                  seen = seen.updated(id, (sz, pos, exp))
+              }
+            }
+            state.update(PrefixTokenState(seen))
+            val maxExp = if (seen.isEmpty) wm + ttlMs
+              else seen.valuesIterator.map(_._3).max
             state.setTimeoutTimestamp(math.max(maxExp, wm + 1))
             out.result().iterator
           }

@@ -949,4 +949,114 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got == batch, "stream scores diverge from the batch scorer")
     } finally q.stop()
   }
+
+  test("prefix candidate stream: candidate set EQUALS the batch PPJoin's under corpus frequencies") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{explode, count, lit}
+    val sf = "/root/testdata/sf0.001"
+    val st = graft.ext.Dedup.shingleTable(spark, sf, 3)
+    val batchCands = graft.ext.Dedup.prefixCandidatesOn(st, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchCands.nonEmpty, "gate corpus must produce candidates")
+    // the frozen artifact = the SAME document frequencies the batch
+    // join computes internally → candidate sets must be identical
+    val freq = st.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.prefixCandidateStream(
+      src.toDS().toDF("doc_id", "text", "ts"), freq, threshold = 0.7,
+      pairTtl = java.time.Duration.ofHours(1))
+      .toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("prefix_cands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // an arbitrary micro-batch split must not change the pair set:
+      // pairs emit when their second member arrives
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      src.addData(h1.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(h2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("prefix_cands").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got == batchCands,
+        s"stream candidates diverge from batch: only-stream=" +
+          s"${(got -- batchCands).take(5)} only-batch=" +
+          s"${(batchCands -- got).take(5)}")
+    } finally q.stop()
+  }
+
+  test("prefix candidate stream: recall stays exact under a deliberately EMPTY frozen map") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the soundness claim: the pruning bounds need only a CONSISTENT
+    // token order, so a stale/empty map costs pruning efficiency,
+    // never recall — every batch-VERIFIED pair must still be emitted
+    val truePairs = graft.ext.Dedup.jaccardJoinPrefix(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.prefixCandidateStream(
+      src.toDS().toDF("doc_id", "text", "ts"), Map.empty,
+      threshold = 0.7, pairTtl = java.time.Duration.ofHours(1))
+      .toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("prefix_cands_empty")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(docs.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("prefix_cands_empty").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(truePairs.subsetOf(got),
+        s"empty-map prefilter LOST true pairs: ${(truePairs -- got).take(5)}")
+    } finally q.stop()
+  }
+
+  test("prefix candidate stream: entries evict past the TTL horizon — no cross-horizon pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.prefixCandidateStream(
+      src.toDS().toDF("doc_id", "text", "ts"), Map.empty,
+      threshold = 0.7, pairTtl = java.time.Duration.ofSeconds(60))
+      .toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("prefix_cands_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData((1L, dup, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance the watermark past doc 1's horizon (10:01:00) with
+      // unrelated traffic (no shared shingles → no pair)
+      src.addData((2L, "completely different words entirely elsewhere",
+        ts("2024-01-01 10:04:30")))
+      q.processAllAvailable()
+      // the identical doc arrives AFTER doc 1 evicted: no pair — the
+      // documented sliding-corpus contract
+      src.addData((3L, dup, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("prefix_cands_evict").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got.isEmpty, s"cross-horizon pair leaked: $got")
+      // and a doc INSIDE doc 3's horizon pairs normally
+      src.addData((4L, dup, ts("2024-01-01 10:05:30")))
+      q.processAllAvailable()
+      val got2 = spark.table("prefix_cands_evict").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got2 == Set((3L, 4L)), s"expected the in-horizon pair: $got2")
+    } finally q.stop()
+  }
 }
