@@ -397,6 +397,12 @@ object SparkEntry {
       Relational.quantileBucketsApprox(s, d)),
     "q320_kmeans1d_sketch" -> ((s, d) =>
       Relational.kmeans1d(s, d, exactInit = false)),
+    // q321: the exact prefix join through the FROZEN top-N-frequency
+    // projection (the streaming prefilter's batch twin) — same q150
+    // oracle, so a frozen-path recall bug is a hash mismatch on real
+    // data, not just a fixture failure
+    "q321_prefix_join_frozen" -> ((s, d) =>
+      Dedup.jaccardJoinPrefixFrozen(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -6886,5 +6892,9 @@ object SparkEntry {
     // from the SAME [[prefixJoinOracleSql]] builder the q150 entry
     // uses, so the thresholds stay in sync by construction (no string
     // surgery that could silently rewrite an unrelated 0.7)
-    ("q318_prefix_join_t5" -> prefixJoinOracleSql(0.5))
+    ("q318_prefix_join_t5" -> prefixJoinOracleSql(0.5)) +
+    // q321 runs the SAME exact-join semantics through the frozen-map
+    // projection — one oracle, two candidate-generation paths (the
+    // q45/q317 one-oracle-two-algorithms pattern)
+    ("q321_prefix_join_frozen" -> prefixJoinOracleSql(0.7))
 }

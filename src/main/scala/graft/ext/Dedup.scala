@@ -1081,6 +1081,18 @@ object Dedup {
       .filter(col("pos") <=
         col("sz") - ceil(lit(tEff) * col("sz")) + 1)
       .select(col("t"), col("doc_id"), col("sz"), col("pos"))
+    prefixPairJoin(prefix, tEff)
+  }
+
+  /** The candidate SELF-JOIN over a (t, doc_id, sz, pos) prefix
+    * table — equi-join on the prefix token plus PPJoin's length and
+    * positional filters (both necessary conditions for J ≥ tEff; see
+    * [[prefixCandidatesOn]]'s soundness comment). Shared by the
+    * corpus-frequency path and the frozen-map path
+    * ([[jaccardJoinPrefixFrozen]]) so the pruning arithmetic exists
+    * ONCE. */
+  private[graft] def prefixPairJoin(prefix: DataFrame,
+      tEff: Double): DataFrame = {
     val eps = prefixEps
     val overlapNeeded = // α: exact-rational form of ⌈tEff(sa+sb)/(1+tEff)⌉
       lit(tEff) * (col("a.sz") + col("b.sz")) / (1.0 + tEff)
@@ -1139,6 +1151,41 @@ object Dedup {
       .withColumnRenamed("pos", "pos0")
       .select(keep :+ col("col.t").as("t") :+ col("sz") :+
         (col("pos0") + 1).as("pos"): _*)
+  }
+
+  /** The exact prefix join through the FROZEN-MAP path (q321): fit a
+    * BOUNDED top-N shingle document-frequency map (the streaming
+    * prefilter's frozen artifact — one bounded collect), prefix-
+    * project every doc row-locally against it, and run the same
+    * [[prefixPairJoin]] + verify as q150. By the order-consistency
+    * argument ([[prefixProjectFrozen]]) the output is IDENTICAL to
+    * [[jaccardJoinPrefix]]'s — absent shingles sort rarest-first,
+    * which costs candidates, never pairs — so the query hash-gates
+    * against q150's full-corpus brute-force oracle: a recall bug in
+    * the frozen path (the class a streaming prefilter could silently
+    * carry) is a CORRECTNESS failure here, on real data. Scale
+    * shape: the fit is one groupBy + top-N (bounded artifact, the
+    * DSIR/IVF/PSI frozen-model pattern); the projection is
+    * row-local (no window, no per-doc shuffle — CHEAPER than the
+    * corpus-frequency path's freq join + rank window at the cost of
+    * the fit pass); the join is the shared sub-quadratic
+    * prefix join. */
+  def jaccardJoinPrefixFrozen(spark: SparkSession, dir: String,
+      k: Int = 3, threshold: Double = 0.7,
+      topN: Int = 10000): DataFrame = {
+    val st = shingleTable(spark, dir, k)
+    val freq = st.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(topN)
+      // collect-ok: bounded by topN (the limit above) — the frozen
+      // artifact is top-N BY CONSTRUCTION, never vocab-sized
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val prefix = prefixProjectFrozen(docs, freq, threshold, k)
+      .select(col("t"), col("doc_id"), col("sz"), col("pos"))
+    verifyPairs(st, prefixPairJoin(prefix, prefixTEff(threshold)),
+      threshold)
   }
 
   /** Token-set (1-gram) Jaccard over a bounded id range — the
