@@ -63,7 +63,13 @@ object BenchSf1 {
     // (doubling) price the two-joins-per-round trade on IDENTICAL
     // edges at 10×; q59 is the production LSH cluster pipeline the
     // auto policy now protects end-to-end
-    "q45_dedup_clusters", "q317_cc_doubling", "q59_lsh_clusters")
+    "q45_dedup_clusters", "q317_cc_doubling", "q59_lsh_clusters",
+    // r12 additions: the newly-registered production twins must keep
+    // their flat scaling rows under their catalog names, and the
+    // frozen-map prefix join is a second candidate-generation path
+    // over the same corpus-sized join as q150
+    "q319_quantile_buckets_approx", "q320_kmeans1d_sketch",
+    "q321_prefix_join_frozen")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

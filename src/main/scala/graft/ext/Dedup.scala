@@ -1058,30 +1058,37 @@ object Dedup {
     * out so the streaming prefilter's parity spec can pin candidate-
     * set equality without paying verification. */
   private[graft] def prefixCandidatesOn(docs: DataFrame,
+      threshold: Double): DataFrame =
+    prefixPairJoin(prefixTableOn(docs, threshold), prefixTEff(threshold))
+
+  /** The corpus-frequency (t, doc_id, sz, pos) PREFIX TABLE —
+    * soundness base for EVERY pruning bound (prefix length, length
+    * filter, positional α): the verify predicate — and the DuckDB
+    * oracle — accept round(J, 4) >= t, i.e. true J down to
+    * t − 5e-5. Bounds derived from "J ≥ t" would prune a pair at
+    * J = t − 3e-5 that the rounded verify keeps (silent output
+    * loss the bimodal test corpus cannot catch). All bounds
+    * therefore use tEff = t − 6e-5: necessary conditions for
+    * J ≥ tEff, which every round-4-accepted pair satisfies; the
+    * handful of extra candidates die in verify. Split out so the
+    * frozen row-local projection ([[prefixProjectFrozen]]) can be
+    * spec-pinned ROW-EQUAL to this table under the same
+    * frequencies. */
+  private[graft] def prefixTableOn(docs: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Soundness base for EVERY pruning bound (prefix length, length
-    // filter, positional α): the verify predicate — and the DuckDB
-    // oracle — accept round(J, 4) >= t, i.e. true J down to
-    // t − 5e-5. Bounds derived from "J ≥ t" would prune a pair at
-    // J = t − 3e-5 that the rounded verify keeps (silent output
-    // loss the bimodal test corpus cannot catch). All bounds
-    // therefore use tEff = t − 6e-5: necessary conditions for
-    // J ≥ tEff, which every round-4-accepted pair satisfies; the
-    // handful of extra candidates die in verify.
     val tEff = prefixTEff(threshold)
     val exploded = docs
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("t"))
     val freq = exploded.groupBy(col("t")).agg(count(lit(1)).as("n"))
-    val prefix = exploded
+    exploded
       .join(freq, Seq("t"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("n"), col("t"))))
       .filter(col("pos") <=
         col("sz") - ceil(lit(tEff) * col("sz")) + 1)
       .select(col("t"), col("doc_id"), col("sz"), col("pos"))
-    prefixPairJoin(prefix, tEff)
   }
 
   /** The candidate SELF-JOIN over a (t, doc_id, sz, pos) prefix

@@ -964,6 +964,25 @@ class StreamOpsSpec extends AnyFunSuite {
     val freq = st.select(explode(col("sh")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stronger than set equality downstream: the row-local frozen
+    // projection reproduces the batch prefix TABLE row for row
+    // (t, doc_id, sz, pos) — an offsetting-error pair in the join
+    // could mask a projection bug; this cannot
+    val batchPrefix = graft.ext.Dedup.prefixTableOn(st, 0.7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val frozenPrefix = graft.ext.Dedup.prefixProjectFrozen(
+      graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")), freq, 0.7)
+      .select(col("t"), col("doc_id"), col("sz"), col("pos"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(frozenPrefix == batchPrefix,
+      s"prefix tables diverge: only-frozen=" +
+        s"${(frozenPrefix -- batchPrefix).take(3)} only-batch=" +
+        s"${(batchPrefix -- frozenPrefix).take(3)}")
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1),
