@@ -1141,24 +1141,60 @@ object Dedup {
   def prefixProjectFrozen(docs: DataFrame, freq: Map[String, Long],
       threshold: Double, k: Int = 3): DataFrame = {
     val tEff = prefixTEff(threshold)
-    val m = typedlit(freq)
+    // One scala UDF call per DOC, not per shingle. The pure-expression
+    // alternative (element_at on a typedlit map inside a transform
+    // lambda) was measured at 47 s for q321's sf0.1 scan: a Spark map
+    // LITERAL is ArrayBasedMapData, so element_at is a LINEAR scan of
+    // all topN entries per lookup (~12M lookups × 10k compares). A
+    // hash lookup over a frozen model map is the documented UDF
+    // exception (no built-in expresses it); the closure ships with
+    // the broadcast task binary, and the per-doc work is one
+    // O(sh·log sh) sort with O(1) lookups.
+    val udfFn = prefixRowsUdf(freq, tEff)
     val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
     docs
       .withColumn("sh", shinglesFromTokens(tokens(col("text")), k))
-      .withColumn("sz", size(col("sh")))
-      // struct sort = (n, t) ascending — the identical total order
-      // prefixCandidatesOn's row_number window uses
-      .withColumn("srt", array_sort(transform(col("sh"),
-        t => struct(coalesce(element_at(m, t), lit(0L)).as("n"),
-          t.as("t")))))
-      .withColumn("plen",
-        (col("sz") - ceil(lit(tEff) * col("sz")) + 1).cast("int"))
-      .select(keep :+ col("sz") :+
-        posexplode(slice(col("srt"), lit(1), col("plen"))): _*)
-      .withColumnRenamed("pos", "pos0")
-      .select(keep :+ col("col.t").as("t") :+ col("sz") :+
-        (col("pos0") + 1).as("pos"): _*)
+      .withColumn("pr", udfFn(col("sh")))
+      .select(keep :+ explode(col("pr")).as("e"): _*)
+      .select(keep :+ col("e._1").as("t") :+ col("e._2").as("sz") :+
+        col("e._3").as("pos"): _*)
   }
+
+  /** (shingles) → prefix rows (t, sz, pos): sort by (freq(t), t) —
+    * absent ⇒ 0, string ties broken on UTF-8 BYTES (the identical
+    * total order Spark's `orderBy(n, t)` uses — UTF8String compares
+    * binary, which differs from Java's UTF-16 compareTo on
+    * supplementary characters), keep the first sz − ⌈tEff·sz⌉ + 1,
+    * emit 1-based positions. Row-equality vs the window-built batch
+    * prefix table is spec-pinned. */
+  private def prefixRowsUdf(freq: Map[String, Long], tEff: Double) =
+    udf { (sh: Seq[String]) =>
+      val sz = sh.size
+      if (sz == 0) Seq.empty[(String, Int, Int)]
+      else {
+        val plen = sz - math.ceil(tEff * sz).toInt + 1
+        val keyed = sh.map { t =>
+          (freq.getOrElse(t, 0L),
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8), t)
+        }
+        val sorted = keyed.sortWith { (a, b) =>
+          if (a._1 != b._1) a._1 < b._1
+          else {
+            val (x, y) = (a._2, b._2)
+            var i = 0
+            val n = math.min(x.length, y.length)
+            var r = 0
+            while (r == 0 && i < n) {
+              r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+            }
+            if (r != 0) r < 0 else x.length < y.length
+          }
+        }
+        sorted.take(plen).zipWithIndex.map { case (e, i) =>
+          (e._3, sz, i + 1)
+        }
+      }
+    }
 
   /** The exact prefix join through the FROZEN-MAP path (q321): fit a
     * BOUNDED top-N shingle document-frequency map (the streaming
