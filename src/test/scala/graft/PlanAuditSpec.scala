@@ -88,4 +88,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"non-equi pair join in q150: $bad")
   }
+
+  test("q321: the frozen-path pair join stays equi-keyed too") {
+    // q321 reaches the shared prefixPairJoin through the row-local
+    // frozen projection — same cartesian-fallback hazard, separately
+    // pinned because its plan shape (UDF projection, no freq join /
+    // rank window) differs from q150's
+    val phys = SparkEntry.queries("q321_prefix_join_frozen")(spark, sf)
+      .queryExecution.sparkPlan
+    val bad = phys.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c.nodeName
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b.nodeName
+    }
+    assert(bad.isEmpty, s"non-equi pair join in q321: $bad")
+  }
 }
