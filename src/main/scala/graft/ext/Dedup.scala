@@ -1024,6 +1024,11 @@ object Dedup {
   def jaccardJoinPrefix(spark: SparkSession, dir: String, k: Int = 3,
       threshold: Double = 0.7): DataFrame =
     jaccardJoinPrefixOn(shingleTable(spark, dir, k), threshold)
+  // At 100 TB, prefer [[jaccardJoinPrefixFrozen]] when a top-N
+  // frequency snapshot exists (fit once per epoch): identical output
+  // (hash-gated, q321 vs q150's oracle), but the row-local projection
+  // replaces this path's freq join + per-doc rank window — measured
+  // 3.9× cheaper at 100× in a paired window (BASELINE r12).
 
   /** [[jaccardJoinPrefix]]'s core over an explicit (doc_id, sh)
     * shingle table — split out so the boundary spec can feed

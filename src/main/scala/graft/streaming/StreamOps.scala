@@ -796,6 +796,30 @@ object StreamOps {
       }
   }
 
+  /** End-to-end STREAMING exact prefix join — [[prefixCandidateStream]]
+    * composed with the batch verification stage, which is pure
+    * stateless joins ([[graft.ext.Dedup.verifyPairs]]: two
+    * stream-static equi-joins against the corpus shingle store plus
+    * the exact-Jaccard filter), so it runs unchanged on the candidate
+    * stream. Same static-store contract as [[annServeStream]]'s
+    * IVF+PQ index: the ingest path maintains the (doc_id, sh) shingle
+    * table (the compute-once signature store every batch dedup path
+    * already shares), and arriving docs must land there no later than
+    * their candidate pairs — the standard index-before-serve
+    * ordering. Output: (doc_a, doc_b, jaccard) with round(J,4) ≥ t —
+    * the SAME rows batch q150 produces (parity spec on the gate
+    * corpus); a pair sharing several prefix tokens may appear more
+    * than once (verify is idempotent; dedup downstream if the sink
+    * needs uniqueness). */
+  def prefixJoinStream(docs: DataFrame, shingleStore: DataFrame,
+      freq: Map[String, Long], threshold: Double = 0.7, k: Int = 3,
+      pairTtl: java.time.Duration = java.time.Duration.ofMinutes(10),
+      watermarkDelay: String = "10 seconds"): DataFrame =
+    graft.ext.Dedup.verifyPairs(shingleStore,
+      prefixCandidateStream(docs, freq, threshold, k, pairTtl,
+        watermarkDelay).toDF("doc_a", "doc_b"),
+      threshold)
+
   /** Streaming ANN serving — a stream of query vectors scored
     * against the STATIC IVF+PQ index (the online half of the batch
     * ANN story): each query computes its `nProbe` nearest coarse

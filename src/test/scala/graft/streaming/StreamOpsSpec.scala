@@ -1043,6 +1043,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("prefix join stream: verified pairs EQUAL batch q150's rows on the gate corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{explode, count, lit}
+    val sf = "/root/testdata/sf0.001"
+    val st = graft.ext.Dedup.shingleTable(spark, sf, 3)
+    val batch = graft.ext.Dedup.jaccardJoinPrefix(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    val freq = st.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.prefixJoinStream(
+      src.toDS().toDF("doc_id", "text", "ts"), st, freq,
+      pairTtl = java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName("prefix_join_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(docs.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("prefix_join_stream").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(got == batch,
+        s"streamed verified pairs diverge from batch q150: only-stream=" +
+          s"${(got -- batch).take(3)} only-batch=${(batch -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("prefix candidate stream: entries evict past the TTL horizon — no cross-horizon pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
