@@ -1174,7 +1174,9 @@ object Dedup {
     * prefix table is spec-pinned. */
   private def prefixRowsUdf(freq: Map[String, Long], tEff: Double) =
     udf { (sh: Seq[String]) =>
-      val sz = sh.size
+      // null-text rows project to no prefix rows — the same no-rows
+      // outcome the batch path's explode(null) produces
+      val sz = if (sh == null) 0 else sh.size
       if (sz == 0) Seq.empty[(String, Int, Int)]
       else {
         val plen = sz - math.ceil(tEff * sz).toInt + 1
