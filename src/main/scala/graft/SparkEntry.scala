@@ -974,6 +974,12 @@ object SparkEntry {
     * Locale.ROOT so a host locale cannot change the SQL literal. */
   private def prefixJoinOracleSql(t: Double): String = {
     val ts = "%.4f".formatLocal(java.util.Locale.ROOT, t)
+    // the formatted literal must round-trip: an operating point with
+    // more than 4 decimals would make DuckDB gate a DIFFERENT
+    // threshold than the Spark side filters at (near-boundary pairs
+    // diverge — or worse, pass on a bimodal corpus and hide the drift)
+    require(ts.toDouble == t,
+      s"prefixJoinOracleSql: threshold $t does not round-trip at 4 dp")
     s"""WITH w AS (SELECT doc_id, $toks AS ws FROM documents),
        |s AS (SELECT doc_id,
        |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]

@@ -1155,10 +1155,23 @@ object Dedup {
     // exception (no built-in expresses it); the closure ships with
     // the broadcast task binary, and the per-doc work is one
     // O(sh·log sh) sort with O(1) lookups.
+    prefixProjectFrozenOn(
+      docs.withColumn("sh", shinglesFromTokens(tokens(col("text")), k))
+        .drop("text"),
+      freq, tEff)
+  }
+
+  /** [[prefixProjectFrozen]] over an ALREADY-SHINGLED (doc_id, sh,
+    * …extras) frame — the entry point for callers that hold the
+    * persisted shingle table (q321's fit/verify already scan it;
+    * re-tokenizing raw text there would pay a second full corpus
+    * scan). `tEff` is the effective threshold
+    * ([[prefixTEff]]-derived). */
+  private def prefixProjectFrozenOn(shingled: DataFrame,
+      freq: Map[String, Long], tEff: Double): DataFrame = {
     val udfFn = prefixRowsUdf(freq, tEff)
-    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
-    docs
-      .withColumn("sh", shinglesFromTokens(tokens(col("text")), k))
+    val keep = shingled.columns.filterNot(_ == "sh").map(col).toSeq
+    shingled
       .withColumn("pr", udfFn(col("sh")))
       .select(keep :+ explode(col("pr")).as("e"): _*)
       .select(keep :+ col("e._1").as("t") :+ col("e._2").as("sz") :+
@@ -1230,9 +1243,11 @@ object Dedup {
       // collect-ok: bounded by topN (the limit above) — the frozen
       // artifact is top-N BY CONSTRUCTION, never vocab-sized
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-    val prefix = prefixProjectFrozen(docs, freq, threshold, k)
+    // project from the PERSISTED shingle table, not raw text — the
+    // fit and verify already scan it, and re-tokenizing documents
+    // here would pay a second full tokenize+shingle pass
+    val prefix = prefixProjectFrozenOn(
+        st.select(col("doc_id"), col("sh")), freq, prefixTEff(threshold))
       .select(col("t"), col("doc_id"), col("sz"), col("pos"))
     verifyPairs(st, prefixPairJoin(prefix, prefixTEff(threshold)),
       threshold)

@@ -741,10 +741,17 @@ object StreamOps {
     * their PREFIX within the horizon — prefix tokens are the
     * RAREST-first slice, so per-token fan-in is small by
     * construction, and eviction bounds it in time. A pair sharing
-    * several prefix tokens may emit once per token (and re-delivered
-    * docs refresh their entry without re-emitting); the downstream
-    * verifier dedups pairs — it is idempotent over them, exactly as
-    * the batch join's `distinct()` is.
+    * several prefix tokens may emit once per token; same-content
+    * re-deliveries refresh their entry without re-emitting, while a
+    * re-arrival whose (sz, pos) changed is treated as a NEW version
+    * (latest wins: it pairs like a fresh arrival and replaces the
+    * stale entry, whose old size/position would otherwise prune true
+    * pairs). The downstream verifier dedups pairs — it is idempotent
+    * over them, exactly as the batch join's `distinct()` is. The
+    * horizon is enforced per ROW (a pair emits only while the stored
+    * doc's expiry exceeds the new row's event time), not just by
+    * watermark eviction — so output does not depend on micro-batch
+    * boundaries or replay.
     *
     * Output rows: (doc_a, doc_b), doc_a < doc_b — feed
     * [[graft.ext.Dedup.verifyPairs]]-style exact-Jaccard
@@ -772,24 +779,45 @@ object StreamOps {
             var seen = state.getOption.getOrElse(PrefixTokenState(Map.empty))
               .seen.filter { case (_, (_, _, exp)) => exp > wm }
             val out = Seq.newBuilder[(Long, Long)]
+            // emit the new arrival against every live entry that is
+            // BOTH watermark-live and within the horizon of THIS
+            // row's event time (oexp > ts): the watermark filter
+            // above only enforces the TTL once the watermark has
+            // passed an entry, so without the per-row check two docs
+            // farther apart than pairTtl would still pair whenever
+            // they land in the same micro-batch — output would
+            // depend on batching/replay boundaries
+            def emitPairs(id: Long, sz: Int, pos: Int, tsMs: Long): Unit =
+              seen.foreach { case (oid, (osz, opos, oexp)) =>
+                if (oid != id && oexp > tsMs &&
+                    graft.ext.Dedup.prefixLengthOk(sz, osz, tEff) &&
+                    graft.ext.Dedup.prefixPositionalOk(
+                      sz, pos, osz, opos, tEff))
+                  out += ((math.min(id, oid), math.max(id, oid)))
+              }
             rs.foreach { case (_, id, sz, pos, ts) =>
               val exp = ts.getTime + ttlMs
               seen.get(id) match {
-                case Some((osz, opos, prev)) => // re-delivery: refresh only
-                  seen = seen.updated(id, (osz, opos, math.max(prev, exp)))
-                case None =>
-                  seen.foreach { case (oid, (osz, opos, _)) =>
-                    if (graft.ext.Dedup.prefixLengthOk(sz, osz, tEff) &&
-                        graft.ext.Dedup.prefixPositionalOk(
-                          sz, pos, osz, opos, tEff))
-                      out += ((math.min(id, oid), math.max(id, oid)))
-                  }
-                  seen = seen.updated(id, (sz, pos, exp))
+                case Some((osz, opos, prev))
+                    if osz == sz && opos == pos =>
+                  // same content (for this token): a re-delivery —
+                  // refresh the horizon, emit nothing
+                  seen = seen.updated(id, (sz, pos, math.max(prev, exp)))
+                case other =>
+                  // new doc, or a re-arrival whose (sz, pos) changed =
+                  // the content changed: latest version wins — pair it
+                  // like a fresh arrival and REPLACE the stale entry
+                  // (keeping it would prune later true pairs against
+                  // the old size/position)
+                  emitPairs(id, sz, pos, ts.getTime)
+                  seen = seen.updated(id,
+                    (sz, pos, other.fold(exp)(o => math.max(o._3, exp))))
               }
             }
             state.update(PrefixTokenState(seen))
-            val maxExp = if (seen.isEmpty) wm + ttlMs
-              else seen.valuesIterator.map(_._3).max
+            // seen is never empty here: every non-timeout invocation
+            // carries rows and each row inserts or refreshes an entry
+            val maxExp = seen.valuesIterator.map(_._3).max
             state.setTimeoutTimestamp(math.max(maxExp, wm + 1))
             out.result().iterator
           }

@@ -29,16 +29,22 @@ object AuditRules {
       t.startsWith("/*") || t.startsWith("*/")
 
   /** Site at line `i` (0-based) carries `marker` on its own line or
-    * above it through only blank/comment/same-hazard lines. */
+    * above it through only blank/comment/same-hazard lines. The break
+    * check runs BEFORE the marker check: a marker riding an unrelated
+    * plain-code line (e.g. a trailing `// …-ok:` on some other
+    * statement directly above the site) must NOT bless the site —
+    * markers only count on comment/blank lines or lines of the same
+    * hazard family. */
   def classified(lines: Array[String], i: Int, marker: String,
       siteRe: scala.util.matching.Regex): Boolean = {
     if (lines(i).contains(marker)) return true
     var j = i - 1
     while (j >= 0) {
-      if (lines(j).contains(marker)) return true
       val t = lines(j).trim
-      if (isComment(t) || siteRe.findFirstIn(lines(j)).isDefined) j -= 1
-      else return false
+      if (!isComment(t) && siteRe.findFirstIn(lines(j)).isEmpty)
+        return false
+      if (lines(j).contains(marker)) return true
+      j -= 1
     }
     false
   }

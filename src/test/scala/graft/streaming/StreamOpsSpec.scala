@@ -1113,4 +1113,45 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(got2 == Set((3L, 4L)), s"expected the in-horizon pair: $got2")
     } finally q.stop()
   }
+
+  test("prefix candidate stream: TTL holds WITHIN one micro-batch, and changed content re-pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dup = "kappa lambda mu nu xi omicron pi rho"
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.prefixCandidateStream(
+      src.toDS().toDF("doc_id", "text", "ts"), Map.empty,
+      threshold = 0.7, pairTtl = java.time.Duration.ofSeconds(60))
+      .toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("prefix_cands_ttl_batch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two identical docs 30 MINUTES apart land in the SAME
+      // micro-batch: the per-row horizon check must refuse the pair —
+      // output must not depend on batching boundaries (the watermark
+      // filter alone cannot see this case); a third doc INSIDE the
+      // second's horizon pairs normally
+      src.addData(
+        (1L, dup, ts("2024-01-01 10:00:00")),
+        (2L, dup, ts("2024-01-01 10:30:00")),
+        (3L, dup, ts("2024-01-01 10:30:20")))
+      q.processAllAvailable()
+      val got = spark.table("prefix_cands_ttl_batch").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got == Set((2L, 3L)), s"TTL leaked within a batch: $got")
+      // doc 1 re-arrives with DIFFERENT content matching doc 4: the
+      // stale (sz, pos) entry must be replaced and the new version
+      // must pair — latest wins
+      val dup2 = "sigma tau upsilon phi chi psi"
+      src.addData((4L, dup2, ts("2024-01-01 10:30:30")))
+      q.processAllAvailable()
+      src.addData((1L, dup2, ts("2024-01-01 10:30:40")))
+      q.processAllAvailable()
+      val got2 = spark.table("prefix_cands_ttl_batch").collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got2 == Set((2L, 3L), (1L, 4L)),
+        s"changed-content re-arrival did not re-pair: $got2")
+    } finally q.stop()
+  }
 }
