@@ -576,6 +576,10 @@ object StreamOps {
   def dsirScoreStream(docs: DataFrame, ratios: Map[Long, Double],
       buckets: Int = 64): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    // map-literal lookups are LINEAR scans (ArrayBasedMapData) — fine
+    // here because the fitted model is 64 entries by construction; a
+    // top-N-sized map must use the prefixRowsUdf hash-lookup shape
+    // instead (the q321 lesson, BASELINE r12)
     val m = typedlit(ratios)
     docs
       .withColumn("ws", toks)
