@@ -854,10 +854,27 @@ object Dedup {
     * Scale shape: per-iteration cost is two edge-list joins grouped
     * by node (shuffles keyed on node ids — linear in |E|); norms are
     * 1-row aggregates broadcast back (the intentional 1-row cross
-    * join); lineage truncates every third round like pageRank. */
+    * join); lineage truncates every third round like pageRank.
+    *
+    * Altitude switch (`driverGridMax`): the edge grid of the shipped
+    * caller (q251's event-TYPE transition graph) is bounded by the
+    * event-type vocabulary squared — never by data volume — so when
+    * the AGGREGATED edge list is ≤ `driverGridMax` rows, the power
+    * loop runs driver-side over the collected grid (the q315/q316
+    * altitude: at 5 nodes, `iters` × 2 half-step Spark jobs were pure
+    * scheduler overhead — the distributed form measured ~4 s per run
+    * on a grid the driver loop finishes in microseconds). The
+    * arithmetic is the SAME snapped chain — every rounding, cast and
+    * IEEE divide replicated step for step — so the altitude never
+    * touches the hash gate (spec-pinned bit-identical in
+    * OperatorsSpec). Grids larger than the cap keep the distributed
+    * loop; `driverGridMax = 0` forces it (the spec's device). The
+    * collect is Guards.boundedGrid-guarded: a grid that silently
+    * outgrows the vocabulary assumption fails fast, not OOMs. */
   def hits(edges: DataFrame, src: String = "src", dst: String = "dst",
       weight: String = "weight", iters: Int = 8,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverGridMax: Int = 65536): DataFrame = {
     checkpointDir.foreach(d =>
       edges.sparkSession.sparkContext.setCheckpointDir(d))
     def truncate(df: DataFrame): DataFrame =
@@ -871,6 +888,8 @@ object Dedup {
     // events window — must not re-execute per consumer).
     val e1 = truncate(edges.select(col(src).as("esrc"),
       col(dst).as("edst"), col(weight).cast("double").as("w")))
+    val eCount = e1.count()
+    if (eCount <= driverGridMax) return hitsDriver(e1, iters, driverGridMax)
     val nodes1 = truncate(e1.select(col("esrc").as("node"))
       .unionByName(e1.select(col("edst").as("node"))).distinct())
     val n = nodes1.count()
@@ -885,7 +904,7 @@ object Dedup {
     // millions-of-edges graph, and the edges are the per-iteration
     // join work (ADVICE r10; the kcore rule). e1 is truncated, so
     // the count reads materialized partitions.
-    val e = graft.ext.Guards.coalesceTiny(e1, e1.count())
+    val e = graft.ext.Guards.coalesceTiny(e1, eCount)
     val nodes = graft.ext.Guards.coalesceTiny(nodes1, n)
     // Norm via a whole-frame window (NOT crossJoin(broadcast(agg))):
     // the broadcast form forces TWO materialization jobs per
@@ -926,6 +945,73 @@ object Dedup {
     hub.join(auth, Seq("node"))
       .select(col("node"), round(col("h"), 6).as("hub"),
         round(col("a"), 6).as("authority"))
+  }
+
+  /** Driver-altitude [[hits]] loop over a collected bounded edge
+    * grid. Every step replicates the distributed chain EXACTLY so
+    * the two altitudes are bit-identical (spec-pinned):
+    *   - `sur12sum(w·x)` ⇒ per-group Σ of
+    *     round((w·x)·1e12, 0).cast(long) — Spark's `round` on a
+    *     double is BigDecimal.valueOf (Double.toString shortest
+    *     repr) setScale(0, HALF_UP) back to double, then the long
+    *     cast truncates; the group sum of exact longs casts to
+    *     double and divides by 1e12 (both IEEE);
+    *   - `norm12` ⇒ the same surrogate per NODE row (zero-raw nodes
+    *     contribute round(0.0) = 0), summed as longs;
+    *   - the half-step division, the 1/n init, and the final
+    *     round(·, 6) are the same IEEE / HALF_UP ops.
+    * Group sums are order-free (exact longs), so neither collect
+    * order nor partitioning can shift a bit — the q251 oracle's
+    * unrolled CTE blocks hash-match either altitude. */
+  private def hitsDriver(e1: DataFrame, iters: Int,
+      driverGridMax: Int): DataFrame = {
+    val spark = e1.sparkSession
+    val grid = graft.ext.Guards
+      .boundedGrid(e1, math.max(driverGridMax, 1), "hits edge grid")
+      .map(r => (r.get(0), r.get(1), r.getDouble(2)))
+    def rnd12(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e12)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nodeSeq: Seq[Any] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Any]
+      grid.foreach { case (s, d, _) => seen += s; seen += d }
+      seen.toSeq
+    }
+    val n = nodeSeq.size
+    val bySrc = grid.groupBy(_._1)
+    val byDst = grid.groupBy(_._2)
+    // one half-step: raw per node from the grouped edges (missing
+    // group ⇒ the distributed left join's coalesce(0.0)), L1 norm
+    // over ALL node rows, then the elementwise divide
+    def halfStep(in: Map[Any, Double],
+        grouped: Map[Any, Array[(Any, Any, Double)]],
+        otherEnd: ((Any, Any, Double)) => Any): Map[Any, Double] = {
+      val raw = nodeSeq.map { nd =>
+        nd -> grouped.get(nd)
+          .map(_.map(e => rnd12(e._3 * in(otherEnd(e)))).sum.toDouble / 1e12)
+          .getOrElse(0.0)
+      }
+      val norm = raw.map(x => rnd12(x._2)).sum.toDouble / 1e12
+      raw.map { case (nd, r) => nd -> r / norm }.toMap
+    }
+    var hub: Map[Any, Double] = nodeSeq.map(_ -> 1.0 / n).toMap
+    var auth: Map[Any, Double] = hub
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, byDst, _._1)  // into node: w · hub(esrc)
+      hub = halfStep(auth, bySrc, _._2)  // out of node: w · auth(edst)
+    }
+    val rows = nodeSeq.map(nd =>
+      org.apache.spark.sql.Row(nd, r6(hub(nd)), r6(auth(nd))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        e1.schema("esrc").dataType),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("authority",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** PageRank of the cross-source shingle-overlap graph (q100's edge

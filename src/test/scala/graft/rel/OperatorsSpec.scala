@@ -1740,6 +1740,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(hubs.sum - 1.0) < 1e-4)
   }
 
+  test("hits: driver altitude is bit-identical to the distributed loop") {
+    import spark.implicits._
+    // driverGridMax = 0 forces the distributed loop on the same edges;
+    // the default takes the driver path on these bounded grids. Every
+    // double must match BIT-FOR-BIT (toString comparison) — the
+    // altitude switch must be invisible to the q251 hash gate.
+    def both(edges: org.apache.spark.sql.DataFrame): Unit = {
+      val drv = Dedup.hits(edges).collect()
+        .map(r => (r.get(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1.toString)
+      val dist = Dedup.hits(edges, driverGridMax = 0).collect()
+        .map(r => (r.get(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1.toString)
+      assert(drv.length == dist.length && drv.nonEmpty)
+      drv.zip(dist).foreach { case ((na, ha, aa), (nb, hb, ab)) =>
+        assert(na == nb)
+        assert(ha.toString == hb.toString, s"hub mismatch at $na")
+        assert(aa.toString == ab.toString, s"authority mismatch at $na")
+      }
+    }
+    // cyclic weighted digraph with a src-only node (4) and a
+    // dst-only node (5): exercises the coalesce(0.0) rows and both
+    // join directions
+    both(Seq((1L, 2L, 3.0), (2L, 3L, 1.0), (3L, 1L, 2.0),
+      (4L, 2L, 5.0), (3L, 5L, 0.5)).toDF("src", "dst", "weight"))
+    // the shipped caller's real grid (string nodes, corpus weights)
+    both(graft.rel.Relational.markovTransitions(spark, sf)
+      .select(col("event_type").as("src"), col("next_type").as("dst"),
+        col("n").cast("double").as("weight")))
+  }
+
   test("theil-sen: matches a driver-side median-of-slopes recompute") {
     val out = Relational.theilSen(spark, sf).collect().head
     val monthly = graft.Tables.orders(spark, sf)
