@@ -803,7 +803,8 @@ object Dedup {
     * reliable `checkpoint`; default stays local for local[N]. */
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       weight: String = "weight", iters: Int = 10,
-      damping: Double = 0.85, checkpointDir: Option[String] = None): DataFrame = {
+      damping: Double = 0.85, checkpointDir: Option[String] = None,
+      driverGridMax: Int = 65536): DataFrame = {
     checkpointDir.foreach(d =>
       edges.sparkSession.sparkContext.setCheckpointDir(d))
     def truncate(df: DataFrame): DataFrame =
@@ -814,6 +815,16 @@ object Dedup {
       col(weight).cast("double").as("w"))
     val e = truncate(
       e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w"))))
+    // Altitude switch (the [[hits]]/q315/q316 rule): when the
+    // SYMMETRIZED aggregated edge list is vocabulary-bounded (q116's
+    // source-overlap graph is sources² — ~tens of rows at any corpus
+    // size), `iters` join+agg+truncate Spark jobs over a tiny table
+    // are pure scheduler overhead. Run the identical decimal-snapped
+    // chain driver-side instead; big graphs keep the distributed
+    // loop below (driverGridMax = 0 forces it — the parity spec's
+    // device, and the checkpointDir recovery spec's).
+    if (e.count() <= driverGridMax)
+      return pageRankDriver(e, iters, damping, driverGridMax)
     val outW = e.groupBy(col("a")).agg(dsum28(col("w")).as("out_w"))
     val eNorm = truncate(e.join(outW, Seq("a"))
       .select(col("a"), col("b"), (col("w") / col("out_w")).as("p")))
@@ -835,6 +846,65 @@ object Dedup {
         ranks = truncate(ranks)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** Driver-altitude [[pageRank]] loop over the collected symmetrized
+    * edge grid — the q251/q315/q316 altitude applied to the decimal
+    * chain. Bit-identity contract (spec-pinned against the
+    * distributed loop): `dsum28` ⇒ each term snaps to
+    * BigDecimal.valueOf(x).setScale(28, HALF_UP) — Spark's
+    * double→decimal(38,28) cast goes through the Double.toString
+    * shortest representation (the snap12/SnappedGram lesson), which
+    * is exactly java BigDecimal.valueOf — summed exactly (order-free)
+    * and cast back via doubleValue; out-weight normalization, the
+    * (1−d)/n teleport, the d·c damping and the final round(·, 6)
+    * are the same IEEE / HALF_UP ops in the same order. */
+  private def pageRankDriver(e: DataFrame, iters: Int, damping: Double,
+      driverGridMax: Int): DataFrame = {
+    val spark = e.sparkSession
+    val grid = graft.ext.Guards
+      .boundedGrid(e, math.max(driverGridMax, 1), "pageRank edge grid")
+      .map(r => (r.get(0), r.get(1), r.getDouble(2)))
+    def d28(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(28, java.math.RoundingMode.HALF_UP)
+    def dsum28d(xs: Iterator[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      xs.foreach(x => acc = acc.add(d28(x)))
+      acc.doubleValue()
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val bySrc = grid.groupBy(_._1)
+    val outW: Map[Any, Double] =
+      bySrc.map { case (a, es) => a -> dsum28d(es.iterator.map(_._3)) }
+    val eNorm = grid.map { case (a, b, w) => (a, b, w / outW(a)) }
+    // the symmetrized table has every node on the a-side (matches
+    // the distributed `e.select("a").distinct()`)
+    val nodeSeq: Seq[Any] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Any]
+      grid.foreach(e => seen += e._1)
+      seen.toSeq
+    }
+    val n = nodeSeq.size
+    val byDst = eNorm.groupBy(_._2)
+    val base = (1.0 - damping) / n
+    var ranks: Map[Any, Double] = nodeSeq.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val r = ranks
+      ranks = nodeSeq.map { nd =>
+        val c = byDst.get(nd)
+          .map(es => dsum28d(es.iterator.map(e => e._3 * r(e._1))))
+          .getOrElse(0.0)
+        nd -> (base + damping * c)
+      }.toMap
+    }
+    val rows = nodeSeq.map(nd => org.apache.spark.sql.Row(nd, r6(ranks(nd))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e.schema("a").dataType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** HITS hubs-and-authorities (q251) over a DIRECTED weighted edge

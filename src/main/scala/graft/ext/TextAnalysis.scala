@@ -1723,7 +1723,8 @@ object TextAnalysis {
     * the rank trajectory is bit-identical in any engine and any
     * partitioning. */
   def textRank(spark: SparkSession, dir: String, maxDist: Int = 2,
-      minCount: Long = 5L, iters: Int = 8, topN: Int = 25): DataFrame = {
+      minCount: Long = 5L, iters: Int = 8, topN: Int = 25,
+      driverGridMax: Int = 65536): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(tokens(col("text")).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1758,6 +1759,15 @@ object TextAnalysis {
       .select(col("a"), col("b"),
         (col("w").cast("double") / col("out_w").cast("double")).as("p"))
       .localCheckpoint(eager = true)
+    // Altitude switch (the Dedup.hits/pageRank rule): the minCount-
+    // pruned co-occurrence graph on this corpus is a few hundred
+    // edges — `iters` join+agg jobs are scheduler overhead. When the
+    // normalized edge table is ≤ driverGridMax rows, run the SAME
+    // round-12 surrogate loop driver-side (boundedGrid-guarded,
+    // spec-pinned bit-identical); a dense million-edge graph keeps
+    // the distributed loop below. driverGridMax = 0 forces it.
+    if (e1.count() <= driverGridMax)
+      return textRankDriver(e1, iters, topN, driverGridMax)
     val nodes1 = e1.select(col("a").as("node")).distinct()
     val n = nodes1.count()
     // the EDGE frame collapses on its own count, not the node count:
@@ -1786,6 +1796,51 @@ object TextAnalysis {
     ranks
       .select(col("node").as("word"), round(col("rank"), 6).as("rank"))
       .orderBy(col("rank").desc, col("word")).limit(topN)
+  }
+
+  /** Driver-altitude [[textRank]] loop over the collected normalized
+    * edge grid — the Dedup.hits/pageRank altitude. Replicates the
+    * distributed chain step for step (spec-pinned bit-identical):
+    * `sur12sum(p·rank)` ⇒ per-group Σ round((p·rank)·1e12, 0) as
+    * exact longs (Spark round on a double = BigDecimal.valueOf
+    * setScale(0, HALF_UP) back through double, then the long cast),
+    * /1e12 back; the 0.15/n teleport + 0.85 damping and the final
+    * round(·, 6) are the same IEEE/HALF_UP ops; the top-N order is
+    * the same (rank desc, word asc) sort. */
+  private def textRankDriver(e1: DataFrame, iters: Int, topN: Int,
+      driverGridMax: Int): DataFrame = {
+    val spark = e1.sparkSession
+    val grid = graft.ext.Guards
+      .boundedGrid(e1, math.max(driverGridMax, 1), "textRank edge grid")
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def rnd12(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e12)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // symmetrized table: every node appears on the a-side
+    val nodeSeq: Seq[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      grid.foreach(e => seen += e._1)
+      seen.toSeq
+    }
+    val n = nodeSeq.size
+    val byDst = grid.groupBy(_._2)
+    var ranks: Map[String, Double] = nodeSeq.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val r = ranks
+      ranks = nodeSeq.map { nd =>
+        val c = byDst.get(nd)
+          .map(_.map(e => rnd12(e._3 * r(e._1))).sum.toDouble / 1e12)
+          .getOrElse(0.0)
+        nd -> (0.15 / n + 0.85 * c)
+      }.toMap
+    }
+    import spark.implicits._
+    nodeSeq.map(nd => (nd, r6(ranks(nd))))
+      .sortBy { case (w, rk) => (-rk, w) }
+      .take(topN)
+      .toDF("word", "rank")
   }
 
   /** Good–Turing frequency smoothing (q312) — the

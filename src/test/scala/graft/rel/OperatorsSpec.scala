@@ -2214,12 +2214,37 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val edges = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
       (2L, 3L, 2.0)).toDF("src", "dst", "weight")
-    val local = Dedup.pageRank(edges).collect()
+    // driverGridMax = 0 keeps BOTH runs on the distributed loop —
+    // checkpointDir only exists at that altitude
+    val local = Dedup.pageRank(edges, driverGridMax = 0).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
-    val reliable = Dedup.pageRank(edges, checkpointDir = Some(dir)).collect()
+    val reliable = Dedup.pageRank(edges, checkpointDir = Some(dir),
+        driverGridMax = 0).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
     assert(local == reliable && local.nonEmpty)
+  }
+
+  test("pagerank: driver altitude is bit-identical to the distributed loop") {
+    import spark.implicits._
+    def both(edges: org.apache.spark.sql.DataFrame): Unit = {
+      val drv = Dedup.pageRank(edges).collect()
+        .map(r => (r.get(0), r.getDouble(1))).sortBy(_._1.toString)
+      val dist = Dedup.pageRank(edges, driverGridMax = 0).collect()
+        .map(r => (r.get(0), r.getDouble(1))).sortBy(_._1.toString)
+      assert(drv.length == dist.length && drv.nonEmpty)
+      drv.zip(dist).foreach { case ((na, ra), (nb, rb)) =>
+        assert(na == nb)
+        assert(ra.toString == rb.toString, s"rank mismatch at $na")
+      }
+    }
+    // asymmetric weighted graph incl. a pendant chain
+    both(Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (1L, 2L, 3.0),
+      (2L, 3L, 2.0), (3L, 4L, 0.25)).toDF("src", "dst", "weight"))
+    // the shipped caller's real grid (q116's source-overlap edges)
+    both(graft.ext.TextAnalysis.sourceOverlap(spark, sf)
+      .select(col("source_a").as("src"), col("source_b").as("dst"),
+        col("n_shared").cast("double").as("weight")))
   }
 
   test("negative pairs: deterministic, never the anchor, at most k per anchor") {

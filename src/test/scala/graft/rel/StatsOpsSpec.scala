@@ -124,6 +124,17 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
   }
 
+  test("textrank: driver altitude is bit-identical to the distributed loop") {
+    // driverGridMax = 0 forces the distributed loop on the same
+    // corpus; the default takes the driver path. Bit-for-bit equality
+    // including the (rank desc, word asc) top-N order.
+    val drv = TextAnalysis.textRank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1).toString)).toSeq
+    val dist = TextAnalysis.textRank(spark, sf, driverGridMax = 0).collect()
+      .map(r => (r.getString(0), r.getDouble(1).toString)).toSeq
+    assert(drv == dist && drv.nonEmpty)
+  }
+
   test("naive bayes: per-lang accuracy consistent and bounded") {
     val rows = TextAnalysis.naiveBayesLangId(spark, sf).collect()
     assert(rows.nonEmpty)
