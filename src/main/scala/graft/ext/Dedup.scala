@@ -667,7 +667,8 @@ object Dedup {
       dst: String = "doc_b", maxIter: Int = 20,
       checkpointDir: Option[String] = None,
       failOnNonConvergence: Boolean = true,
-      algorithm: String = "auto"): DataFrame = {
+      algorithm: String = "auto",
+      driverGridMax: Int = 65536): DataFrame = {
     require(algorithm == "labelprop" || algorithm == "doubling" ||
         algorithm == "auto",
       s"connectedComponents: unknown algorithm '$algorithm'")
@@ -680,6 +681,28 @@ object Dedup {
       edges.select(col(src).as("a"), col(dst).as("b"))
         .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
         .distinct(), eager = true)
+    // Altitude switch (the hits/pageRank/textRank rule, applied to
+    // the one operator every dedup composition pays for): under the
+    // DEFAULT "auto" policy, a distinct edge set small enough to
+    // collect (boundedGrid-guarded) runs as a driver-side union-find
+    // with min-root labeling — the fixpoint is algorithm-independent
+    // (label = min component member under the column's ordering;
+    // strings compare as UTF-8 bytes, matching Spark's binary
+    // collation), so the hash gates are untouched (parity spec).
+    // Each distributed round costs a join + agg + a witness action;
+    // on a few-hundred-edge verified-pair graph that was the bulk of
+    // q45/q103/q184's tail. EXPLICIT algorithm="labelprop"/"doubling"
+    // always run distributed (they gate those algorithms — q317),
+    // as does any grid over the cap or with an exotic key type.
+    val eCount = e.count()
+    val driverType = e.schema("a").dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (algorithm == "auto" && driverType && eCount <= driverGridMax)
+      return ccDriver(e, driverGridMax)
     // Witness = DECIMAL-exact sum of xxhash64(label): type-agnostic
     // (labels may be strings — the q297 source graph), overflow-proof
     // under ANSI, and faithful because labels only DECREASE — any
@@ -776,6 +799,71 @@ object Dedup {
       else System.err.println(s"[graft] $msg")
     }
     labels
+  }
+
+  /** Driver-altitude [[connectedComponents]]: union-find with
+    * path-halving over the collected symmetrized-distinct edge grid,
+    * roots kept at the component MINIMUM so the output is the same
+    * fixpoint every distributed algorithm converges to — (id, label
+    * = min member). Pure exact set logic, no floats: bit-identity
+    * with the distributed loop is structural, pinned by a parity
+    * spec anyway. String keys compare as unsigned UTF-8 bytes
+    * (Spark's binary string ordering), so a q297-shaped string graph
+    * gets the same minimum Spark's `min` would pick. */
+  private def ccDriver(e: DataFrame, driverGridMax: Int): DataFrame = {
+    val spark = e.sparkSession
+    val dt = e.schema("a").dataType
+    val ord: Ordering[Any] = dt match {
+      case org.apache.spark.sql.types.StringType => new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = {
+          val a = x.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val b = y.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val m = math.min(a.length, b.length)
+          while (i < m) {
+            val c = (a(i) & 0xff) - (b(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      }
+      case _ => new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = java.lang.Long.compare(
+          x.asInstanceOf[Number].longValue,
+          y.asInstanceOf[Number].longValue)
+      }
+    }
+    val grid = graft.ext.Guards
+      .boundedGrid(e, math.max(driverGridMax, 1),
+        "connectedComponents edge grid")
+      .map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    grid.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+    }
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x))  // path halving
+        x = parent(x)
+      }
+      x
+    }
+    grid.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keys.toSeq.sorted(ord)
+      .map(id => org.apache.spark.sql.Row(id, find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("label", dt)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Weighted PageRank over an undirected edge list — the other

@@ -121,6 +121,35 @@ class OperatorsSpec extends AnyFunSuite {
     val labels = Dedup.connectedComponents(chain, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 61L).forall(labels(_) == 1L))
+    // and with the driver altitude disabled, the DEFAULT policy must
+    // still never diameter-fail — the distributed escalation path
+    val dist = Dedup.connectedComponents(chain, maxIter = 10,
+      driverGridMax = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == labels)
+  }
+
+  test("connected components: driver union-find is identical to the distributed fixpoint") {
+    import spark.implicits._
+    // long-typed mixed shapes: path + star + clique + isolated pair
+    val edges = ((1L to 30L).map(i => (i, i + 1)) ++
+      (101L to 120L).map(i => (100L, i)) ++
+      (for {a <- 200L to 205L; b <- a + 1 to 205L} yield (a, b)) ++
+      Seq((300L, 301L))).toDF("doc_a", "doc_b")
+    val drv = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Dedup.connectedComponents(edges, driverGridMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(drv == dist && drv.nonEmpty)
+    // string-typed graph incl. a non-ASCII key: the driver ordering
+    // must pick the same minimum as Spark's binary string min
+    val sEdges = Seq(("zeta", "alpha"), ("alpha", "Beta"),
+      ("é-src", "zz"), ("zz", "Zcap")).toDF("doc_a", "doc_b")
+    val sDrv = Dedup.connectedComponents(sEdges).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val sDist = Dedup.connectedComponents(sEdges, driverGridMax = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(sDrv == sDist && sDrv.nonEmpty)
   }
 
   test("connected components: pointer doubling matches label-prop on path/star/clique") {
@@ -169,15 +198,18 @@ class OperatorsSpec extends AnyFunSuite {
     // labelprop at maxIter=10 THROWS (previous spec) — "auto" burns
     // its labelprop budget, resumes with doubling from the PARTIAL
     // labels, and lands on the exact fixpoint
+    // driverGridMax = 0: this spec pins the DISTRIBUTED escalation
+    // machinery (the driver union-find would trivially succeed)
     val chain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val auto = Dedup.connectedComponents(chain, maxIter = 10,
-      algorithm = "auto").collect()
+      algorithm = "auto", driverGridMax = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 61L).forall(auto(_) == 1L))
     // and on a shallow graph, auto converges inside the labelprop
     // phase — same fixpoint as plain labelprop (the gated-query case)
     val star = (101L to 120L).map(i => (100L, i)).toDF("doc_a", "doc_b")
-    val a = Dedup.connectedComponents(star, algorithm = "auto").collect()
+    val a = Dedup.connectedComponents(star, algorithm = "auto",
+      driverGridMax = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lp = Dedup.connectedComponents(star, algorithm = "labelprop")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -741,12 +773,15 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
-    val local = Dedup.connectedComponents(edges).collect()
+    // driverGridMax = 0: checkpointing only exists at the
+    // distributed altitude — keep both runs there
+    val local = Dedup.connectedComponents(edges, driverGridMax = 0)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSet
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     try {
       val reliable = Dedup.connectedComponents(edges,
-        checkpointDir = Some(dir.toString)).collect()
+        checkpointDir = Some(dir.toString), driverGridMax = 0).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toSet
       assert(reliable == local && reliable.nonEmpty)
       // the reliable path actually wrote checkpoint data to the dir
