@@ -56,4 +56,24 @@ object Guards {
     * helper (VERDICT r9 item 3). */
   def coalesceTiny(df: DataFrame, n: Long, cap: Long = 10000L): DataFrame =
     if (n < cap) df.coalesce(1) else df
+
+  /** Spark's binary string collation as a JVM ordering — unsigned
+    * UTF-8 byte comparison. Driver-altitude loops that replicate a
+    * distributed `min`/`orderBy` over a string column must use THIS,
+    * not String.compareTo (UTF-16 code units order non-ASCII and
+    * supplementary characters differently). */
+  val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
 }

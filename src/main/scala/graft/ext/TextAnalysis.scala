@@ -922,7 +922,8 @@ object TextAnalysis {
     * corpus). Scale: every step is edge-list-sized, keyed on node
     * ids. */
   def kcore(spark: SparkSession, dir: String, n: Int = 4,
-      minShared: Long = 3L, rounds: Int = 6): DataFrame = {
+      minShared: Long = 3L, rounds: Int = 6,
+      driverGridMax: Int = 65536): DataFrame = {
     // Adaptive collapse (shared q251 rule): the SOURCE-level edge
     // grid is bounded (pairs of source names, not documents) —
     // running the 12-round peel loop at spark.sql.shuffle.partitions
@@ -935,6 +936,15 @@ object TextAnalysis {
       .select(col("source_a").as("sa"), col("source_b").as("sb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = eAll.count()
+    // Altitude switch (the hits/pageRank/CC rule): the peel loop is
+    // pure exact set logic — `rounds` × 2 core values × (degree agg +
+    // two semi-joins + checkpoint) Spark jobs on a bounded source
+    // grid were scheduler overhead. Collect (boundedGrid-guarded)
+    // and peel driver-side; a document-cardinality graph keeps the
+    // distributed loop. Bit-identity is structural (integers only) —
+    // pinned by a parity spec.
+    if (nEdges <= driverGridMax) return kcoreDriver(eAll, rounds,
+      driverGridMax)
     val e0 = graft.ext.Guards.coalesceTiny(eAll, nEdges)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("sa").as("node"))
@@ -966,6 +976,43 @@ object TextAnalysis {
         coalesce(col("c3"), lit(0L)).as("in_3core"))
   }
 
+  /** Driver-altitude [[kcore]] peel over the collected bounded edge
+    * grid — exact integer set logic replicating the distributed
+    * rounds verbatim: per round, degrees over both endpoints, keep
+    * nodes with deg ≥ k, keep edges with BOTH endpoints kept. */
+  private def kcoreDriver(eAll: DataFrame, rounds: Int,
+      driverGridMax: Int): DataFrame = {
+    val spark = eAll.sparkSession
+    val grid = graft.ext.Guards
+      .boundedGrid(eAll, math.max(driverGridMax, 1), "kcore edge grid")
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    def degrees(es: Seq[(String, String)]): Map[String, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      es.foreach { case (a, b) =>
+        m(a) = m.getOrElse(a, 0L) + 1L
+        m(b) = m.getOrElse(b, 0L) + 1L
+      }
+      m.toMap
+    }
+    def survivors(k: Int): Set[String] = {
+      var es = grid
+      for (_ <- 1 to rounds) {
+        val keep = degrees(es).filter(_._2 >= k).keySet
+        es = es.filter { case (a, b) => keep(a) && keep(b) }
+      }
+      es.flatMap { case (a, b) => Seq(a, b) }.toSet
+    }
+    val deg0 = degrees(grid)
+    val c2 = survivors(2)
+    val c3 = survivors(3)
+    import spark.implicits._
+    deg0.toSeq.sortBy(_._1)(graft.ext.Guards.utf8Ordering)
+      .map { case (node, d) =>
+        (node, d, if (c2(node)) 1L else 0L, if (c3(node)) 1L else 0L)
+      }
+      .toDF("source", "degree", "in_2core", "in_3core")
+  }
+
   /** BFS hop distances (q292) — breadth-first traversal over the
     * [[sourceOverlap]] content-similarity graph from its
     * lexicographically-smallest node: per source, the shortest hop
@@ -981,13 +1028,20 @@ object TextAnalysis {
     * .connectedComponents]]. The 1-row root lookup is the only
     * driver collect. */
   def bfsHops(spark: SparkSession, dir: String, n: Int = 4,
-      minShared: Long = 3L, hops: Int = 4): DataFrame = {
+      minShared: Long = 3L, hops: Int = 4,
+      driverGridMax: Int = 65536): DataFrame = {
     val e0 = sourceOverlap(spark, dir, n)
       .filter(col("n_shared") >= minShared)
       .select(col("source_a").as("sa"), col("source_b").as("sb"))
     val edges = e0.unionByName(
         e0.select(col("sb").as("sa"), col("sa").as("sb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Altitude switch (the hits/kcore rule): BFS over a bounded
+    // source grid is exact set logic — run it driver-side when the
+    // symmetrized edge list collects (boundedGrid-guarded); the
+    // distributed frontier loop below stays the scale path.
+    if (edges.count() <= driverGridMax)
+      return bfsDriver(edges, hops, driverGridMax)
     val nodes = edges.select(col("sa").as("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val root = nodes.agg(min(col("node"))).head().getString(0)
@@ -1010,6 +1064,43 @@ object TextAnalysis {
     deg.join(dist, Seq("node"), "left")
       .select(col("node").as("source"), col("degree"),
         col("d").cast("int").as("hop"))
+  }
+
+  /** Driver-altitude [[bfsHops]] over the collected SYMMETRIZED edge
+    * grid: classic BFS from the UTF-8-minimum node (Spark's binary
+    * string min), hop-bounded exactly like the distributed frontier
+    * loop; degree = out-edge count in the symmetrized table. */
+  private def bfsDriver(edges: DataFrame, hops: Int,
+      driverGridMax: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val grid = graft.ext.Guards
+      .boundedGrid(edges, math.max(driverGridMax, 1), "bfs edge grid")
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val adj = grid.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val nodeSeq = grid.map(_._1).distinct
+      .sorted(graft.ext.Guards.utf8Ordering)
+    val root = nodeSeq.head
+    val dist = scala.collection.mutable.HashMap[String, Int](root -> 0)
+    var frontier = Seq(root)
+    for (i <- 1 to hops) {
+      val nxt = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+        .filterNot(dist.contains)
+      nxt.foreach(dist(_) = i)
+      frontier = nxt
+    }
+    val deg = grid.groupBy(_._1).map { case (a, es) => a -> es.size.toLong }
+    val rows = nodeSeq.map { nd =>
+      org.apache.spark.sql.Row(nd, deg(nd),
+        dist.get(nd).map(Int.box).orNull)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("degree",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hop",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Newman modularity (q297) — score the partition the engine

@@ -2195,6 +2195,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq == more.map(_.toString).sorted.toSeq)
   }
 
+  test("kcore and bfs: driver altitude matches the distributed loops row-for-row") {
+    val kDrv = TextAnalysis.kcore(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val kDist = TextAnalysis.kcore(spark, sf, driverGridMax = 0).collect()
+      .map(_.toString).sorted.toSeq
+    assert(kDrv == kDist && kDrv.nonEmpty)
+    val bDrv = TextAnalysis.bfsHops(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val bDist = TextAnalysis.bfsHops(spark, sf, driverGridMax = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bDrv == bDist && bDrv.nonEmpty)
+  }
+
   test("hard negatives: one per anchor, cross-label, truly the max") {
     val rows = Similarity.hardNegatives(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("anchor_id")).distinct.length == rows.length)
