@@ -788,23 +788,44 @@ object TextAnalysis {
           .otherwise(0.0), 6).as("dup_span_frac"))
   }
 
-  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 4,
-      maxSources: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = Tables.documents(spark, dir)
-      .select(col("source"), tokens(col("text")).as("ws"))
-      .select(col("source"), explode(shingleStrings(n)).as("shingle"))
-      .distinct()
-      .withColumn("ns",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("ns") <= maxSources)
-    val a = sh.select(col("shingle"), col("source").as("source_a"))
-    val b = sh.select(col("shingle"), col("source").as("source_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
+  private val overlapCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+
+  /** Unpersist + drop the memoized source-overlap edge tables
+    * (long-session hygiene; the Dedup.clearCaches contract). */
+  def clearCaches(): Unit = {
+    overlapCache.values.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    overlapCache.clear()
   }
+
+  /** Cross-source shingle-overlap edge list — MEMOIZED + persisted
+    * per (dir, n, maxSources): SEVEN consumers (q100's matrix, q155
+    * triangles, q116 PageRank, q270 k-core, q292 BFS, q297
+    * modularity, clustering coefficient) each need the same edge
+    * build, and the shingle self-join under it is the expensive
+    * step at any scale. The same compute-once discipline as
+    * [[graft.ext.Dedup.shingleTable]]; entries are session-validated
+    * (see [[Memo]]) and [[clearCaches]] unpersists everything. */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 4,
+      maxSources: Int = 4): DataFrame =
+    graft.ext.Memo.cached(overlapCache, (dir, n, maxSources), spark) {
+      import org.apache.spark.sql.expressions.Window
+      val sh = Tables.documents(spark, dir)
+        .select(col("source"), tokens(col("text")).as("ws"))
+        .select(col("source"), explode(shingleStrings(n)).as("shingle"))
+        .distinct()
+        .withColumn("ns",
+          count(lit(1)).over(Window.partitionBy(col("shingle"))))
+        .filter(col("ns") <= maxSources)
+      val a = sh.select(col("shingle"), col("source").as("source_a"))
+      val b = sh.select(col("shingle"), col("source").as("source_b"))
+      a.join(b, Seq("shingle"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Provenance-graph TRIANGLE census over the source-overlap graph:
     * how clustered is the re-crawl structure — a triangle (three
