@@ -69,7 +69,11 @@ object BenchSf1 {
     // frozen-map prefix join is a second candidate-generation path
     // over the same corpus-sized join as q150
     "q319_quantile_buckets_approx", "q320_kmeans1d_sketch",
-    "q321_prefix_join_frozen")
+    "q321_prefix_join_frozen",
+    // late-r12: the k-core peel joined the altitude-adaptive family —
+    // its grid-size switch (driver peel vs distributed loop) needs a
+    // scaling row like the rest
+    "q270_kcore")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

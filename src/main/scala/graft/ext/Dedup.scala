@@ -863,7 +863,8 @@ object Dedup {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", dt),
       org.apache.spark.sql.types.StructField("label", dt)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Weighted PageRank over an undirected edge list — the other
@@ -992,7 +993,8 @@ object Dedup {
       org.apache.spark.sql.types.StructField("node", e.schema("a").dataType),
       org.apache.spark.sql.types.StructField("rank",
         org.apache.spark.sql.types.DoubleType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** HITS hubs-and-authorities (q251) over a DIRECTED weighted edge
@@ -1169,7 +1171,8 @@ object Dedup {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("authority",
         org.apache.spark.sql.types.DoubleType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** PageRank of the cross-source shingle-overlap graph (q100's edge

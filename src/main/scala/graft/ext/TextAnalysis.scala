@@ -1121,7 +1121,8 @@ object TextAnalysis {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("hop",
         org.apache.spark.sql.types.IntegerType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Newman modularity (q297) — score the partition the engine
