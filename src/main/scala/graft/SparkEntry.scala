@@ -403,6 +403,14 @@ object SparkEntry {
     // data, not just a fixture failure
     "q321_prefix_join_frozen" -> ((s, d) =>
       Dedup.jaccardJoinPrefixFrozen(s, d)),
+    // q322: INCREMENTAL CC maintenance replaying q45's edge set in
+    // deterministic batches — same q45 oracle, so the hash gate
+    // proves on real corpus data that folding new edges into a
+    // standing component table (the quotient-graph merge a growing
+    // 100 TB corpus needs — never a full CC re-run) lands on the
+    // identical fixpoint as one-shot clustering
+    "q322_cc_incremental" -> ((s, d) =>
+      Dedup.ccIncrementalClusters(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -6902,5 +6910,10 @@ object SparkEntry {
     // q321 runs the SAME exact-join semantics through the frozen-map
     // projection — one oracle, two candidate-generation paths (the
     // q45/q317 one-oracle-two-algorithms pattern)
-    ("q321_prefix_join_frozen" -> prefixJoinOracleSql(0.7))
+    ("q321_prefix_join_frozen" -> prefixJoinOracleSql(0.7)) +
+    // q322 maintains q45's clustering incrementally — one oracle,
+    // three algorithms now (one-shot labelprop/auto, pointer
+    // doubling, incremental quotient merge), all pinned to the same
+    // recursive-CTE fixpoint
+    ("q322_cc_incremental" -> staticOracleSql("q45_dedup_clusters"))
 }

@@ -1195,6 +1195,72 @@ object Dedup {
       .select(col("event_type").as("src"), col("next_type").as("dst"),
         col("n").cast("double").as("weight")))
 
+  /** INCREMENTAL connected-components maintenance — the production
+    * shape for a GROWING corpus: never re-run global CC over the full
+    * 100 TB edge history; fold each day's new edges into the standing
+    * (id, label) component table. One step:
+    *   1. QUOTIENT the new edges through the current labels — each
+    *      endpoint maps to its component label (or itself if unseen).
+    *      Components behave as single nodes, so the graph CC must
+    *      solve is |new edges|-sized, never history-sized.
+    *   2. [[connectedComponents]] on the quotient graph (inherits the
+    *      altitude switch: a day's touched-component graph usually
+    *      collects; a giant one runs distributed).
+    *   3. Relabel: old rows re-map through the (old label → new
+    *      label) table — broadcast-sized (only TOUCHED components
+    *      appear) — and brand-new ids take their quotient label.
+    * Correctness: an old label is the min id of its members, so the
+    * min over merged quotient nodes IS the min over all merged
+    * members — the fixpoint equals a from-scratch CC over the union
+    * of all edges ever seen (hash-proven: q322 replays q45's edge
+    * set in batches against q45's recursive-CTE oracle; the
+    * cut-invariance spec proves ANY batch split converges
+    * identically, the q114/q171 incremental-maintenance contract).
+    * Seed with an empty (id, label) frame for the first batch. */
+  def ccIncrement(prev: DataFrame, newEdges: DataFrame,
+      src: String = "doc_a", dst: String = "doc_b",
+      driverGridMax: Int = 65536): DataFrame = {
+    val e = newEdges.select(col(src).as("na"), col(dst).as("nb"))
+    val la = prev.select(col("id").as("na"), col("label").as("la"))
+    val lb = prev.select(col("id").as("nb"), col("label").as("lb"))
+    val quotient = e.join(la, Seq("na"), "left").join(lb, Seq("nb"), "left")
+      .select(coalesce(col("la"), col("na")).as("qa"),
+        coalesce(col("lb"), col("nb")).as("qb"))
+    val merged = connectedComponents(quotient, "qa", "qb",
+      driverGridMax = driverGridMax)
+    // only touched components appear here — broadcast-sized relabel
+    val remap = merged.select(col("id").as("label"),
+      col("label").as("new_label"))
+    val updatedOld = prev.join(broadcast(remap), Seq("label"), "left")
+      .select(col("id"),
+        coalesce(col("new_label"), col("label")).as("label"))
+    val added = e.select(col("na").as("id"))
+      .unionByName(e.select(col("nb").as("id"))).distinct()
+      .join(prev.select(col("id")), Seq("id"), "left_anti")
+      .join(merged, Seq("id"))
+    updatedOld.unionByName(added)
+  }
+
+  /** [[ccIncrement]] replayed over [[jaccardPairs]]'s edge set in
+    * deterministic doc_a-modulo batches — q322. Output is identical
+    * to [[nearDupClusters]] (q45), and the SAME recursive-CTE oracle
+    * hash-proves it: incremental maintenance ≡ one-shot CC on real
+    * corpus data (the q45/q317 one-oracle-N-algorithms pattern). */
+  def ccIncrementalClusters(spark: SparkSession, dir: String,
+      maxId: Long = 100L, threshold: Double = 0.5,
+      nBatches: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = jaccardPairs(spark, dir, maxId, threshold)
+      .localCheckpoint(eager = true)
+    var labels = Seq.empty[(Long, Long)].toDF("id", "label")
+    for (b <- 0 until nBatches) {
+      labels = ccIncrement(labels,
+          edges.filter(pmod(col("doc_a"), lit(nBatches.toLong)) === b))
+        .localCheckpoint(eager = true)
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
+  }
+
   /** Near-duplicate clusters: connected components of the verified
     * token-Jaccard pair graph — each doc mapped to its cluster's min
     * doc_id. Built on the oracle-able [[jaccardPairs]] edge set so the

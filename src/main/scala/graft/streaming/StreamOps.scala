@@ -107,6 +107,36 @@ object StreamOps {
         indexPath, k, m, ksub)
     }
 
+  /** Streaming incremental connected-components maintenance — the
+    * stream twin of batch [[graft.ext.Dedup.ccIncrement]]/q322:
+    * each micro-batch of new (doc_a, doc_b) long-id edges folds into
+    * the standing (id, label) component table through the quotient-
+    * graph merge, so near-dup cluster ids stay current as a corpus
+    * GROWS without ever re-running global CC. foreachBatch on
+    * purpose (the [[indexIngestStream]] shape): the merge is a batch
+    * transform against accumulated state, not a per-key streaming
+    * aggregation — per-batch cost is |batch edges| + a broadcast
+    * relabel of only the TOUCHED components. The maintained table is
+    * exposed via the returned accessor; production would persist it
+    * to an ACID table per batch (same honesty note as index ingest —
+    * replays are safe because the merge is idempotent: re-folding
+    * already-seen edges cannot change the fixpoint). Parity spec:
+    * streaming the q45 edge set in micro-batches lands on the
+    * identical one-shot CC fixpoint. */
+  def ccMaintainStream(edges: DataFrame, driverGridMax: Int = 65536)
+      : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      Seq.empty[(Long, Long)].toDF("id", "label"))
+    val writer = foreachBatchWriter(edges.toDF()) { (batch, _) =>
+      ref.set(graft.ext.Dedup
+        .ccIncrement(ref.get(), batch, driverGridMax = driverGridMax)
+        .localCheckpoint(eager = true))
+    }
+    (writer, () => ref.get())
+  }
+
   /** Streaming exact-dedup with EXPLICIT keyed state
     * (`flatMapGroupsWithState` — the custom-state API the windowed
     * aggregations above don't need): the first document per content

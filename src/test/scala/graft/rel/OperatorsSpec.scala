@@ -129,6 +129,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dist == labels)
   }
 
+  test("incremental cc: any batch split converges to the one-shot fixpoint") {
+    import spark.implicits._
+    // shapes that stress the quotient merge: a chain built out of
+    // order (later batches bridge earlier components), a late edge
+    // carrying a SMALLER id that must relabel a standing component,
+    // a merge of two existing components, and an untouched island
+    val all = Seq(
+      (10L, 11L), (12L, 13L), (11L, 12L),   // bridge two components
+      (5L, 10L),                            // smaller id arrives late
+      (20L, 21L), (22L, 23L), (21L, 22L),   // second family
+      (90L, 91L))                           // island, untouched later
+    val oneShot = Dedup.connectedComponents(all.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // three different cut patterns, incl. an empty middle batch
+    val splits = Seq(
+      Seq(all.take(3), all.slice(3, 6), all.drop(6)),
+      Seq(all.take(1), Seq.empty, all.drop(1)),
+      all.map(Seq(_)))
+    splits.foreach { batches =>
+      var labels = Seq.empty[(Long, Long)].toDF("id", "label")
+      batches.foreach { b =>
+        labels = Dedup.ccIncrement(labels, b.toDF("doc_a", "doc_b"))
+          .localCheckpoint(eager = true)
+      }
+      val inc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == oneShot, s"split ${batches.map(_.size)} diverged")
+    }
+    // corpus-level: the q322 replay equals q45's one-shot clustering
+    val q45 = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val q322 = Dedup.ccIncrementalClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(q322 == q45 && q322.nonEmpty)
+  }
+
   test("connected components: driver union-find is identical to the distributed fixpoint") {
     import spark.implicits._
     // long-typed mixed shapes: path + star + clique + isolated pair

@@ -344,6 +344,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cc maintain stream: micro-batched edge folds land on the one-shot fixpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val edges = graft.ext.Dedup.jaccardPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges.length >= 3)
+    val batches = edges.grouped(math.max(1, edges.length / 3)).toSeq
+    val src = MemoryStream[(Long, Long)]
+    val (writer, current) = StreamOps.ccMaintainStream(
+      src.toDS().toDF("doc_a", "doc_b"))
+    // shared checkpoint = the periodic-maintenance-job pattern: each
+    // drain folds ONLY its new batch into the standing table
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    def drain(ck: String): Unit = {
+      val q = writer.option("checkpointLocation", ck).start()
+      q.awaitTermination()
+    }
+    batches.foreach { b => src.addData(b); drain(ckpt) }
+    val oneShot = graft.ext.Dedup
+      .connectedComponents(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def cur() = current().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(cur() == oneShot && oneShot.nonEmpty)
+    // replay idempotence (the scaladoc's retry-safety claim): a fresh
+    // checkpoint re-folds the WHOLE history into the standing table —
+    // the fixpoint must not move
+    drain(java.nio.file.Files.createTempDirectory("graft-cc-ck2").toString)
+    assert(cur() == oneShot)
+  }
+
   test("index ingest stream: streamed appends probe like a one-shot full build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
