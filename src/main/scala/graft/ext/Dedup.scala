@@ -1228,10 +1228,14 @@ object Dedup {
         coalesce(col("lb"), col("nb")).as("qb"))
     val merged = connectedComponents(quotient, "qa", "qb",
       driverGridMax = driverGridMax)
-    // only touched components appear here — broadcast-sized relabel
+    // only TOUCHED components appear here, so the relabel table is
+    // bounded by the batch (≤ 2·|new edges| rows) — usually
+    // broadcast-sized, but the hint is left to AQE: a backfill batch
+    // touching everything must be allowed to shuffle instead of
+    // forcing an OOM broadcast
     val remap = merged.select(col("id").as("label"),
       col("label").as("new_label"))
-    val updatedOld = prev.join(broadcast(remap), Seq("label"), "left")
+    val updatedOld = prev.join(remap, Seq("label"), "left")
       .select(col("id"),
         coalesce(col("new_label"), col("label")).as("label"))
     val added = e.select(col("na").as("id"))
