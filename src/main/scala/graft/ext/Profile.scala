@@ -19,6 +19,17 @@ import graft.Tables
   * the cross-engine oracle can check. */
 object Profile {
 
+  private val cmsCounterCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), DataFrame]
+
+  /** Unpersist + drop the memoized CMS counter tables (the
+    * Dedup.clearCaches contract). */
+  def clearCaches(): Unit = {
+    cmsCounterCache.values.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    cmsCounterCache.clear()
+  }
+
   /** Long-format profile: one row per column with
     * (n_rows, n_null, n_distinct, min_val, max_val) — min/max as
     * double for numeric columns, null otherwise (double-vs-string
@@ -117,11 +128,19 @@ object Profile {
     val toks = Tables.documents(spark, dir)
       .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
       .persist()
-    val counters = toks
-      .select(col("tok"), explode(rowsLit).as("r"))
-      .withColumn("b", bucket(col("r"), col("tok")))
-      .groupBy(col("r"), col("b"))
-      .agg(count(lit(1)).as("c"))
+    // the counter table is depth·width rows after one full token
+    // scan — MEMOIZED per (dir, depth, width) so its two gate-scale
+    // consumers (q170's full probe, q244's accuracy audit) and any
+    // watchlist caller share one build (the shingleTable discipline)
+    val counters = graft.ext.Memo.cached(
+        cmsCounterCache, (dir, depth, width), spark) {
+      toks
+        .select(col("tok"), explode(rowsLit).as("r"))
+        .withColumn("b", bucket(col("r"), col("tok")))
+        .groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val cand = candidates match {
       case Some(ws) => ws.toDF("tok")
       case None     => toks.distinct()
