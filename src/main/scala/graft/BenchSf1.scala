@@ -72,8 +72,11 @@ object BenchSf1 {
     "q321_prefix_join_frozen",
     // late-r12: the k-core peel joined the altitude-adaptive family —
     // its grid-size switch (driver peel vs distributed loop) needs a
-    // scaling row like the rest
-    "q270_kcore")
+    // scaling row like the rest; q322 maintains CC incrementally
+    // (per-batch cost must track batch size, not history) and the
+    // CMS family gained the memoized counter table
+    "q270_kcore", "q322_cc_incremental", "q170_cms_portable",
+    "q244_cms_accuracy")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

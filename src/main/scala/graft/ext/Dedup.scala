@@ -694,14 +694,18 @@ object Dedup {
     // q45/q103/q184's tail. EXPLICIT algorithm="labelprop"/"doubling"
     // always run distributed (they gate those algorithms — q317),
     // as does any grid over the cap or with an exotic key type.
-    val eCount = e.count()
     val driverType = e.schema("a").dataType match {
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    if (algorithm == "auto" && driverType && eCount <= driverGridMax)
+    // cheap checks first: explicit-algorithm / exotic-key calls must
+    // not pay the count action for a branch they can never take; an
+    // EMPTY grid stays distributed so driverGridMax = 0 is a true
+    // force-distributed escape hatch even with zero edges
+    if (algorithm == "auto" && driverType && {
+        val eCount = e.count(); eCount > 0 && eCount <= driverGridMax })
       return ccDriver(e, driverGridMax)
     // Witness = DECIMAL-exact sum of xxhash64(label): type-agnostic
     // (labels may be strings — the q297 source graph), overflow-proof
@@ -814,22 +818,8 @@ object Dedup {
     val spark = e.sparkSession
     val dt = e.schema("a").dataType
     val ord: Ordering[Any] = dt match {
-      case org.apache.spark.sql.types.StringType => new Ordering[Any] {
-        def compare(x: Any, y: Any): Int = {
-          val a = x.asInstanceOf[String]
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val b = y.asInstanceOf[String]
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          var i = 0
-          val m = math.min(a.length, b.length)
-          while (i < m) {
-            val c = (a(i) & 0xff) - (b(i) & 0xff)
-            if (c != 0) return c
-            i += 1
-          }
-          a.length - b.length
-        }
-      }
+      case org.apache.spark.sql.types.StringType =>
+        graft.ext.Guards.utf8Ordering.on[Any](_.asInstanceOf[String])
       case _ => new Ordering[Any] {
         def compare(x: Any, y: Any): Int = java.lang.Long.compare(
           x.asInstanceOf[Number].longValue,
@@ -912,7 +902,8 @@ object Dedup {
     // chain driver-side instead; big graphs keep the distributed
     // loop below (driverGridMax = 0 forces it — the parity spec's
     // device, and the checkpointDir recovery spec's).
-    if (e.count() <= driverGridMax)
+    val prCount = e.count()
+    if (prCount > 0 && prCount <= driverGridMax)
       return pageRankDriver(e, iters, damping, driverGridMax)
     val outW = e.groupBy(col("a")).agg(dsum28(col("w")).as("out_w"))
     val eNorm = truncate(e.join(outW, Seq("a"))
@@ -1049,7 +1040,10 @@ object Dedup {
     val e1 = truncate(edges.select(col(src).as("esrc"),
       col(dst).as("edst"), col(weight).cast("double").as("w")))
     val eCount = e1.count()
-    if (eCount <= driverGridMax) return hitsDriver(e1, iters, driverGridMax)
+    // empty grids stay distributed: driverGridMax = 0 must be a true
+    // force-distributed escape hatch (the parity specs' device)
+    if (eCount > 0 && eCount <= driverGridMax)
+      return hitsDriver(e1, iters, driverGridMax)
     val nodes1 = truncate(e1.select(col("esrc").as("node"))
       .unionByName(e1.select(col("edst").as("node"))).distinct())
     val n = nodes1.count()

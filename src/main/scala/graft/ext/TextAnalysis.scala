@@ -964,8 +964,8 @@ object TextAnalysis {
     // and peel driver-side; a document-cardinality graph keeps the
     // distributed loop. Bit-identity is structural (integers only) —
     // pinned by a parity spec.
-    if (nEdges <= driverGridMax) return kcoreDriver(eAll, rounds,
-      driverGridMax)
+    if (nEdges > 0 && nEdges <= driverGridMax)
+      return kcoreDriver(eAll, rounds, driverGridMax)
     val e0 = graft.ext.Guards.coalesceTiny(eAll, nEdges)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("sa").as("node"))
@@ -1061,7 +1061,8 @@ object TextAnalysis {
     // source grid is exact set logic — run it driver-side when the
     // symmetrized edge list collects (boundedGrid-guarded); the
     // distributed frontier loop below stays the scale path.
-    if (edges.count() <= driverGridMax)
+    val bfsCount = edges.count()
+    if (bfsCount > 0 && bfsCount <= driverGridMax)
       return bfsDriver(edges, hops, driverGridMax)
     val nodes = edges.select(col("sa").as("node")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1109,9 +1110,8 @@ object TextAnalysis {
       nxt.foreach(dist(_) = i)
       frontier = nxt
     }
-    val deg = grid.groupBy(_._1).map { case (a, es) => a -> es.size.toLong }
     val rows = nodeSeq.map { nd =>
-      org.apache.spark.sql.Row(nd, deg(nd),
+      org.apache.spark.sql.Row(nd, adj(nd).size.toLong,
         dist.get(nd).map(Int.box).orNull)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1879,7 +1879,8 @@ object TextAnalysis {
     // round-12 surrogate loop driver-side (boundedGrid-guarded,
     // spec-pinned bit-identical); a dense million-edge graph keeps
     // the distributed loop below. driverGridMax = 0 forces it.
-    if (e1.count() <= driverGridMax)
+    val trCount = e1.count()
+    if (trCount > 0 && trCount <= driverGridMax)
       return textRankDriver(e1, iters, topN, driverGridMax)
     val nodes1 = e1.select(col("a").as("node")).distinct()
     val n = nodes1.count()
@@ -1950,8 +1951,18 @@ object TextAnalysis {
       }.toMap
     }
     import spark.implicits._
+    // the top-N order must match Spark's (rank desc, word asc) with
+    // the BINARY string collation — String.compareTo would order
+    // supplementary characters differently on a tie
+    val ord = new Ordering[(String, Double)] {
+      def compare(x: (String, Double), y: (String, Double)): Int = {
+        val c = java.lang.Double.compare(y._2, x._2)
+        if (c != 0) c
+        else graft.ext.Guards.utf8Ordering.compare(x._1, y._1)
+      }
+    }
     nodeSeq.map(nd => (nd, r6(ranks(nd))))
-      .sortBy { case (w, rk) => (-rk, w) }
+      .sorted(ord)
       .take(topN)
       .toDF("word", "rank")
   }

@@ -116,13 +116,17 @@ object StreamOps {
     * purpose (the [[indexIngestStream]] shape): the merge is a batch
     * transform against accumulated state, not a per-key streaming
     * aggregation — per-batch cost is |batch edges| + a broadcast
-    * relabel of only the TOUCHED components. The maintained table is
-    * exposed via the returned accessor; production would persist it
-    * to an ACID table per batch (same honesty note as index ingest —
-    * replays are safe because the merge is idempotent: re-folding
-    * already-seen edges cannot change the fixpoint). Parity spec:
-    * streaming the q45 edge set in micro-batches lands on the
-    * identical one-shot CC fixpoint. */
+    * relabel of only the TOUCHED components. The maintained table
+    * lives in an in-JVM reference exposed via the returned accessor —
+    * it DIES WITH THE PROCESS, so resuming a durable checkpoint
+    * after a restart would skip the committed batches while the
+    * table restarts empty: after a JVM restart either start from a
+    * FRESH checkpoint (re-folding history is safe — the merge is
+    * idempotent, re-seen edges cannot move the fixpoint, the
+    * replay-idempotence spec pins it) or swap the reference for an
+    * ACID table written per batch (the index-ingest honesty note).
+    * Parity spec: streaming the q45 edge set in micro-batches lands
+    * on the identical one-shot CC fixpoint. */
   def ccMaintainStream(edges: DataFrame, driverGridMax: Int = 65536)
       : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
     val spark = edges.sparkSession

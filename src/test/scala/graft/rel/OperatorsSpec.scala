@@ -2241,6 +2241,13 @@ class OperatorsSpec extends AnyFunSuite {
     val bDist = TextAnalysis.bfsHops(spark, sf, driverGridMax = 0)
       .collect().map(_.toString).sorted.toSeq
     assert(bDrv == bDist && bDrv.nonEmpty)
+    // an EMPTY pruned grid must return empty (distributed path), not
+    // crash in a driver loop — and driverGridMax = 0 must stay a
+    // true force-distributed hatch even at zero edges
+    assert(TextAnalysis.bfsHops(spark, sf, minShared = 999999999L)
+      .collect().isEmpty)
+    assert(TextAnalysis.kcore(spark, sf, minShared = 999999999L)
+      .collect().isEmpty)
   }
 
   test("hard negatives: one per anchor, cross-label, truly the max") {
