@@ -102,4 +102,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"non-equi pair join in q321: $bad")
   }
+
+  test("altitude switches ENGAGE at gate scale: driver results are local relations, the 0-cap forces real plans") {
+    // If a refactor silently broke a switch (a count moved, a
+    // condition inverted), the bit-identity parity specs would
+    // compare distributed-vs-distributed and pass VACUOUSLY while
+    // the perf win quietly died. Pin the plan shape instead: the
+    // DEFAULT call on a bounded grid must bottom out in a
+    // LocalTableScan (the collected driver result); the
+    // driverGridMax = 0 call must not.
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val phys = df.queryExecution.sparkPlan
+      // the whole result is driver-built iff every leaf is a local
+      // (or empty-relation) scan — no parquet scan survives
+      val leaves = phys.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case _: LocalTableScanExec => true
+        case l => l.nodeName.contains("EmptyRelation")
+      }
+    }
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 2.0))
+      .toDF("src", "dst", "weight")
+    val cc = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(isLocal(graft.ext.Dedup.hits(edges)), "hits switch broken")
+    assert(!isLocal(graft.ext.Dedup.hits(edges, driverGridMax = 0)))
+    assert(isLocal(graft.ext.Dedup.pageRank(edges)), "pageRank switch broken")
+    assert(!isLocal(graft.ext.Dedup.pageRank(edges, driverGridMax = 0)))
+    assert(isLocal(graft.ext.Dedup.connectedComponents(cc)), "cc switch broken")
+    assert(!isLocal(graft.ext.Dedup.connectedComponents(cc, driverGridMax = 0)))
+    assert(isLocal(graft.ext.TextAnalysis.kcore(spark, sf)), "kcore switch broken")
+    assert(isLocal(graft.ext.TextAnalysis.bfsHops(spark, sf)), "bfs switch broken")
+    assert(isLocal(graft.ext.TextAnalysis.textRank(spark, sf)), "textRank switch broken")
+    assert(!isLocal(graft.ext.TextAnalysis.textRank(spark, sf, driverGridMax = 0)))
+  }
 }
