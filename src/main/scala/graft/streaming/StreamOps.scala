@@ -137,7 +137,11 @@ object StreamOps {
       ref.set(graft.ext.Dedup
         .ccIncrement(ref.get(), batch, driverGridMax = driverGridMax)
         .localCheckpoint(eager = true))
-    }
+    }.outputMode(OutputMode.Append())
+    // Append, not foreachBatch's Update default: the edge stream may
+    // end in an Append-declared stateful operator (the prefix
+    // candidate state in [[prefixClusterStream]]), and each verified
+    // pair must arrive exactly once per epoch for the fold
     (writer, () => ref.get())
   }
 
@@ -885,6 +889,28 @@ object StreamOps {
       prefixCandidateStream(docs, freq, threshold, k, pairTtl,
         watermarkDelay).toDF("doc_a", "doc_b"),
       threshold)
+
+  /** END-TO-END exact streaming near-dup CLUSTERING — the full
+    * pipeline a streaming corpus curation needs, composed from the
+    * two spec-pinned halves: [[prefixJoinStream]] (row-local frozen
+    * prefix projection → TTL-horizon candidate state → stream-static
+    * exact verify; streamed verified pairs proven EQUAL to batch
+    * q150's) feeding [[ccMaintainStream]] (per-micro-batch quotient
+    * merge into the standing component table). Because the edge
+    * stream is exactly the batch edge set, the maintained table
+    * converges to the batch `connectedComponents(jaccardJoinPrefix)`
+    * fixpoint — no anchor-shape caveats (the LSH candidate stream's
+    * star recall accounting never enters). Spec: two-micro-batch
+    * replay of the gate corpus equals the one-shot batch clusters. */
+  def prefixClusterStream(docs: DataFrame, shingleStore: DataFrame,
+      freq: Map[String, Long], threshold: Double = 0.7, k: Int = 3,
+      pairTtl: java.time.Duration = java.time.Duration.ofMinutes(10),
+      watermarkDelay: String = "10 seconds", driverGridMax: Int = 65536)
+      : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) =
+    ccMaintainStream(
+      prefixJoinStream(docs, shingleStore, freq, threshold, k, pairTtl,
+        watermarkDelay).select(col("doc_a"), col("doc_b")),
+      driverGridMax)
 
   /** Streaming ANN serving — a stream of query vectors scored
     * against the STATIC IVF+PQ index (the online half of the batch

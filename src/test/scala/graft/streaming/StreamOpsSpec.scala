@@ -1111,6 +1111,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("prefix cluster stream: streamed end-to-end clusters equal the batch fixpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{explode, count, lit}
+    val sf = "/root/testdata/sf0.001"
+    val st = graft.ext.Dedup.shingleTable(spark, sf, 3)
+    val freq = st.select(explode(col("sh")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Timestamp.valueOf("2024-01-01 10:00:00")))
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val src = MemoryStream[(Long, String, Timestamp)]
+    val (writer, current) = StreamOps.prefixClusterStream(
+      src.toDS().toDF("doc_id", "text", "ts"), st, freq,
+      pairTtl = java.time.Duration.ofHours(1))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pcs-ck").toString
+    def drain(): Unit = {
+      val q = writer.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    src.addData(b1.toSeq); drain()
+    src.addData(b2.toSeq); drain()
+    val batch = graft.ext.Dedup.connectedComponents(
+        graft.ext.Dedup.jaccardJoinPrefix(spark, sf)
+          .select(col("doc_a"), col("doc_b"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val streamed = current().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("prefix candidate stream: entries evict past the TTL horizon — no cross-horizon pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
