@@ -110,11 +110,15 @@ object Linkage {
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"), col("k"))
     val b = keys.select(col("c_custkey").as("cb"), col("c_name").as("nb"),
       col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"), col("k"))
+    // verify BEFORE distinct: a true pair reaches the join once per
+    // SHARED deletion key (~len(name) duplicate rows), so running
+    // the codegen'd levenshtein on each duplicate is cheap per-row
+    // CPU, while the dedup shuffle then carries only the surviving
+    // 2-column pairs instead of every candidate row with both names
     val edges = a.join(b, Seq("nk", "seg", "k"))
       .filter(col("ca") < col("cb"))
-      .select(col("ca"), col("cb"), col("na"), col("nb")).distinct()
       .filter(levenshtein(col("na"), col("nb")) <= maxDist)
-      .select(col("ca").as("doc_a"), col("cb").as("doc_b"))
+      .select(col("ca").as("doc_a"), col("cb").as("doc_b")).distinct()
     // "auto": a pathological entity chain (A≈B≈C≈… each within edit
     // distance) exceeds any fixed diameter budget; escalation to
     // pointer doubling means resolution finishes instead of throwing
