@@ -194,6 +194,32 @@ class PropertiesSpec extends AnyFunSuite {
     expected.foreach { case (g, want) => assert(got(g) == want, s"group $g") }
   }
 
+  test("ccIncrement folded over ANY random graph + split equals one-shot CC") {
+    val spark = TestSpark.init()
+    import spark.implicits._
+    // random multigraphs over a small id space (so components merge,
+    // self-loops and duplicate edges occur) folded in random batch
+    // counts — the q322 cut-invariance contract as a property, not a
+    // fixture. Few samples: each runs real Spark jobs.
+    val caseGen = Gen.zip(
+      Gen.listOfN(14, Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L))),
+      Gen.choose(1, 4))
+    forSamples(caseGen, 8) { case (edges, nBatches) =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val oneShot = graft.ext.Dedup.connectedComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      var labels = Seq.empty[(Long, Long)].toDF("id", "label")
+      edges.grouped(math.max(1, edges.length / nBatches)).foreach { b =>
+        labels = graft.ext.Dedup
+          .ccIncrement(labels, b.toDF("doc_a", "doc_b"))
+          .localCheckpoint(eager = true)
+      }
+      val inc = labels.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(inc == oneShot, s"edges=$edges nBatches=$nBatches")
+    }
+  }
+
   test("bloomAntiJoin ≡ plain left_anti for random key sets and fpp") {
     val spark = TestSpark.init()
     import spark.implicits._
