@@ -36,8 +36,14 @@ object Relational {
 
   /** Unpersist + drop the memoized CF/basket projections (the
     * Dedup.clearCaches contract). */
+  private val gapDailyCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val markovCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def clearCaches(): Unit = {
-    Seq(orderItemsCache, custPartsCache, itemPairsCache).foreach { c =>
+    Seq(orderItemsCache, custPartsCache, itemPairsCache, gapDailyCache,
+        markovCache).foreach { c =>
       c.values.foreach(df =>
         try df.unpersist(blocking = false) catch { case _: Throwable => () })
       c.clear()
@@ -371,7 +377,11 @@ object Relational {
     * day) and partition the window by series when there are many
     * series. Revenue uses the decimal-plane sum so the fill values
     * are order-independent exact. */
-  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame =
+    // MEMOIZED per dir: ELEVEN time-series consumers (CUSUM, ACF,
+    // Holt, seasonal, conformal, backtest, EWMA, rolling stats …)
+    // ride this day grid — one orders scan total, not one each
+    graft.ext.Memo.cached(gapDailyCache, dir, spark) {
     // persisted: the spine bounds derive from the daily aggregate
     // itself (its min/max day == the fact table's), so the fact
     // table really is scanned exactly once — without the barrier the
@@ -394,6 +404,7 @@ object Relational {
         coalesce(col("revenue"), lit(0.0)).as("revenue_filled"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         last(col("revenue"), ignoreNulls = true).over(w).as("revenue_locf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** CUSUM changepoint detection (q234) over the gap-filled daily
@@ -2137,7 +2148,10 @@ object Relational {
     * division of two exact longs — deterministic, so the matrix
     * hash-gates. Terminal events (a user's last) emit no transition
     * by construction (lead is null). */
-  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    // MEMOIZED per dir: q189's matrix and q251's HITS edge list both
+    // pay the events window otherwise; the output is type-vocabulary²
+    graft.ext.Memo.cached(markovCache, dir, spark) {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(spark, dir)
@@ -2150,6 +2164,7 @@ object Relational {
     pairs.select(col("event_type"), col("next_type"), col("n"),
       (col("n").cast("double") / sum(col("n")).over(totals)
         .cast("double")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Gapped sequential-pattern support (q214): for event-type pairs
