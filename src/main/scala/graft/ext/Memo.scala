@@ -25,7 +25,18 @@ private[graft] object Memo {
       build: => DataFrame): DataFrame = {
     def alive(df: DataFrame): Boolean = df.sparkSession eq spark
     cache.get(key) match {
-      case Some(df) if alive(df) => df
+      case Some(df) if alive(df) =>
+        // re-arm the materialization barrier if something external
+        // (spark.catalog.clearCache(), the BenchSf1 per-sample
+        // discipline) unpersisted the entry — serving a memoized
+        // frame WITHOUT its persist silently re-runs the build once
+        // per downstream consumer, the exact re-expansion the memo
+        // exists to stop. Every builder here persists MEMORY_AND_DISK.
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          try df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          catch { case _: Throwable => () }
+        df
       case stale =>
         stale.foreach { old =>
           cache.remove(key)
