@@ -668,7 +668,7 @@ object Dedup {
       checkpointDir: Option[String] = None,
       failOnNonConvergence: Boolean = true,
       algorithm: String = "auto",
-      driverGridMax: Int = 65536): DataFrame = {
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax): DataFrame = {
     require(algorithm == "labelprop" || algorithm == "doubling" ||
         algorithm == "auto",
       s"connectedComponents: unknown algorithm '$algorithm'")
@@ -883,15 +883,20 @@ object Dedup {
   def pageRank(edges: DataFrame, src: String = "src", dst: String = "dst",
       weight: String = "weight", iters: Int = 10,
       damping: Double = 0.85, checkpointDir: Option[String] = None,
-      driverGridMax: Int = 65536): DataFrame = {
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax): DataFrame = {
     checkpointDir.foreach(d =>
       edges.sparkSession.sparkContext.setCheckpointDir(d))
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
     def dsum28(c: Column): Column = sum(c.cast("decimal(38,28)")).cast("double")
+    // drop null-weight edges BEFORE the altitude switch: the
+    // distributed sums silently ignore nulls while the driver grid's
+    // getDouble would throw — dirty input must behave identically on
+    // both paths (a null weight is a non-edge on either altitude)
     val e0 = edges.select(col(src).as("a"), col(dst).as("b"),
-      col(weight).cast("double").as("w"))
+        col(weight).cast("double").as("w"))
+      .filter(col("w").isNotNull)
     val e = truncate(
       e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"), col("w"))))
     // Altitude switch (the [[hits]]/q315/q316 rule): when the
@@ -1025,7 +1030,7 @@ object Dedup {
   def hits(edges: DataFrame, src: String = "src", dst: String = "dst",
       weight: String = "weight", iters: Int = 8,
       checkpointDir: Option[String] = None,
-      driverGridMax: Int = 65536): DataFrame = {
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax): DataFrame = {
     checkpointDir.foreach(d =>
       edges.sparkSession.sparkContext.setCheckpointDir(d))
     def truncate(df: DataFrame): DataFrame =
@@ -1037,8 +1042,12 @@ object Dedup {
     // node derivation, the node count, and the loop all read the
     // truncated table (the caller's edge plan — e.g. q251's full
     // events window — must not re-execute per consumer).
+    // null-weight edges dropped before the altitude switch (same
+    // rationale as [[pageRank]]: both altitudes must agree on dirty
+    // input — distributed sums skip nulls, the driver grid would throw)
     val e1 = truncate(edges.select(col(src).as("esrc"),
-      col(dst).as("edst"), col(weight).cast("double").as("w")))
+        col(dst).as("edst"), col(weight).cast("double").as("w"))
+      .filter(col("w").isNotNull))
     val eCount = e1.count()
     // empty grids stay distributed: driverGridMax = 0 must be a true
     // force-distributed escape hatch (the parity specs' device)
@@ -1210,10 +1219,30 @@ object Dedup {
     * set in batches against q45's recursive-CTE oracle; the
     * cut-invariance spec proves ANY batch split converges
     * identically, the q114/q171 incremental-maintenance contract).
-    * Seed with an empty (id, label) frame for the first batch. */
+    * Seed with an empty (id, label) frame for the first batch.
+    *
+    * CONTRACT on `prev`: labels must be the min member id of their
+    * component — in particular labels ⊆ ids and disjoint from ids
+    * the table has never seen. A caller seeding an arbitrary
+    * synthetic (id, label) table (e.g. a label colliding with a
+    * not-yet-seen node id) gets silently wrong fixpoints. Tables
+    * produced by [[connectedComponents]] or by ccIncrement itself
+    * satisfy it by construction; external seeds can pass
+    * `validatePrev = true` to pay one aggregate job for a fail-fast
+    * check instead. */
   def ccIncrement(prev: DataFrame, newEdges: DataFrame,
       src: String = "doc_a", dst: String = "doc_b",
-      driverGridMax: Int = 65536): DataFrame = {
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax,
+      validatePrev: Boolean = false): DataFrame = {
+    if (validatePrev) {
+      val orphan = prev.select(col("label").as("id")).distinct()
+        .join(prev.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .count()
+      require(orphan == 0L,
+        s"ccIncrement: prev violates the label-invariant (labels must " +
+          s"be member ids; $orphan label value(s) are not ids). Seed " +
+          "with connectedComponents output or an empty frame.")
+    }
     val e = newEdges.select(col(src).as("na"), col(dst).as("nb"))
     val la = prev.select(col("id").as("na"), col("label").as("la"))
     val lb = prev.select(col("id").as("nb"), col("label").as("lb"))

@@ -27,6 +27,34 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Guards {
 
+  /** Default cap for the driver-altitude grids (the `driverGridMax`
+    * parameter shared by pageRank/HITS/CC/TextRank/k-means…), derived
+    * from what the driver can actually hold instead of a bare
+    * constant:
+    *
+    *   - `graft.driverGridMax` system property, then the
+    *     `SPARK_GRAFT_DRIVER_GRID_MAX` env var, override everything
+    *     (0 = force-distributed everywhere — the escape hatch the
+    *     parity specs rely on stays honored because the altitude
+    *     switches gate on `count <= driverGridMax` with count > 0);
+    *   - otherwise the sizing rule: a collected grid row costs
+    *     ~512 heap bytes (Row object + boxed fields + the loop's map
+    *     entries), and a loop may hold ~3 grid-sized structures, so
+    *     cap at heap/100/512 — 1% of the driver heap even with
+    *     several concurrent altitude loops — floored at 1024 and
+    *     CEILINGED at the 65536 convention every parity spec and
+    *     bench anchor was measured under (more heap never silently
+    *     raises the collect bound; less heap lowers it).
+    */
+  def defaultDriverGridMax: Int =
+    sys.props.get("graft.driverGridMax")
+      .orElse(sys.env.get("SPARK_GRAFT_DRIVER_GRID_MAX"))
+      .map(_.trim.toInt)
+      .getOrElse {
+        val byMem = Runtime.getRuntime.maxMemory() / 100L / 512L
+        math.min(65536L, math.max(1024L, byMem)).toInt
+      }
+
   /** Collect a grid that is SUPPOSED to be vocabulary-bounded, and
     * THROW if the data says otherwise. One job, no pre-count: the
     * plan fetches at most `maxRows + 1` rows, so the failure path

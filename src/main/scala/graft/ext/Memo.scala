@@ -1,6 +1,7 @@
 package graft.ext
 
 import scala.collection.concurrent.TrieMap
+import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -32,22 +33,29 @@ private[graft] object Memo {
         // frame WITHOUT its persist silently re-runs the build once
         // per downstream consumer, the exact re-expansion the memo
         // exists to stop. Every builder here persists MEMORY_AND_DISK.
-        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          try df.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          catch { case _: Throwable => () }
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          try {
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // re-arm can race a concurrent clearCaches(): it may have
+            // unpersisted THIS df and removed the key between our get
+            // and the persist above, leaving a persisted frame tracked
+            // by no map. Re-check membership and roll back if evicted.
+            if (!cache.get(key).exists(_ eq df))
+              df.unpersist(blocking = false)
+          } catch { case NonFatal(_) => () }
+        }
         df
       case stale =>
         stale.foreach { old =>
           cache.remove(key)
           // the old entry may belong to a stopped session; unpersist is
           // best-effort hygiene, not correctness
-          try old.unpersist(blocking = false) catch { case _: Throwable => () }
+          try old.unpersist(blocking = false) catch { case NonFatal(_) => () }
         }
         val built = build
         cache.putIfAbsent(key, built) match {
           case Some(winner) if alive(winner) =>
-            try built.unpersist(blocking = false) catch { case _: Throwable => () }
+            try built.unpersist(blocking = false) catch { case NonFatal(_) => () }
             winner
           case Some(_) => // raced with a now-stale entry: replace it
             cache.update(key, built); built

@@ -21,13 +21,17 @@ object Profile {
 
   private val cmsCounterCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int), DataFrame]
+  private val cmsToksCache = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
 
   /** Unpersist + drop the memoized CMS counter tables (the
     * Dedup.clearCaches contract). */
   def clearCaches(): Unit = {
-    cmsCounterCache.values.foreach(df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    (cmsCounterCache.values ++ cmsToksCache.values).foreach(df =>
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () })
     cmsCounterCache.clear()
+    cmsToksCache.clear()
   }
 
   /** Long-format profile: one row per column with
@@ -122,12 +126,17 @@ object Profile {
       graft.ext.Sampling.hashBucket(
         concat(r.cast("string"), lit(":"), t), width)
     val rowsLit = array((0 until depth).map(lit): _*)
-    // persisted: with candidates = None this frame feeds BOTH the
-    // counter build and the candidate set — without the barrier the
-    // tokenize+explode subtree runs twice (the stickiness lesson)
-    val toks = Tables.documents(spark, dir)
-      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
-      .persist()
+    // persisted AND memoized per dir: with candidates = None this
+    // frame feeds BOTH the counter build and the candidate set —
+    // without the barrier the tokenize+explode subtree runs twice
+    // (the stickiness lesson). The memo (vs a bare per-call persist)
+    // keeps the frame reachable by clearCaches, so repeated calls
+    // don't each leak one persisted plan.
+    val toks = graft.ext.Memo.cached(cmsToksCache, dir, spark) {
+      Tables.documents(spark, dir)
+        .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     // the counter table is depth·width rows after one full token
     // scan — MEMOIZED per (dir, depth, width) so its two gate-scale
     // consumers (q170's full probe, q244's accuracy audit) and any

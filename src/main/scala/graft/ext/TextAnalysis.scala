@@ -944,7 +944,7 @@ object TextAnalysis {
     * ids. */
   def kcore(spark: SparkSession, dir: String, n: Int = 4,
       minShared: Long = 3L, rounds: Int = 6,
-      driverGridMax: Int = 65536): DataFrame = {
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax): DataFrame = {
     // Adaptive collapse (shared q251 rule): the SOURCE-level edge
     // grid is bounded (pairs of source names, not documents) —
     // running the 12-round peel loop at spark.sql.shuffle.partitions
@@ -1050,7 +1050,7 @@ object TextAnalysis {
     * driver collect. */
   def bfsHops(spark: SparkSession, dir: String, n: Int = 4,
       minShared: Long = 3L, hops: Int = 4,
-      driverGridMax: Int = 65536): DataFrame = {
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax): DataFrame = {
     val e0 = sourceOverlap(spark, dir, n)
       .filter(col("n_shared") >= minShared)
       .select(col("source_a").as("sa"), col("source_b").as("sb"))
@@ -1837,7 +1837,7 @@ object TextAnalysis {
     * partitioning. */
   def textRank(spark: SparkSession, dir: String, maxDist: Int = 2,
       minCount: Long = 5L, iters: Int = 8, topN: Int = 25,
-      driverGridMax: Int = 65536): DataFrame = {
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(tokens(col("text")).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

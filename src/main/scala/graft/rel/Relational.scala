@@ -398,13 +398,22 @@ object Relational {
         expr("interval 1 day"))).as("day"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("day"), "left")
+    val out = spine.join(daily, Seq("day"), "left")
       .select(col("day"),
         col("revenue").isNull.as("is_gap"),
         coalesce(col("revenue"), lit(0.0)).as("revenue_filled"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         last(col("revenue"), ignoreNulls = true).over(w).as("revenue_locf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the outer frame NOW so the inner daily persist can
+    // be released inside the builder — otherwise it would outlive the
+    // memo entry (clearCaches only sees the cache value) and leak one
+    // persisted plan per clearCaches+rebuild cycle. The day grid is
+    // ~10^4 rows; the count is the same scan the first consumer would
+    // have paid anyway.
+    out.count()
+    daily.unpersist(blocking = false)
+    out
   }
 
   /** CUSUM changepoint detection (q234) over the gap-filled daily
@@ -2047,7 +2056,7 @@ object Relational {
     * same loop as a recursive CTE), and removal effects snap to 1e9
     * before the share normalization. */
   def markovAttribution(spark: SparkSession, dir: String,
-      iters: Int = 25, maxGrid: Int = 65536): DataFrame = {
+      iters: Int = 25, maxGrid: Int = graft.ext.Guards.defaultDriverGridMax): DataFrame = {
     import spark.implicits._
     val us = unix_micros(col("ts"))
     val w = Window.partitionBy(col("user_id"))

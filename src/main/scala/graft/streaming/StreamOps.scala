@@ -127,7 +127,7 @@ object StreamOps {
     * ACID table written per batch (the index-ingest honesty note).
     * Parity spec: streaming the q45 edge set in micro-batches lands
     * on the identical one-shot CC fixpoint. */
-  def ccMaintainStream(edges: DataFrame, driverGridMax: Int = 65536)
+  def ccMaintainStream(edges: DataFrame, driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax)
       : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -905,7 +905,7 @@ object StreamOps {
   def prefixClusterStream(docs: DataFrame, shingleStore: DataFrame,
       freq: Map[String, Long], threshold: Double = 0.7, k: Int = 3,
       pairTtl: java.time.Duration = java.time.Duration.ofMinutes(10),
-      watermarkDelay: String = "10 seconds", driverGridMax: Int = 65536)
+      watermarkDelay: String = "10 seconds", driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax)
       : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) =
     ccMaintainStream(
       prefixJoinStream(docs, shingleStore, freq, threshold, k, pairTtl,
