@@ -22,6 +22,41 @@ object Bench {
     * and count a failed pass as a 0-second success. */
   def failureSentinel(dt: Double): Double = -math.max(dt, 1e-9)
 
+  /** 1-minute load average right now, or -1.0 where /proc/loadavg
+    * is unreadable (non-Linux dev box) — sampled at the start of
+    * every pass so the artifact itself classifies host-noise phases
+    * instead of burning bench windows on hand annotation (r12 burned
+    * ~6 windows writing the load story into BASELINE.md prose). */
+  def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Shared-subset comparison of this window's per-query minima
+    * against a prior anchor artifact's: the median/mean per-query
+    * ratio plus the p10–p90 spread — the exact "uniform inflation?"
+    * test BASELINE.md prose has been applying by hand. Pure (spec'd
+    * without Spark). Returns None when fewer than 5 queries are
+    * shared (a ratio over a tiny subset classifies nothing). A
+    * spread (p90/p10) near 1 with median ≈ mean reads as a uniform
+    * host-noise phase; a fat spread or a few extreme ratios reads as
+    * real per-query regressions. */
+  def vsAnchor(cur: Map[String, Double],
+      anchor: Map[String, Double]): Option[Map[String, Double]] = {
+    val shared = cur.keySet.intersect(anchor.keySet).toSeq
+      .filter(n => cur(n) >= 0.0 && anchor(n) > 0.0)
+    if (shared.size < 5) return None
+    val ratios = shared.map(n => cur(n) / anchor(n)).sorted
+    def pct(p: Double): Double =
+      ratios(math.min(ratios.size - 1, (p * ratios.size).toInt))
+    Some(Map(
+      "n_shared" -> shared.size.toDouble,
+      "median_ratio" -> pct(0.5),
+      "mean_ratio" -> ratios.sum / ratios.size,
+      "p10_ratio" -> pct(0.10),
+      "p90_ratio" -> pct(0.90)))
+  }
+
   /** Every BASELINE.md anchor is SPARK_GRAFT_CPUS=32 (the brief's
     * local[32] contract); a window at another width is not comparable
     * — the r11 methodology note cost a session to a silent local[4]
@@ -86,7 +121,9 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else failureSentinel(dt))
     }.toMap
-    val passes = (1 to nPasses).map(_ => pass())
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passes = (1 to nPasses).map { _ => loads += loadAvg1m(); pass() }
+    loads += loadAvg1m() // closing sample: a burst that started mid-run
     val names = selected.map(_._1)
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val summaries = names.map(n => n -> summarize(passes.map(_(n)))).toMap
@@ -109,7 +146,28 @@ object Bench {
     val failedJson = failed.map { case (n, c) => "\"" + n + "\":" + c }
       .mkString("{", ",", "}")
     val total = mins.collect { case (_, v) if v >= 0.0 => v }.sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"failed":$failedJson,"n_failed":${failed.map(_._2).sum},"n_passes":$nPasses,"cpus":"$cpus","sf":"$sfDir"}"""
+    val loadJson = loads.map(f).mkString("[", ",", "]")
+    // SPARK_GRAFT_ANCHOR=<path to a prior BENCH_LOCAL*.json>: emit the
+    // shared-subset ratio block so window classification is executable
+    val anchorJson = sys.env.get("SPARK_GRAFT_ANCHOR").flatMap { p =>
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(p)))
+        val qn = node.get("queries")
+        val m = scala.collection.mutable.Map.empty[String, Double]
+        val it = qn.fieldNames()
+        while (it.hasNext) {
+          val k = it.next(); m(k) = qn.get(k).asDouble()
+        }
+        vsAnchor(mins.toMap, m.toMap)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] anchor read failed ($p): $e"); None
+      }
+    }.map(m => "," + "\"vs_anchor\":" + m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")).getOrElse("")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$passJson,"noisy":$noisyJson,"failed":$failedJson,"n_failed":${failed.map(_._2).sum},"n_passes":$nPasses,"cpus":"$cpus","load":$loadJson$anchorJson,"sf":"$sfDir"}"""
     println(line)
     // stdout goes through sbt, which appends its own postlude — also
     // drop the line as a file so the artifact survives log framing

@@ -411,6 +411,17 @@ object SparkEntry {
     // identical fixpoint as one-shot clustering
     "q322_cc_incremental" -> ((s, d) =>
       Dedup.ccIncrementalClusters(s, d)),
+    // q323/q324: the q322 pattern applied UPSTREAM — the heavy
+    // candidate indexes (deletion-key ER blocking, LSH band keys +
+    // shingle store) maintained by per-batch appends, candidates
+    // generated new-vs-index (touched buckets only), edges folded by
+    // ccIncrement. Same one-shot oracles (q184/q59): a recall or
+    // relabel bug anywhere in the grown pipeline is a hash mismatch
+    // on real corpus data.
+    "q323_entity_res_incremental" -> ((s, d) =>
+      graft.ext.Linkage.entityResolutionIncremental(s, d)),
+    "q324_lsh_clusters_incremental" -> ((s, d) =>
+      Dedup.lshDedupClustersIncremental(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -6915,5 +6926,12 @@ object SparkEntry {
     // three algorithms now (one-shot labelprop/auto, pointer
     // doubling, incremental quotient merge), all pinned to the same
     // recursive-CTE fixpoint
-    ("q322_cc_incremental" -> staticOracleSql("q45_dedup_clusters"))
+    ("q322_cc_incremental" -> staticOracleSql("q45_dedup_clusters")) +
+    // q323/q324 extend the incremental-maintenance proof UPSTREAM of
+    // CC: the candidate indexes themselves (deletion-key ER blocking,
+    // LSH band-key index + shingle store) are maintained by per-batch
+    // appends, and the same one-shot oracles pin the grown pipelines
+    // — one oracle, two maintenance disciplines, whole pipeline
+    ("q323_entity_res_incremental" -> staticOracleSql("q184_entity_res")) +
+    ("q324_lsh_clusters_incremental" -> staticOracleSql("q59_lsh_clusters"))
 }

@@ -125,9 +125,7 @@ object Dedup {
 
   def shingleTable(spark: SparkSession, dir: String, k: Int): DataFrame =
     Memo.cached(shingleCache, (dir, k), spark) {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), shinglesFromTokens(col("toks"), k).as("sh"))
+      shingleRowsFor(Tables.documents(spark, dir), k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -257,16 +255,7 @@ object Dedup {
     * cost of wider keys. */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int, compressBuckets: Boolean = true): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      val sliceKey = concat_ws(",",
-        slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))
-      struct(lit(b).as("band"),
-        (if (compressBuckets) xxhash64(sliceKey, lit(b)) else sliceKey)
-          .as("bucket"))
-    }
-    val banded = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = lshBandKeys(sig, bands, rowsPerBand, compressBuckets)
     val stats = guardObserved(
       banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor")),
@@ -296,6 +285,60 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     cliquePairs.unionByName(starPairs).unionByName(saltedCliques).distinct()
+  }
+
+  /** (doc_id, band, bucket) banded key rows for a signature table —
+    * THE LSH index payload, split out of [[lshCandidatePairs]] so the
+    * one-shot path and the appendable-index path band IDENTICALLY
+    * (any divergence here would silently change candidate recall
+    * between maintenance disciplines). */
+  def lshBandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      compressBuckets: Boolean = true): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val sliceKey = concat_ws(",",
+        slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))
+      struct(lit(b).as("band"),
+        (if (compressBuckets) xxhash64(sliceKey, lit(b)) else sliceKey)
+          .as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs introduced by a NEW batch against a standing LSH
+    * index (which must already CONTAIN the batch's own keys): every
+    * within-bucket pair with at least one endpoint in `newKeys`. Over
+    * any batch replay the union of these per-batch sets equals the
+    * one-shot [[lshCandidatePairs]] candidate set (each pair is
+    * emitted exactly when its LATER endpoint arrives) — as long as no
+    * bucket outgrows `maxBucket`, which this generator FAIL-FASTS on
+    * (it has no star/salt fallback; an oversized bucket would emit an
+    * N² clique on one shuffle key). The guard only sizes buckets the
+    * batch TOUCHES, so the guard job — like the candidate join
+    * itself — is bounded by the batch's bucket sizes, never by
+    * corpus history: the property that makes per-batch ingest viable
+    * at 100 TB where a nightly full [[lshCandidatePairs]] rebuild is
+    * not. */
+  def lshAppendCandidates(newKeys: DataFrame, indexKeys: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val touched = indexKeys.join(
+      newKeys.select(col("band"), col("bucket")).distinct(),
+      Seq("band", "bucket"))
+    val biggest = touched.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(biggest <= maxBucket,
+      s"lshAppendCandidates: a touched (band, bucket) holds $biggest " +
+        s"docs (> maxBucket=$maxBucket) — the append path has no " +
+        "star/salt fallback; dedup exact content first or raise the cap")
+    newKeys.select(col("band"), col("bucket"), col("doc_id").as("na"))
+      .join(indexKeys.select(col("band"), col("bucket"),
+        col("doc_id").as("nb")), Seq("band", "bucket"))
+      .filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"))
+      .distinct()
   }
 
   private val verifiedCache =
@@ -400,6 +443,107 @@ object Dedup {
     connectedComponents(jaccardVerifyPortable(spark, dir, k, threshold),
         algorithm = "auto")
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
+
+  /** Row-local encode of a document batch into its (doc_id, sh)
+    * shingle rows — the unit of work every append below runs on the
+    * NEW rows only. */
+  def shingleRowsFor(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), k).as("sh"))
+
+  /** [[lshDedupClustersPortable]] (q59) maintained INCREMENTALLY —
+    * q324: the whole candidate pipeline upstream of CC gets the q322
+    * treatment. Replays the corpus in deterministic doc_id-modulo
+    * batches; per batch the loop does exactly what a production
+    * per-epoch ingest does:
+    *   1. shingle + minhash the NEW docs only (row-local — the
+    *      signature math never touches history);
+    *   2. APPEND their band keys to the standing LSH index and their
+    *      shingle rows to the standing verify store;
+    *   3. candidates = [[lshAppendCandidates]] (new keys ⋈ index,
+    *      touched buckets only — cost tracks the batch's bucket
+    *      sizes, never corpus²);
+    *   4. exact-Jaccard verify against the standing shingle store
+    *      (id-keyed joins);
+    *   5. fold surviving edges into the component table via
+    *      [[ccIncrement]].
+    * Hash-proven equal to one-shot q59 by the SAME oracle (one
+    * oracle, two maintenance disciplines): per-pair, the candidate
+    * union over batches equals the one-shot banding, verification is
+    * the same [[verifyPairs]] code, and ccIncrement's fixpoint
+    * equals one-shot CC. This is the answer to the r12 cold-build
+    * rows (signature table 247.7 s at 100×): the cold build happens
+    * ONCE; every epoch after is step 1–5 over the new docs. */
+  def lshDedupClustersIncremental(spark: SparkSession, dir: String,
+      k: Int = 3, threshold: Double = 0.7, bands: Int = 8,
+      rowsPerBand: Int = 4, maxBucket: Int = 256,
+      nBatches: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    var shStore: DataFrame = null
+    var keyStore: DataFrame = null
+    var labels = docs
+      .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
+    for (b <- 0 until nBatches) {
+      val newSh = shingleRowsFor(
+        docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b), k)
+        .localCheckpoint(eager = true)
+      val newKeys = lshBandKeys(
+        newSh.select(col("doc_id"),
+          graft.functions.exprs.minhash_sig_portable(col("sh"),
+            bands * rowsPerBand).as("sig")),
+        bands, rowsPerBand, compressBuckets = false)
+        .localCheckpoint(eager = true)
+      shStore = if (shStore == null) newSh
+        else shStore.unionByName(newSh).localCheckpoint(eager = true)
+      keyStore = if (keyStore == null) newKeys
+        else keyStore.unionByName(newKeys).localCheckpoint(eager = true)
+      val edges = verifyPairs(shStore,
+        lshAppendCandidates(newKeys, keyStore, maxBucket), threshold)
+      labels = ccIncrement(labels, edges).localCheckpoint(eager = true)
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
+  }
+
+  // -----------------------------------------------------------------
+  // Materialized index lifecycle (the appendToIvfPqIndex precedent):
+  // the standing LSH index and shingle store as PARQUET TABLES a
+  // fresh session reads back — full build once, per-batch appends
+  // forever. Parity spec: grown-by-appends == full rebuild, row for
+  // row, and candidates drawn from the grown index equal the
+  // one-shot candidate set.
+  // -----------------------------------------------------------------
+
+  /** Full build of the (band, bucket, doc_id) LSH index, partitioned
+    * by band so a probe for one band's buckets is partition-pruned. */
+  def writeLshIndex(spark: SparkSession, dir: String, outPath: String,
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): Unit =
+    graft.sources.Io.writeParquet(
+      lshBandKeys(signatures(spark, dir, k, bands * rowsPerBand),
+        bands, rowsPerBand), outPath, Seq("band"))
+
+  /** APPEND new documents to a materialized [[writeLshIndex]] table
+    * WITHOUT rebuilding: shingle + sign + band the new rows only and
+    * append into their band directories. The banding is seed-stable
+    * (xxhash64 with fixed per-band seeds), so old keys never change —
+    * the property that makes append ≡ rebuild. */
+  def appendToLshIndex(newDocs: DataFrame, indexPath: String,
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): Unit =
+    lshBandKeys(
+      shingleRowsFor(newDocs, k).select(col("doc_id"),
+        minhashFromShingles(col("sh"), bands * rowsPerBand).as("sig")),
+      bands, rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(indexPath)
+
+  /** Full build of the doc_id → shingle-set store (the verify
+    * stage's side table). */
+  def writeShingleStore(spark: SparkSession, dir: String,
+      outPath: String, k: Int = 3): Unit =
+    graft.sources.Io.writeParquet(shingleTable(spark, dir, k), outPath)
+
+  /** Row-local append to a materialized [[writeShingleStore]]. */
+  def appendToShingleStore(newDocs: DataFrame, storePath: String,
+      k: Int = 3): Unit =
+    shingleRowsFor(newDocs, k).write.mode("append").parquet(storePath)
 
   /** Asymmetric CONTAINMENT dedup: C = |S(A)∩S(B)| / min(|S(A)|,
     * |S(B)|) over the same portable-LSH candidate pairs — catches the

@@ -79,6 +79,20 @@ object Linkage {
     * entity with its canonical representative (min custkey) and
     * entity size. Deterministic end to end, so the recursive-CTE
     * oracle hash-gates candidates, verify, and closure. */
+  /** (record columns + k) deletion-key rows — THE appendable ER
+    * blocking index payload, one row per record per deletion key
+    * (refactored out of [[entityResolution]] so the one-shot path
+    * and the appendable-index path key identically). `recs` needs
+    * (c_custkey, c_name, c_nationkey, c_mktsegment). */
+  def deletionKeyTable(recs: DataFrame): DataFrame =
+    recs.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"), explode(deletionKeys(col("c_name"))).as("k"))
+
+  private def customerRecords(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"))
+
   def entityResolution(spark: SparkSession, dir: String,
       maxDist: Int = 1, maxBucket: Int = 256): DataFrame = {
     // the single-deletion neighborhood is recall-complete ONLY for
@@ -88,15 +102,10 @@ object Linkage {
     require(maxDist >= 0 && maxDist <= 1,
       s"deletion-neighborhood candidates are recall-complete only for " +
         s"maxDist <= 1 (got $maxDist)")
-    val recs = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"),
-        col("c_nationkey"), col("c_mktsegment"))
     // persisted: three consumers (the guard stats pass and both legs
     // of the candidate self-join) would otherwise each re-scan the
     // records and re-explode ~len(name) deletion keys per row
-    val keys = recs
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        col("c_mktsegment"), explode(deletionKeys(col("c_name"))).as("k"))
+    val keys = deletionKeyTable(customerRecords(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val biggest = keys
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
@@ -123,9 +132,103 @@ object Linkage {
     // distance) exceeds any fixed diameter budget; escalation to
     // pointer doubling means resolution finishes instead of throwing
     val comps = Dedup.connectedComponents(edges, algorithm = "auto")
+    entityOutput(comps)
+  }
+
+  private def entityOutput(comps: DataFrame): DataFrame = {
     val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     comps.join(sizes, "label")
       .select(col("id").as("c_custkey"), col("label").as("entity_id"),
         col("n_members"))
   }
+
+  /** Matched edges a NEW record batch introduces against a standing
+    * deletion-key index (which must already contain the batch's own
+    * keys): candidates are new-keys ⋈ index on (nation, segment,
+    * deletion key) — ONLY buckets the batch touches are joined or
+    * even size-checked, so per-batch cost tracks the batch's bucket
+    * sizes, never corpus history — verified with codegen'd
+    * levenshtein BEFORE the pair-dedup shuffle (the q184 r12
+    * ordering). Over any batch replay the union of these per-batch
+    * edge sets equals the one-shot [[entityResolution]] edge set:
+    * each matched pair is emitted exactly when its later record
+    * arrives. */
+  def erAppendEdges(newKeys: DataFrame, indexKeys: DataFrame,
+      maxDist: Int = 1, maxBucket: Int = 256): DataFrame = {
+    val touched = indexKeys.join(
+      newKeys.select(col("c_nationkey"), col("c_mktsegment"), col("k"))
+        .distinct(),
+      Seq("c_nationkey", "c_mktsegment", "k"))
+    val biggest = touched
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(biggest <= maxBucket,
+      s"erAppendEdges: a touched deletion-key bucket holds $biggest " +
+        s"records (> maxBucket=$maxBucket) — dedup exact names first " +
+        "instead of joining the hot bucket")
+    newKeys.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        col("k"), col("c_custkey").as("ca"), col("c_name").as("na"))
+      .join(indexKeys.select(col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"), col("k"),
+        col("c_custkey").as("cb"), col("c_name").as("nb")),
+        Seq("nk", "seg", "k"))
+      .filter(col("ca") =!= col("cb"))
+      .filter(levenshtein(col("na"), col("nb")) <= maxDist)
+      .select(least(col("ca"), col("cb")).as("doc_a"),
+        greatest(col("ca"), col("cb")).as("doc_b"))
+      .distinct()
+  }
+
+  /** [[entityResolution]] (q184) maintained INCREMENTALLY — q323:
+    * the deletion-key candidate index gets the q322 treatment.
+    * Replays the customer table in deterministic custkey-modulo
+    * batches; per batch: explode the NEW records' deletion keys
+    * (row-local), APPEND them to the standing key index, emit the
+    * batch's matched edges via [[erAppendEdges]] (touched buckets
+    * only), and fold them into the standing entity table via
+    * [[Dedup.ccIncrement]]. Hash-proven equal to one-shot q184 by
+    * the SAME recursive-CTE oracle — one oracle, two maintenance
+    * disciplines. This is the production answer to q184's 100× cold
+    * number (491 s): the index builds once; each ingest batch costs
+    * its own keys + touched buckets. */
+  def entityResolutionIncremental(spark: SparkSession, dir: String,
+      maxDist: Int = 1, maxBucket: Int = 256,
+      nBatches: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 1,
+      s"deletion-neighborhood candidates are recall-complete only for " +
+        s"maxDist <= 1 (got $maxDist)")
+    val recs = customerRecords(spark, dir)
+    var keyStore: DataFrame = null
+    var labels = recs
+      .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
+      .limit(0)
+    for (b <- 0 until nBatches) {
+      val newKeys = deletionKeyTable(
+        recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
+        .localCheckpoint(eager = true)
+      keyStore = if (keyStore == null) newKeys
+        else keyStore.unionByName(newKeys).localCheckpoint(eager = true)
+      labels = Dedup.ccIncrement(labels,
+          erAppendEdges(newKeys, keyStore, maxDist, maxBucket))
+        .localCheckpoint(eager = true)
+    }
+    entityOutput(labels.select(col("id"), col("label")))
+  }
+
+  /** Full build of the materialized deletion-key index, partitioned
+    * by nation so a batch's candidate join prunes to the nations it
+    * touches. */
+  def writeDeletionKeyIndex(spark: SparkSession, dir: String,
+      outPath: String): Unit =
+    graft.sources.Io.writeParquet(
+      deletionKeyTable(customerRecords(spark, dir)), outPath,
+      Seq("c_nationkey"))
+
+  /** Row-local append of a new record batch to a materialized
+    * [[writeDeletionKeyIndex]] table. */
+  def appendToDeletionKeyIndex(newRecs: DataFrame,
+      indexPath: String): Unit =
+    deletionKeyTable(newRecs)
+      .write.mode("append").partitionBy("c_nationkey").parquet(indexPath)
 }

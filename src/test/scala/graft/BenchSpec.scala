@@ -35,4 +35,36 @@ class BenchSpec extends AnyFunSuite {
     // normal failures keep their (negated) elapsed time for the artifact
     assert(Bench.failureSentinel(2.5) == -2.5)
   }
+
+  test("loadAvg1m reads a plausible 1-minute load on Linux") {
+    val l = Bench.loadAvg1m()
+    assert(l == -1.0 || (l >= 0.0 && l < 10000.0))
+  }
+
+  test("vsAnchor: uniform inflation reads as tight median≈mean ratios") {
+    val anchor = (1 to 20).map(i => s"q$i" -> i.toDouble).toMap
+    val cur = anchor.map { case (k, v) => k -> v * 1.1 }
+    val r = Bench.vsAnchor(cur, anchor).get
+    assert(r("n_shared") == 20.0)
+    assert(math.abs(r("median_ratio") - 1.1) < 1e-9)
+    assert(math.abs(r("mean_ratio") - 1.1) < 1e-9)
+    assert(math.abs(r("p90_ratio") - r("p10_ratio")) < 1e-9)
+  }
+
+  test("vsAnchor: one real regression fattens the spread, not the median") {
+    val anchor = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    val cur = anchor.updated("q7", 8.0)
+    val r = Bench.vsAnchor(cur, anchor).get
+    assert(r("median_ratio") == 1.0 && r("p90_ratio") >= 1.0)
+    assert(r("mean_ratio") > 1.3) // the outlier shows in the mean
+  }
+
+  test("vsAnchor: failed samples and tiny overlaps are excluded") {
+    val anchor = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val cur = Map("a" -> -0.5, "b" -> 1.0, "z" -> 1.0)
+    assert(Bench.vsAnchor(cur, anchor).isEmpty) // < 5 shared
+    val big = (1 to 6).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.vsAnchor(big + ("q1" -> -1.0), big).exists(
+      _("n_shared") == 5.0)) // the failed sample dropped from the subset
+  }
 }
