@@ -168,6 +168,11 @@ object SparkEntry {
     "q154_lsh_fixed"      -> ((s, d) => Similarity.lshFixedBuckets(s, d)),
     "q156_minhash_portable" -> ((s, d) => Dedup.minhashPortable(s, d)),
     "q157_phash_near_dup" -> ((s, d) => Multimodal.phashNearDup(s, d)),
+    // q325: the rep-only output contract for the mass-dup media
+    // family — one (representative, size) row per perceptual cluster
+    // instead of q157's pair list, so the 100× cost tracks cluster
+    // count, not pair count
+    "q325_phash_clusters" -> ((s, d) => Multimodal.phashClusters(s, d)),
     "q158_cross_modal"    -> ((s, d) => Multimodal.crossModalRetrieve(s, d)),
     "q159_scene_changes"  -> ((s, d) => Multimodal.sceneChanges(s, d)),
     "q160_crossmodal_dedup" -> ((s, d) => Multimodal.crossModalNearDup(s, d)),
@@ -2974,6 +2979,21 @@ object SparkEntry {
       s"""WITH $phashPairsSql
          |SELECT media_a, media_b, hamming FROM pairs
          |WHERE hamming <= 3""".stripMargin,
+    // q325: q157's verified pairs closed transitively (the q45
+    // recursive-CTE recipe), reduced to one (rep, size) row per
+    // cluster — the rep-only contract whose cost tracks clusters
+    "q325_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairsSql,
+         |pp AS (SELECT media_a, media_b FROM pairs WHERE hamming <= 3),
+         |edges AS (SELECT media_a AS a, media_b AS b FROM pp
+         |          UNION ALL SELECT media_b AS a, media_a AS b FROM pp),
+         |reach(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+         |comp AS (SELECT id, MIN(lab) AS rep_id FROM reach GROUP BY id)
+         |SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM comp GROUP BY rep_id""".stripMargin,
     // q160: multi-signal media near-dup — the q157 phash pairs
     // full-outer-joined with the q54 embedding-cosine pairs over the
     // shared id space, agreeing subset labeled

@@ -315,6 +315,32 @@ object Multimodal {
         col("hamming"))
   }
 
+  /** Cluster-REPRESENTATIVE output for the mass-dup media family —
+    * q325. [[phashNearDup]]'s pair emission is linear in the ANSWER:
+    * on a perceptually mass-duplicated corpus (the sf10 replica) the
+    * pair table is the 44× cost in BENCH_SF10, because that IS how
+    * many near-dup pairs exist. The curation consumer usually wants
+    * "one representative per perceptual cluster + how many it stands
+    * for" (the q103 non-rep-exclusion shape), which is CLUSTER-count
+    * sized: this runs the same guarded banding + verify, closes the
+    * verified pairs transitively ([[Dedup.connectedComponents]],
+    * auto altitude), and emits (rep_id = min member id, n_members)
+    * per multi-member cluster. Under the skew guard the star pairs
+    * keep every bucket member attached to its anchor, so cluster
+    * membership — unlike the pair list — degrades only through
+    * failed anchor verifies; for the mass-duplicate case (identical
+    * payloads) anchors always verify, which is why the rep form is
+    * the output contract that survives the corpus that breaks the
+    * pair form's oracle. */
+  def phashClusters(spark: SparkSession, dir: String, blocks: Int = 32,
+      bands: Int = 4, maxDist: Int = 3, maxBucket: Int = 256): DataFrame =
+    Dedup.connectedComponents(
+        phashNearDup(spark, dir, blocks, bands, maxDist, maxBucket)
+          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")),
+        algorithm = "auto")
+      .groupBy(col("label").as("rep_id"))
+      .agg(count(lit(1)).as("n_members"))
+
   /** SCENE-CHANGE detection — the video-shot-boundary analog (frame
     * differencing): split the decoded payload into fixed-size frames,
     * take per-frame intensity (non-space chars, the q157 stub-decode

@@ -377,6 +377,57 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(cur() == oneShot)
   }
 
+  test("cc maintain stream: parquet component store survives a JVM restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val edges = graft.ext.Dedup.jaccardPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (early, late) = edges.splitAt(2 * edges.length / 3)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cc-store").toString + "/components"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cc-sck").toString
+    // "process 1": folds the early batches and persists each
+    // post-merge snapshot to the store
+    val src1 = MemoryStream[(Long, Long)]
+    val (w1, _) = StreamOps.ccMaintainStream(
+      src1.toDS().toDF("doc_a", "doc_b"), storePath = Some(store))
+    src1.addData(early)
+    val q1 = w1.option("checkpointLocation", ckpt).start()
+    q1.awaitTermination()
+    // the store ALONE (no in-JVM state, no checkpoint replay) must
+    // reproduce the standing fixpoint over the early edges
+    val fromStore = StreamOps.readComponentStore(spark, store).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val earlyFix = graft.ext.Dedup
+      .connectedComponents(early.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fromStore == earlyFix && earlyFix.nonEmpty)
+    // "process 2" (the restarted JVM): a FRESH ccMaintainStream at
+    // the same store path seeds from the latest snapshot and resumes
+    // the SAME durable checkpoint — committed batches are skipped,
+    // only the late edges fold in, and the result is the one-shot
+    // fixpoint over everything
+    val src2 = MemoryStream[(Long, Long)]
+    val (w2, cur2) = StreamOps.ccMaintainStream(
+      src2.toDS().toDF("doc_a", "doc_b"), storePath = Some(store))
+    // the seed itself proves no-replay recovery
+    assert(cur2().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == earlyFix)
+    src2.addData(early) // same offsets range as the committed batch
+    src2.addData(late)
+    val q2 = w2.option("checkpointLocation", ckpt).start()
+    q2.awaitTermination()
+    val oneShot = graft.ext.Dedup
+      .connectedComponents(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(cur2().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == oneShot)
+    assert(StreamOps.readComponentStore(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == oneShot)
+  }
+
   test("index ingest stream: streamed appends probe like a one-shot full build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
