@@ -135,7 +135,11 @@ object Linkage {
     entityOutput(comps)
   }
 
-  private def entityOutput(comps: DataFrame): DataFrame = {
+  /** (id, label) component rows → the q184 output contract:
+    * (c_custkey, entity_id, n_members). Shared by the one-shot,
+    * incremental, and streaming ER paths so their outputs compare
+    * row-for-row. */
+  def entityOutput(comps: DataFrame): DataFrame = {
     val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     comps.join(sizes, "label")
       .select(col("id").as("c_custkey"), col("label").as("entity_id"),

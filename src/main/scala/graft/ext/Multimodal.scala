@@ -333,13 +333,48 @@ object Multimodal {
     * the output contract that survives the corpus that breaks the
     * pair form's oracle. */
   def phashClusters(spark: SparkSession, dir: String, blocks: Int = 32,
-      bands: Int = 4, maxDist: Int = 3, maxBucket: Int = 256): DataFrame =
-    Dedup.connectedComponents(
-        phashNearDup(spark, dir, blocks, bands, maxDist, maxBucket)
-          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")),
-        algorithm = "auto")
-      .groupBy(col("label").as("rep_id"))
-      .agg(count(lit(1)).as("n_members"))
+      bands: Int = 4, maxDist: Int = 3, maxBucket: Int = 256): DataFrame = {
+    // VALUE-QUOTIENT optimization, exact by construction: two media
+    // with EQUAL phash are hamming-0 ≤ maxDist and share every band,
+    // so the one-shot pair graph contains their clique — any
+    // equal-phash group is entirely inside one cluster. Group first
+    // (one linear groupBy), then band + verify + close over DISTINCT
+    // phash VALUES only, and expand group sizes at the end:
+    //   - value-level candidates/edges are identical to the
+    //     member-level ones (the phash alone determines bands and
+    //     hamming), so CC over values IS CC over members, quotiented;
+    //   - the cluster rep (min member id) = min over group reps
+    //     (each group's rep is its min member) = the value-level CC
+    //     label; n_members = Σ group sizes.
+    // On a perceptually mass-duplicated corpus this collapses the
+    // duplicate factor BEFORE any pair work — the first measurement
+    // of the naive pairs+CC composition read 41× at 100× (the pair
+    // table dominating, exactly q157's cost); the quotient form's
+    // pair work is distinct-value-sized, so cost tracks content
+    // variety + cluster count, not duplicate volume.
+    val groups = mediaTable(spark, dir)
+      .select(col("media_id"),
+        graft.functions.exprs.phash(col("payload"), blocks).as("ph"))
+      .groupBy(col("ph"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // two consumers: banding + expansion
+    val comps = Dedup.connectedComponents(
+      Dedup.simhashBandPairs(
+        groups.select(col("rep").as("doc_id"), col("ph").as("sh")),
+        blocks, bands, maxDist, maxBucket, compressBuckets = false)
+        .select(col("doc_a"), col("doc_b")),
+      algorithm = "auto")
+    // membership contract matches the pair-form closure: a group is
+    // in the output iff it pairs cross-value (label non-null) or is
+    // itself a ≥2 clique (same-phash duplicates verify trivially);
+    // an unpaired singleton is not a near-dup of anything
+    groups
+      .join(comps.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .filter(col("label").isNotNull || col("n") >= 2)
+      .select(coalesce(col("label"), col("rep")).as("rep_id"), col("n"))
+      .groupBy(col("rep_id"))
+      .agg(sum(col("n")).as("n_members"))
+  }
 
   /** SCENE-CHANGE detection — the video-shot-boundary analog (frame
     * differencing): split the decoded payload into fixed-size frames,

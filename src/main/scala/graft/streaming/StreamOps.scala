@@ -168,6 +168,57 @@ object StreamOps {
     (writer, () => ref.get())
   }
 
+  /** STREAMING entity resolution — the r12 stretch: the one heavy
+    * batch family without a streaming member gets one, stitched from
+    * the same shared cores as the drift trio (one core, N execution
+    * modes): records (c_custkey, c_name, c_nationkey, c_mktsegment)
+    * arriving on a stream are APPENDED row-locally to the standing
+    * materialized deletion-key index ([[graft.ext.Linkage
+    * .appendToDeletionKeyIndex]] — the q323 lifecycle), matched
+    * against it via [[graft.ext.Linkage.erAppendEdges]] (touched
+    * buckets only, so per-batch cost tracks the batch's bucket
+    * sizes), and the matched edges fold into the standing entity
+    * table through [[graft.ext.Dedup.ccIncrement]] — the
+    * [[ccMaintainStream]] merge with the candidate generation fused
+    * in. Same durability contract as ccMaintainStream: `storePath`
+    * snapshots the post-merge table per batch and a restart seeds
+    * from the latest snapshot; the index append shares
+    * [[indexIngestStream]]'s exactly-once caveat (a replayed batch
+    * re-appends its keys — duplicate index rows cannot change the
+    * candidate set because [[graft.ext.Linkage.erAppendEdges]]
+    * distincts pairs, and the merge is idempotent). Parity spec:
+    * streaming the customer table in micro-batches lands on the
+    * identical one-shot q184 output. */
+  def erMaintainStream(records: DataFrame, indexPath: String,
+      maxDist: Int = 1, maxBucket: Int = 256,
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax,
+      storePath: Option[String] = None)
+      : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val seed = storePath.flatMap(readComponentStore(spark, _))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("id", "label"))
+    val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](seed)
+    val writer = foreachBatchWriter(records.toDF()) { (batch, id) =>
+      // the batch feeds the index append AND the key projection —
+      // checkpoint so the stream source isn't replayed per consumer
+      val b = batch.localCheckpoint(eager = true)
+      graft.ext.Linkage.appendToDeletionKeyIndex(b, indexPath)
+      val edges = graft.ext.Linkage.erAppendEdges(
+        graft.ext.Linkage.deletionKeyTable(b),
+        spark.read.parquet(indexPath), maxDist, maxBucket)
+      val merged = graft.ext.Dedup
+        .ccIncrement(ref.get(), edges, driverGridMax = driverGridMax)
+        .localCheckpoint(eager = true)
+      ref.set(merged)
+      storePath.foreach { p =>
+        merged.withColumn("batch_id", lit(id))
+          .write.mode("append").partitionBy("batch_id").parquet(p)
+      }
+    }.outputMode(OutputMode.Append())
+    (writer, () => ref.get())
+  }
+
   /** Latest standing (id, label) snapshot from a [[ccMaintainStream]]
     * parquet component store, or None when the store doesn't exist
     * yet (first run). Reads ONE batch_id partition (the max) —

@@ -428,6 +428,49 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == oneShot)
   }
 
+  test("er maintain stream: streamed record batches land on the one-shot q184 output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val recs = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-er-idx").toString + "/idx"
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-er-store").toString + "/components"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-er-ck").toString
+    val src = MemoryStream[(Long, String, Int, String)]
+    val (writer, current) = StreamOps.erMaintainStream(
+      src.toDS().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+      idx, storePath = Some(store))
+    recs.grouped(math.max(1, recs.length / 3)).foreach { b =>
+      src.addData(b)
+      val q = writer.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    val streamed = graft.ext.Linkage.entityOutput(current()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val oneShot = graft.ext.Linkage.entityResolution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(streamed == oneShot && oneShot.nonEmpty)
+    // the grown index equals a full build, and the component store's
+    // latest snapshot serves the same standing table
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-er-full").toString + "/idx"
+    graft.ext.Linkage.writeDeletionKeyIndex(spark, sf, full)
+    def keys(p: String) = spark.read.parquet(p).select("c_custkey", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(keys(idx) == keys(full))
+    assert(StreamOps.readComponentStore(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      current().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("index ingest stream: streamed appends probe like a one-shot full build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
