@@ -76,7 +76,15 @@ object BenchSf1 {
     // (per-batch cost must track batch size, not history) and the
     // CMS family gained the memoized counter table
     "q270_kcore", "q322_cc_incremental", "q170_cms_portable",
-    "q244_cms_accuracy")
+    "q244_cms_accuracy",
+    // r13 additions: the incremental index pipelines (per-batch cost
+    // must track the batch's buckets, not corpus history — their
+    // replay totals must also never exceed the cold one-shot by more
+    // than the staging overhead) and the rep-only media dedup whose
+    // quotient plan must keep tracking content variety, not
+    // duplicate volume
+    "q323_entity_res_incremental", "q324_lsh_clusters_incremental",
+    "q325_phash_clusters")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -48,6 +48,7 @@ object DevStreamState {
     val freq = st.select(explode(col("sh")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("t")).limit(10000)
+      // collect-ok: bounded by the limit(10000) — the frozen top-N fit
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // arrival schedule: docs stream in doc_id order at `rate` docs/s,
@@ -57,6 +58,8 @@ object DevStreamState {
     // fetched per batch below.)
     val ids = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id")).orderBy(col("doc_id"))
+      // collect-ok: dev measurement harness, ids only (8 B/doc —
+      // 4 MB at the sf10 replica), never part of the engine surface
       .collect().map(_.getLong(0))
     val base = 1700000000000L
     val tsIdx = ids.iterator.zipWithIndex
@@ -75,7 +78,9 @@ object DevStreamState {
       val texts = graft.Tables.documents(spark, sfDir)
         .filter(col("doc_id").between(chunk.head, chunk.last))
         .select(col("doc_id"), col("text"))
-        .collect() // dev tool: one corpus/nBatches slice at a time
+        // collect-ok: dev harness MemoryStream feed — one
+        // corpus/nBatches slice at a time, never the whole corpus
+        .collect()
         .map(r => (r.getLong(0), r.getString(1),
           new Timestamp(tsIdx(r.getLong(0)))))
         .sortBy(_._1)
@@ -97,6 +102,8 @@ object DevStreamState {
     // micro-batches; record standing-table rows + per-batch wall time
     val edges = graft.ext.Dedup
       .jaccardVerifyPortable(spark, sfDir, k = 3, threshold = 0.7)
+      // collect-ok: dev harness MemoryStream feed — the verified edge
+      // set (2 longs/edge; ~48 k edges at the sf10 replica)
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val esrc = MemoryStream[(Long, Long)]
