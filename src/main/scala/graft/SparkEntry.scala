@@ -427,6 +427,10 @@ object SparkEntry {
       graft.ext.Linkage.entityResolutionIncremental(s, d)),
     "q324_lsh_clusters_incremental" -> ((s, d) =>
       Dedup.lshDedupClustersIncremental(s, d)),
+    // q326: the simhash family joins the incremental-index proof —
+    // q46's oracle hash-gates the grown banding + hamming pipeline
+    "q326_simhash_incremental" -> ((s, d) =>
+      Dedup.simhashNearDupIncremental(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -6953,5 +6957,6 @@ object SparkEntry {
     // appends, and the same one-shot oracles pin the grown pipelines
     // — one oracle, two maintenance disciplines, whole pipeline
     ("q323_entity_res_incremental" -> staticOracleSql("q184_entity_res")) +
-    ("q324_lsh_clusters_incremental" -> staticOracleSql("q59_lsh_clusters"))
+    ("q324_lsh_clusters_incremental" -> staticOracleSql("q59_lsh_clusters")) +
+    ("q326_simhash_incremental" -> staticOracleSql("q46_simhash_near_dup"))
 }

@@ -479,8 +479,13 @@ object Dedup {
       rowsPerBand: Int = 4, maxBucket: Int = 256,
       nBatches: Int = 3): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    var shStore: DataFrame = null
-    var keyStore: DataFrame = null
+    // the standing stores are UNIONS OF CHECKPOINTED BATCH PIECES —
+    // never a re-checkpoint of the union, which would re-materialize
+    // the WHOLE store every batch (O(corpus) per batch instead of
+    // O(batch); the parquet-store production form appends the same
+    // way). The union plan stays nBatches leaves deep — flat.
+    var shPieces = Seq.empty[DataFrame]
+    var keyPieces = Seq.empty[DataFrame]
     var labels = docs
       .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
     for (b <- 0 until nBatches) {
@@ -493,12 +498,11 @@ object Dedup {
             bands * rowsPerBand).as("sig")),
         bands, rowsPerBand, compressBuckets = false)
         .localCheckpoint(eager = true)
-      shStore = if (shStore == null) newSh
-        else shStore.unionByName(newSh).localCheckpoint(eager = true)
-      keyStore = if (keyStore == null) newKeys
-        else keyStore.unionByName(newKeys).localCheckpoint(eager = true)
-      val edges = verifyPairs(shStore,
-        lshAppendCandidates(newKeys, keyStore, maxBucket), threshold)
+      shPieces :+= newSh
+      keyPieces :+= newKeys
+      val edges = verifyPairs(shPieces.reduce(_ unionByName _),
+        lshAppendCandidates(newKeys, keyPieces.reduce(_ unionByName _),
+          maxBucket), threshold)
       labels = ccIncrement(labels, edges).localCheckpoint(eager = true)
     }
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
@@ -544,6 +548,20 @@ object Dedup {
   def appendToShingleStore(newDocs: DataFrame, storePath: String,
       k: Int = 3): Unit =
     shingleRowsFor(newDocs, k).write.mode("append").parquet(storePath)
+
+  /** Full build / row-local append of the (doc_id, sh) simhash
+    * signature store — band keys derive row-locally at read
+    * ([[simhashBandKeys]]), so one store serves both the candidate
+    * index and the hamming verify. */
+  def writeSimhashStore(spark: SparkSession, dir: String,
+      outPath: String, bits: Int = 48): Unit =
+    graft.sources.Io.writeParquet(
+      simhashRowsPortable(Tables.documents(spark, dir), bits), outPath)
+
+  def appendToSimhashStore(newDocs: DataFrame, storePath: String,
+      bits: Int = 48): Unit =
+    simhashRowsPortable(newDocs, bits)
+      .write.mode("append").parquet(storePath)
 
   /** Asymmetric CONTAINMENT dedup: C = |S(A)∩S(B)| / min(|S(A)|,
     * |S(B)|) over the same portable-LSH candidate pairs — catches the
@@ -1841,15 +1859,33 @@ object Dedup {
   private val bandSlicePersists =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  /** The per-band bit slices of a simhash long — shared by
+    * [[simhashBandPairs]] and [[simhashBandKeys]] so the one-shot and
+    * appendable-index paths bucket IDENTICALLY. */
+  private def simhashSlices(sh: Column, bits: Int, bands: Int): Column = {
+    val w = bits / bands
+    array((0 until bands).map(b =>
+      pmod(shiftright(sh, b * w), lit(1L << w))): _*)
+  }
+
+  /** (doc_id, band, bucket) banded key rows for a (doc_id, sh: long)
+    * simhash table — the simhash analog of [[lshBandKeys]], and the
+    * payload of an appendable simhash candidate index. */
+  def simhashBandKeys(sigs: DataFrame, bits: Int = 48, bands: Int = 4,
+      compressBuckets: Boolean = true): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    lshBandKeys(sigs.select(col("doc_id"),
+      simhashSlices(col("sh"), bits, bands).as("sig")),
+      bands, 1, compressBuckets)
+  }
+
   def simhashBandPairs(sigs: DataFrame, bits: Int = 48, bands: Int = 4,
       maxDist: Int = 3, maxBucket: Int = 256,
       compressBuckets: Boolean = true): DataFrame = {
     require(bands > maxDist, "need bands >= maxDist+1 for pigeonhole recall")
     require(bits % bands == 0, "bits must divide evenly into bands")
-    val w = bits / bands
     val sliced = sigs.select(col("doc_id"), col("sh"),
-      array((0 until bands).map(b =>
-        pmod(shiftright(col("sh"), b * w), lit(1L << w))): _*).as("sig"))
+      simhashSlices(col("sh"), bits, bands).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandSlicePersists.synchronized { bandSlicePersists += sliced }
     val cands = lshCandidatePairs(
@@ -1874,14 +1910,114 @@ object Dedup {
     * compression) — the banding + hamming-verify math hash-gated end
     * to end; the xxhash64 production family keeps the banding specs. */
   def simhashNearDupPortable(spark: SparkSession, dir: String,
-      bits: Int = 48, maxDist: Int = 3): DataFrame = {
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      bits: Int = 48, maxDist: Int = 3): DataFrame =
+    simhashBandPairs(simhashRowsPortable(Tables.documents(spark, dir), bits),
+      bits, bands = 4, maxDist = maxDist, compressBuckets = false)
+
+  /** Row-local portable simhash signature rows for a document batch —
+    * the unit of work the appendable simhash index runs on NEW rows
+    * only (the [[shingleRowsFor]] analog). */
+  def simhashRowsPortable(docs: DataFrame, bits: Int = 48): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         transform(col("toks"), t => md5TokenHash(t, 12)).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th"), bits).as("sh"))
-    simhashBandPairs(sigs, bits, bands = 4, maxDist = maxDist,
-      compressBuckets = false)
+
+  /** [[simhashNearDupPortable]] (q46) maintained INCREMENTALLY —
+    * q326, closing the last family named in the r12 cold-build
+    * ledger (q46's 247.7 s signature build at 100×): per batch,
+    * simhash the NEW docs only (row-local), append their band keys
+    * and signatures to the standing stores, generate candidates as
+    * new-keys ⋈ index over touched buckets only
+    * ([[lshAppendCandidates]] — the shared appendable-index core),
+    * and hamming-verify against the standing signature store. The
+    * per-batch pair sets are disjoint by construction (a pair emits
+    * exactly when its later member arrives), and their union equals
+    * the one-shot banding — q46's full-clique hamming oracle
+    * hash-gates the whole grown pipeline. The standing stores are
+    * UNIONS OF CHECKPOINTED BATCH PIECES (never a re-checkpoint of
+    * the union): appending to the store costs O(batch)
+    * materialization, the q324 replay lesson. */
+  def simhashNearDupIncremental(spark: SparkSession, dir: String,
+      bits: Int = 48, bands: Int = 4, maxDist: Int = 3,
+      maxBucket: Int = 4096, nBatches: Int = 3): DataFrame = {
+    // maxBucket here caps DISTINCT VALUES per band bucket (not docs —
+    // the quotient already absorbed duplicate volume): per-bucket
+    // value-pair work is n², so 4096 bounds a touched bucket at ~17M
+    // cheap (long, long) comparisons before the hamming filter; the
+    // 12-bit band slices are token-bias-skewed enough that a 5k-doc
+    // corpus already puts 331 distinct values in its hottest bucket
+    val docs = Tables.documents(spark, dir)
+    // VALUE-QUOTIENT (the q325 lesson, which this family needs even
+    // more: a dup-heavy corpus piles one simhash VALUE into a band
+    // bucket — 338 docs in one bucket at sf0.1 already — and the
+    // append path has no star/salt fallback, so doc-level banding
+    // fail-fasts where the one-shot silently degrades). A doc's
+    // bands are fully determined by its sh value, so banding over
+    // DISTINCT values is the SAME pairing relation, quotiented:
+    //   - value pairs (va, vb) sharing a band, hamming ≤ maxDist —
+    //     bucket sizes are distinct-value counts, duplicate volume
+    //     can't blow them up;
+    //   - member expansion (new docs of va × stored docs of vb, plus
+    //     same-value pairs at hamming 0) is OUTPUT-sized — those
+    //     pairs are answer rows, not intermediate state.
+    // Union over batches = the one-shot pair set (each pair emits
+    // when its later member arrives) — q46's oracle gates it.
+    var sigPieces = Seq.empty[DataFrame]
+    var vkeyPieces = Seq.empty[DataFrame]
+    var out: DataFrame = null
+    for (b <- 0 until nBatches) {
+      val newSigs = simhashRowsPortable(
+        docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b), bits)
+        .localCheckpoint(eager = true)
+      // band keys of the batch's DISTINCT values (a value re-appearing
+      // across batches duplicates keys in the store — the value-pair
+      // distinct below absorbs it)
+      val newVKeys = simhashBandKeys(
+        newSigs.select(col("sh")).distinct()
+          .select(col("sh").as("doc_id"), col("sh")),
+        bits, bands, compressBuckets = false)
+        .withColumnRenamed("doc_id", "v")
+        .localCheckpoint(eager = true)
+      sigPieces :+= newSigs
+      vkeyPieces :+= newVKeys
+      val sigStore = sigPieces.reduce(_ unionByName _)
+      val vkeyStore = vkeyPieces.reduce(_ unionByName _)
+      // touched value-buckets only — the quotient guard
+      val touched = vkeyStore.join(
+        newVKeys.select(col("band"), col("bucket")).distinct(),
+        Seq("band", "bucket"))
+        .select(col("band"), col("bucket"), col("v")).distinct()
+      val biggest = touched.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+      require(biggest <= maxBucket,
+        s"simhashNearDupIncremental: a touched (band, bucket) holds " +
+          s"$biggest DISTINCT simhash values (> maxBucket=$maxBucket) " +
+          "— raise the cap or widen the bands")
+      // value pairs incl. va == vb (same-value groups pair at
+      // hamming 0); hamming filtered BEFORE member expansion
+      val vPairs = newVKeys.select(col("band"), col("bucket"),
+          col("v").as("va"))
+        .join(vkeyStore.select(col("band"), col("bucket"),
+          col("v").as("vb")), Seq("band", "bucket"))
+        .select(col("va"), col("vb")).distinct()
+        .withColumn("hamming",
+          expr("CAST(bit_count(va ^ vb) AS INT)"))
+        .filter(col("hamming") <= maxDist)
+      val pairs = newSigs.select(col("doc_id").as("da"),
+          col("sh").as("va"))
+        .join(vPairs, Seq("va"))
+        .join(sigStore.select(col("doc_id").as("db"),
+          col("sh").as("vb")), Seq("vb"))
+        .filter(col("da") =!= col("db"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      out = if (out == null) pairs else out.unionByName(pairs)
+    }
+    out
   }
 
   /** [[simhashDedup]]'s portable twin (q44): identical-signature

@@ -203,7 +203,10 @@ object Linkage {
       s"deletion-neighborhood candidates are recall-complete only for " +
         s"maxDist <= 1 (got $maxDist)")
     val recs = customerRecords(spark, dir)
-    var keyStore: DataFrame = null
+    // standing index = union of checkpointed batch pieces (the q324
+    // lesson: re-checkpointing the union costs O(corpus) per batch;
+    // the union plan stays nBatches leaves deep)
+    var keyPieces = Seq.empty[DataFrame]
     var labels = recs
       .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
       .limit(0)
@@ -211,10 +214,10 @@ object Linkage {
       val newKeys = deletionKeyTable(
         recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
         .localCheckpoint(eager = true)
-      keyStore = if (keyStore == null) newKeys
-        else keyStore.unionByName(newKeys).localCheckpoint(eager = true)
+      keyPieces :+= newKeys
       labels = Dedup.ccIncrement(labels,
-          erAppendEdges(newKeys, keyStore, maxDist, maxBucket))
+          erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
+            maxDist, maxBucket))
         .localCheckpoint(eager = true)
     }
     entityOutput(labels.select(col("id"), col("label")))

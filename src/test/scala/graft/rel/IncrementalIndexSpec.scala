@@ -116,6 +116,32 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(inc == one && one.nonEmpty)
   }
 
+  test("simhash store: grown by appends equals the full build") {
+    val docs = Tables.documents(spark, sf)
+    val full = tmpDir("sim_full") + "/store"
+    val grown = tmpDir("sim_grown") + "/store"
+    Dedup.writeSimhashStore(spark, sf, full)
+    (0 until 3).foreach { b =>
+      Dedup.appendToSimhashStore(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b), grown)
+    }
+    def slurp(p: String) = spark.read.parquet(p)
+      .select("doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val f = slurp(full)
+    assert(slurp(grown) == f && f.nonEmpty)
+  }
+
+  test("incremental simhash near-dup equals one-shot q46 (pairs disjoint per batch)") {
+    val one = Dedup.simhashNearDupPortable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val incRows = Dedup.simhashNearDupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // disjoint-by-construction: the union must already be duplicate-free
+    assert(incRows.length == incRows.distinct.length)
+    assert(incRows.sorted.toSeq == one && one.nonEmpty)
+  }
+
   test("incremental LSH dedup clustering equals one-shot q59") {
     val one = Dedup.lshDedupClustersPortable(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
