@@ -47,8 +47,14 @@ object Bench {
       .filter(n => cur(n) >= 0.0 && anchor(n) > 0.0)
     if (shared.size < 5) return None
     val ratios = shared.map(n => cur(n) / anchor(n)).sorted
+    // nearest-rank percentile: index ceil(p·n)−1 clamped to [0, n−1].
+    // The old (p·n).toInt sat one rank HIGH (p10 of 20 returned the
+    // 3rd-smallest; the even-n median returned the upper-middle), so
+    // the emitted quantiles didn't match the labels the window-
+    // classification prose assumes (r13 ADVICE).
     def pct(p: Double): Double =
-      ratios(math.min(ratios.size - 1, (p * ratios.size).toInt))
+      ratios(math.max(0, math.min(ratios.size - 1,
+        math.ceil(p * ratios.size).toInt - 1)))
     Some(Map(
       "n_shared" -> shared.size.toDouble,
       "median_ratio" -> pct(0.5),

@@ -422,7 +422,13 @@ object SparkEntry {
     // generated new-vs-index (touched buckets only), edges folded by
     // ccIncrement. Same one-shot oracles (q184/q59): a recall or
     // relabel bug anywhere in the grown pipeline is a hash mismatch
-    // on real corpus data.
+    // on real corpus data. Parity contract: q324 (and q326 below)
+    // hold CONDITIONAL on no touched bucket exceeding maxBucket —
+    // the append generator fail-fasts there, where the one-shot path
+    // degrades to star/salt pairs (lshAppendCandidates scaladoc has
+    // the asymmetry argument); on the gate corpus every bucket is
+    // under the cap, so the hash match exercises the unconditional
+    // region.
     "q323_entity_res_incremental" -> ((s, d) =>
       graft.ext.Linkage.entityResolutionIncremental(s, d)),
     "q324_lsh_clusters_incremental" -> ((s, d) =>

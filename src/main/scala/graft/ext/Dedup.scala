@@ -310,11 +310,24 @@ object Dedup {
     * index (which must already CONTAIN the batch's own keys): every
     * within-bucket pair with at least one endpoint in `newKeys`. Over
     * any batch replay the union of these per-batch sets equals the
-    * one-shot [[lshCandidatePairs]] candidate set (each pair is
-    * emitted exactly when its LATER endpoint arrives) — as long as no
-    * bucket outgrows `maxBucket`, which this generator FAIL-FASTS on
-    * (it has no star/salt fallback; an oversized bucket would emit an
-    * N² clique on one shuffle key). The guard only sizes buckets the
+    * one shot [[lshCandidatePairs]] candidate set (each pair is
+    * emitted exactly when its LATER endpoint arrives) — CONDITIONAL
+    * on no bucket outgrowing `maxBucket`, which this generator
+    * FAIL-FASTS on (it has no star/salt fallback; an oversized
+    * bucket would emit an N² clique on one shuffle key). NOTE the
+    * asymmetry with the one-shot path: [[lshCandidatePairs]] DEGRADES
+    * an oversized bucket to star+salted-clique pairs and keeps
+    * running, so on a corpus whose buckets exceed the cap the
+    * incremental twin THROWS where the one-shot silently degrades —
+    * parity (and the q324/q326 oracle gates built on it) holds only
+    * while every touched bucket stays under the cap. That is the
+    * deliberate trade: the append path can never know a bucket's
+    * FINAL size mid-replay, so a salt keyed on the final count is
+    * unavailable, and emitting differently-salted sub-cliques per
+    * batch would silently change recall between maintenance
+    * disciplines — the one failure mode worse than an error. Callers
+    * on skew-degraded corpora should exact-dedup first (the guard
+    * message) or run the one-shot path. The guard only sizes buckets the
     * batch TOUCHES, so the guard job — like the candidate join
     * itself — is bounded by the batch's bucket sizes, never by
     * corpus history: the property that makes per-batch ingest viable

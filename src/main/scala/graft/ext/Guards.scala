@@ -49,7 +49,20 @@ object Guards {
   def defaultDriverGridMax: Int =
     sys.props.get("graft.driverGridMax")
       .orElse(sys.env.get("SPARK_GRAFT_DRIVER_GRID_MAX"))
-      .map(_.trim.toInt)
+      .map(_.trim)
+      // set-but-blank (the `VAR=` shell accident) reads as unset; a
+      // genuinely malformed value fails fast NAMING THE KNOB — the
+      // bare .toInt threw a context-free NumberFormatException from
+      // every default-parameter evaluation, breaking pageRank/HITS/
+      // CC/textRank calls with an unrelated-looking error (r13 ADVICE)
+      .filter(_.nonEmpty)
+      .map { v =>
+        scala.util.Try(v.toInt).getOrElse(throw new IllegalArgumentException(
+          s"driverGridMax knob (graft.driverGridMax property / " +
+            s"SPARK_GRAFT_DRIVER_GRID_MAX env) is set but not an " +
+            s"integer: '$v' — unset it or pass a row count (0 = " +
+            "force-distributed)"))
+      }
       .getOrElse {
         val byMem = Runtime.getRuntime.maxMemory() / 100L / 512L
         math.min(65536L, math.max(1024L, byMem)).toInt

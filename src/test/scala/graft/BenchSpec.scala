@@ -59,6 +59,18 @@ class BenchSpec extends AnyFunSuite {
     assert(r("mean_ratio") > 1.3) // the outlier shows in the mean
   }
 
+  test("vsAnchor quantiles are nearest-rank (ceil(p·n)−1), not one rank high") {
+    // ratios 1..20: nearest-rank p10 = 2nd smallest, median(n even) =
+    // lower-middle (10th), p90 = 18th — the old (p·n).toInt indexing
+    // returned 3.0 / 11.0 / 19.0 (one rank high, r13 ADVICE)
+    val anchor = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    val cur = (1 to 20).map(i => s"q$i" -> i.toDouble).toMap
+    val r = Bench.vsAnchor(cur, anchor).get
+    assert(r("p10_ratio") == 2.0, r)
+    assert(r("median_ratio") == 10.0, r)
+    assert(r("p90_ratio") == 18.0, r)
+  }
+
   test("vsAnchor: failed samples and tiny overlaps are excluded") {
     val anchor = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
     val cur = Map("a" -> -0.5, "b" -> 1.0, "z" -> 1.0)

@@ -45,6 +45,28 @@ class GuardsKnobSpec extends AnyFunSuite {
     }
   }
 
+  test("defaultDriverGridMax: blank knob reads as unset, malformed names the knob") {
+    val prev = sys.props.get("graft.driverGridMax")
+    try {
+      // set-but-blank (the `VAR=` shell accident) falls back to the
+      // memory rule instead of throwing NumberFormatException
+      System.setProperty("graft.driverGridMax", "  ")
+      val v = Guards.defaultDriverGridMax
+      assert(v >= 1024 && v <= 65536)
+      // malformed fails fast NAMING the knob, not a bare NFE from an
+      // unrelated-looking pageRank/CC call
+      System.setProperty("graft.driverGridMax", "lots")
+      val e = intercept[IllegalArgumentException](Guards.defaultDriverGridMax)
+      assert(e.getMessage.contains("driverGridMax"))
+      assert(e.getMessage.contains("lots"))
+    } finally {
+      prev match {
+        case Some(p) => System.setProperty("graft.driverGridMax", p)
+        case None    => System.clearProperty("graft.driverGridMax")
+      }
+    }
+  }
+
   test("Memo re-arm: an externally unpersisted entry is re-persisted and stays tracked") {
     import spark.implicits._
     val cache = scala.collection.concurrent.TrieMap.empty[String,
