@@ -4,17 +4,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only marginal-batch pricing for the incremental index
-  * pipelines (VERDICT r12 item 1's cost row): the catalog queries
-  * q323/q324 REPLAY the whole corpus (their total ≈ a cold rebuild —
-  * that is what makes them oracle-comparable); the number a 100 TB
-  * operator actually cares about is the MARGINAL cost of folding one
-  * new batch into a standing index. This harness maintains the
-  * MATERIALIZED parquet stores (appendToDeletionKeyIndex /
-  * appendToShingleStore / appendToLshIndex — row-local O(batch)
-  * writes, the production shape), folds the first (nBatches−1)
-  * slices untimed, then times the LAST slice's fold alone — append +
-  * touched-bucket candidates against the parquet index + verify +
-  * ccIncrement — against the one-shot cold rebuild time.
+  * pipelines (VERDICT r12 item 1's cost row, extended for r14 items
+  * 1-2): the catalog queries q323/q324 REPLAY the whole corpus
+  * (their total ≈ a cold rebuild — that is what makes them
+  * oracle-comparable); the number a 100 TB operator actually cares
+  * about is the MARGINAL cost of folding one new batch into a
+  * standing index. This harness maintains the MATERIALIZED parquet
+  * stores (appendToDeletionKeyIndex / appendToShingleStore /
+  * appendToLshIndex — row-local O(batch) writes, the production
+  * shape), probes them through the PB-PRUNED reads
+  * (readDeletionKeyIndexPruned / readLshIndexPruned — the r14 fix
+  * for the r13 `weak`: per-batch probe I/O tracks the batch's
+  * touched cells, not index history), and emits:
+  *   - per-batch TOTAL seconds for every batch (the flatness
+  *     evidence: marginal cost must not creep with index size);
+  *   - the LAST batch decomposed by STAGE (append / signature /
+  *     candidates / verify / fold — r14 item 2's q324 cost
+  *     breakdown);
+  *   - the cold one-shot rebuild for the marginal/cold ratio.
   *
   * Usage: runMain graft.DevIncr <sfDir> [nBatches]
   * Emits one JSON line per measurement.
@@ -44,6 +51,8 @@ object DevIncr {
         .mkString(s"""{"tool":"incr","op":"$op","sf":"$sfDir",""", ",", "}"))
     def tmp(tag: String): String = java.nio.file.Files
       .createTempDirectory(s"graft_incr_$tag").toString + "/store"
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
     // ---- entity resolution (q184 cold vs the marginal batch) ------
     {
@@ -57,31 +66,51 @@ object DevIncr {
       var labels = recs
         .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
         .limit(0)
-      def erBatch(b: Int): (Long, Double) = time {
+      var entRows = 0L
+      val stages = scala.collection.mutable.Map.empty[String, Double]
+      def erBatch(b: Int): Double = {
+        val last = b == nBatches - 1
         val batch = recs
           .filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b)
-        // O(batch) row-local append into the standing parquet index
-        graft.ext.Linkage.appendToDeletionKeyIndex(batch, idxPath)
-        val newKeys = graft.ext.Linkage.deletionKeyTable(batch)
-          .localCheckpoint(eager = true)
-        val indexKeys = spark.read.parquet(idxPath)
-        labels = graft.ext.Dedup.ccIncrement(labels,
-            graft.ext.Linkage.erAppendEdges(newKeys, indexKeys))
-          .localCheckpoint(eager = true)
-        labels.count()
+        val (_, tAppend) = time {
+          // O(batch) row-local append into the standing parquet index
+          graft.ext.Linkage.appendToDeletionKeyIndex(batch, idxPath)
+        }
+        val (newKeys, tKeys) = time {
+          graft.ext.Linkage.deletionKeyTable(batch)
+            .localCheckpoint(eager = true)
+        }
+        // PRUNED probe: only the pb cells this batch's keys hash into
+        val (edges, tCands) = time {
+          graft.ext.Linkage.erAppendEdges(newKeys,
+              graft.ext.Linkage.readDeletionKeyIndexPruned(spark,
+                idxPath, newKeys))
+            .localCheckpoint(eager = true)
+        }
+        val (_, tFold) = time {
+          labels = graft.ext.Dedup.ccIncrement(labels, edges)
+            .localCheckpoint(eager = true)
+          entRows = labels.count()
+        }
+        if (last) stages ++= Map("append" -> tAppend, "keys" -> tKeys,
+          "candidates" -> tCands, "fold" -> tFold)
+        tAppend + tKeys + tCands + tFold
       }
-      (0 until nBatches - 1).foreach(erBatch)
-      val (entRows, lastSec) = erBatch(nBatches - 1)
+      val perBatch = (0 until nBatches).map(erBatch)
       emit("entity_res",
         "cold_oneshot_sec" -> f"$coldSec%.2f",
-        "marginal_batch_sec" -> f"$lastSec%.2f",
+        "marginal_batch_sec" -> f"${perBatch.last}%.2f",
+        "per_batch_sec" -> arr(perBatch),
+        "last_batch_stages" -> stages.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
+          .mkString("{", ",", "}"),
         "n_batches" -> nBatches.toString,
         "standing_rows" -> entRows.toString)
     }
 
     // ---- LSH near-dup clustering (q59-shape cold vs marginal) -----
     // production path: xxhash64 signatures, compressed band keys,
-    // both stores materialized parquet
+    // both stores materialized parquet, probes pb-pruned
     {
       val docs = Tables.documents(spark, sfDir)
       val (_, coldSec) = time {
@@ -91,30 +120,56 @@ object DevIncr {
       val idxPath = tmp("lsh")
       var labels = docs
         .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
-      def lshBatch(b: Int): (Long, Double) = time {
+      var lshRows = 0L
+      val stages = scala.collection.mutable.Map.empty[String, Double]
+      def lshBatch(b: Int): Double = {
+        val last = b == nBatches - 1
         val batch = docs
           .filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b)
-        // O(batch) row-local appends into both standing stores
-        graft.ext.Dedup.appendToShingleStore(batch, shPath)
-        graft.ext.Dedup.appendToLshIndex(batch, idxPath)
-        val newKeys = graft.ext.Dedup.lshBandKeys(
-          graft.ext.Dedup.shingleRowsFor(batch, 3).select(col("doc_id"),
-            graft.ext.Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
-          bands = 8, rowsPerBand = 4)
-          .localCheckpoint(eager = true)
-        val edges = graft.ext.Dedup.verifyPairs(
-          spark.read.parquet(shPath),
+        val (_, tAppend) = time {
+          // O(batch) row-local appends into both standing stores
+          graft.ext.Dedup.appendToShingleStore(batch, shPath)
+          graft.ext.Dedup.appendToLshIndex(batch, idxPath)
+        }
+        val (newKeys, tSig) = time {
+          graft.ext.Dedup.lshBandKeys(
+            graft.ext.Dedup.shingleRowsFor(batch, 3).select(col("doc_id"),
+              graft.ext.Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
+            bands = 8, rowsPerBand = 4)
+            .localCheckpoint(eager = true)
+        }
+        // PRUNED probe against the standing band-key index
+        val (cands, tCands) = time {
           graft.ext.Dedup.lshAppendCandidates(newKeys,
-            spark.read.parquet(idxPath), 256), 0.7)
-        labels = graft.ext.Dedup.ccIncrement(labels, edges)
-          .localCheckpoint(eager = true)
-        labels.count()
+              graft.ext.Dedup.readLshIndexPruned(spark, idxPath, newKeys),
+              256)
+            .localCheckpoint(eager = true)
+        }
+        // PRUNED verify: only the shingle cells the candidate
+        // endpoints hash into are read
+        val (edges, tVerify) = time {
+          graft.ext.Dedup.verifyPairs(
+              graft.ext.Dedup.readShingleStorePruned(spark, shPath, cands),
+              cands, 0.7)
+            .localCheckpoint(eager = true)
+        }
+        val (_, tFold) = time {
+          labels = graft.ext.Dedup.ccIncrement(labels, edges)
+            .localCheckpoint(eager = true)
+          lshRows = labels.count()
+        }
+        if (last) stages ++= Map("append" -> tAppend, "signature" -> tSig,
+          "candidates" -> tCands, "verify" -> tVerify, "fold" -> tFold)
+        tAppend + tSig + tCands + tVerify + tFold
       }
-      (0 until nBatches - 1).foreach(lshBatch)
-      val (lshRows, lastSec) = lshBatch(nBatches - 1)
+      val perBatch = (0 until nBatches).map(lshBatch)
       emit("lsh_clusters",
         "cold_oneshot_sec" -> f"$coldSec%.2f",
-        "marginal_batch_sec" -> f"$lastSec%.2f",
+        "marginal_batch_sec" -> f"${perBatch.last}%.2f",
+        "per_batch_sec" -> arr(perBatch),
+        "last_batch_stages" -> stages.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
+          .mkString("{", ",", "}"),
         "n_batches" -> nBatches.toString,
         "standing_rows" -> lshRows.toString)
     }

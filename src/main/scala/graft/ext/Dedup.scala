@@ -530,37 +530,93 @@ object Dedup {
   // one-shot candidate set.
   // -----------------------------------------------------------------
 
-  /** Full build of the (band, bucket, doc_id) LSH index, partitioned
-    * by band so a probe for one band's buckets is partition-pruned. */
+  /** The LSH index's probe-bucket column: pb over the full (band,
+    * bucket) probe key, so a pruned read can never lose a candidate
+    * (pb is a function of the join key — the [[graft.sources
+    * .Bucketed.probeBucket]] recall argument). */
+  private def lshPb(numPb: Int): Column =
+    graft.sources.Bucketed.probeBucket(numPb,
+      col("band").cast("long"), col("bucket"))
+
+  /** Full build of the (band, bucket, doc_id) LSH index, laid out
+    * `partitionBy(pb)` — a hash of the (band, bucket) probe key
+    * folded into `numPb` cells — so a batch's candidate probe reads
+    * ONLY the cells its own band keys hash into
+    * ([[readLshIndexPruned]]) instead of scanning the whole standing
+    * index per ingest batch (the r13 I/O-posture fix: compute was
+    * touched-bucket-bounded, the read was O(index)). */
   def writeLshIndex(spark: SparkSession, dir: String, outPath: String,
-      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): Unit =
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     graft.sources.Io.writeParquet(
       lshBandKeys(signatures(spark, dir, k, bands * rowsPerBand),
-        bands, rowsPerBand), outPath, Seq("band"))
+        bands, rowsPerBand).withColumn("pb", lshPb(numPb)),
+      outPath, Seq("pb"))
 
   /** APPEND new documents to a materialized [[writeLshIndex]] table
     * WITHOUT rebuilding: shingle + sign + band the new rows only and
-    * append into their band directories. The banding is seed-stable
-    * (xxhash64 with fixed per-band seeds), so old keys never change —
-    * the property that makes append ≡ rebuild. */
+    * append into their pb cells (same `numPb` as the build — the
+    * layout contract). The banding is seed-stable (xxhash64 with
+    * fixed per-band seeds), so old keys never change — the property
+    * that makes append ≡ rebuild. */
   def appendToLshIndex(newDocs: DataFrame, indexPath: String,
-      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): Unit =
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     lshBandKeys(
       shingleRowsFor(newDocs, k).select(col("doc_id"),
         minhashFromShingles(col("sh"), bands * rowsPerBand).as("sig")),
-      bands, rowsPerBand)
-      .write.mode("append").partitionBy("band").parquet(indexPath)
+      bands, rowsPerBand).withColumn("pb", lshPb(numPb))
+      .write.mode("append").partitionBy("pb").parquet(indexPath)
+
+  /** Partition-pruned read of a [[writeLshIndex]] layout: only the
+    * pb cells `newKeys`' (band, bucket) keys hash into are read
+    * (static `isin` partition filter — spec-asserted). Feed the
+    * result to [[lshAppendCandidates]] as `indexKeys`: per-batch
+    * probe I/O then tracks the batch's touched cells, never the
+    * standing index's size. */
+  def readLshIndexPruned(spark: SparkSession, indexPath: String,
+      newKeys: DataFrame,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): DataFrame =
+    graft.sources.Bucketed.readPruned(spark, indexPath,
+      newKeys.select(lshPb(numPb).as("pb")))
+
+  /** The shingle/signature stores' probe-bucket column: pb over
+    * doc_id — the verify stage probes these stores by ID-equi-join
+    * from the (bounded) candidate pairs, so pruning to the
+    * candidates' id cells is recall-safe. */
+  private def idPb(numPb: Int): Column =
+    graft.sources.Bucketed.probeBucket(numPb, col("doc_id"))
 
   /** Full build of the doc_id → shingle-set store (the verify
-    * stage's side table). */
+    * stage's side table), laid out `partitionBy(pb)` over doc_id so
+    * the per-batch verify join reads only the cells the batch's
+    * candidate endpoints hash into ([[readShingleStorePruned]]). */
   def writeShingleStore(spark: SparkSession, dir: String,
-      outPath: String, k: Int = 3): Unit =
-    graft.sources.Io.writeParquet(shingleTable(spark, dir, k), outPath)
+      outPath: String, k: Int = 3,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    graft.sources.Io.writeParquet(
+      shingleTable(spark, dir, k).withColumn("pb", idPb(numPb)),
+      outPath, Seq("pb"))
 
-  /** Row-local append to a materialized [[writeShingleStore]]. */
+  /** Row-local append to a materialized [[writeShingleStore]] (same
+    * `numPb` as the build — the layout contract). */
   def appendToShingleStore(newDocs: DataFrame, storePath: String,
-      k: Int = 3): Unit =
-    shingleRowsFor(newDocs, k).write.mode("append").parquet(storePath)
+      k: Int = 3,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    shingleRowsFor(newDocs, k).withColumn("pb", idPb(numPb))
+      .write.mode("append").partitionBy("pb").parquet(storePath)
+
+  /** Partition-pruned read of a [[writeShingleStore]] layout: only
+    * the pb cells touched by `cands`' endpoints (doc_a ∪ doc_b) are
+    * read — the verify stage's I/O then tracks the batch's candidate
+    * set, never the standing corpus. */
+  def readShingleStorePruned(spark: SparkSession, storePath: String,
+      cands: DataFrame,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): DataFrame =
+    graft.sources.Bucketed.readPruned(spark, storePath,
+      cands.select(col("doc_a").as("doc_id"))
+        .unionByName(cands.select(col("doc_b").as("doc_id")))
+        .select(idPb(numPb).as("pb")))
 
   /** Full build / row-local append of the (doc_id, sh) simhash
     * signature store — band keys derive row-locally at read

@@ -163,9 +163,14 @@ object Linkage {
       newKeys.select(col("c_nationkey"), col("c_mktsegment"), col("k"))
         .distinct(),
       Seq("c_nationkey", "c_mktsegment", "k"))
+    // count DISTINCT custkeys, not raw rows: a record with a
+    // repeated character legitimately emits duplicate deletion keys
+    // ("aa" → "a" twice), and a replayed streaming batch re-appends
+    // its keys (r13 ADVICE) — neither should inflate the bucket size
+    // the quadratic-join guard prices
     val biggest = touched
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
-      .agg(count(lit(1)).as("n"))
+      .agg(countDistinct(col("c_custkey")).as("n"))
       .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
     require(biggest <= maxBucket,
       s"erAppendEdges: a touched deletion-key bucket holds $biggest " +
@@ -223,19 +228,59 @@ object Linkage {
     entityOutput(labels.select(col("id"), col("label")))
   }
 
-  /** Full build of the materialized deletion-key index, partitioned
-    * by nation so a batch's candidate join prunes to the nations it
-    * touches. */
+  /** The deletion-key index's probe-bucket column: pb over the FULL
+    * candidate equi-join key (nation, segment, deletion key) — the
+    * key [[erAppendEdges]] probes on — so a pruned read can never
+    * lose a candidate (pb is a function of the join key). */
+  private def dkPb(numPb: Int): Column =
+    graft.sources.Bucketed.probeBucket(numPb,
+      col("c_nationkey").cast("long"), col("c_mktsegment"), col("k"))
+
+  /** Full build of the materialized deletion-key index, laid out
+    * `partitionBy(pb)` — a hash of the (nation, segment, deletion
+    * key) probe key folded into `numPb` cells — so a batch's
+    * candidate probe reads ONLY the cells its own keys hash into
+    * ([[readDeletionKeyIndexPruned]]) instead of scanning the whole
+    * standing index per ingest batch (the r13 I/O-posture fix). */
   def writeDeletionKeyIndex(spark: SparkSession, dir: String,
-      outPath: String): Unit =
+      outPath: String,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     graft.sources.Io.writeParquet(
-      deletionKeyTable(customerRecords(spark, dir)), outPath,
-      Seq("c_nationkey"))
+      deletionKeyTable(customerRecords(spark, dir))
+        .withColumn("pb", dkPb(numPb)),
+      outPath, Seq("pb"))
 
   /** Row-local append of a new record batch to a materialized
-    * [[writeDeletionKeyIndex]] table. */
-  def appendToDeletionKeyIndex(newRecs: DataFrame,
-      indexPath: String): Unit =
-    deletionKeyTable(newRecs)
-      .write.mode("append").partitionBy("c_nationkey").parquet(indexPath)
+    * [[writeDeletionKeyIndex]] table (same `numPb` as the build —
+    * the layout contract). */
+  def appendToDeletionKeyIndex(newRecs: DataFrame, indexPath: String,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    deletionKeyTable(newRecs).withColumn("pb", dkPb(numPb))
+      .write.mode("append").partitionBy("pb").parquet(indexPath)
+
+  /** BATCH-DETERMINISTIC append for exactly-once-challenged writers
+    * (the streaming maintenance loop): the batch's keys land under
+    * `ingest_batch=<id>/` with overwrite semantics, so a REPLAYED
+    * micro-batch overwrites its own previous files instead of
+    * appending duplicates — the r13 ADVICE fix for the
+    * index-append-before-checkpoint-commit window (duplicated keys
+    * inflated the erAppendEdges guard and broke grown==full
+    * parity after any retry). */
+  def appendToDeletionKeyIndexBatch(newRecs: DataFrame,
+      indexPath: String, batchId: Long,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    deletionKeyTable(newRecs).withColumn("pb", dkPb(numPb))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$indexPath/ingest_batch=$batchId")
+
+  /** Partition-pruned read of a [[writeDeletionKeyIndex]] layout:
+    * only the pb cells `newKeys`' probe keys hash into are read
+    * (static `isin` partition filter — spec-asserted). Recall-safe
+    * by construction: an index row outside the read cells cannot
+    * share a (nation, segment, k) key with any new row. */
+  def readDeletionKeyIndexPruned(spark: SparkSession, indexPath: String,
+      newKeys: DataFrame,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): DataFrame =
+    graft.sources.Bucketed.readPruned(spark, indexPath,
+      newKeys.select(dkPb(numPb).as("pb")))
 }

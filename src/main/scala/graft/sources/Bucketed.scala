@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout: the co-located-join story for joins too big
   * to broadcast on either side.
@@ -45,6 +46,40 @@ object Bucketed {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Default partition count for the probe-bucket (`pb`) layout of
+    * the standing candidate indexes (LSH band keys, ER deletion
+    * keys, simhash values). 64 keeps gate-scale directories sane; at
+    * 100 TB raise it (≈ index bytes / a few GB, e.g. 4096) via the
+    * `numPb` parameter every writer/reader shares — BOTH sides of an
+    * index lifecycle must use the same count, like bucketBy. */
+  val defaultProbeParts = 64
+
+  /** The probe-bucket partition column: a hash of the probe key
+    * folded into `numPb` cells. Writing an index `partitionBy("pb")`
+    * and reading it through [[readPruned]] converts the per-batch
+    * probe from an O(index) columnar scan into a partition-pruned
+    * read of only the cells the batch touches — the r13 verdict's
+    * one `weak` (compute was touched-bucket-bounded; I/O was not).
+    * Zero recall loss by construction: pb is a FUNCTION of the probe
+    * key, so an index row in an unread cell cannot share a probe key
+    * with any new row. */
+  def probeBucket(numPb: Int, keys: Column*): Column =
+    pmod(xxhash64(keys: _*), lit(numPb.toLong)).cast("int")
+
+  /** Read a pb-partitioned index pruned to the cells a probe batch
+    * touches. `probePbs` must be a one-column ("pb") frame of the
+    * batch's probe-bucket values; the distinct set is collected (its
+    * domain is the layout constant `numPb`, never data volume) and
+    * pushed as a static `isin` partition filter — `PartitionFilters`
+    * in the scan, spec-asserted like the q52 materialized probe. */
+  def readPruned(spark: SparkSession, indexPath: String,
+      probePbs: DataFrame): DataFrame = {
+    // collect-ok: bounded by numPb, a layout constant (the pb domain)
+    val pbs = probePbs.select(col("pb")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    spark.read.parquet(indexPath).filter(col("pb").isin(pbs: _*))
+  }
 
   /** Number of ShuffleExchange operators in the EXECUTED physical
     * plan — the spec-facing observable for "this join is co-located"

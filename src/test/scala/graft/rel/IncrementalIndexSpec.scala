@@ -149,4 +149,116 @@ class IncrementalIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(inc == one && one.nonEmpty)
   }
+
+  // ---------------------------------------------------------------
+  // r14 item 1: the standing indexes' probe reads are PB-PRUNED —
+  // per-batch I/O tracks the batch's touched cells, not index
+  // history. Each spec proves BOTH halves: the pruned plan carries a
+  // pb PartitionFilter (I/O posture) and the pruned probe's output
+  // equals the unpruned probe's (zero recall loss — pb is a function
+  // of the probe key).
+  // ---------------------------------------------------------------
+
+  private def assertPbPruned(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*pb".r.findFirstIn(plan).isDefined,
+      "pb predicate not in PartitionFilters:\n" + plan.take(2000))
+  }
+
+  test("LSH index probe: pb-pruned read, candidates equal the unpruned probe") {
+    val docs = Tables.documents(spark, sf)
+    val idx = tmpDir("lsh_pruned") + "/idx"
+    Dedup.writeLshIndex(spark, sf, idx)
+    // a SMALL batch (one modulo slice of 16) so the pruned read
+    // provably touches a strict subset of the 64 pb cells
+    val batch = docs.filter(pmod(col("doc_id"), lit(16L)) === 7L)
+    val newKeys = Dedup.lshBandKeys(
+      Dedup.shingleRowsFor(batch, 3).select(col("doc_id"),
+        Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
+      bands = 8, rowsPerBand = 4).localCheckpoint(eager = true)
+    val pruned = Dedup.readLshIndexPruned(spark, idx, newKeys)
+    assertPbPruned(pruned)
+    // strict-pruning witness on a TINY batch (8 docs → ~64 band keys
+    // can't cover all 64 pb cells): the mod-16 batch above is big
+    // enough to touch every cell at this corpus size, so it proves
+    // recall equality while this one proves the read actually shrinks
+    val tinyKeys = Dedup.lshBandKeys(
+      Dedup.shingleRowsFor(docs.filter(col("doc_id") < 8), 3)
+        .select(col("doc_id"),
+          Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
+      bands = 8, rowsPerBand = 4).localCheckpoint(eager = true)
+    assert(Dedup.readLshIndexPruned(spark, idx, tinyKeys)
+      .select("pb").distinct().count() < 64)
+    def cands(index: org.apache.spark.sql.DataFrame) =
+      Dedup.lshAppendCandidates(newKeys, index, maxBucket = 256)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaPruned = cands(pruned)
+    assert(viaPruned == cands(spark.read.parquet(idx)))
+    assert(viaPruned.nonEmpty, "vacuous: batch produced no candidates")
+  }
+
+  test("deletion-key index probe: pb-pruned read, edges equal the unpruned probe") {
+    val recs = Tables.customer(spark, sf)
+    val idx = tmpDir("dk_pruned") + "/idx"
+    Linkage.writeDeletionKeyIndex(spark, sf, idx)
+    val batch = recs.filter(pmod(col("c_custkey"), lit(16L)) === 3L)
+    val newKeys = Linkage.deletionKeyTable(batch)
+      .localCheckpoint(eager = true)
+    val pruned = Linkage.readDeletionKeyIndexPruned(spark, idx, newKeys)
+    assertPbPruned(pruned)
+    assert(pruned.count() < spark.read.parquet(idx).count())
+    def edges(index: org.apache.spark.sql.DataFrame) =
+      Linkage.erAppendEdges(newKeys, index)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaPruned = edges(pruned)
+    assert(viaPruned == edges(spark.read.parquet(idx)))
+    assert(viaPruned.nonEmpty, "vacuous: batch matched no edges")
+  }
+
+  test("shingle store verify: pb-pruned read equals the full-store verify") {
+    val docs = Tables.documents(spark, sf)
+    val store = tmpDir("sh_pruned") + "/store"
+    Dedup.writeShingleStore(spark, sf, store)
+    val idx = tmpDir("lsh_pruned2") + "/idx"
+    Dedup.writeLshIndex(spark, sf, idx)
+    val batch = docs.filter(pmod(col("doc_id"), lit(16L)) === 7L)
+    val newKeys = Dedup.lshBandKeys(
+      Dedup.shingleRowsFor(batch, 3).select(col("doc_id"),
+        Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
+      bands = 8, rowsPerBand = 4).localCheckpoint(eager = true)
+    val cands = Dedup.lshAppendCandidates(newKeys,
+        Dedup.readLshIndexPruned(spark, idx, newKeys), maxBucket = 256)
+      .localCheckpoint(eager = true)
+    val pruned = Dedup.readShingleStorePruned(spark, store, cands)
+    assertPbPruned(pruned)
+    def verify(sh: org.apache.spark.sql.DataFrame) =
+      Dedup.verifyPairs(sh, cands, 0.7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val viaPruned = verify(pruned)
+    assert(viaPruned == verify(spark.read.parquet(store)))
+    assert(viaPruned.nonEmpty, "vacuous: no verified pairs in the batch")
+  }
+
+  test("batch-deterministic deletion-key append: a replay overwrites, never duplicates") {
+    val recs = Tables.customer(spark, sf)
+    val idx = tmpDir("dk_replay") + "/idx"
+    (0 until 3).foreach { b =>
+      Linkage.appendToDeletionKeyIndexBatch(
+        recs.filter(pmod(col("c_custkey"), lit(3L)) === b), idx, b)
+    }
+    val before = spark.read.parquet(idx).count()
+    // the retried-batch case: batch 1 runs again (crash between the
+    // index write and the checkpoint commit) — same ingest_batch id,
+    // so the write lands on the same directory with overwrite
+    Linkage.appendToDeletionKeyIndexBatch(
+      recs.filter(pmod(col("c_custkey"), lit(3L)) === 1L), idx, 1L)
+    assert(spark.read.parquet(idx).count() == before)
+    // and the grown index still equals a full build, key for key
+    val full = tmpDir("dk_replay_full") + "/idx"
+    Linkage.writeDeletionKeyIndex(spark, sf, full)
+    def slurp(p: String) = spark.read.parquet(p)
+      .select("c_custkey", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(slurp(idx) == slurp(full))
+  }
 }

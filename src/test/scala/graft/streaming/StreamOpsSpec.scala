@@ -428,6 +428,70 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == oneShot)
   }
 
+  test("component store: fresh-checkpoint restart cannot mix runs or serve a stale snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cc-runs").toString + "/components"
+    // run 1: TWO committed batches (max batch_id = 1)
+    val src1 = MemoryStream[(Long, Long)]
+    val (w1, _) = StreamOps.ccMaintainStream(
+      src1.toDS().toDF("doc_a", "doc_b"), storePath = Some(store))
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-run1").toString
+    src1.addData(Seq((1L, 2L)))
+    w1.option("checkpointLocation", ck1).start().awaitTermination()
+    src1.addData(Seq((3L, 4L)))
+    w1.option("checkpointLocation", ck1).start().awaitTermination()
+    // run 2: FRESH checkpoint at the SAME store path, batch ids
+    // restart at 0 — the r13 ADVICE hazard. It seeds from run 1's
+    // latest snapshot and folds one new edge as ITS batch 0.
+    val src2 = MemoryStream[(Long, Long)]
+    val (w2, cur2) = StreamOps.ccMaintainStream(
+      src2.toDS().toDF("doc_a", "doc_b"), storePath = Some(store))
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-run2").toString
+    src2.addData(Seq((5L, 6L)))
+    w2.option("checkpointLocation", ck2).start().awaitTermination()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L)
+    assert(cur2().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == want)
+    // the store serves run 2's snapshot — NOT run 1's batch_id=1
+    // (the old max(batch_id) selection returned exactly that stale
+    // snapshot, and a shared batch_id=0 partition mixed both runs'
+    // rows), and a third process seeding from it sees the fixpoint
+    assert(StreamOps.readComponentStore(spark, store).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+  }
+
+  test("component store: keep-last-N vacuum bounds the store and still seeds a restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cc-vac").toString + "/components"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vac-ck").toString
+    val src = MemoryStream[(Long, Long)]
+    val (writer, _) = StreamOps.ccMaintainStream(
+      src.toDS().toDF("doc_a", "doc_b"), storePath = Some(store),
+      keepSnapshots = 2)
+    // 5 batches; without vacuum the store would hold 5 full-table
+    // snapshots — retention must cap it at 2 (files bounded too)
+    (0 until 5).foreach { i =>
+      src.addData(Seq((10L * i, 10L * i + 1)))
+      writer.option("checkpointLocation", ckpt).start().awaitTermination()
+    }
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val snapshots = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("run_id="))
+      .flatMap(st => fs.listStatus(st.getPath)).map(_.getPath.toString)
+    assert(snapshots.length == 2, snapshots.mkString(", "))
+    // restart after vacuum: the store ALONE still seeds the fixpoint
+    val seeded = StreamOps.readComponentStore(spark, store).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0 until 5).flatMap(i =>
+      Seq(10L * i -> 10L * i, 10L * i + 1 -> 10L * i)).toMap
+    assert(seeded == want)
+  }
+
   test("er maintain stream: streamed record batches land on the one-shot q184 output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
