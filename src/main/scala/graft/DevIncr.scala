@@ -47,7 +47,8 @@ object DevIncr {
       (r, (System.nanoTime() - t0) / 1e9)
     }
     def emit(op: String, kv: (String, String)*): Unit =
-      println(kv.map { case (k, v) => s""""$k":$v""" }
+      println((kv :+ ("load_1m" -> f"${Bench.loadAvg1m()}%.2f"))
+        .map { case (k, v) => s""""$k":$v""" }
         .mkString(s"""{"tool":"incr","op":"$op","sf":"$sfDir",""", ",", "}"))
     def tmp(tag: String): String = java.nio.file.Files
       .createTempDirectory(s"graft_incr_$tag").toString + "/store"
@@ -68,7 +69,9 @@ object DevIncr {
         .limit(0)
       var entRows = 0L
       val stages = scala.collection.mutable.Map.empty[String, Double]
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       def erBatch(b: Int): Double = {
+        loads += Bench.loadAvg1m()
         val last = b == nBatches - 1
         val batch = recs
           .filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b)
@@ -101,6 +104,7 @@ object DevIncr {
         "cold_oneshot_sec" -> f"$coldSec%.2f",
         "marginal_batch_sec" -> f"${perBatch.last}%.2f",
         "per_batch_sec" -> arr(perBatch),
+        "per_batch_load" -> arr(loads.toSeq),
         "last_batch_stages" -> stages.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
           .mkString("{", ",", "}"),
@@ -122,7 +126,9 @@ object DevIncr {
         .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
       var lshRows = 0L
       val stages = scala.collection.mutable.Map.empty[String, Double]
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       def lshBatch(b: Int): Double = {
+        loads += Bench.loadAvg1m()
         val last = b == nBatches - 1
         val batch = docs
           .filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b)
@@ -167,6 +173,7 @@ object DevIncr {
         "cold_oneshot_sec" -> f"$coldSec%.2f",
         "marginal_batch_sec" -> f"${perBatch.last}%.2f",
         "per_batch_sec" -> arr(perBatch),
+        "per_batch_load" -> arr(loads.toSeq),
         "last_batch_stages" -> stages.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
           .mkString("{", ",", "}"),

@@ -437,6 +437,18 @@ object SparkEntry {
     // q46's oracle hash-gates the grown banding + hamming pipeline
     "q326_simhash_incremental" -> ((s, d) =>
       Dedup.simhashNearDupIncremental(s, d)),
+    // q327/q328: the DELETE half of the lifecycle (r13 item 3) —
+    // add batches, tombstone a modulo slice out of every standing
+    // store, ccDecrement the labels (touched components recomputed
+    // over surviving edges), then ingest one more batch against the
+    // tombstoned stores (no ghost candidates; singleton survivors
+    // may be re-matched). Oracles: the q184/q59 recursive-CTE
+    // closures over the SHRUNK corpus — one oracle per family, the
+    // full add/delete/add discipline hash-gated on real data.
+    "q327_entity_res_with_deletes" -> ((s, d) =>
+      graft.ext.Linkage.entityResolutionWithDeletes(s, d)),
+    "q328_lsh_clusters_with_deletes" -> ((s, d) =>
+      Dedup.lshDedupClustersWithDeletes(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -1564,6 +1576,26 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.7""".stripMargin,
     "q59_lsh_clusters" ->
       s"""WITH RECURSIVE $portableCandSql,
+         |ver AS (SELECT c.doc_a, c.doc_b
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+         |              JOIN s sb ON sb.doc_id = c.doc_b
+         |  WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.7),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM ver),
+         |reach(id, lab) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)
+         |SELECT id AS doc_id, MIN(lab) AS rep_id FROM reach GROUP BY id""".stripMargin,
+    // q328: q59's closure over the SHRUNK corpus (the q327 recipe on
+    // the LSH family) — dk filters the deleted slice, the rest is the
+    // same portable-minhash stem rebased onto it
+    "q328_lsh_clusters_with_deletes" ->
+      s"""WITH RECURSIVE
+         |dk AS (SELECT * FROM documents
+         |       WHERE NOT (doc_id % 7 = 3 AND doc_id % 3 <> 2)),
+         |${portableCandSql.replace("FROM documents", "FROM dk")},
          |ver AS (SELECT c.doc_a, c.doc_b
          |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
          |              JOIN s sb ON sb.doc_id = c.doc_b
@@ -3360,6 +3392,31 @@ object SparkEntry {
       """WITH RECURSIVE
         |e0 AS (SELECT a.c_custkey AS ca, b.c_custkey AS cb
         |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (SELECT ca AS a, cb AS b FROM e0
+        |          UNION ALL SELECT cb AS a, ca AS b FROM e0),
+        |reach(id, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+        |comp AS (SELECT id, MIN(lab) AS entity_id FROM reach GROUP BY id),
+        |sz AS (SELECT entity_id, COUNT(*) AS n_members
+        |       FROM comp GROUP BY entity_id)
+        |SELECT comp.id AS c_custkey, comp.entity_id, sz.n_members
+        |FROM comp JOIN sz USING (entity_id)""".stripMargin,
+    // q327: q184's closure over the SHRUNK corpus — the Spark side
+    // replays add/delete/add maintenance; the oracle just filters the
+    // deleted slice (already-ingested custkeys ≡ 3 mod 7, i.e. not in
+    // the post-delete add batch custkey ≡ 2 mod 3) and re-resolves
+    "q327_entity_res_with_deletes" ->
+      """WITH RECURSIVE
+        |ck AS (SELECT * FROM customer
+        |       WHERE NOT (c_custkey % 7 = 3 AND c_custkey % 3 <> 2)),
+        |e0 AS (SELECT a.c_custkey AS ca, b.c_custkey AS cb
+        |  FROM ck a JOIN ck b
         |    ON a.c_nationkey = b.c_nationkey
         |   AND a.c_mktsegment = b.c_mktsegment
         |   AND a.c_custkey < b.c_custkey

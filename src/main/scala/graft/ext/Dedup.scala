@@ -521,6 +521,72 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
   }
 
+  /** [[lshDedupClustersIncremental]] plus the DELETE half of the
+    * lifecycle — q328, the [[graft.ext.Linkage
+    * .entityResolutionWithDeletes]] discipline applied to the LSH
+    * near-dup family: add the first (nBatches−1) doc batches
+    * (retaining the verified edge sets — deletion-capable state),
+    * tombstone every already-ingested doc_id ≡ deleteRes (mod
+    * deleteMod) out of the shingle store, the band-key index, and
+    * the edge store, fold the labels through [[ccDecrement]], then
+    * ingest the LAST batch against the tombstoned stores (its
+    * candidates must not resurrect ghosts; its new docs may re-match
+    * singleton survivors). Output drops singleton components to
+    * match the one-shot contract. Hash-gated by q59's oracle over
+    * the SHRUNK corpus. */
+  def lshDedupClustersWithDeletes(spark: SparkSession, dir: String,
+      k: Int = 3, threshold: Double = 0.7, bands: Int = 8,
+      rowsPerBand: Int = 4, maxBucket: Int = 256, nBatches: Int = 3,
+      deleteMod: Int = 7, deleteRes: Int = 3): DataFrame = {
+    require(nBatches >= 2, "need at least one add batch after the deletes")
+    val docs = Tables.documents(spark, dir)
+    var shPieces = Seq.empty[DataFrame]
+    var keyPieces = Seq.empty[DataFrame]
+    var edgePieces = Seq.empty[DataFrame]
+    var labels = docs
+      .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
+    def addBatch(b: Int): Unit = {
+      val newSh = shingleRowsFor(
+        docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b), k)
+        .localCheckpoint(eager = true)
+      val newKeys = lshBandKeys(
+        newSh.select(col("doc_id"),
+          graft.functions.exprs.minhash_sig_portable(col("sh"),
+            bands * rowsPerBand).as("sig")),
+        bands, rowsPerBand, compressBuckets = false)
+        .localCheckpoint(eager = true)
+      shPieces :+= newSh
+      keyPieces :+= newKeys
+      val edges = verifyPairs(shPieces.reduce(_ unionByName _),
+          lshAppendCandidates(newKeys, keyPieces.reduce(_ unionByName _),
+            maxBucket), threshold)
+        .localCheckpoint(eager = true)
+      edgePieces :+= edges
+      labels = ccIncrement(labels, edges).localCheckpoint(eager = true)
+    }
+    (0 until nBatches - 1).foreach(addBatch)
+    val removed = docs
+      .filter(pmod(col("doc_id"), lit(deleteMod.toLong)) === deleteRes &&
+        pmod(col("doc_id"), lit(nBatches.toLong)) =!= (nBatches - 1))
+      .select(col("doc_id").as("id"))
+      .localCheckpoint(eager = true)
+    def dropIds(df: DataFrame, idCol: String): DataFrame =
+      df.join(removed.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    shPieces = Seq(dropIds(shPieces.reduce(_ unionByName _), "doc_id")
+      .localCheckpoint(eager = true))
+    keyPieces = Seq(dropIds(keyPieces.reduce(_ unionByName _), "doc_id")
+      .localCheckpoint(eager = true))
+    val edgeStore = edgePieces.reduce(_ unionByName _)
+    labels = ccDecrement(labels, edgeStore, removed)
+      .localCheckpoint(eager = true)
+    edgePieces = Seq(dropIds(dropIds(edgeStore, "doc_a"), "doc_b")
+      .localCheckpoint(eager = true))
+    addBatch(nBatches - 1)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    labels.join(sizes, "label").filter(col("n") > 1)
+      .select(col("id").as("doc_id"), col("label").as("rep_id"))
+  }
+
   // -----------------------------------------------------------------
   // Materialized index lifecycle (the appendToIvfPqIndex precedent):
   // the standing LSH index and shingle store as PARQUET TABLES a
@@ -1497,6 +1563,61 @@ object Dedup {
       .join(prev.select(col("id")), Seq("id"), "left_anti")
       .join(merged, Seq("id"))
     updatedOld.unionByName(added)
+  }
+
+  /** DELETION for a standing component table — [[ccIncrement]]'s
+    * inverse (r13 verdict item 3: every maintenance path was
+    * append-only; a real curation pipeline deletes — takedowns,
+    * expired licenses). Removing an id can SPLIT its component, and
+    * a split cannot be derived from (id, label) alone, so deletion-
+    * capable state keeps the standing VERIFIED EDGE table alongside
+    * the labels (the verify stage materializes it anyway — q43's
+    * reporting table). The recompute is bounded by the TOUCHED
+    * components, which are small by construction (near-dup cliques,
+    * matched entities — never corpus-sized):
+    *
+    *   1. touched labels = labels of any removed id (id-keyed semi
+    *      join — |removed|-bounded);
+    *   2. untouched rows pass through UNCHANGED (their components
+    *      lost no member, so their min-id labels stay valid);
+    *   3. touched components re-run [[connectedComponents]] over the
+    *      standing edges restricted to their SURVIVING members —
+    *      restricting to survivors of touched components is exact
+    *      because prev is a CC fixpoint: no standing edge can link a
+    *      touched component to an untouched one (it would have
+    *      merged them);
+    *   4. survivors left with no surviving edge become SINGLETON
+    *      rows (label = own id): the standing state must remember
+    *      the id — a later [[ccIncrement]] batch may re-match it
+    *      (the q327 replay exercises exactly this resurrection).
+    *
+    * Output satisfies the ccIncrement label invariant (labels =
+    * min surviving member id), so decrements and increments compose
+    * in any order. Callers must also drop the removed ids from the
+    * standing candidate indexes and the edge store itself (the q327
+    * tombstone step) so later appends cannot pair against ghosts.
+    * `removed` is a one-column ("id") frame; ids absent from prev
+    * are ignored. */
+  def ccDecrement(prev: DataFrame, edges: DataFrame, removed: DataFrame,
+      src: String = "doc_a", dst: String = "doc_b",
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax): DataFrame = {
+    val rem = removed.select(col("id"))
+    val touchedLabels = prev.join(rem, Seq("id"), "left_semi")
+      .select(col("label")).distinct()
+    val keep = prev.join(rem, Seq("id"), "left_anti")
+    val untouched = keep.join(touchedLabels, Seq("label"), "left_anti")
+      .select(col("id"), col("label"))
+    val survivors = keep.join(touchedLabels, Seq("label"), "left_semi")
+      .select(col("id"))
+    val subEdges = edges.select(col(src).as("na"), col(dst).as("nb"))
+      .join(survivors.select(col("id").as("na")), Seq("na"), "left_semi")
+      .join(survivors.select(col("id").as("nb")), Seq("nb"), "left_semi")
+    val recomputed = connectedComponents(subEdges, "na", "nb",
+      driverGridMax = driverGridMax)
+    val isolated = survivors
+      .join(recomputed.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    untouched.unionByName(recomputed).unionByName(isolated)
   }
 
   /** [[ccIncrement]] replayed over [[jaccardPairs]]'s edge set in

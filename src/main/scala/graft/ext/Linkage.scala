@@ -236,6 +236,83 @@ object Linkage {
     graft.sources.Bucketed.probeBucket(numPb,
       col("c_nationkey").cast("long"), col("c_mktsegment"), col("k"))
 
+  /** [[entityResolutionIncremental]] plus the DELETE half of the
+    * lifecycle — q327 (r13 verdict item 3: every maintenance path
+    * was append-only; takedowns and expired licenses delete).
+    * Replays adds for the first (nBatches−1) custkey-modulo batches
+    * — identical to q323 except the verified edge sets are RETAINED
+    * (deletion-capable state keeps the standing edge table; the
+    * verify stage materializes it anyway) — then deletes every
+    * already-ingested record with custkey ≡ deleteRes (mod
+    * deleteMod) as a tombstone batch:
+    *
+    *   - the standing key index drops the removed records' rows
+    *     (anti-join — the tombstone applied to the candidate index,
+    *     so later appends cannot pair against ghosts);
+    *   - the edge store drops edges incident to a removed id;
+    *   - the labels fold through [[Dedup.ccDecrement]] (touched
+    *     components recomputed over surviving edges; survivors left
+    *     partnerless become singletons).
+    *
+    * The LAST add batch then arrives AFTER the deletes — candidates
+    * generate against the tombstoned index, and a new record may
+    * re-match a singleton survivor (the resurrection path
+    * ccDecrement keeps singleton rows for). Output drops singleton
+    * components to match the one-shot contract (an unmatched id
+    * never appears in [[entityResolution]]'s output). Hash-gated by
+    * the q184 recursive-CTE oracle over the SHRUNK corpus — one
+    * oracle, the full add/delete/add discipline. */
+  def entityResolutionWithDeletes(spark: SparkSession, dir: String,
+      maxDist: Int = 1, maxBucket: Int = 256, nBatches: Int = 3,
+      deleteMod: Int = 7, deleteRes: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 1,
+      s"deletion-neighborhood candidates are recall-complete only for " +
+        s"maxDist <= 1 (got $maxDist)")
+    require(nBatches >= 2, "need at least one add batch after the deletes")
+    val recs = customerRecords(spark, dir)
+    var keyPieces = Seq.empty[DataFrame]
+    var edgePieces = Seq.empty[DataFrame]
+    var labels = recs
+      .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
+      .limit(0)
+    def addBatch(b: Int): Unit = {
+      val newKeys = deletionKeyTable(
+        recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
+        .localCheckpoint(eager = true)
+      keyPieces :+= newKeys
+      val edges = erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
+          maxDist, maxBucket)
+        .localCheckpoint(eager = true)
+      edgePieces :+= edges
+      labels = Dedup.ccIncrement(labels, edges)
+        .localCheckpoint(eager = true)
+    }
+    (0 until nBatches - 1).foreach(addBatch)
+    // tombstone batch: already-ingested custkeys ≡ deleteRes (mod
+    // deleteMod) — the final corpus this must equal one-shot ER over
+    // is expressible as a pure predicate, which is what lets the
+    // DuckDB oracle gate the whole discipline
+    val removed = recs
+      .filter(pmod(col("c_custkey"), lit(deleteMod.toLong)) === deleteRes &&
+        pmod(col("c_custkey"), lit(nBatches.toLong)) =!= (nBatches - 1))
+      .select(col("c_custkey").as("id"))
+      .localCheckpoint(eager = true)
+    keyPieces = Seq(keyPieces.reduce(_ unionByName _)
+      .join(removed.select(col("id").as("c_custkey")), Seq("c_custkey"),
+        "left_anti")
+      .localCheckpoint(eager = true))
+    val edgeStore = edgePieces.reduce(_ unionByName _)
+    labels = Dedup.ccDecrement(labels, edgeStore, removed)
+      .localCheckpoint(eager = true)
+    edgePieces = Seq(edgeStore
+      .join(removed.select(col("id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(removed.select(col("id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .localCheckpoint(eager = true))
+    addBatch(nBatches - 1)
+    entityOutput(labels.select(col("id"), col("label")))
+      .filter(col("n_members") > 1)
+  }
+
   /** Full build of the materialized deletion-key index, laid out
     * `partitionBy(pb)` — a hash of the (nation, segment, deletion
     * key) probe key folded into `numPb` cells — so a batch's

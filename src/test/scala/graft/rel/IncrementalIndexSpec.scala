@@ -151,6 +151,95 @@ class IncrementalIndexSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // r14 item 3: DELETION. ccDecrement is ccIncrement's inverse; the
+  // lifecycle queries replay add/delete/add against the one-shot
+  // oracle over the shrunk corpus.
+  // ---------------------------------------------------------------
+
+  test("ccDecrement: splits, pass-through, singletons, and resurrection") {
+    import spark.implicits._
+    // component {1,2,3} is a CHAIN 1-2-3; {10,11} a pair; {20,21} a
+    // pair that stays untouched
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val prev = Dedup.connectedComponents(edges)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // removing the chain's middle node SPLITS {1,2,3} into two
+    // singletons; removing 11 leaves 10 a singleton; {20,21} must
+    // pass through untouched
+    val afterDel = Dedup.ccDecrement(prev, edges,
+      Seq(2L, 11L).toDF("id"))
+    assert(m(afterDel) == Map(1L -> 1L, 3L -> 3L, 10L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // label invariant holds, so a later ccIncrement composes: a new
+    // edge RESURRECTS the singleton 10 into a pair with 12
+    val after = Dedup.ccIncrement(afterDel, Seq((12L, 10L))
+      .toDF("doc_a", "doc_b"), validatePrev = true)
+    assert(m(after) == Map(1L -> 1L, 3L -> 3L, 10L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // removing an id absent from prev is a no-op
+    assert(m(Dedup.ccDecrement(prev, edges, Seq(99L).toDF("id")))
+      == m(prev))
+    // removing a whole component erases it
+    assert(m(Dedup.ccDecrement(prev, edges, Seq(20L, 21L).toDF("id")))
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("entity resolution with deletes equals one-shot q184 over the shrunk corpus") {
+    // the oracle twin: same predicate the q327 registration uses
+    val removedPred = pmod(col("c_custkey"), lit(7L)) === 3L &&
+      pmod(col("c_custkey"), lit(3L)) =!= 2L
+    val shrunk = Tables.customer(spark, sf).filter(!removedPred)
+    val full = Linkage.entityResolution(spark, sf)
+    // one-shot over the shrunk corpus, via the same blocking pipeline
+    // on a filtered view (deletion keys don't depend on the corpus,
+    // so filtering inputs == one-shot on the shrunk table)
+    val oneKeys = Linkage.deletionKeyTable(shrunk
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))).localCheckpoint(eager = true)
+    val oneEdges = Linkage.erAppendEdges(oneKeys, oneKeys)
+    val one = Linkage.entityOutput(Dedup.connectedComponents(oneEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val lifecycle = Linkage.entityResolutionWithDeletes(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(lifecycle == one && one.nonEmpty)
+    // the deletes really removed something (non-vacuous)
+    assert(lifecycle != full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq)
+  }
+
+  test("LSH clusters with deletes equals one-shot q59 over the shrunk corpus") {
+    val lifecycle = Dedup.lshDedupClustersWithDeletes(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // one-shot over the shrunk corpus: shingle + band + verify + CC
+    // on the filtered documents (signatures are row-local, so a
+    // filtered input IS the shrunk-corpus one-shot)
+    val shrunkSh = Dedup.shingleRowsFor(
+      Tables.documents(spark, sf).filter(
+        !(pmod(col("doc_id"), lit(7L)) === 3L &&
+          pmod(col("doc_id"), lit(3L)) =!= 2L)), 3)
+      .localCheckpoint(eager = true)
+    val keys = Dedup.lshBandKeys(
+      shrunkSh.select(col("doc_id"),
+        graft.functions.exprs.minhash_sig_portable(col("sh"), 32).as("sig")),
+      bands = 8, rowsPerBand = 4, compressBuckets = false)
+    val edges = Dedup.verifyPairs(shrunkSh,
+      Dedup.lshCandidatePairs(
+        shrunkSh.select(col("doc_id"),
+          graft.functions.exprs.minhash_sig_portable(col("sh"), 32)
+            .as("sig")),
+        bands = 8, rowsPerBand = 4, maxBucket = 256,
+        compressBuckets = false), 0.7)
+    val one = Dedup.connectedComponents(edges)
+      .select(col("id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(lifecycle == one && one.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------
   // r14 item 1: the standing indexes' probe reads are PB-PRUNED —
   // per-batch I/O tracks the batch's touched cells, not index
   // history. Each spec proves BOTH halves: the pruned plan carries a
