@@ -616,7 +616,8 @@ object Dedup {
       numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     graft.sources.Io.writeParquet(
       lshBandKeys(signatures(spark, dir, k, bands * rowsPerBand),
-        bands, rowsPerBand).withColumn("pb", lshPb(numPb)),
+        bands, rowsPerBand).withColumn("pb", lshPb(numPb))
+        .transform(graft.sources.Bucketed.clusterByPb(_, numPb)),
       outPath, Seq("pb"))
 
   /** APPEND new documents to a materialized [[writeLshIndex]] table
@@ -632,6 +633,7 @@ object Dedup {
       shingleRowsFor(newDocs, k).select(col("doc_id"),
         minhashFromShingles(col("sh"), bands * rowsPerBand).as("sig")),
       bands, rowsPerBand).withColumn("pb", lshPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
       .write.mode("append").partitionBy("pb").parquet(indexPath)
 
   /** Partition-pruned read of a [[writeLshIndex]] layout: only the
@@ -661,7 +663,8 @@ object Dedup {
       outPath: String, k: Int = 3,
       numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     graft.sources.Io.writeParquet(
-      shingleTable(spark, dir, k).withColumn("pb", idPb(numPb)),
+      shingleTable(spark, dir, k).withColumn("pb", idPb(numPb))
+        .transform(graft.sources.Bucketed.clusterByPb(_, numPb)),
       outPath, Seq("pb"))
 
   /** Row-local append to a materialized [[writeShingleStore]] (same
@@ -670,6 +673,7 @@ object Dedup {
       k: Int = 3,
       numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     shingleRowsFor(newDocs, k).withColumn("pb", idPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
       .write.mode("append").partitionBy("pb").parquet(storePath)
 
   /** Partition-pruned read of a [[writeShingleStore]] layout: only
@@ -684,19 +688,76 @@ object Dedup {
         .unionByName(cands.select(col("doc_b").as("doc_id")))
         .select(idPb(numPb).as("pb")))
 
+  /** The simhash store's probe-bucket column: pb over the signature
+    * VALUE — the member-expansion stage probes the store by
+    * vb-equi-join from the (bounded) value pairs, so pruning to the
+    * values' cells is recall-safe. */
+  private def shPb(numPb: Int): Column =
+    graft.sources.Bucketed.probeBucket(numPb, col("sh"))
+
   /** Full build / row-local append of the (doc_id, sh) simhash
-    * signature store — band keys derive row-locally at read
+    * signature store, laid out `partitionBy(pb)` over the signature
+    * value — band keys derive row-locally at read
     * ([[simhashBandKeys]]), so one store serves both the candidate
-    * index and the hamming verify. */
+    * index and the hamming verify, and the member expansion reads
+    * only the cells its value pairs touch
+    * ([[readSimhashStorePruned]]). */
   def writeSimhashStore(spark: SparkSession, dir: String,
-      outPath: String, bits: Int = 48): Unit =
+      outPath: String, bits: Int = 48,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     graft.sources.Io.writeParquet(
-      simhashRowsPortable(Tables.documents(spark, dir), bits), outPath)
+      simhashRowsPortable(Tables.documents(spark, dir), bits)
+        .withColumn("pb", shPb(numPb))
+        .transform(graft.sources.Bucketed.clusterByPb(_, numPb)),
+      outPath, Seq("pb"))
 
   def appendToSimhashStore(newDocs: DataFrame, storePath: String,
-      bits: Int = 48): Unit =
-    simhashRowsPortable(newDocs, bits)
-      .write.mode("append").parquet(storePath)
+      bits: Int = 48,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    simhashRowsPortable(newDocs, bits).withColumn("pb", shPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
+      .write.mode("append").partitionBy("pb").parquet(storePath)
+
+  /** Partition-pruned read of a [[writeSimhashStore]] layout: only
+    * the pb cells of the given signature VALUES (one column, "sh")
+    * are read. */
+  def readSimhashStorePruned(spark: SparkSession, storePath: String,
+      values: DataFrame,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): DataFrame =
+    graft.sources.Bucketed.readPruned(spark, storePath,
+      values.select(shPb(numPb).as("pb")))
+
+  /** BATCH-DETERMINISTIC appends for the streaming simhash
+    * maintainer (the [[graft.ext.Linkage
+    * .appendToDeletionKeyIndexBatch]] retry contract: a replayed
+    * micro-batch overwrites its own previous files). The signature
+    * store takes (doc_id, sh) rows under pb-over-value; the
+    * value-key store takes (v, band, bucket) rows under
+    * pb-over-(band, bucket). */
+  def appendToSimhashStoreBatch(newSigs: DataFrame, storePath: String,
+      batchId: Long,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    newSigs.withColumn("pb", shPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$storePath/ingest_batch=$batchId")
+
+  def appendToSimhashVKeyStoreBatch(newVKeys: DataFrame,
+      storePath: String, batchId: Long,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    newVKeys.withColumn("pb", lshPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$storePath/ingest_batch=$batchId")
+
+  /** Partition-pruned read of an [[appendToSimhashVKeyStoreBatch]]
+    * store: only the pb cells the batch's (band, bucket) keys hash
+    * into are read. */
+  def readSimhashVKeyStorePruned(spark: SparkSession, storePath: String,
+      newVKeys: DataFrame,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): DataFrame =
+    graft.sources.Bucketed.readPruned(spark, storePath,
+      newVKeys.select(lshPb(numPb).as("pb")))
 
   /** Asymmetric CONTAINMENT dedup: C = |S(A)∩S(B)| / min(|S(A)|,
     * |S(B)|) over the same portable-LSH candidate pairs — catches the
@@ -2113,6 +2174,64 @@ object Dedup {
         transform(col("toks"), t => md5TokenHash(t, 12)).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th"), bits).as("sh"))
 
+  /** Band keys of a signature frame's DISTINCT simhash values — the
+    * VALUE-QUOTIENT index payload shared by q326 and
+    * [[graft.streaming.StreamOps.simhashMaintainStream]]: banding
+    * over distinct values keeps bucket sizes tracking content
+    * variety, not duplicate volume (the q325 lesson — see
+    * [[simhashNearDupIncremental]]'s plan comment). Output columns:
+    * (v, band, bucket). */
+  def simhashValueKeys(sigs: DataFrame, bits: Int = 48,
+      bands: Int = 4): DataFrame =
+    simhashBandKeys(sigs.select(col("sh")).distinct()
+        .select(col("sh").as("doc_id"), col("sh")),
+      bits, bands, compressBuckets = false)
+      .withColumnRenamed("doc_id", "v")
+
+  /** Value pairs a NEW batch's value keys introduce against a
+    * standing value-key store (which must already contain the
+    * batch's own keys), hamming-filtered BEFORE any member
+    * expansion: (va, vb, hamming) with va from the batch, vb from
+    * the store, including va == vb (same-value groups pair at
+    * hamming 0). Guard and join touch only buckets the batch's keys
+    * land in; `maxBucket` caps DISTINCT VALUES per touched bucket
+    * (per-bucket value-pair work is n²). */
+  def simhashAppendValuePairs(newVKeys: DataFrame, vkeyStore: DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val touched = vkeyStore.join(
+      newVKeys.select(col("band"), col("bucket")).distinct(),
+      Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("v")).distinct()
+    val biggest = touched.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(biggest <= maxBucket,
+      s"simhash append: a touched (band, bucket) holds $biggest " +
+        s"DISTINCT simhash values (> maxBucket=$maxBucket) " +
+        "— raise the cap or widen the bands")
+    newVKeys.select(col("band"), col("bucket"), col("v").as("va"))
+      .join(vkeyStore.select(col("band"), col("bucket"),
+        col("v").as("vb")), Seq("band", "bucket"))
+      .select(col("va"), col("vb")).distinct()
+      .withColumn("hamming", expr("CAST(bit_count(va ^ vb) AS INT)"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Member expansion of [[simhashAppendValuePairs]] output: new
+    * docs of va × stored docs of vb — OUTPUT-sized (those pairs are
+    * answer rows, not intermediate state). `sigStore` must already
+    * contain the batch's own rows. */
+  def simhashExpandPairs(vPairs: DataFrame, newSigs: DataFrame,
+      sigStore: DataFrame): DataFrame =
+    newSigs.select(col("doc_id").as("da"), col("sh").as("va"))
+      .join(vPairs, Seq("va"))
+      .join(sigStore.select(col("doc_id").as("db"), col("sh").as("vb")),
+        Seq("vb"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+      .distinct()
+
   /** [[simhashNearDupPortable]] (q46) maintained INCREMENTALLY —
     * q326, closing the last family named in the r12 cold-build
     * ledger (q46's 247.7 s signature build at 100×): per batch,
@@ -2162,48 +2281,18 @@ object Dedup {
         .localCheckpoint(eager = true)
       // band keys of the batch's DISTINCT values (a value re-appearing
       // across batches duplicates keys in the store — the value-pair
-      // distinct below absorbs it)
-      val newVKeys = simhashBandKeys(
-        newSigs.select(col("sh")).distinct()
-          .select(col("sh").as("doc_id"), col("sh")),
-        bits, bands, compressBuckets = false)
-        .withColumnRenamed("doc_id", "v")
+      // distinct in [[simhashAppendValuePairs]] absorbs it)
+      val newVKeys = simhashValueKeys(newSigs, bits, bands)
         .localCheckpoint(eager = true)
       sigPieces :+= newSigs
       vkeyPieces :+= newVKeys
-      val sigStore = sigPieces.reduce(_ unionByName _)
-      val vkeyStore = vkeyPieces.reduce(_ unionByName _)
-      // touched value-buckets only — the quotient guard
-      val touched = vkeyStore.join(
-        newVKeys.select(col("band"), col("bucket")).distinct(),
-        Seq("band", "bucket"))
-        .select(col("band"), col("bucket"), col("v")).distinct()
-      val biggest = touched.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("n"))
-        .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
-      require(biggest <= maxBucket,
-        s"simhashNearDupIncremental: a touched (band, bucket) holds " +
-          s"$biggest DISTINCT simhash values (> maxBucket=$maxBucket) " +
-          "— raise the cap or widen the bands")
-      // value pairs incl. va == vb (same-value groups pair at
-      // hamming 0); hamming filtered BEFORE member expansion
-      val vPairs = newVKeys.select(col("band"), col("bucket"),
-          col("v").as("va"))
-        .join(vkeyStore.select(col("band"), col("bucket"),
-          col("v").as("vb")), Seq("band", "bucket"))
-        .select(col("va"), col("vb")).distinct()
-        .withColumn("hamming",
-          expr("CAST(bit_count(va ^ vb) AS INT)"))
-        .filter(col("hamming") <= maxDist)
-      val pairs = newSigs.select(col("doc_id").as("da"),
-          col("sh").as("va"))
-        .join(vPairs, Seq("va"))
-        .join(sigStore.select(col("doc_id").as("db"),
-          col("sh").as("vb")), Seq("vb"))
-        .filter(col("da") =!= col("db"))
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
-        .distinct()
+      // touched value-buckets only (quotient guard), hamming filter
+      // before member expansion — the shared append cores q326 and
+      // the streaming maintainer both run
+      val pairs = simhashExpandPairs(
+          simhashAppendValuePairs(newVKeys,
+            vkeyPieces.reduce(_ unionByName _), maxDist, maxBucket),
+          newSigs, sigPieces.reduce(_ unionByName _))
         .localCheckpoint(eager = true)
       out = if (out == null) pairs else out.unionByName(pairs)
     }

@@ -324,7 +324,8 @@ object Linkage {
       numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     graft.sources.Io.writeParquet(
       deletionKeyTable(customerRecords(spark, dir))
-        .withColumn("pb", dkPb(numPb)),
+        .withColumn("pb", dkPb(numPb))
+        .transform(graft.sources.Bucketed.clusterByPb(_, numPb)),
       outPath, Seq("pb"))
 
   /** Row-local append of a new record batch to a materialized
@@ -333,6 +334,7 @@ object Linkage {
   def appendToDeletionKeyIndex(newRecs: DataFrame, indexPath: String,
       numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     deletionKeyTable(newRecs).withColumn("pb", dkPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
       .write.mode("append").partitionBy("pb").parquet(indexPath)
 
   /** BATCH-DETERMINISTIC append for exactly-once-challenged writers
@@ -347,6 +349,7 @@ object Linkage {
       indexPath: String, batchId: Long,
       numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
     deletionKeyTable(newRecs).withColumn("pb", dkPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
       .write.mode("overwrite").partitionBy("pb")
       .parquet(s"$indexPath/ingest_batch=$batchId")
 

@@ -241,6 +241,66 @@ object StreamOps {
     (writer, () => ref.get())
   }
 
+  /** STREAMING simhash near-dup maintenance — the last heavy batch
+    * family without a streaming member gets one (r13 verdict item
+    * 5), stitched from q326's shared value-quotient cores: documents
+    * (doc_id, text) arriving on a stream are simhashed row-locally
+    * ([[graft.ext.Dedup.simhashRowsPortable]]), their signature rows
+    * and DISTINCT-value band keys appended BATCH-DETERMINISTICALLY
+    * to the standing parquet stores (replays overwrite — the
+    * erMaintainStream retry contract), candidates generated as
+    * value pairs over touched buckets only
+    * ([[graft.ext.Dedup.simhashAppendValuePairs]] against the
+    * PB-PRUNED value-key store), hamming-verified values expanded to
+    * doc pairs against the PB-PRUNED signature store, and the edges
+    * folded into the standing component table via
+    * [[graft.ext.Dedup.ccIncrement]]. Same durability + retention
+    * contract as [[ccMaintainStream]] (run_id snapshots, `_LATEST`
+    * manifest, keep-last-N vacuum). Parity spec: streaming the
+    * documents table in micro-batches lands on the identical
+    * clustering as one-shot q46's pair set under CC. */
+  def simhashMaintainStream(docs: DataFrame, sigStorePath: String,
+      vkeyStorePath: String, bits: Int = 48, bands: Int = 4,
+      maxDist: Int = 3, maxBucket: Int = 4096,
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax,
+      storePath: Option[String] = None, keepSnapshots: Int = 2,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts)
+      : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val runId = newRunId()
+    val seed = storePath.flatMap(readComponentStore(spark, _))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("id", "label"))
+    val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](seed)
+    val writer = foreachBatchWriter(docs.toDF()) { (batch, id) =>
+      val newSigs = graft.ext.Dedup
+        .simhashRowsPortable(batch.toDF(), bits)
+        .localCheckpoint(eager = true)
+      val newVKeys = graft.ext.Dedup.simhashValueKeys(newSigs, bits, bands)
+        .localCheckpoint(eager = true)
+      graft.ext.Dedup.appendToSimhashStoreBatch(newSigs, sigStorePath,
+        id, numPb)
+      graft.ext.Dedup.appendToSimhashVKeyStoreBatch(newVKeys,
+        vkeyStorePath, id, numPb)
+      val vPairs = graft.ext.Dedup.simhashAppendValuePairs(newVKeys,
+          graft.ext.Dedup.readSimhashVKeyStorePruned(spark,
+            vkeyStorePath, newVKeys, numPb),
+          maxDist, maxBucket)
+        .localCheckpoint(eager = true)
+      val edges = graft.ext.Dedup.simhashExpandPairs(vPairs, newSigs,
+        graft.ext.Dedup.readSimhashStorePruned(spark, sigStorePath,
+          vPairs.select(col("vb").as("sh")), numPb))
+      val merged = graft.ext.Dedup
+        .ccIncrement(ref.get(), edges, driverGridMax = driverGridMax)
+        .localCheckpoint(eager = true)
+      ref.set(merged)
+      storePath.foreach(writeComponentSnapshot(merged, _, runId, id,
+        keepSnapshots))
+    }.outputMode(OutputMode.Append())
+    (writer, () => ref.get())
+  }
+
   /** A fresh component-store run id: one per maintain-stream WRITER,
     * so two runs' snapshots can never share a partition even when a
     * fresh checkpoint restarts batch ids at 0. Random (not a

@@ -535,6 +535,47 @@ class StreamOpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("simhash maintain stream: streamed doc batches land on the one-shot q46 clustering") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sim-stream").toString
+    val src = MemoryStream[(Long, String)]
+    val (writer, current) = StreamOps.simhashMaintainStream(
+      src.toDS().toDF("doc_id", "text"),
+      base + "/sigs", base + "/vkeys",
+      storePath = Some(base + "/components"))
+    val ckpt = base + "/ckpt"
+    docs.grouped(math.max(1, docs.length / 3)).foreach { b =>
+      src.addData(b)
+      val q = writer.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    // one-shot: CC over q46's pair set — the same clustering contract
+    // the batch twin q326 is hash-gated on
+    val oneShot = graft.ext.Dedup.connectedComponents(
+        graft.ext.Dedup.simhashNearDupPortable(spark, sf)
+          .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val streamed = current().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == oneShot && oneShot.nonEmpty)
+    // the grown signature store equals a row-local full build, and
+    // the durable component store serves the standing table
+    val full = graft.ext.Dedup.simhashRowsPortable(
+        graft.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(spark.read.parquet(base + "/sigs").select("doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == full)
+    assert(StreamOps.readComponentStore(spark, base + "/components").get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      == oneShot)
+  }
+
   test("index ingest stream: streamed appends probe like a one-shot full build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
