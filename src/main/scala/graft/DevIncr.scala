@@ -52,6 +52,11 @@ object DevIncr {
         .mkString(s"""{"tool":"incr","op":"$op","sf":"$sfDir",""", ",", "}"))
     def tmp(tag: String): String = java.nio.file.Files
       .createTempDirectory(s"graft_incr_$tag").toString + "/store"
+    // scale-appropriate pb layout: at sf10 the standing indexes hold
+    // tens of millions of keys — 512 cells keeps a point probe's
+    // touched-cell fraction small (the defaultProbeParts=64 spec
+    // layout is sized for the gate corpus)
+    val numPb = 512
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
@@ -77,7 +82,8 @@ object DevIncr {
           .filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b)
         val (_, tAppend) = time {
           // O(batch) row-local append into the standing parquet index
-          graft.ext.Linkage.appendToDeletionKeyIndex(batch, idxPath)
+          graft.ext.Linkage.appendToDeletionKeyIndex(batch, idxPath,
+            numPb)
         }
         val (newKeys, tKeys) = time {
           graft.ext.Linkage.deletionKeyTable(batch)
@@ -87,7 +93,7 @@ object DevIncr {
         val (edges, tCands) = time {
           graft.ext.Linkage.erAppendEdges(newKeys,
               graft.ext.Linkage.readDeletionKeyIndexPruned(spark,
-                idxPath, newKeys))
+                idxPath, newKeys, numPb))
             .localCheckpoint(eager = true)
         }
         val (_, tFold) = time {
@@ -100,11 +106,29 @@ object DevIncr {
         tAppend + tKeys + tCands + tFold
       }
       val perBatch = (0 until nBatches).map(erBatch)
+      // TRICKLE probe: one ~0.1% batch against the full standing
+      // index — the case the pb-pruned read exists for (a replay
+      // batch of 1/nBatches corpus touches every cell, so pruning
+      // can only show on a batch much smaller than the layout)
+      val trickleKeys = graft.ext.Linkage.deletionKeyTable(
+        recs.orderBy(col("c_custkey")).limit(3))
+        .localCheckpoint(eager = true)
+      val (_, tPruned) = time {
+        graft.ext.Linkage.erAppendEdges(trickleKeys,
+          graft.ext.Linkage.readDeletionKeyIndexPruned(spark, idxPath,
+            trickleKeys, numPb)).count()
+      }
+      val (_, tFull) = time {
+        graft.ext.Linkage.erAppendEdges(trickleKeys,
+          spark.read.parquet(idxPath)).count()
+      }
       emit("entity_res",
         "cold_oneshot_sec" -> f"$coldSec%.2f",
         "marginal_batch_sec" -> f"${perBatch.last}%.2f",
         "per_batch_sec" -> arr(perBatch),
         "per_batch_load" -> arr(loads.toSeq),
+        "trickle_pruned_sec" -> f"$tPruned%.2f",
+        "trickle_full_sec" -> f"$tFull%.2f",
         "last_batch_stages" -> stages.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
           .mkString("{", ",", "}"),
@@ -134,8 +158,9 @@ object DevIncr {
           .filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b)
         val (_, tAppend) = time {
           // O(batch) row-local appends into both standing stores
-          graft.ext.Dedup.appendToShingleStore(batch, shPath)
-          graft.ext.Dedup.appendToLshIndex(batch, idxPath)
+          graft.ext.Dedup.appendToShingleStore(batch, shPath,
+            numPb = numPb)
+          graft.ext.Dedup.appendToLshIndex(batch, idxPath, numPb = numPb)
         }
         val (newKeys, tSig) = time {
           graft.ext.Dedup.lshBandKeys(
@@ -147,7 +172,8 @@ object DevIncr {
         // PRUNED probe against the standing band-key index
         val (cands, tCands) = time {
           graft.ext.Dedup.lshAppendCandidates(newKeys,
-              graft.ext.Dedup.readLshIndexPruned(spark, idxPath, newKeys),
+              graft.ext.Dedup.readLshIndexPruned(spark, idxPath, newKeys,
+                numPb),
               256)
             .localCheckpoint(eager = true)
         }
@@ -155,7 +181,8 @@ object DevIncr {
         // endpoints hash into are read
         val (edges, tVerify) = time {
           graft.ext.Dedup.verifyPairs(
-              graft.ext.Dedup.readShingleStorePruned(spark, shPath, cands),
+              graft.ext.Dedup.readShingleStorePruned(spark, shPath,
+                cands, numPb),
               cands, 0.7)
             .localCheckpoint(eager = true)
         }
@@ -169,11 +196,30 @@ object DevIncr {
         tAppend + tSig + tCands + tVerify + tFold
       }
       val perBatch = (0 until nBatches).map(lshBatch)
+      // TRICKLE probe (see the entity_res note)
+      val trickleKeys = graft.ext.Dedup.lshBandKeys(
+        graft.ext.Dedup.shingleRowsFor(
+          docs.orderBy(col("doc_id")).limit(3), 3)
+          .select(col("doc_id"),
+            graft.ext.Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
+        bands = 8, rowsPerBand = 4).localCheckpoint(eager = true)
+      val (_, tPruned) = time {
+        graft.ext.Dedup.lshAppendCandidates(trickleKeys,
+          graft.ext.Dedup.readLshIndexPruned(spark, idxPath, trickleKeys,
+            numPb),
+          256).count()
+      }
+      val (_, tFull) = time {
+        graft.ext.Dedup.lshAppendCandidates(trickleKeys,
+          spark.read.parquet(idxPath), 256).count()
+      }
       emit("lsh_clusters",
         "cold_oneshot_sec" -> f"$coldSec%.2f",
         "marginal_batch_sec" -> f"${perBatch.last}%.2f",
         "per_batch_sec" -> arr(perBatch),
         "per_batch_load" -> arr(loads.toSeq),
+        "trickle_pruned_sec" -> f"$tPruned%.2f",
+        "trickle_full_sec" -> f"$tFull%.2f",
         "last_batch_stages" -> stages.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
           .mkString("{", ",", "}"),

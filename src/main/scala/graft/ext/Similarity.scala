@@ -591,10 +591,51 @@ object Similarity {
       pqCodebooks(spark, dir, m, ksub))
       .write.mode("append").partitionBy("cell").parquet(indexPath)
 
+  /** DELETE vectors from a materialized [[writeIvfPqIndex]] table —
+    * the lifecycle's missing verb (build → append → delete →
+    * compact, r13 verdict item 7). Deletes are TOMBSTONES: (vec_id)
+    * rows appended under `indexPath/_tombstones/` — row-local,
+    * O(batch), never rewrites a cell directory (rewriting cells per
+    * takedown would make deletes cost O(index); the underscore
+    * prefix keeps parquet discovery from reading tombstones as index
+    * rows). Probes anti-join the pruned shortlist against the
+    * tombstone set BEFORE ranking, so a deleted vector can neither
+    * occupy a top-k slot nor shadow a live one. Tombstones accrete
+    * until [[compactIvfPqIndex]] folds them in — the same
+    * keep-bounded schedule as every snapshot store. */
+  def deleteFromIvfPqIndex(removed: DataFrame, indexPath: String): Unit =
+    removed.select(col("vec_id"))
+      .write.mode("append").parquet(s"$indexPath/_tombstones")
+
+  private def ivfPqTombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** Rewrite a materialized IVF+PQ index MINUS its tombstones into a
+    * fresh cell-partitioned directory and return the surviving row
+    * count — the compaction that bounds tombstone-set growth (swap
+    * paths at the catalog level; in-place rewrite is not atomic). */
+  def compactIvfPqIndex(spark: SparkSession, indexPath: String,
+      outPath: String): Long = {
+    val live = ivfPqTombstones(spark, indexPath) match {
+      case Some(t) => spark.read.parquet(indexPath)
+        .join(t, Seq("vec_id"), "left_anti")
+      case None => spark.read.parquet(indexPath)
+    }
+    live.write.mode("overwrite").partitionBy("cell").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
   /** Probe a [[writeIvfPqIndex]] table: literal IN-list cell filter
-    * (partition-pruned — asserted by spec), ADC scoring on codes.
-    * The index table has no embedding column to even accidentally
-    * read. */
+    * (partition-pruned — asserted by spec), ADC scoring on codes,
+    * tombstoned vec_ids anti-joined out before the rank (the
+    * tombstone side is delete-batch-sized — broadcast — and empty
+    * on an undeleted index). The index table has no embedding column
+    * to even accidentally read. */
   def ivfPqProbeMaterialized(spark: SparkSession, dir: String,
       indexPath: String, queryId: Long = 0L, k: Int = 16,
       nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
@@ -602,9 +643,13 @@ object Similarity {
     val cents = ivfCentroids(spark, dir, k)
     val books = pqCodebooks(spark, dir, m, ksub)
     val (qEmb, qCells) = resolveQuery(spark, dir, queryId, cents, nProbe)
-    spark.read.parquet(indexPath)
+    val scanned = spark.read.parquet(indexPath)
       .filter(col("cell").isin(qCells: _*) && col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("label"),
+    val live = ivfPqTombstones(spark, indexPath) match {
+      case Some(t) => scanned.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => scanned
+    }
+    live.select(col("vec_id"), col("label"),
         round(adcCosApprox(books, qEmb), 6).as("cos_approx"))
       .orderBy(col("cos_approx").desc, col("vec_id"))
       .limit(topK)

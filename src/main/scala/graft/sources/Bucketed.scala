@@ -91,6 +91,25 @@ object Bucketed {
     spark.read.parquet(indexPath).filter(col("pb").isin(pbs: _*))
   }
 
+  /** Compact a pb-partitioned store that has accreted per-batch
+    * appends (plain appends or `ingest_batch=<id>` dirs) back into
+    * the one-file-per-cell full-build layout: read everything, drop
+    * the batch bookkeeping, re-cluster on pb, rewrite. Runs on the
+    * maintenance schedule (between stream drains, never mid-stream);
+    * output goes to a NEW directory — compact-in-place over an
+    * object store is not atomic, so swap paths at the catalog level
+    * (the [[graft.sources.Io.compactParquet]] contract). Returns the
+    * compacted row count so callers can assert nothing was lost. */
+  def compactPbStore(spark: SparkSession, inPath: String,
+      outPath: String, numPb: Int = defaultProbeParts): Long = {
+    val all = spark.read.parquet(inPath)
+    val cleaned = if (all.columns.contains("ingest_batch"))
+      all.drop("ingest_batch") else all
+    clusterByPb(cleaned, numPb)
+      .write.mode("overwrite").partitionBy("pb").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
   /** Number of ShuffleExchange operators in the EXECUTED physical
     * plan — the spec-facing observable for "this join is co-located"
     * (and generally: the unit every scale review counts). */

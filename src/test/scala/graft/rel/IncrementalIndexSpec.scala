@@ -328,6 +328,39 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(viaPruned.nonEmpty, "vacuous: no verified pairs in the batch")
   }
 
+  test("compactPbStore: batch-accreted index compacts to one file per cell, probes unchanged") {
+    val recs = Tables.customer(spark, sf)
+    val idx = tmpDir("dk_compact") + "/idx"
+    (0 until 5).foreach { b =>
+      Linkage.appendToDeletionKeyIndexBatch(
+        recs.filter(pmod(col("c_custkey"), lit(5L)) === b), idx, b)
+    }
+    val compacted = tmpDir("dk_compacted") + "/idx"
+    val n = graft.sources.Bucketed.compactPbStore(spark, idx, compacted)
+    assert(n == spark.read.parquet(idx).count())
+    def files(p: String) = {
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var c = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) c += 1
+      }
+      c
+    }
+    // 5 batch dirs × 64 cells × ≥1 file vs ≤ 64 files compacted
+    assert(files(compacted) < files(idx))
+    assert(files(compacted) <= 64)
+    // probes through the compacted layout: same edges, still pruned
+    val batch = recs.filter(pmod(col("c_custkey"), lit(16L)) === 3L)
+    val newKeys = Linkage.deletionKeyTable(batch)
+      .localCheckpoint(eager = true)
+    def edges(p: String) = Linkage.erAppendEdges(newKeys,
+        Linkage.readDeletionKeyIndexPruned(spark, p, newKeys))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(edges(compacted) == edges(idx) && edges(idx).nonEmpty)
+  }
+
   test("batch-deterministic deletion-key append: a replay overwrites, never duplicates") {
     val recs = Tables.customer(spark, sf)
     val idx = tmpDir("dk_replay") + "/idx"

@@ -533,6 +533,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mat == mem)
   }
 
+  test("ivf+pq index deletes: tombstones leave the probe, compaction folds them in") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-del").toString + "/idx"
+    Similarity.writeIvfPqIndex(spark, sf, idx)
+    def probe(p: String, topK: Int = 10) =
+      Similarity.ivfPqProbeMaterialized(spark, sf, p, topK = topK)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val before = probe(idx)
+    assert(before.size == 10)
+    // tombstone the probe's current top TWO hits (two separate
+    // delete batches — tombstones accrete across appends)
+    val kill = before.take(2).map(_._1)
+    Similarity.deleteFromIvfPqIndex(Seq(kill(0)).toDF("vec_id"), idx)
+    Similarity.deleteFromIvfPqIndex(Seq(kill(1)).toDF("vec_id"), idx)
+    val after = probe(idx)
+    assert(after.map(_._1).toSet.intersect(kill.toSet).isEmpty)
+    // deleted rows vacate top-k slots for the NEXT candidates: the
+    // post-delete ranking equals the pre-delete ranking minus the
+    // tombstoned ids (anti-join before rank, not after)
+    assert(after == probe(idx, topK = 10).toSeq)
+    val expected = {
+      // rank past the tombstones on an undeleted twin of the index
+      val wide = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-del2").toString + "/idx"
+      Similarity.writeIvfPqIndex(spark, sf, wide)
+      Similarity.ivfPqProbeMaterialized(spark, sf, wide, topK = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+        .filterNot(r => kill.contains(r._1)).take(10).toSeq
+    }
+    assert(after == expected)
+    // compaction: survivors only, tombstone dir gone, probe unchanged
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-cmp").toString + "/idx"
+    val n = Similarity.compactIvfPqIndex(spark, idx, out)
+    assert(n == spark.read.parquet(idx).count() - 2)
+    assert(probe(out) == after)
+  }
+
   test("epoch shuffle: total order per epoch, different epochs permute differently") {
     val e1 = graft.ext.Sampling.epochShuffle(spark, sf, epoch = 1).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
