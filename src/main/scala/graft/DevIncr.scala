@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *     breakdown);
   *   - the cold one-shot rebuild for the marginal/cold ratio.
   *
-  * Usage: runMain graft.DevIncr <sfDir> [nBatches]
+  * Usage: runMain graft.DevIncr <sfDir> [nBatches] [numPb]
   * Emits one JSON line per measurement.
   */
 object DevIncr {
@@ -52,11 +52,14 @@ object DevIncr {
         .mkString(s"""{"tool":"incr","op":"$op","sf":"$sfDir",""", ",", "}"))
     def tmp(tag: String): String = java.nio.file.Files
       .createTempDirectory(s"graft_incr_$tag").toString + "/store"
-    // scale-appropriate pb layout: at sf10 the standing indexes hold
-    // tens of millions of keys — 512 cells keeps a point probe's
-    // touched-cell fraction small (the defaultProbeParts=64 spec
-    // layout is sized for the gate corpus)
-    val numPb = 512
+    // scale-appropriate pb layout (arg 3): the cell count must track
+    // index size — 512 keeps a sf10 point probe's touched-cell
+    // fraction small, but 512 dirs per append is pure overhead on a
+    // sf0.1 batch (measured: the LSH append stage went 2.5 -> 12.9 s
+    // when a 500-doc batch paid 512 directory writes). Default to
+    // the gate-scale layout; sf10 runs pass 512.
+    val numPb = if (args.length > 2) args(2).toInt
+      else graft.sources.Bucketed.defaultProbeParts
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
