@@ -84,7 +84,12 @@ object BenchSf1 {
     // quotient plan must keep tracking content variety, not
     // duplicate volume
     "q323_entity_res_incremental", "q324_lsh_clusters_incremental",
-    "q325_phash_clusters")
+    "q325_phash_clusters",
+    // r14 additions: the add/delete/add lifecycle replays — their
+    // ccDecrement step recomputes only touched components, so the
+    // ratio must track the adds-replay rows (q323/q324), not grow a
+    // new super-linear term from the delete phase
+    "q327_entity_res_with_deletes", "q328_lsh_clusters_with_deletes")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
