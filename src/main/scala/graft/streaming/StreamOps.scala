@@ -241,6 +241,115 @@ object StreamOps {
     (writer, () => ref.get())
   }
 
+  /** CDC-SHAPED streaming entity resolution — [[erMaintainStream]]
+    * plus the DELETE verb (the q327 lifecycle under Structured
+    * Streaming): each record carries an `op` column, "add" or
+    * "delete". Within a micro-batch adds apply FIRST, then deletes
+    * (micro-batches have no intra-batch ordering; a delete racing
+    * its own add in one batch resolves to deleted — document your
+    * upstream's semantics if you need finer ordering). State kept on
+    * disk, all batch-deterministic (replays overwrite):
+    *
+    *   - the deletion-key index (`indexPath`, pb-partitioned,
+    *     `ingest_batch=<id>` appends) — adds append their keys;
+    *   - the VERIFIED EDGE store (`edgePath`, `ingest_batch=<id>`
+    *     appends) — deletion-capable state must keep edges
+    *     (the [[graft.ext.Dedup.ccDecrement]] contract: a removed
+    *     id can SPLIT a component, and the split is not derivable
+    *     from labels alone);
+    *   - the TOMBSTONE store (`tombPath`, `ingest_batch=<id>`
+    *     appends) — deletes append their ids; every index/edge READ
+    *     anti-joins tombstones, so ghosts can neither pair with new
+    *     records nor re-enter a recompute. Compact the index/edge
+    *     stores minus tombstones on the usual schedule
+    *     ([[graft.sources.Bucketed.compactPbStore]]).
+    *
+    * Labels fold through ccIncrement for the adds and ccDecrement
+    * for the deletes; same durability + retention contract as
+    * [[ccMaintainStream]]. Parity spec: streaming adds and deletes
+    * lands on the one-shot q184 output over the final corpus. The
+    * same recipe extends to the LSH family (swap deletion keys for
+    * band keys + shingle store — the q328 tombstone step).
+    *
+    * Known limit: RE-ADDING a previously deleted id is unsupported —
+    * the tombstone is permanent and anti-joins the re-added keys out
+    * too. A full CDC engine versions tombstones by batch id and
+    * masks only index rows OLDER than the tombstone; that is a
+    * sequencing contract this operator deliberately doesn't claim
+    * (compact the stores and drop the tombstone to genuinely
+    * re-admit an id). */
+  def erMaintainCdcStream(records: DataFrame, indexPath: String,
+      edgePath: String, tombPath: String,
+      maxDist: Int = 1, maxBucket: Int = 256,
+      driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax,
+      storePath: Option[String] = None, keepSnapshots: Int = 2,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts)
+      : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
+    require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
+    val spark = records.sparkSession
+    import spark.implicits._
+    val runId = newRunId()
+    val seed = storePath.flatMap(readComponentStore(spark, _))
+      .getOrElse(Seq.empty[(Long, Long)].toDF("id", "label"))
+    val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](seed)
+    def readIfExists(p: String): Option[DataFrame] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp))
+        Some(spark.read.parquet(p))
+      else None
+    }
+    val writer = foreachBatchWriter(records.toDF()) { (batch, id) =>
+      val b = batch.localCheckpoint(eager = true)
+      var labels = ref.get()
+      // ---- adds first ----
+      val adds = b.filter(col("op") === "add").drop("op")
+      if (!adds.isEmpty) {
+        graft.ext.Linkage.appendToDeletionKeyIndexBatch(adds, indexPath,
+          id, numPb)
+        val newKeys = graft.ext.Linkage.deletionKeyTable(adds)
+        // pruned index read, ghosts tombstoned out BEFORE pairing
+        val index = graft.ext.Linkage.readDeletionKeyIndexPruned(spark,
+          indexPath, newKeys, numPb)
+        val live = readIfExists(tombPath) match {
+          case Some(t) => index.join(
+            t.select(col("id").as("c_custkey")).distinct(),
+            Seq("c_custkey"), "left_anti")
+          case None => index
+        }
+        val edges = graft.ext.Linkage.erAppendEdges(newKeys, live,
+          maxDist, maxBucket).localCheckpoint(eager = true)
+        edges.write.mode("overwrite")
+          .parquet(s"$edgePath/ingest_batch=$id")
+        labels = graft.ext.Dedup.ccIncrement(labels, edges,
+          driverGridMax = driverGridMax)
+      }
+      // ---- then deletes ----
+      val dels = b.filter(col("op") === "delete")
+        .select(col("c_custkey").as("id")).distinct()
+        .localCheckpoint(eager = true)
+      if (!dels.isEmpty) {
+        dels.write.mode("overwrite")
+          .parquet(s"$tombPath/ingest_batch=$id")
+        val allTombs = spark.read.parquet(tombPath).select(col("id"))
+        val edgeStore = readIfExists(edgePath) match {
+          case Some(e) => e
+            .join(allTombs.select(col("id").as("doc_a")), Seq("doc_a"),
+              "left_anti")
+            .join(allTombs.select(col("id").as("doc_b")), Seq("doc_b"),
+              "left_anti")
+          case None => Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        }
+        labels = graft.ext.Dedup.ccDecrement(labels, edgeStore, dels,
+          driverGridMax = driverGridMax)
+      }
+      val merged = labels.localCheckpoint(eager = true)
+      ref.set(merged)
+      storePath.foreach(writeComponentSnapshot(merged, _, runId, id,
+        keepSnapshots))
+    }.outputMode(OutputMode.Append())
+    (writer, () => ref.get())
+  }
+
   /** STREAMING simhash near-dup maintenance — the last heavy batch
     * family without a streaming member gets one (r13 verdict item
     * 5), stitched from q326's shared value-quotient cores: documents

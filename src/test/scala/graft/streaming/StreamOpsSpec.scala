@@ -535,6 +535,77 @@ class StreamOpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("er CDC stream: adds and deletes land on the one-shot output over the final corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val recs = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // CDC sequence: two add batches, then a batch deleting the
+    // custkey ≡ 3 (mod 7) slice of what arrived so far, then the
+    // final add batch — the q327 discipline on a stream
+    val (early, lateAdds) = recs.splitAt(2 * recs.length / 3)
+    val deleted = early.map(_._1).filter(_ % 7 == 3).toSet
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-er-cdc").toString
+    val src = MemoryStream[(Long, String, Int, String, String)]
+    val (writer, current) = StreamOps.erMaintainCdcStream(
+      src.toDS().toDF("c_custkey", "c_name", "c_nationkey",
+        "c_mktsegment", "op"),
+      base + "/idx", base + "/edges", base + "/tombs",
+      storePath = Some(base + "/components"))
+    val ckpt = base + "/ckpt"
+    def drain(): Unit = {
+      val q = writer.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    early.grouped(math.max(1, early.length / 2)).foreach { b =>
+      src.addData(b.map(r => (r._1, r._2, r._3, r._4, "add")))
+      drain()
+    }
+    src.addData(deleted.toSeq.sorted.map(k => (k, "", 0, "", "delete")))
+    drain()
+    // the final adds arrive AFTER the deletes
+    src.addData(lateAdds.map(r => (r._1, r._2, r._3, r._4, "add")))
+    drain()
+    // one-shot over the FINAL corpus (everything minus the deleted
+    // slice — lateAdds keep their ≡3 members: they arrived after)
+    val finalRecs = recs.filterNot(r => deleted.contains(r._1))
+    val oneKeys = graft.ext.Linkage.deletionKeyTable(
+      finalRecs.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .localCheckpoint(eager = true)
+    val one = graft.ext.Linkage.entityOutput(
+        graft.ext.Dedup.connectedComponents(
+          graft.ext.Linkage.erAppendEdges(oneKeys, oneKeys)))
+      .filter(col("n_members") > 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val streamed = graft.ext.Linkage.entityOutput(current())
+      .filter(col("n_members") > 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == one && one.nonEmpty)
+    // no deleted id survives anywhere in the standing table
+    assert(current().collect().map(_.getLong(0)).toSet
+      .intersect(deleted).isEmpty)
+    // and the deletes really removed members the adds had matched
+    // (non-vacuous: at least one deleted id was in a pre-delete entity)
+    val preDelete = graft.ext.Linkage.entityOutput(
+        graft.ext.Dedup.connectedComponents(
+          graft.ext.Linkage.erAppendEdges(
+            graft.ext.Linkage.deletionKeyTable(
+              early.toDF("c_custkey", "c_name", "c_nationkey",
+                "c_mktsegment")).localCheckpoint(eager = true),
+            graft.ext.Linkage.deletionKeyTable(
+              early.toDF("c_custkey", "c_name", "c_nationkey",
+                "c_mktsegment")).localCheckpoint(eager = true))))
+      .collect().map(_.getLong(0)).toSet
+    assert(preDelete.intersect(deleted).nonEmpty)
+  }
+
   test("simhash maintain stream: streamed doc batches land on the one-shot q46 clustering") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
