@@ -636,6 +636,30 @@ object Dedup {
       .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
       .write.mode("append").partitionBy("pb").parquet(indexPath)
 
+  /** BATCH-DETERMINISTIC variants of the LSH-family appends for
+    * exactly-once-challenged writers (the
+    * [[graft.ext.Linkage.appendToDeletionKeyIndexBatch]] retry
+    * contract: a replayed micro-batch overwrites its own previous
+    * files instead of duplicating them). */
+  def appendToLshIndexBatch(newDocs: DataFrame, indexPath: String,
+      batchId: Long, k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    lshBandKeys(
+      shingleRowsFor(newDocs, k).select(col("doc_id"),
+        minhashFromShingles(col("sh"), bands * rowsPerBand).as("sig")),
+      bands, rowsPerBand).withColumn("pb", lshPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$indexPath/ingest_batch=$batchId")
+
+  def appendToShingleStoreBatch(newDocs: DataFrame, storePath: String,
+      batchId: Long, k: Int = 3,
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts): Unit =
+    shingleRowsFor(newDocs, k).withColumn("pb", idPb(numPb))
+      .transform(graft.sources.Bucketed.clusterByPb(_, numPb))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$storePath/ingest_batch=$batchId")
+
   /** Partition-pruned read of a [[writeLshIndex]] layout: only the
     * pb cells `newKeys`' (band, bucket) keys hash into are read
     * (static `isin` partition filter — spec-asserted). Feed the

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, concat_ws, decode}
+import org.apache.spark.sql.functions.{col, concat_ws, count, decode, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -604,6 +604,61 @@ class StreamOpsSpec extends AnyFunSuite {
                 "c_mktsegment")).localCheckpoint(eager = true))))
       .collect().map(_.getLong(0)).toSet
     assert(preDelete.intersect(deleted).nonEmpty)
+  }
+
+  test("lsh CDC stream: adds and deletes land on the one-shot clustering of the final corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val (early, lateAdds) = docs.splitAt(2 * docs.length / 3)
+    val deleted = early.map(_._1).filter(_ % 7 == 3).toSet
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-lsh-cdc").toString
+    val src = MemoryStream[(Long, String, String)]
+    val (writer, current) = StreamOps.lshMaintainCdcStream(
+      src.toDS().toDF("doc_id", "text", "op"),
+      base + "/idx", base + "/sh", base + "/edges", base + "/tombs",
+      storePath = Some(base + "/components"))
+    val ckpt = base + "/ckpt"
+    def drain(): Unit = {
+      val q = writer.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    early.grouped(math.max(1, early.length / 2)).foreach { b =>
+      src.addData(b.map(r => (r._1, r._2, "add"))); drain()
+    }
+    src.addData(deleted.toSeq.sorted.map(k => (k, "", "delete"))); drain()
+    src.addData(lateAdds.map(r => (r._1, r._2, "add"))); drain()
+    // one-shot over the final corpus (filtered input == shrunk-corpus
+    // one-shot because signatures are row-local — the q328 argument);
+    // the stream uses the production xxhash64 signature family, so
+    // the one-shot twin does too
+    val shrunkSh = graft.ext.Dedup.shingleRowsFor(
+      graft.Tables.documents(spark, sf)
+        .filter(!col("doc_id").isin(deleted.toSeq: _*))
+        .select(col("doc_id"), col("text")), 3)
+      .localCheckpoint(eager = true)
+    val sigs = shrunkSh.select(col("doc_id"),
+      graft.ext.Dedup.minhashFromShingles(col("sh"), 32).as("sig"))
+    val one = graft.ext.Dedup.connectedComponents(
+        graft.ext.Dedup.verifyPairs(shrunkSh,
+          graft.ext.Dedup.lshCandidatePairs(sigs, bands = 8,
+            rowsPerBand = 4, maxBucket = 256), 0.7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // the standing table keeps singleton survivors; the one-shot has
+    // no singletons — compare on multi-member components (the q327
+    // output contract) and separately assert no deleted id survives
+    val cur = current().localCheckpoint(eager = true)
+    val sizes = cur.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val streamed = cur.join(sizes, "label").filter(col("n") > 1)
+      .select(col("id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == one && one.nonEmpty)
+    assert(cur.collect().map(_.getLong(0)).toSet
+      .intersect(deleted).isEmpty)
   }
 
   test("simhash maintain stream: streamed doc batches land on the one-shot q46 clustering") {
