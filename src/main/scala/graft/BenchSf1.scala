@@ -89,7 +89,12 @@ object BenchSf1 {
     // ccDecrement step recomputes only touched components, so the
     // ratio must track the adds-replay rows (q323/q324), not grow a
     // new super-linear term from the delete phase
-    "q327_entity_res_with_deletes", "q328_lsh_clusters_with_deletes")
+    "q327_entity_res_with_deletes", "q328_lsh_clusters_with_deletes",
+    // r15 additions: the re-add replays complete the CDC verb set —
+    // their final batch re-ingests the deleted slice, so the ratio
+    // must track q327/q328's adds-replay shape with no new
+    // super-linear term from the re-verify
+    "q329_entity_res_with_readds", "q330_lsh_clusters_with_readds")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -40,6 +40,7 @@ object DevIncr {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -75,6 +76,10 @@ object DevIncr {
       var labels = recs
         .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
         .limit(0)
+      // standing per-bucket counts — the r15 guard path: maintained
+      // O(batch), so the maxBucket cap never re-aggregates the index
+      var counts = graft.ext.Linkage.dkBucketCountsDelta(
+        graft.ext.Linkage.deletionKeyTable(recs.limit(0)))
       var entRows = 0L
       val stages = scala.collection.mutable.Map.empty[String, Double]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -92,11 +97,17 @@ object DevIncr {
           graft.ext.Linkage.deletionKeyTable(batch)
             .localCheckpoint(eager = true)
         }
+        val (_, tCounts) = time {
+          counts = graft.ext.Linkage.mergeBucketCounts(counts,
+              graft.ext.Linkage.dkBucketCountsDelta(newKeys))
+            .localCheckpoint(eager = true)
+        }
         // PRUNED probe: only the pb cells this batch's keys hash into
         val (edges, tCands) = time {
           graft.ext.Linkage.erAppendEdges(newKeys,
               graft.ext.Linkage.readDeletionKeyIndexPruned(spark,
-                idxPath, newKeys, numPb))
+                idxPath, newKeys, numPb),
+              standingCounts = Some(counts))
             .localCheckpoint(eager = true)
         }
         val (_, tFold) = time {
@@ -105,8 +116,8 @@ object DevIncr {
           entRows = labels.count()
         }
         if (last) stages ++= Map("append" -> tAppend, "keys" -> tKeys,
-          "candidates" -> tCands, "fold" -> tFold)
-        tAppend + tKeys + tCands + tFold
+          "counts" -> tCounts, "candidates" -> tCands, "fold" -> tFold)
+        tAppend + tKeys + tCounts + tCands + tFold
       }
       val perBatch = (0 until nBatches).map(erBatch)
       // TRICKLE probe: one ~0.1% batch against the full standing
@@ -151,6 +162,8 @@ object DevIncr {
       val idxPath = tmp("lsh")
       var labels = docs
         .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
+      // standing per-bucket counts (the r15 guard path, LSH twin)
+      var counts = Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "n")
       var lshRows = 0L
       val stages = scala.collection.mutable.Map.empty[String, Double]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -172,12 +185,17 @@ object DevIncr {
             bands = 8, rowsPerBand = 4)
             .localCheckpoint(eager = true)
         }
+        val (_, tCounts) = time {
+          counts = graft.ext.Dedup.mergeLshBucketCounts(counts,
+              graft.ext.Dedup.lshBucketCountsDelta(newKeys))
+            .localCheckpoint(eager = true)
+        }
         // PRUNED probe against the standing band-key index
         val (cands, tCands) = time {
           graft.ext.Dedup.lshAppendCandidates(newKeys,
               graft.ext.Dedup.readLshIndexPruned(spark, idxPath, newKeys,
                 numPb),
-              256)
+              256, standingCounts = Some(counts))
             .localCheckpoint(eager = true)
         }
         // PRUNED verify: only the shingle cells the candidate
@@ -195,8 +213,9 @@ object DevIncr {
           lshRows = labels.count()
         }
         if (last) stages ++= Map("append" -> tAppend, "signature" -> tSig,
-          "candidates" -> tCands, "verify" -> tVerify, "fold" -> tFold)
-        tAppend + tSig + tCands + tVerify + tFold
+          "counts" -> tCounts, "candidates" -> tCands,
+          "verify" -> tVerify, "fold" -> tFold)
+        tAppend + tSig + tCounts + tCands + tVerify + tFold
       }
       val perBatch = (0 until nBatches).map(lshBatch)
       // TRICKLE probe (see the entity_res note)

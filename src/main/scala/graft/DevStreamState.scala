@@ -123,6 +123,125 @@ object DevStreamState {
           s""""sf":"$sfDir","batch":$b,"edges_batch":${batch.length},""" +
           s""""standing_rows":$rows,"merge_sec":${"%.2f".format(dt)}}""")
       }
+
+    // ------------------------------------------------------------------
+    // CDC maintenance pricing (r14 verdict item 5): per-batch cost of
+    // the add+delete streams with a realistic delete mix, tombstone-
+    // store growth, and the periodic fold's cost — the numbers a
+    // 100 TB operator budgets before turning the stream on. Each batch
+    // ADDS one custkey/doc_id-ordered corpus slice and DELETES a ~3%
+    // slice of what was previously added (takedown mix); a fold fires
+    // mid-run (compactEvery = nBatches/2) so its batch prices the
+    // compaction itself.
+    // ------------------------------------------------------------------
+    val numPb = if (args.length > 4) args(4).toInt
+      else graft.sources.Bucketed.defaultProbeParts
+    val compactEvery = math.max(2, nBatches / 2)
+    def storeRows(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp))
+        spark.read.parquet(p).count()
+      else 0L
+    }
+    def batchDirCount(p: String): Int = {
+      val d = new java.io.File(p)
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isDirectory &&
+        f.getName.startsWith("ingest_batch="))
+    }
+
+    // ---- erMaintainCdcStream ----
+    {
+      val custIds = graft.Tables.customer(spark, sfDir)
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+        // collect-ok: dev measurement harness, ids only (8 B/rec)
+        .collect().map(_.getLong(0))
+      val chunks = custIds.grouped(
+        math.max(1, custIds.length / nBatches)).toSeq
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-devcdc-er").toString
+      val csrc = MemoryStream[(Long, String, Int, String, String)]
+      val (cwriter, ccur) = graft.streaming.StreamOps.erMaintainCdcStream(
+        csrc.toDS().toDF("c_custkey", "c_name", "c_nationkey",
+          "c_mktsegment", "op"),
+        base + "/idx", base + "/edges", base + "/tombs",
+        numPb = numPb, compactEvery = compactEvery)
+      val cckpt = base + "/ckpt"
+      var prevChunk: Array[Long] = Array.empty
+      chunks.zipWithIndex.foreach { case (chunk, b) =>
+        val load = Bench.loadAvg1m()
+        val adds = graft.Tables.customer(spark, sfDir)
+          .filter(col("c_custkey").between(chunk.head, chunk.last))
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"))
+          // collect-ok: dev harness MemoryStream feed — one
+          // corpus/nBatches slice at a time
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+            r.getString(3), "add"))
+        val dels = prevChunk.filter(_ % 37 == 3)
+          .map(k => (k, "", 0, "", "delete"))
+        csrc.addData((adds ++ dels).toSeq: _*)
+        val t0 = System.nanoTime()
+        val q2 = cwriter.option("checkpointLocation", cckpt).start()
+        q2.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val folded = b > 0 && b % compactEvery == 0
+        println(s"""{"tool":"stream_state","op":"erMaintainCdcStream",""" +
+          s""""sf":"$sfDir","batch":$b,"adds":${adds.length},""" +
+          s""""deletes":${dels.length},"sec":${"%.2f".format(dt)},""" +
+          s""""fold":$folded,"standing_rows":${ccur().count()},""" +
+          s""""tomb_rows":${storeRows(base + "/tombs")},""" +
+          s""""index_batch_dirs":${batchDirCount(base + "/idx")},""" +
+          s""""numPb":$numPb,"load_1m":${"%.2f".format(load)}}""")
+        prevChunk = chunk.toArray
+      }
+    }
+
+    // ---- lshMaintainCdcStream ----
+    {
+      val docIds = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+        // collect-ok: dev measurement harness, ids only (8 B/doc)
+        .collect().map(_.getLong(0))
+      val chunks = docIds.grouped(
+        math.max(1, docIds.length / nBatches)).toSeq
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-devcdc-lsh").toString
+      val dsrc = MemoryStream[(Long, String, String)]
+      val (dwriter, dcur) = graft.streaming.StreamOps.lshMaintainCdcStream(
+        dsrc.toDS().toDF("doc_id", "text", "op"),
+        base + "/idx", base + "/sh", base + "/edges", base + "/tombs",
+        numPb = numPb, compactEvery = compactEvery)
+      val dckpt = base + "/ckpt"
+      var prevChunk: Array[Long] = Array.empty
+      chunks.zipWithIndex.foreach { case (chunk, b) =>
+        val load = Bench.loadAvg1m()
+        val adds = graft.Tables.documents(spark, sfDir)
+          .filter(col("doc_id").between(chunk.head, chunk.last))
+          .select(col("doc_id"), col("text"))
+          // collect-ok: dev harness MemoryStream feed — one
+          // corpus/nBatches slice at a time
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), "add"))
+        val dels = prevChunk.filter(_ % 37 == 3)
+          .map(k => (k, "", "delete"))
+        dsrc.addData((adds ++ dels).toSeq: _*)
+        val t0 = System.nanoTime()
+        val q2 = dwriter.option("checkpointLocation", dckpt).start()
+        q2.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val folded = b > 0 && b % compactEvery == 0
+        println(s"""{"tool":"stream_state","op":"lshMaintainCdcStream",""" +
+          s""""sf":"$sfDir","batch":$b,"adds":${adds.length},""" +
+          s""""deletes":${dels.length},"sec":${"%.2f".format(dt)},""" +
+          s""""fold":$folded,"standing_rows":${dcur().count()},""" +
+          s""""tomb_rows":${storeRows(base + "/tombs")},""" +
+          s""""index_batch_dirs":${batchDirCount(base + "/idx")},""" +
+          s""""numPb":$numPb,"load_1m":${"%.2f".format(load)}}""")
+        prevChunk = chunk.toArray
+      }
+    }
     spark.stop()
   }
 }

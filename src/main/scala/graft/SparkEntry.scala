@@ -449,6 +449,18 @@ object SparkEntry {
       graft.ext.Linkage.entityResolutionWithDeletes(s, d)),
     "q328_lsh_clusters_with_deletes" -> ((s, d) =>
       Dedup.lshDedupClustersWithDeletes(s, d)),
+    // q329/q330: the RE-ADD verb (r14 item 2 — CDC sequencing) —
+    // add/delete/add, then the deleted records arrive AGAIN; the
+    // final corpus is the FULL table, so the ORIGINAL q184/q59
+    // oracles hash-gate the whole add/delete/re-add discipline:
+    // re-added entities must land in exactly the clusters a
+    // never-deleted corpus produces (severed edges re-form because
+    // the re-added record probes the index its old partners still
+    // live in)
+    "q329_entity_res_with_readds" -> ((s, d) =>
+      graft.ext.Linkage.entityResolutionWithReAdds(s, d)),
+    "q330_lsh_clusters_with_readds" -> ((s, d) =>
+      Dedup.lshDedupClustersWithReAdds(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -7021,5 +7033,10 @@ object SparkEntry {
     // — one oracle, two maintenance disciplines, whole pipeline
     ("q323_entity_res_incremental" -> staticOracleSql("q184_entity_res")) +
     ("q324_lsh_clusters_incremental" -> staticOracleSql("q59_lsh_clusters")) +
-    ("q326_simhash_incremental" -> staticOracleSql("q46_simhash_near_dup"))
+    ("q326_simhash_incremental" -> staticOracleSql("q46_simhash_near_dup")) +
+    // q329/q330 replay add/delete/RE-ADD and end on the FULL corpus,
+    // so the original one-shot oracles gate them unchanged — one
+    // oracle, the complete CDC verb set (r14 item 2)
+    ("q329_entity_res_with_readds" -> staticOracleSql("q184_entity_res")) +
+    ("q330_lsh_clusters_with_readds" -> staticOracleSql("q59_lsh_clusters"))
 }

@@ -334,13 +334,23 @@ object Dedup {
     * at 100 TB where a nightly full [[lshCandidatePairs]] rebuild is
     * not. */
   def lshAppendCandidates(newKeys: DataFrame, indexKeys: DataFrame,
-      maxBucket: Int): DataFrame = {
-    val touched = indexKeys.join(
-      newKeys.select(col("band"), col("bucket")).distinct(),
-      Seq("band", "bucket"))
-    val biggest = touched.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+      maxBucket: Int,
+      standingCounts: Option[DataFrame] = None): DataFrame = {
+    val batchBuckets = newKeys.select(col("band"), col("bucket")).distinct()
+    // standingCounts: Some(per-bucket count table maintained via
+    // lshBucketCountsDelta/mergeLshBucketCounts, INCLUDING this
+    // batch's delta) answers the cap from O(buckets) count rows
+    // instead of re-aggregating the index (the ER guard's r15 fix,
+    // applied symmetrically)
+    val biggest = (standingCounts match {
+      case Some(counts) => counts
+        .join(batchBuckets, Seq("band", "bucket"), "left_semi")
+        .agg(coalesce(max(col("n")), lit(0L)))
+      case None => indexKeys.join(batchBuckets, Seq("band", "bucket"))
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L)))
+    }).head().getLong(0)
     require(biggest <= maxBucket,
       s"lshAppendCandidates: a touched (band, bucket) holds $biggest " +
         s"docs (> maxBucket=$maxBucket) — the append path has no " +
@@ -353,6 +363,23 @@ object Dedup {
         greatest(col("na"), col("nb")).as("doc_b"))
       .distinct()
   }
+
+  /** Per-(band, bucket) doc counts of one band-key batch — the
+    * O(batch) delta for a standing LSH bucket-count table (each doc
+    * emits exactly one row per band, so raw counts ARE distinct-doc
+    * counts). Same exactness/upper-bound contract as
+    * [[graft.ext.Linkage.dkBucketCountsDelta]]: exact while each doc
+    * is ingested once; deletes don't decrement (sound upper bound);
+    * compaction rebuilds exact. */
+  def lshBucketCountsDelta(newKeys: DataFrame): DataFrame =
+    newKeys.select(col("band"), col("bucket"), col("doc_id")).distinct()
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Fold a batch's delta into the standing LSH bucket-count table —
+    * one sum over (standing ∪ delta) compact count rows. */
+  def mergeLshBucketCounts(standing: DataFrame, delta: DataFrame): DataFrame =
+    standing.unionByName(delta)
+      .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
 
   private val verifiedCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Double), DataFrame]
@@ -499,6 +526,14 @@ object Dedup {
     // way). The union plan stays nBatches leaves deep — flat.
     var shPieces = Seq.empty[DataFrame]
     var keyPieces = Seq.empty[DataFrame]
+    // standing per-bucket counts, maintained O(batch) — the cap
+    // guard reads these instead of re-aggregating the index (r15)
+    var counts = lshBucketCountsDelta(
+      docs.limit(0).transform(d => lshBandKeys(
+        shingleRowsFor(d, k).select(col("doc_id"),
+          graft.functions.exprs.minhash_sig_portable(col("sh"),
+            bands * rowsPerBand).as("sig")),
+        bands, rowsPerBand, compressBuckets = false)))
     var labels = docs
       .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
     for (b <- 0 until nBatches) {
@@ -513,9 +548,11 @@ object Dedup {
         .localCheckpoint(eager = true)
       shPieces :+= newSh
       keyPieces :+= newKeys
+      counts = mergeLshBucketCounts(counts, lshBucketCountsDelta(newKeys))
+        .localCheckpoint(eager = true)
       val edges = verifyPairs(shPieces.reduce(_ unionByName _),
         lshAppendCandidates(newKeys, keyPieces.reduce(_ unionByName _),
-          maxBucket), threshold)
+          maxBucket, standingCounts = Some(counts)), threshold)
       labels = ccIncrement(labels, edges).localCheckpoint(eager = true)
     }
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
@@ -540,14 +577,52 @@ object Dedup {
       deleteMod: Int = 7, deleteRes: Int = 3): DataFrame = {
     require(nBatches >= 2, "need at least one add batch after the deletes")
     val docs = Tables.documents(spark, dir)
+    runLshReplayWithDeletes(docs, k, threshold, bands, rowsPerBand,
+      maxBucket, nBatches, deleteMod, deleteRes, reAdd = false)
+  }
+
+  /** [[lshDedupClustersWithDeletes]] plus the RE-ADD verb — q330,
+    * the LSH twin of [[graft.ext.Linkage.entityResolutionWithReAdds]]
+    * (r14 verdict item 2): after the delete batch and the post-delete
+    * adds, the DELETED documents arrive AGAIN as one final batch.
+    * The delete dropped their rows from the shingle store, band-key
+    * index, and edge store, so the re-add is a fresh ingest: shingle
+    * + sign row-locally, candidates against the live index, exact
+    * verify, ccIncrement fold — severed near-dup edges re-form
+    * because the re-added doc probes the index its old partners
+    * still live in. Final corpus = the FULL documents table, so
+    * q59's one-shot oracle hash-gates the add/delete/re-add
+    * discipline end to end. */
+  def lshDedupClustersWithReAdds(spark: SparkSession, dir: String,
+      k: Int = 3, threshold: Double = 0.7, bands: Int = 8,
+      rowsPerBand: Int = 4, maxBucket: Int = 256, nBatches: Int = 3,
+      deleteMod: Int = 7, deleteRes: Int = 3): DataFrame = {
+    require(nBatches >= 2, "need at least one add batch after the deletes")
+    val docs = Tables.documents(spark, dir)
+    runLshReplayWithDeletes(docs, k, threshold, bands, rowsPerBand,
+      maxBucket, nBatches, deleteMod, deleteRes, reAdd = true)
+  }
+
+  /** The shared add/delete[/re-add] LSH replay of q328/q330. */
+  private def runLshReplayWithDeletes(docs: DataFrame, k: Int,
+      threshold: Double, bands: Int, rowsPerBand: Int, maxBucket: Int,
+      nBatches: Int, deleteMod: Int, deleteRes: Int,
+      reAdd: Boolean): DataFrame = {
     var shPieces = Seq.empty[DataFrame]
     var keyPieces = Seq.empty[DataFrame]
     var edgePieces = Seq.empty[DataFrame]
+    def bandKeysFor(d: DataFrame): DataFrame = lshBandKeys(
+      shingleRowsFor(d, k).select(col("doc_id"),
+        graft.functions.exprs.minhash_sig_portable(col("sh"),
+          bands * rowsPerBand).as("sig")),
+      bands, rowsPerBand, compressBuckets = false)
+    // standing per-bucket counts (never decremented on delete — a
+    // sound upper bound; the re-add double-counts by contract)
+    var counts = lshBucketCountsDelta(bandKeysFor(docs.limit(0)))
     var labels = docs
       .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
-    def addBatch(b: Int): Unit = {
-      val newSh = shingleRowsFor(
-        docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b), k)
+    def addBatch(docsBatch: DataFrame): Unit = {
+      val newSh = shingleRowsFor(docsBatch, k)
         .localCheckpoint(eager = true)
       val newKeys = lshBandKeys(
         newSh.select(col("doc_id"),
@@ -557,19 +632,23 @@ object Dedup {
         .localCheckpoint(eager = true)
       shPieces :+= newSh
       keyPieces :+= newKeys
+      counts = mergeLshBucketCounts(counts, lshBucketCountsDelta(newKeys))
+        .localCheckpoint(eager = true)
       val edges = verifyPairs(shPieces.reduce(_ unionByName _),
           lshAppendCandidates(newKeys, keyPieces.reduce(_ unionByName _),
-            maxBucket), threshold)
+            maxBucket, standingCounts = Some(counts)), threshold)
         .localCheckpoint(eager = true)
       edgePieces :+= edges
       labels = ccIncrement(labels, edges).localCheckpoint(eager = true)
     }
-    (0 until nBatches - 1).foreach(addBatch)
-    val removed = docs
+    def modBatch(b: Int): DataFrame =
+      docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b)
+    (0 until nBatches - 1).foreach(b => addBatch(modBatch(b)))
+    val removedDocs = docs
       .filter(pmod(col("doc_id"), lit(deleteMod.toLong)) === deleteRes &&
         pmod(col("doc_id"), lit(nBatches.toLong)) =!= (nBatches - 1))
-      .select(col("doc_id").as("id"))
       .localCheckpoint(eager = true)
+    val removed = removedDocs.select(col("doc_id").as("id"))
     def dropIds(df: DataFrame, idCol: String): DataFrame =
       df.join(removed.select(col("id").as(idCol)), Seq(idCol), "left_anti")
     shPieces = Seq(dropIds(shPieces.reduce(_ unionByName _), "doc_id")
@@ -581,7 +660,8 @@ object Dedup {
       .localCheckpoint(eager = true)
     edgePieces = Seq(dropIds(dropIds(edgeStore, "doc_a"), "doc_b")
       .localCheckpoint(eager = true))
-    addBatch(nBatches - 1)
+    addBatch(modBatch(nBatches - 1))
+    if (reAdd) addBatch(removedDocs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
     labels.join(sizes, "label").filter(col("n") > 1)
       .select(col("id").as("doc_id"), col("label").as("rep_id"))
@@ -672,12 +752,26 @@ object Dedup {
     graft.sources.Bucketed.readPruned(spark, indexPath,
       newKeys.select(lshPb(numPb).as("pb")))
 
+  /** Re-layout a [[writeLshIndex]] store at a new cell count (the
+    * [[graft.ext.Linkage.migrateDeletionKeyIndexLayout]] recipe on
+    * the LSH family — same (band, bucket) hash, new modulus). */
+  def migrateLshIndexLayout(spark: SparkSession, inPath: String,
+      outPath: String, newNumPb: Int): Long =
+    graft.sources.Bucketed.repartitionPbStore(spark, inPath, outPath,
+      newNumPb, lshPb)
+
   /** The shingle/signature stores' probe-bucket column: pb over
     * doc_id — the verify stage probes these stores by ID-equi-join
     * from the (bounded) candidate pairs, so pruning to the
     * candidates' id cells is recall-safe. */
   private def idPb(numPb: Int): Column =
     graft.sources.Bucketed.probeBucket(numPb, col("doc_id"))
+
+  /** Re-layout a [[writeShingleStore]] at a new cell count. */
+  def migrateShingleStoreLayout(spark: SparkSession, inPath: String,
+      outPath: String, newNumPb: Int): Long =
+    graft.sources.Bucketed.repartitionPbStore(spark, inPath, outPath,
+      newNumPb, idPb)
 
   /** Full build of the doc_id → shingle-set store (the verify
     * stage's side table), laid out `partitionBy(pb)` over doc_id so

@@ -57,12 +57,21 @@ object Linkage {
     * the longer string's deletion equals the shorter string), so an
     * equi-join on these keys is a RECALL-COMPLETE candidate generator
     * for lev ≤ 1 — unlike attribute blocking, whose recall is
-    * whatever the block key happens to give. */
+    * whatever the block key happens to give.
+    * `array_distinct`: a name with a repeated character emits the
+    * same deletion twice ("aa" → "a" twice); key MULTIPLICITY never
+    * affects matching (pair existence is what the equi-join needs,
+    * and pairs are distinct'd), but each duplicate row multiplies
+    * the candidate join's fan-out and made the bucket guard's
+    * distinct-record count an under-estimate of shuffle cost (r14
+    * ADVICE). Distinct keys per record ⇒ rows-per-(record, bucket)
+    * ≤ 1, so the guard's distinct-record bound IS the join fan-out
+    * bound. */
   def deletionKeys(name: Column): Column =
-    concat(array(name),
+    array_distinct(concat(array(name),
       transform(sequence(lit(1), length(name)), i =>
         concat(name.substr(lit(1), i - 1),
-          name.substr(i + 1, length(name)))))
+          name.substr(i + 1, length(name))))))
 
   /** q184 core: resolve customer records into entities. Candidates
     * come from an equi-join on (attribute block × deletion-
@@ -156,22 +165,47 @@ object Linkage {
     * ordering). Over any batch replay the union of these per-batch
     * edge sets equals the one-shot [[entityResolution]] edge set:
     * each matched pair is emitted exactly when its later record
-    * arrives. */
+    * arrives.
+    *
+    * `standingCounts`: Some(per-bucket count table maintained via
+    * [[dkBucketCountsDelta]]/[[mergeBucketCounts]], INCLUDING the
+    * current batch's delta) makes the maxBucket guard read the
+    * counts instead of re-aggregating the index — the difference
+    * between an O(buckets) and an O(index-rows) pass per batch (the
+    * r14 verdict's dominant ER marginal term). */
   def erAppendEdges(newKeys: DataFrame, indexKeys: DataFrame,
-      maxDist: Int = 1, maxBucket: Int = 256): DataFrame = {
-    val touched = indexKeys.join(
-      newKeys.select(col("c_nationkey"), col("c_mktsegment"), col("k"))
-        .distinct(),
-      Seq("c_nationkey", "c_mktsegment", "k"))
-    // count DISTINCT custkeys, not raw rows: a record with a
-    // repeated character legitimately emits duplicate deletion keys
-    // ("aa" → "a" twice), and a replayed streaming batch re-appends
-    // its keys (r13 ADVICE) — neither should inflate the bucket size
-    // the quadratic-join guard prices
-    val biggest = touched
-      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
-      .agg(countDistinct(col("c_custkey")).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+      maxDist: Int = 1, maxBucket: Int = 256,
+      standingCounts: Option[DataFrame] = None): DataFrame = {
+    // The guard bounds DISTINCT RECORDS per touched bucket — since
+    // deletionKeys emits distinct keys per record (array_distinct),
+    // one record contributes exactly one row per bucket, so the
+    // distinct-record bound IS the candidate join's per-bucket
+    // fan-out bound (n_a × n_b rows — the r14 ADVICE note). A
+    // replayed streaming batch re-appends its keys (r13 ADVICE);
+    // countDistinct stays immune to that too.
+    val batchBuckets = newKeys
+      .select(col("c_nationkey"), col("c_mktsegment"), col("k"))
+      .distinct()
+    val biggest = (standingCounts match {
+      // the r14 verdict's ER marginal term: re-aggregating the FULL
+      // index per batch for this cap made the guard the dominant
+      // bulk-fold cost (22 of 26.7 s at sf10). A standing per-bucket
+      // count table — maintained O(batch) via [[dkBucketCountsDelta]]
+      // / [[mergeBucketCounts]], same discipline as the index itself
+      // — answers the same question from bucket-count rows instead
+      // of key rows. The caller must have merged the CURRENT batch's
+      // delta first (the index already contains the batch's own keys
+      // by contract, so the counts must too).
+      case Some(counts) => counts
+        .join(batchBuckets, Seq("c_nationkey", "c_mktsegment", "k"),
+          "left_semi")
+        .agg(coalesce(max(col("n")), lit(0L)))
+      case None => indexKeys.join(batchBuckets,
+          Seq("c_nationkey", "c_mktsegment", "k"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
+        .agg(countDistinct(col("c_custkey")).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L)))
+    }).head().getLong(0)
     require(biggest <= maxBucket,
       s"erAppendEdges: a touched deletion-key bucket holds $biggest " +
         s"records (> maxBucket=$maxBucket) — dedup exact names first " +
@@ -188,6 +222,43 @@ object Linkage {
         greatest(col("ca"), col("cb")).as("doc_b"))
       .distinct()
   }
+
+  /** Per-bucket distinct-record counts of ONE key batch — the
+    * O(batch) delta a standing bucket-stats table accretes per
+    * append (the r15 fix for the ER marginal guard term: the cap
+    * check reads a maintained count table instead of re-aggregating
+    * the full key index every batch). Distinct (bucket, custkey)
+    * first so a record's duplicate key rows (impossible since
+    * array_distinct, but cheap insurance) never inflate the count. */
+  def dkBucketCountsDelta(newKeys: DataFrame): DataFrame =
+    newKeys.select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+        col("c_custkey")).distinct()
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold a batch's [[dkBucketCountsDelta]] into the standing
+    * per-bucket count table: one sum-aggregation over
+    * (standing ∪ delta) — O(buckets) compact rows, never key rows.
+    * EXACT while each record's keys are ingested in exactly one
+    * batch (the incremental replay contract: per-bucket record sets
+    * then partition across batches, so summed per-batch distinct
+    * counts equal the index-wide distinct count). Deletes do NOT
+    * decrement (a CDC delete carries only the id — the record's
+    * keys are gone): the standing count is an UPPER BOUND after
+    * deletions, which keeps the fail-fast guard SOUND (it can only
+    * fire early, never admit an oversized bucket); compaction is
+    * the natural point to rebuild exact counts. */
+  def mergeBucketCounts(standing: DataFrame, delta: DataFrame): DataFrame =
+    standing.unionByName(delta)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Rebuild the standing per-bucket count table from a key index
+    * (seed for a restarted maintenance stream, or the post-compaction
+    * exact rebuild): one aggregation over the index — the O(index)
+    * cost is paid once at startup, not per batch. */
+  def dkBucketCountsFromIndex(indexKeys: DataFrame): DataFrame =
+    dkBucketCountsDelta(indexKeys)
 
   /** [[entityResolution]] (q184) maintained INCREMENTALLY — q323:
     * the deletion-key candidate index gets the q322 treatment.
@@ -212,6 +283,10 @@ object Linkage {
     // lesson: re-checkpointing the union costs O(corpus) per batch;
     // the union plan stays nBatches leaves deep)
     var keyPieces = Seq.empty[DataFrame]
+    // standing per-bucket counts, maintained O(batch) — the guard
+    // reads these instead of re-aggregating the whole index (r15)
+    var counts = dkBucketCountsDelta(recs.limit(0)
+      .transform(deletionKeyTable))
     var labels = recs
       .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
       .limit(0)
@@ -220,9 +295,11 @@ object Linkage {
         recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
         .localCheckpoint(eager = true)
       keyPieces :+= newKeys
+      counts = mergeBucketCounts(counts, dkBucketCountsDelta(newKeys))
+        .localCheckpoint(eager = true)
       labels = Dedup.ccIncrement(labels,
           erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
-            maxDist, maxBucket))
+            maxDist, maxBucket, standingCounts = Some(counts)))
         .localCheckpoint(eager = true)
     }
     entityOutput(labels.select(col("id"), col("label")))
@@ -272,22 +349,29 @@ object Linkage {
     val recs = customerRecords(spark, dir)
     var keyPieces = Seq.empty[DataFrame]
     var edgePieces = Seq.empty[DataFrame]
+    // standing per-bucket counts (never decremented on delete — an
+    // upper bound keeps the guard sound; see mergeBucketCounts)
+    var counts = dkBucketCountsDelta(recs.limit(0)
+      .transform(deletionKeyTable))
     var labels = recs
       .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
       .limit(0)
-    def addBatch(b: Int): Unit = {
-      val newKeys = deletionKeyTable(
-        recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
+    def addBatch(recsBatch: DataFrame): Unit = {
+      val newKeys = deletionKeyTable(recsBatch)
         .localCheckpoint(eager = true)
       keyPieces :+= newKeys
+      counts = mergeBucketCounts(counts, dkBucketCountsDelta(newKeys))
+        .localCheckpoint(eager = true)
       val edges = erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
-          maxDist, maxBucket)
+          maxDist, maxBucket, standingCounts = Some(counts))
         .localCheckpoint(eager = true)
       edgePieces :+= edges
       labels = Dedup.ccIncrement(labels, edges)
         .localCheckpoint(eager = true)
     }
-    (0 until nBatches - 1).foreach(addBatch)
+    def modBatch(b: Int): DataFrame =
+      recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b)
+    (0 until nBatches - 1).foreach(b => addBatch(modBatch(b)))
     // tombstone batch: already-ingested custkeys ≡ deleteRes (mod
     // deleteMod) — the final corpus this must equal one-shot ER over
     // is expressible as a pure predicate, which is what lets the
@@ -308,7 +392,83 @@ object Linkage {
       .join(removed.select(col("id").as("doc_a")), Seq("doc_a"), "left_anti")
       .join(removed.select(col("id").as("doc_b")), Seq("doc_b"), "left_anti")
       .localCheckpoint(eager = true))
-    addBatch(nBatches - 1)
+    addBatch(modBatch(nBatches - 1))
+    entityOutput(labels.select(col("id"), col("label")))
+      .filter(col("n_members") > 1)
+  }
+
+  /** [[entityResolutionWithDeletes]] plus the RE-ADD verb — q329
+    * (r14 verdict item 2's batch gate): the same add/delete/add
+    * replay, then the DELETED records arrive AGAIN as one final
+    * batch (un-takedowns, re-licensing — the first CDC sequencing
+    * case a production user hits). Because the delete dropped the
+    * removed records' rows from the standing key index and edge
+    * store, the re-add is indistinguishable from a fresh ingest:
+    * its keys append, candidates generate against the live index
+    * (every surviving record plus the re-added batch itself), edges
+    * re-verify, and [[graft.ext.Dedup.ccIncrement]] folds them —
+    * including edges the delete had severed, which re-form because
+    * the re-added record probes the index its old partners still
+    * live in. The final corpus is therefore the FULL customer table,
+    * so q184's one-shot recursive-CTE oracle hash-gates the whole
+    * add/delete/re-add discipline on real data — re-added entities
+    * must land in EXACTLY the clusters a never-deleted corpus
+    * produces. (The streaming twin is the versioned-tombstone CDC
+    * path: [[graft.streaming.StreamOps.erMaintainCdcStream]] masks
+    * only index/edge rows with ingest_batch ≤ the id's latest
+    * tombstone batch, so a re-added id's new rows stay live.) */
+  def entityResolutionWithReAdds(spark: SparkSession, dir: String,
+      maxDist: Int = 1, maxBucket: Int = 256, nBatches: Int = 3,
+      deleteMod: Int = 7, deleteRes: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 1,
+      s"deletion-neighborhood candidates are recall-complete only for " +
+        s"maxDist <= 1 (got $maxDist)")
+    require(nBatches >= 2, "need at least one add batch after the deletes")
+    val recs = customerRecords(spark, dir)
+    var keyPieces = Seq.empty[DataFrame]
+    var edgePieces = Seq.empty[DataFrame]
+    var counts = dkBucketCountsDelta(recs.limit(0)
+      .transform(deletionKeyTable))
+    var labels = recs
+      .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
+      .limit(0)
+    def addBatch(recsBatch: DataFrame): Unit = {
+      val newKeys = deletionKeyTable(recsBatch)
+        .localCheckpoint(eager = true)
+      keyPieces :+= newKeys
+      counts = mergeBucketCounts(counts, dkBucketCountsDelta(newKeys))
+        .localCheckpoint(eager = true)
+      val edges = erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
+          maxDist, maxBucket, standingCounts = Some(counts))
+        .localCheckpoint(eager = true)
+      edgePieces :+= edges
+      labels = Dedup.ccIncrement(labels, edges)
+        .localCheckpoint(eager = true)
+    }
+    def modBatch(b: Int): DataFrame =
+      recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b)
+    (0 until nBatches - 1).foreach(b => addBatch(modBatch(b)))
+    val removedRecs = recs
+      .filter(pmod(col("c_custkey"), lit(deleteMod.toLong)) === deleteRes &&
+        pmod(col("c_custkey"), lit(nBatches.toLong)) =!= (nBatches - 1))
+      .localCheckpoint(eager = true)
+    val removed = removedRecs.select(col("c_custkey").as("id"))
+    keyPieces = Seq(keyPieces.reduce(_ unionByName _)
+      .join(removed.select(col("id").as("c_custkey")), Seq("c_custkey"),
+        "left_anti")
+      .localCheckpoint(eager = true))
+    val edgeStore = edgePieces.reduce(_ unionByName _)
+    labels = Dedup.ccDecrement(labels, edgeStore, removed)
+      .localCheckpoint(eager = true)
+    edgePieces = Seq(edgeStore
+      .join(removed.select(col("id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(removed.select(col("id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .localCheckpoint(eager = true))
+    addBatch(modBatch(nBatches - 1))
+    // the RE-ADD batch: the deleted records arrive again, after the
+    // post-delete adds — the counts table double-counts them (upper
+    // bound by contract), the index and edges treat them as new
+    addBatch(removedRecs)
     entityOutput(labels.select(col("id"), col("label")))
       .filter(col("n_members") > 1)
   }
@@ -363,4 +523,15 @@ object Linkage {
       numPb: Int = graft.sources.Bucketed.defaultProbeParts): DataFrame =
     graft.sources.Bucketed.readPruned(spark, indexPath,
       newKeys.select(dkPb(numPb).as("pb")))
+
+  /** Re-layout a [[writeDeletionKeyIndex]] store at a new cell count
+    * ([[graft.sources.Bucketed.repartitionPbStore]] with this
+    * family's probe-key hash — same hash, new modulus, so pruned
+    * probes at `newNumPb` lose zero recall). All readers/writers
+    * must switch to `newNumPb` with the path swap — numPb is a
+    * layout contract shared by both sides, like a bucket count. */
+  def migrateDeletionKeyIndexLayout(spark: SparkSession, inPath: String,
+      outPath: String, newNumPb: Int): Long =
+    graft.sources.Bucketed.repartitionPbStore(spark, inPath, outPath,
+      newNumPb, dkPb)
 }

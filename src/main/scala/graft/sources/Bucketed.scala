@@ -99,13 +99,86 @@ object Bucketed {
     * output goes to a NEW directory — compact-in-place over an
     * object store is not atomic, so swap paths at the catalog level
     * (the [[graft.sources.Io.compactParquet]] contract). Returns the
-    * compacted row count so callers can assert nothing was lost. */
+    * compacted row count so callers can assert nothing was lost.
+    *
+    * Contract limits (r14 ADVICE — the old scaladoc of the CDC
+    * streams over-promised): this operator applies ONLY to stores
+    * with a `pb` column (a pb-less store like a verified-edge table
+    * fails the repartition — rewrite it plainly instead), and it
+    * does NOT fold tombstones — `minus` anti-joins a one-column
+    * removed-ids frame (named for the store's id column) before the
+    * rewrite; compacting a tombstoned store WITHOUT passing its
+    * removed ids, then dropping the tombstone store, would resurrect
+    * every deleted id. The CDC maintenance loops have their own
+    * crash-safe in-place fold with versioned-tombstone semantics
+    * ([[graft.streaming.StreamOps]] `foldCdcStore`) and don't use
+    * this operator. */
   def compactPbStore(spark: SparkSession, inPath: String,
-      outPath: String, numPb: Int = defaultProbeParts): Long = {
+      outPath: String, numPb: Int = defaultProbeParts,
+      minus: Option[DataFrame] = None): Long = {
     val all = spark.read.parquet(inPath)
+    require(all.columns.contains("pb"),
+      s"compactPbStore: $inPath has no pb column — this operator is " +
+        "for pb-partitioned index stores; rewrite plain stores with " +
+        "Io.compactParquet")
     val cleaned = if (all.columns.contains("ingest_batch"))
       all.drop("ingest_batch") else all
-    clusterByPb(cleaned, numPb)
+    val live = minus match {
+      case Some(removed) =>
+        require(removed.columns.length == 1,
+          "minus must be a one-column frame named for the store's id column")
+        cleaned.join(removed, Seq(removed.columns.head), "left_anti")
+      case None => cleaned
+    }
+    clusterByPb(live, numPb)
+      .write.mode("overwrite").partitionBy("pb").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** Total bytes under a store path (recursive) — the stat
+    * [[suggestNumPb]] sizes a layout from. */
+  def storeBytes(spark: SparkSession, path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+  }
+
+  /** The pb cell count a store of `storeBytes` SHOULD use: the
+    * scaladoc sizing rule (≈ index bytes / a few GB) made executable
+    * — next power of two of bytes/`cellBytes`, floored at
+    * [[defaultProbeParts]]. Powers of two keep successive migrations
+    * aligned (every old cell splits into exactly new/old cells). */
+  def suggestNumPb(storeBytes: Long,
+      cellBytes: Long = 2L << 30): Int = {
+    val cells = math.max(1L, (storeBytes + cellBytes - 1) / cellBytes)
+    var p = defaultProbeParts
+    while (p < cells && p < (1 << 20)) p <<= 1
+    p
+  }
+
+  /** MIGRATE a pb-partitioned store to a NEW cell count — the layout
+    * lifecycle's last verb (r14 verdict stretch): numPb is a static
+    * write/read contract like a bucket count, so an index that
+    * outgrows its layout (a 500-doc append paying 4096 directory
+    * writes, or a point probe reading 1/64th of a now-huge index)
+    * needs a RE-LAYOUT, not a knob flip. Reads everything, recomputes
+    * `pb` at `newNumPb` via `pbOf` (the SAME probe-key hash the
+    * family's writers use — pb stays a function of the probe key, so
+    * pruned reads at the new count lose zero recall), re-clusters,
+    * rewrites to a NEW directory (swap paths at the catalog level —
+    * in-place re-layout is not atomic). Batch bookkeeping
+    * (`ingest_batch`) is dropped: a migrated store restarts its
+    * append history like a fresh full build. Returns the migrated
+    * row count. Family wrappers supply `pbOf`:
+    * [[graft.ext.Linkage.migrateDeletionKeyIndexLayout]] and the
+    * LSH/shingle twins in [[graft.ext.Dedup]]. */
+  def repartitionPbStore(spark: SparkSession, inPath: String,
+      outPath: String, newNumPb: Int,
+      pbOf: Int => Column): Long = {
+    val all = spark.read.parquet(inPath)
+    val cleaned = (if (all.columns.contains("ingest_batch"))
+      all.drop("ingest_batch") else all).drop("pb")
+    clusterByPb(cleaned.withColumn("pb", pbOf(newNumPb)), newNumPb)
       .write.mode("overwrite").partitionBy("pb").parquet(outPath)
     spark.read.parquet(outPath).count()
   }

@@ -383,4 +383,119 @@ class IncrementalIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(slurp(idx) == slurp(full))
   }
+
+  // ---------------------------------------------------------------
+  // r15: the standing bucket-count guard, the numPb re-layout
+  // migration, and the tombstone-aware compactPbStore contract.
+  // ---------------------------------------------------------------
+
+  test("standing bucket counts: guard equals the index aggregation, batch by batch") {
+    val recs = Tables.customer(spark, sf)
+    val nBatches = 3
+    var keyPieces = Seq.empty[org.apache.spark.sql.DataFrame]
+    var counts = Linkage.dkBucketCountsDelta(
+      Linkage.deletionKeyTable(recs.limit(0)))
+    for (b <- 0 until nBatches) {
+      val newKeys = Linkage.deletionKeyTable(
+        recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
+        .localCheckpoint(eager = true)
+      keyPieces :+= newKeys
+      counts = Linkage.mergeBucketCounts(counts,
+          Linkage.dkBucketCountsDelta(newKeys))
+        .localCheckpoint(eager = true)
+      val index = keyPieces.reduce(_ unionByName _)
+      // the maintained counts ARE the per-bucket distinct-record
+      // sizes of the standing index — bucket for bucket, not just
+      // the max the guard happens to read
+      val maintained = counts.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sorted.toSeq
+      val aggregated = index
+        .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+          col("c_custkey")).distinct()
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sorted.toSeq
+      assert(maintained == aggregated && maintained.nonEmpty)
+      // and the counted guard admits/rejects exactly like the
+      // aggregating guard: same edges through both paths
+      def edges(sc: Option[org.apache.spark.sql.DataFrame]) =
+        Linkage.erAppendEdges(newKeys, index, standingCounts = sc)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(edges(Some(counts)) == edges(None))
+    }
+    // the counted guard still fail-fasts: cap of 1 must throw on the
+    // gate corpus (whose buckets exceed 1)
+    val all = Linkage.deletionKeyTable(recs).localCheckpoint(eager = true)
+    val allCounts = Linkage.dkBucketCountsDelta(all)
+    intercept[IllegalArgumentException] {
+      Linkage.erAppendEdges(all, all, maxBucket = 1,
+        standingCounts = Some(allCounts))
+    }
+  }
+
+  test("numPb re-layout migration: probes unchanged, new layout pruned, sizing rule") {
+    val recs = Tables.customer(spark, sf)
+    val idx16 = tmpDir("dk_mig16") + "/idx"
+    Linkage.writeDeletionKeyIndex(spark, sf, idx16, numPb = 16)
+    val idx64 = tmpDir("dk_mig64") + "/idx"
+    val migrated = Linkage.migrateDeletionKeyIndexLayout(
+      spark, idx16, idx64, newNumPb = 64)
+    assert(migrated == spark.read.parquet(idx16).count())
+    // the migrated store IS a 64-cell layout: pruned probes carry
+    // the pb PartitionFilter and return the same edges as the old
+    // layout's probes
+    val batch = recs.filter(pmod(col("c_custkey"), lit(16L)) === 3L)
+    val newKeys = Linkage.deletionKeyTable(batch)
+      .localCheckpoint(eager = true)
+    val pruned = Linkage.readDeletionKeyIndexPruned(spark, idx64,
+      newKeys, numPb = 64)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*pb".r.findFirstIn(plan).isDefined)
+    def edges(p: String, n: Int) = Linkage.erAppendEdges(newKeys,
+        Linkage.readDeletionKeyIndexPruned(spark, p, newKeys, numPb = n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(edges(idx64, 64) == edges(idx16, 16))
+    assert(edges(idx64, 64).nonEmpty, "vacuous: batch matched no edges")
+    // appends at the NEW count land in the migrated layout's cells
+    // (the write/read contract after the swap)
+    val pbs = spark.read.parquet(idx64).select("pb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(pbs.max > 15, "migration never used the new cell range")
+    // sizing rule: next power of two of bytes/cell, floored at the
+    // default — executable, not prose
+    import graft.sources.Bucketed.{storeBytes, suggestNumPb, defaultProbeParts}
+    assert(storeBytes(spark, idx64) > 0L)
+    assert(suggestNumPb(0L) == defaultProbeParts)
+    assert(suggestNumPb(3L * (2L << 30)) == defaultProbeParts)
+    assert(suggestNumPb(100L * (2L << 30)) == 128)
+    assert(suggestNumPb(500L * (2L << 30)) == 512)
+  }
+
+  test("compactPbStore: refuses pb-less stores, folds a removed-ids frame") {
+    val recs = Tables.customer(spark, sf)
+    val idx = tmpDir("dk_cmp_minus") + "/idx"
+    Linkage.writeDeletionKeyIndex(spark, sf, idx)
+    // pb-less store → loud error, not an AnalysisException mid-write
+    val plain = tmpDir("plain_store") + "/s"
+    recs.select(col("c_custkey")).write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      graft.sources.Bucketed.compactPbStore(spark, plain,
+        plain + "_out")
+    }
+    // minus: the removed ids are genuinely gone from the compacted
+    // store (the r14 ADVICE resurrection hazard, closed)
+    val removed = recs.filter(pmod(col("c_custkey"), lit(7L)) === 3L)
+      .select(col("c_custkey"))
+    val out = tmpDir("dk_cmp_out") + "/idx"
+    val n = graft.sources.Bucketed.compactPbStore(spark, idx, out,
+      minus = Some(removed))
+    val live = spark.read.parquet(out)
+    assert(n == live.count())
+    assert(live.join(removed, Seq("c_custkey"), "left_semi").count() == 0)
+    assert(live.count() ==
+      spark.read.parquet(idx)
+        .join(removed, Seq("c_custkey"), "left_anti").count())
+  }
 }

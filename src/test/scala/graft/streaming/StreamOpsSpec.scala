@@ -535,7 +535,7 @@ class StreamOpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
-  test("er CDC stream: adds and deletes land on the one-shot output over the final corpus") {
+  test("er CDC stream: adds, deletes and RE-ADDS land on the one-shot output over the final corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
@@ -545,10 +545,13 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
       .sortBy(_._1).toSeq
     // CDC sequence: two add batches, then a batch deleting the
-    // custkey ≡ 3 (mod 7) slice of what arrived so far, then the
-    // final add batch — the q327 discipline on a stream
+    // custkey ≡ 3 (mod 7) slice of what arrived so far, then a batch
+    // RE-ADDING half of that slice (versioned tombstones — the r14
+    // sequencing gap), then the final add batch
     val (early, lateAdds) = recs.splitAt(2 * recs.length / 3)
-    val deleted = early.map(_._1).filter(_ % 7 == 3).toSet
+    val removedAll = early.map(_._1).filter(_ % 7 == 3).toSet
+    val reAdded = removedAll.filter(_ % 2 == 0)
+    val deleted = removedAll -- reAdded
     val base = java.nio.file.Files
       .createTempDirectory("graft-er-cdc").toString
     val src = MemoryStream[(Long, String, Int, String, String)]
@@ -566,13 +569,19 @@ class StreamOpsSpec extends AnyFunSuite {
       src.addData(b.map(r => (r._1, r._2, r._3, r._4, "add")))
       drain()
     }
-    src.addData(deleted.toSeq.sorted.map(k => (k, "", 0, "", "delete")))
+    src.addData(removedAll.toSeq.sorted.map(k => (k, "", 0, "", "delete")))
+    drain()
+    // RE-ADD half the deleted slice in a LATER batch: their fresh
+    // index rows out-version the tombstone, so they must be
+    // matchable again — severed edges re-form
+    val reAddRecs = early.filter(r => reAdded.contains(r._1))
+    src.addData(reAddRecs.map(r => (r._1, r._2, r._3, r._4, "add")))
     drain()
     // the final adds arrive AFTER the deletes
     src.addData(lateAdds.map(r => (r._1, r._2, r._3, r._4, "add")))
     drain()
-    // one-shot over the FINAL corpus (everything minus the deleted
-    // slice — lateAdds keep their ≡3 members: they arrived after)
+    // one-shot over the FINAL corpus (everything minus the
+    // still-deleted slice — re-added and late members stay)
     val finalRecs = recs.filterNot(r => deleted.contains(r._1))
     val oneKeys = graft.ext.Linkage.deletionKeyTable(
       finalRecs.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
@@ -603,10 +612,22 @@ class StreamOpsSpec extends AnyFunSuite {
               early.toDF("c_custkey", "c_name", "c_nationkey",
                 "c_mktsegment")).localCheckpoint(eager = true))))
       .collect().map(_.getLong(0)).toSet
-    assert(preDelete.intersect(deleted).nonEmpty)
+    assert(preDelete.intersect(removedAll).nonEmpty)
+    // non-vacuous re-add: at least one re-added id is back in a
+    // multi-member entity (it matched again after its tombstone)
+    assert(streamed.map(_._1).toSet.intersect(reAdded).nonEmpty)
+    // malformed CDC ops fail the batch instead of vanishing (r14
+    // ADVICE): an unknown verb must surface as a stream error
+    src.addData(Seq((999999L, "x", 0, "seg", "upsert")))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(err.getMessage.contains("neither 'add' nor 'delete'") ||
+      Option(err.getCause).exists(_.getMessage
+        .contains("neither 'add' nor 'delete'")))
   }
 
-  test("lsh CDC stream: adds and deletes land on the one-shot clustering of the final corpus") {
+  test("lsh CDC stream: adds, deletes and RE-ADDS land on the one-shot clustering of the final corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
@@ -614,7 +635,23 @@ class StreamOpsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     val (early, lateAdds) = docs.splitAt(2 * docs.length / 3)
-    val deleted = early.map(_._1).filter(_ % 7 == 3).toSet
+    val removedAll = early.map(_._1).filter(_ % 7 == 3).toSet
+    // re-add exactly the removed docs that are CLUSTERED in the full
+    // corpus (so the re-add non-vacuity check cannot depend on the
+    // luck of an id split); the rest stay deleted
+    val fullSh = graft.ext.Dedup.shingleRowsFor(
+      graft.Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      3).localCheckpoint(eager = true)
+    val clusteredFull = graft.ext.Dedup.connectedComponents(
+        graft.ext.Dedup.verifyPairs(fullSh,
+          graft.ext.Dedup.lshCandidatePairs(
+            fullSh.select(col("doc_id"),
+              graft.ext.Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
+            bands = 8, rowsPerBand = 4, maxBucket = 256), 0.7))
+      .collect().map(_.getLong(0)).toSet
+    val reAdded = removedAll.intersect(clusteredFull)
+    assert(reAdded.nonEmpty, "fixture: no removed doc is clustered")
+    val deleted = removedAll -- reAdded
     val base = java.nio.file.Files
       .createTempDirectory("graft-lsh-cdc").toString
     val src = MemoryStream[(Long, String, String)]
@@ -630,7 +667,11 @@ class StreamOpsSpec extends AnyFunSuite {
     early.grouped(math.max(1, early.length / 2)).foreach { b =>
       src.addData(b.map(r => (r._1, r._2, "add"))); drain()
     }
-    src.addData(deleted.toSeq.sorted.map(k => (k, "", "delete"))); drain()
+    src.addData(removedAll.toSeq.sorted.map(k => (k, "", "delete"))); drain()
+    // re-add half the deleted docs in a later batch (versioned
+    // tombstones: their fresh shingle/index rows must be live)
+    src.addData(early.filter(r => reAdded.contains(r._1))
+      .map(r => (r._1, r._2, "add"))); drain()
     src.addData(lateAdds.map(r => (r._1, r._2, "add"))); drain()
     // one-shot over the final corpus (filtered input == shrunk-corpus
     // one-shot because signatures are row-local — the q328 argument);
@@ -659,6 +700,87 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == one && one.nonEmpty)
     assert(cur.collect().map(_.getLong(0)).toSet
       .intersect(deleted).isEmpty)
+    // non-vacuous re-add: a re-added doc is clustered again
+    assert(streamed.map(_._1).toSet.intersect(reAdded).nonEmpty)
+  }
+
+  test("er CDC stream: periodic fold bounds stores, keeps parity, and re-admits after compaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val recs = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-er-fold").toString
+    val src = MemoryStream[(Long, String, Int, String, String)]
+    val compactEvery = 2
+    val (writer, current) = StreamOps.erMaintainCdcStream(
+      src.toDS().toDF("c_custkey", "c_name", "c_nationkey",
+        "c_mktsegment", "op"),
+      base + "/idx", base + "/edges", base + "/tombs",
+      storePath = Some(base + "/components"),
+      compactEvery = compactEvery)
+    val ckpt = base + "/ckpt"
+    def drain(): Unit = {
+      val q = writer.option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+    }
+    // 3 add batches (folds fire at batch 2) — then delete a slice,
+    // then one more add (fold at batch 4 applies + CLEARS the
+    // tombstones), then RE-ADD the deleted slice post-compaction
+    val adds = recs.grouped(math.max(1, recs.length / 3)).toSeq
+    adds.zipWithIndex.foreach { case (b, _) =>
+      src.addData(b.map(r => (r._1, r._2, r._3, r._4, "add"))); drain()
+    }
+    val nAddBatches = adds.length
+    val removed = recs.map(_._1).filter(_ % 7 == 3).toSet
+    src.addData(removed.toSeq.sorted.map(k => (k, "", 0, "", "delete")))
+    drain() // batch nAddBatches
+    src.addData(Seq(recs.find(r => !removed.contains(r._1)).get)
+      .map(r => (r._1, r._2, r._3, r._4, "add")))
+    drain() // batch nAddBatches+1 — with compactEvery=2 a fold runs
+            // at or after the delete batch, folding the tombstones in
+    // post-compaction RE-ADD: the fold dropped the dead rows AND the
+    // tombstone store, so the re-add must be matchable again
+    src.addData(recs.filter(r => removed.contains(r._1))
+      .map(r => (r._1, r._2, r._3, r._4, "add")))
+    drain()
+    // parity: final corpus = the full table (everything re-added)
+    val oneKeys = graft.ext.Linkage.deletionKeyTable(
+      recs.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .localCheckpoint(eager = true)
+    val one = graft.ext.Linkage.entityOutput(
+        graft.ext.Dedup.connectedComponents(
+          graft.ext.Linkage.erAppendEdges(oneKeys, oneKeys)))
+      .filter(col("n_members") > 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val streamed = graft.ext.Linkage.entityOutput(current())
+      .filter(col("n_members") > 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == one && one.nonEmpty)
+    assert(streamed.map(_._1).toSet.intersect(removed).nonEmpty)
+    // bounded stores: at most compactEvery un-folded batch dirs on
+    // top of the single compacted base survive any fold cycle
+    def batchDirs(p: String): Seq[String] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("ingest_batch=")).toSeq
+    }
+    assert(batchDirs(base + "/idx").length <= compactEvery + 1,
+      s"index accreted ${batchDirs(base + "/idx")}")
+    assert(batchDirs(base + "/edges").length <= compactEvery + 1)
+    // the tombstone store was cleared by the last fold and no delete
+    // arrived after it
+    assert(batchDirs(base + "/tombs").length <= compactEvery)
+    // and exactly one compacted base exists (negative batch id)
+    assert(batchDirs(base + "/idx")
+      .count(_.stripPrefix("ingest_batch=").startsWith("-")) == 1)
   }
 
   test("simhash maintain stream: streamed doc batches land on the one-shot q46 clustering") {
@@ -767,6 +889,59 @@ class StreamOpsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
       assert(got == batch, s"stream/batch divergence: ${got.diff(batch)} ${batch.diff(got)}")
     } finally q.stop()
+  }
+
+  test("ann serve stream over the materialized index: deletes stop being served") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-ann-serve-idx").toString + "/idx"
+    graft.ext.Similarity.writeIvfPqIndex(spark, sf, idx)
+    val qrows = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    // the materialized path serves exactly what the in-memory rebuild
+    // serves before any delete (same frozen encode)
+    val preDelete = rows(StreamOps.annServeStream(spark, sf,
+      qrows.toSeq.toDF("query_id", "q_emb"), minSim = 0.2,
+      indexPath = Some(idx)))
+    assert(preDelete == rows(StreamOps.annServeStream(spark, sf,
+      qrows.toSeq.toDF("query_id", "q_emb"), minSim = 0.2)))
+    // delete a vector that WAS being served
+    val victim = preDelete.map(_._2).filterNot(Set(0L, 7L)).head
+    graft.ext.Similarity.deleteFromIvfPqIndex(
+      Seq(victim).toDF("vec_id"), idx)
+    val expected = preDelete.filterNot(_._2 == victim)
+    assert(preDelete.exists(_._2 == victim) && expected.nonEmpty)
+    // STREAMING radius search over the materialized index excludes it
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.annServeStream(spark, sf,
+      src.toDS().toDF("query_id", "q_emb"), minSim = 0.2,
+      indexPath = Some(idx))
+      .writeStream.format("memory").queryName("ann_serve_mat")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(qrows(0)); q.processAllAvailable()
+      src.addData(qrows(1)); q.processAllAvailable()
+      val got = rows(spark.table("ann_serve_mat"))
+      assert(got == expected,
+        s"stream/batch divergence: ${got.diff(expected)} ${expected.diff(got)}")
+      assert(!got.exists(_._2 == victim))
+    } finally q.stop()
+    // and the stream agrees with the batch MATERIALIZED probe: every
+    // top-k row the batch probe returns for query 0 is served with the
+    // same ADC score (radius covers the top-k at this minSim)
+    val probe = graft.ext.Similarity
+      .ivfPqProbeMaterialized(spark, sf, idx, queryId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .filter(_._2 >= 0.2).toSet
+    assert(probe.nonEmpty && !probe.exists(_._1 == victim))
+    val served0 = expected.filter(_._1 == 0L).map(t => (t._2, t._3))
+    assert(probe.subsetOf(served0))
   }
 
   test("streaming debounce: burst suppression across batches by data clock") {
