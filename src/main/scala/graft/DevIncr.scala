@@ -76,10 +76,6 @@ object DevIncr {
       var labels = recs
         .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
         .limit(0)
-      // standing per-bucket counts — the r15 guard path: maintained
-      // O(batch), so the maxBucket cap never re-aggregates the index
-      var counts = graft.ext.Linkage.dkBucketCountsDelta(
-        graft.ext.Linkage.deletionKeyTable(recs.limit(0)))
       var entRows = 0L
       val stages = scala.collection.mutable.Map.empty[String, Double]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -97,17 +93,12 @@ object DevIncr {
           graft.ext.Linkage.deletionKeyTable(batch)
             .localCheckpoint(eager = true)
         }
-        val (_, tCounts) = time {
-          counts = graft.ext.Linkage.mergeBucketCounts(counts,
-              graft.ext.Linkage.dkBucketCountsDelta(newKeys))
-            .localCheckpoint(eager = true)
-        }
         // PRUNED probe: only the pb cells this batch's keys hash into
+        // (the maxBucket guard is fused into this pass — r15)
         val (edges, tCands) = time {
           graft.ext.Linkage.erAppendEdges(newKeys,
               graft.ext.Linkage.readDeletionKeyIndexPruned(spark,
-                idxPath, newKeys, numPb),
-              standingCounts = Some(counts))
+                idxPath, newKeys, numPb))
             .localCheckpoint(eager = true)
         }
         val (_, tFold) = time {
@@ -116,8 +107,8 @@ object DevIncr {
           entRows = labels.count()
         }
         if (last) stages ++= Map("append" -> tAppend, "keys" -> tKeys,
-          "counts" -> tCounts, "candidates" -> tCands, "fold" -> tFold)
-        tAppend + tKeys + tCounts + tCands + tFold
+          "candidates" -> tCands, "fold" -> tFold)
+        tAppend + tKeys + tCands + tFold
       }
       val perBatch = (0 until nBatches).map(erBatch)
       // TRICKLE probe: one ~0.1% batch against the full standing
@@ -162,8 +153,6 @@ object DevIncr {
       val idxPath = tmp("lsh")
       var labels = docs
         .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
-      // standing per-bucket counts (the r15 guard path, LSH twin)
-      var counts = Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "n")
       var lshRows = 0L
       val stages = scala.collection.mutable.Map.empty[String, Double]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -185,17 +174,13 @@ object DevIncr {
             bands = 8, rowsPerBand = 4)
             .localCheckpoint(eager = true)
         }
-        val (_, tCounts) = time {
-          counts = graft.ext.Dedup.mergeLshBucketCounts(counts,
-              graft.ext.Dedup.lshBucketCountsDelta(newKeys))
-            .localCheckpoint(eager = true)
-        }
-        // PRUNED probe against the standing band-key index
+        // PRUNED probe against the standing band-key index (the
+        // maxBucket guard is fused into this pass — r15)
         val (cands, tCands) = time {
           graft.ext.Dedup.lshAppendCandidates(newKeys,
               graft.ext.Dedup.readLshIndexPruned(spark, idxPath, newKeys,
                 numPb),
-              256, standingCounts = Some(counts))
+              256)
             .localCheckpoint(eager = true)
         }
         // PRUNED verify: only the shingle cells the candidate
@@ -213,9 +198,8 @@ object DevIncr {
           lshRows = labels.count()
         }
         if (last) stages ++= Map("append" -> tAppend, "signature" -> tSig,
-          "counts" -> tCounts, "candidates" -> tCands,
-          "verify" -> tVerify, "fold" -> tFold)
-        tAppend + tSig + tCounts + tCands + tVerify + tFold
+          "candidates" -> tCands, "verify" -> tVerify, "fold" -> tFold)
+        tAppend + tSig + tCands + tVerify + tFold
       }
       val perBatch = (0 until nBatches).map(lshBatch)
       // TRICKLE probe (see the entity_res note)

@@ -334,52 +334,49 @@ object Dedup {
     * at 100 TB where a nightly full [[lshCandidatePairs]] rebuild is
     * not. */
   def lshAppendCandidates(newKeys: DataFrame, indexKeys: DataFrame,
-      maxBucket: Int,
-      standingCounts: Option[DataFrame] = None): DataFrame = {
-    val batchBuckets = newKeys.select(col("band"), col("bucket")).distinct()
-    // standingCounts: Some(per-bucket count table maintained via
-    // lshBucketCountsDelta/mergeLshBucketCounts, INCLUDING this
-    // batch's delta) answers the cap from O(buckets) count rows
-    // instead of re-aggregating the index (the ER guard's r15 fix,
-    // applied symmetrically)
-    val biggest = (standingCounts match {
-      case Some(counts) => counts
-        .join(batchBuckets, Seq("band", "bucket"), "left_semi")
-        .agg(coalesce(max(col("n")), lit(0L)))
-      case None => indexKeys.join(batchBuckets, Seq("band", "bucket"))
-        .groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("n"))
-        .agg(coalesce(max(col("n")), lit(0L)))
-    }).head().getLong(0)
-    require(biggest <= maxBucket,
-      s"lshAppendCandidates: a touched (band, bucket) holds $biggest " +
-        s"docs (> maxBucket=$maxBucket) — the append path has no " +
-        "star/salt fallback; dedup exact content first or raise the cap")
-    newKeys.select(col("band"), col("bucket"), col("doc_id").as("na"))
-      .join(indexKeys.select(col("band"), col("bucket"),
-        col("doc_id").as("nb")), Seq("band", "bucket"))
-      .filter(col("na") =!= col("nb"))
-      .select(least(col("na"), col("nb")).as("doc_a"),
-        greatest(col("na"), col("nb")).as("doc_b"))
-      .distinct()
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // GUARD FUSION (r15 — one pass over the touched index instead of
+    // a guard aggregation plus a separate candidate join; the
+    // [[graft.ext.Linkage.erAppendEdges]] scaladoc has the full
+    // argument incl. why a standing count table measured WORSE):
+    // rank docs within each touched (band, bucket), truncate at
+    // maxBucket+1 so the pass stays bounded even against a
+    // degenerate bucket, checkpoint, guard on max(rank) from the
+    // materialized frame, and feed the SAME frame — already
+    // partitioned on the join key by the window — to the candidate
+    // join.
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("doc_id"))
+    // persist + unpersist-in-finally, result materialized eagerly —
+    // the one-batch-scoped ranked frame must be freed before
+    // returning (the erAppendEdges accretion note)
+    val bounded = indexKeys.select(col("band"), col("bucket"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched-bucket fail-fast from the rank-(cap+1) WITNESS rows —
+      // a near-empty semi-join against the batch keys, never an index
+      // aggregation (see erAppendEdges)
+      val violated = bounded.filter(col("rn") === maxBucket + 1)
+        .join(newKeys.select(col("band"), col("bucket")),
+          Seq("band", "bucket"), "left_semi")
+        .limit(1).collect() // collect-ok: bounded by limit(1) — witness probe
+      require(violated.isEmpty,
+        s"lshAppendCandidates: a touched (band, bucket) holds > " +
+          s"maxBucket=$maxBucket docs — the append path has no " +
+          "star/salt fallback; dedup exact content first or raise the cap")
+      newKeys.select(col("band"), col("bucket"), col("doc_id").as("na"))
+        .join(bounded.select(col("band"), col("bucket"),
+          col("doc_id").as("nb")), Seq("band", "bucket"))
+        .filter(col("na") =!= col("nb"))
+        .select(least(col("na"), col("nb")).as("doc_a"),
+          greatest(col("na"), col("nb")).as("doc_b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+    } finally bounded.unpersist(false)
   }
-
-  /** Per-(band, bucket) doc counts of one band-key batch — the
-    * O(batch) delta for a standing LSH bucket-count table (each doc
-    * emits exactly one row per band, so raw counts ARE distinct-doc
-    * counts). Same exactness/upper-bound contract as
-    * [[graft.ext.Linkage.dkBucketCountsDelta]]: exact while each doc
-    * is ingested once; deletes don't decrement (sound upper bound);
-    * compaction rebuilds exact. */
-  def lshBucketCountsDelta(newKeys: DataFrame): DataFrame =
-    newKeys.select(col("band"), col("bucket"), col("doc_id")).distinct()
-      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-
-  /** Fold a batch's delta into the standing LSH bucket-count table —
-    * one sum over (standing ∪ delta) compact count rows. */
-  def mergeLshBucketCounts(standing: DataFrame, delta: DataFrame): DataFrame =
-    standing.unionByName(delta)
-      .groupBy(col("band"), col("bucket")).agg(sum(col("n")).as("n"))
 
   private val verifiedCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Double), DataFrame]
@@ -526,14 +523,6 @@ object Dedup {
     // way). The union plan stays nBatches leaves deep — flat.
     var shPieces = Seq.empty[DataFrame]
     var keyPieces = Seq.empty[DataFrame]
-    // standing per-bucket counts, maintained O(batch) — the cap
-    // guard reads these instead of re-aggregating the index (r15)
-    var counts = lshBucketCountsDelta(
-      docs.limit(0).transform(d => lshBandKeys(
-        shingleRowsFor(d, k).select(col("doc_id"),
-          graft.functions.exprs.minhash_sig_portable(col("sh"),
-            bands * rowsPerBand).as("sig")),
-        bands, rowsPerBand, compressBuckets = false)))
     var labels = docs
       .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
     for (b <- 0 until nBatches) {
@@ -548,11 +537,9 @@ object Dedup {
         .localCheckpoint(eager = true)
       shPieces :+= newSh
       keyPieces :+= newKeys
-      counts = mergeLshBucketCounts(counts, lshBucketCountsDelta(newKeys))
-        .localCheckpoint(eager = true)
       val edges = verifyPairs(shPieces.reduce(_ unionByName _),
         lshAppendCandidates(newKeys, keyPieces.reduce(_ unionByName _),
-          maxBucket, standingCounts = Some(counts)), threshold)
+          maxBucket), threshold)
       labels = ccIncrement(labels, edges).localCheckpoint(eager = true)
     }
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
@@ -611,14 +598,6 @@ object Dedup {
     var shPieces = Seq.empty[DataFrame]
     var keyPieces = Seq.empty[DataFrame]
     var edgePieces = Seq.empty[DataFrame]
-    def bandKeysFor(d: DataFrame): DataFrame = lshBandKeys(
-      shingleRowsFor(d, k).select(col("doc_id"),
-        graft.functions.exprs.minhash_sig_portable(col("sh"),
-          bands * rowsPerBand).as("sig")),
-      bands, rowsPerBand, compressBuckets = false)
-    // standing per-bucket counts (never decremented on delete — a
-    // sound upper bound; the re-add double-counts by contract)
-    var counts = lshBucketCountsDelta(bandKeysFor(docs.limit(0)))
     var labels = docs
       .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
     def addBatch(docsBatch: DataFrame): Unit = {
@@ -632,11 +611,9 @@ object Dedup {
         .localCheckpoint(eager = true)
       shPieces :+= newSh
       keyPieces :+= newKeys
-      counts = mergeLshBucketCounts(counts, lshBucketCountsDelta(newKeys))
-        .localCheckpoint(eager = true)
       val edges = verifyPairs(shPieces.reduce(_ unionByName _),
           lshAppendCandidates(newKeys, keyPieces.reduce(_ unionByName _),
-            maxBucket, standingCounts = Some(counts)), threshold)
+            maxBucket), threshold)
         .localCheckpoint(eager = true)
       edgePieces :+= edges
       labels = ccIncrement(labels, edges).localCheckpoint(eager = true)

