@@ -94,7 +94,9 @@ object BenchSf1 {
     // their final batch re-ingests the deleted slice, so the ratio
     // must track q327/q328's adds-replay shape with no new
     // super-linear term from the re-verify
-    "q329_entity_res_with_readds", "q330_lsh_clusters_with_readds")
+    "q329_entity_res_with_readds", "q330_lsh_clusters_with_readds",
+    // the simhash delete replay joins the family (same contract)
+    "q331_simhash_with_deletes")
 
   def main(args: Array[String]): Unit = {
     val sf01 = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -461,6 +461,11 @@ object SparkEntry {
       graft.ext.Linkage.entityResolutionWithReAdds(s, d)),
     "q330_lsh_clusters_with_readds" -> ((s, d) =>
       Dedup.lshDedupClustersWithReAdds(s, d)),
+    // q331: the delete verb on the LAST heavy family without it —
+    // simhash add/delete/add via the value-quotient stores; q46's
+    // oracle over the shrunk corpus gates it (the q327/q328 recipe)
+    "q331_simhash_with_deletes" -> ((s, d) =>
+      Dedup.simhashNearDupWithDeletes(s, d)),
     // q55/q56: hash-gated via dynamicOracleSql (fitted centroids
     // inlined as literals at Verify time — OracleGen)
     "q55_ivf_probe"       -> ((s, d) => Similarity.ivfProbe(s, d)),
@@ -7038,5 +7043,13 @@ object SparkEntry {
     // so the original one-shot oracles gate them unchanged — one
     // oracle, the complete CDC verb set (r14 item 2)
     ("q329_entity_res_with_readds" -> staticOracleSql("q184_entity_res")) +
-    ("q330_lsh_clusters_with_readds" -> staticOracleSql("q59_lsh_clusters"))
+    ("q330_lsh_clusters_with_readds" -> staticOracleSql("q59_lsh_clusters")) +
+    // q331 rebases q46's hamming oracle onto the shrunk corpus (the
+    // q328 dk-CTE recipe): same deleted slice predicate, same math
+    ("q331_simhash_with_deletes" -> {
+      val q46 = staticOracleSql("q46_simhash_near_dup")
+      "WITH dk AS (SELECT * FROM documents\n" +
+        "     WHERE NOT (doc_id % 7 = 3 AND doc_id % 3 <> 2)),\n" +
+        q46.stripPrefix("WITH ").replace("FROM documents", "FROM dk")
+    })
 }

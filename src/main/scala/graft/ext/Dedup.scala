@@ -2394,6 +2394,66 @@ object Dedup {
     out
   }
 
+  /** [[simhashNearDupIncremental]] plus the DELETE verb — q331: the
+    * q327/q328 add/delete/add discipline on the LAST heavy family
+    * without it (r15 — simhash had incremental maintenance and a
+    * maintain stream but no takedown story). Adds for the first
+    * (nBatches−1) doc batches, then a tombstone batch, then one more
+    * add batch against the tombstoned stores:
+    *
+    *   - the SIGNATURE store drops the removed docs' rows — later
+    *     member expansions cannot pair against ghosts;
+    *   - already-emitted pairs with a removed endpoint drop from the
+    *     output;
+    *   - the VALUE-KEY store may keep a value whose members are all
+    *     gone — HARMLESS by the quotient argument: a ghost value can
+    *     still form value pairs, but expansion runs through the
+    *     tombstoned signature store and yields no member pairs
+    *     (candidates-only cost, reclaimed at the next compaction).
+    *
+    * Hash-gated by q46's full-clique hamming oracle over the SHRUNK
+    * corpus — the same one-oracle-per-family recipe as q327/q328. */
+  def simhashNearDupWithDeletes(spark: SparkSession, dir: String,
+      bits: Int = 48, bands: Int = 4, maxDist: Int = 3,
+      maxBucket: Int = 4096, nBatches: Int = 3,
+      deleteMod: Int = 7, deleteRes: Int = 3): DataFrame = {
+    require(nBatches >= 2, "need at least one add batch after the deletes")
+    val docs = Tables.documents(spark, dir)
+    var sigPieces = Seq.empty[DataFrame]
+    var vkeyPieces = Seq.empty[DataFrame]
+    var out: DataFrame = null
+    def addBatch(batchDocs: DataFrame): Unit = {
+      val newSigs = simhashRowsPortable(batchDocs, bits)
+        .localCheckpoint(eager = true)
+      val newVKeys = simhashValueKeys(newSigs, bits, bands)
+        .localCheckpoint(eager = true)
+      sigPieces :+= newSigs
+      vkeyPieces :+= newVKeys
+      val pairs = simhashExpandPairs(
+          simhashAppendValuePairs(newVKeys,
+            vkeyPieces.reduce(_ unionByName _), maxDist, maxBucket),
+          newSigs, sigPieces.reduce(_ unionByName _))
+        .localCheckpoint(eager = true)
+      out = if (out == null) pairs else out.unionByName(pairs)
+    }
+    def modBatch(b: Int): DataFrame =
+      docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b)
+    (0 until nBatches - 1).foreach(b => addBatch(modBatch(b)))
+    val removed = docs
+      .filter(pmod(col("doc_id"), lit(deleteMod.toLong)) === deleteRes &&
+        pmod(col("doc_id"), lit(nBatches.toLong)) =!= (nBatches - 1))
+      .select(col("doc_id").as("id"))
+      .localCheckpoint(eager = true)
+    def dropIds(df: DataFrame, idCol: String): DataFrame =
+      df.join(removed.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    sigPieces = Seq(dropIds(sigPieces.reduce(_ unionByName _), "doc_id")
+      .localCheckpoint(eager = true))
+    out = dropIds(dropIds(out, "doc_a"), "doc_b")
+      .localCheckpoint(eager = true)
+    addBatch(modBatch(nBatches - 1))
+    out
+  }
+
   /** [[simhashDedup]]'s portable twin (q44): identical-signature
     * clusters over the q153 md5 token-hash family. */
   def simhashDedupPortable(spark: SparkSession, dir: String): DataFrame =

@@ -156,6 +156,26 @@ object Bucketed {
     p
   }
 
+  /** One [[auditPbLayout]] verdict. */
+  final case class PbLayoutAudit(storeBytes: Long, currentNumPb: Int,
+    suggestedNumPb: Int, migrationAdvised: Boolean)
+
+  /** The sizing rule applied AUTOMATICALLY from store stats — the
+    * executable form of "raise numPb when the index outgrows it": a
+    * maintenance job calls this between stream drains and triggers
+    * [[repartitionPbStore]] (via the family wrappers) when
+    * `migrationAdvised`. Only GROWTH is advised: an over-provisioned
+    * cell count costs directory writes per append (measured,
+    * BASELINE r14) but never correctness or probe I/O, so shrinking
+    * is left to an operator's judgment. */
+  def auditPbLayout(spark: SparkSession, path: String,
+      currentNumPb: Int, cellBytes: Long = 2L << 30): PbLayoutAudit = {
+    val bytes = storeBytes(spark, path)
+    val suggested = suggestNumPb(bytes, cellBytes)
+    PbLayoutAudit(bytes, currentNumPb, suggested,
+      suggested > currentNumPb)
+  }
+
   /** MIGRATE a pb-partitioned store to a NEW cell count — the layout
     * lifecycle's last verb (r14 verdict stretch): numPb is a static
     * write/read contract like a bucket count, so an index that

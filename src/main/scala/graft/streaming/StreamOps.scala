@@ -642,7 +642,10 @@ object StreamOps {
         .write.mode("overwrite").parquet(tmp.toString)
     val basePath = new org.apache.hadoop.fs.Path(root, baseName)
     if (fs.exists(basePath)) fs.delete(basePath, true)
-    fs.rename(tmp, basePath)
+    require(fs.rename(tmp, basePath),
+      s"foldCdcStore: rename $tmp -> $basePath failed — aborting " +
+        "before remnant deletion (the store is still complete; a " +
+        "replay re-runs the fold)")
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("ingest_batch=") && n != baseName)
@@ -1564,11 +1567,21 @@ object StreamOps {
     val sub = books.head.head.length
     val idx = indexPath match {
       case Some(p) =>
+        // persisted: the codes table is the RAM-resident serving
+        // artifact (m small ints per vector — the 32x cut), and a
+        // stream-static join re-executes its static side every
+        // micro-batch otherwise. Tombstone VISIBILITY on the
+        // streaming path is read-at-(re)start: the file listing and
+        // this cache are fixed when the plan is built, so a delete
+        // issued while the stream runs is served until the next
+        // restart/deploy — the batch probe re-reads per call and
+        // sees it immediately. A takedown SLA tighter than the
+        // restart cadence should bounce the serving stream.
         val codes = spark.read.parquet(p)
-        Similarity.ivfPqTombstones(spark, p) match {
+        (Similarity.ivfPqTombstones(spark, p) match {
           case Some(t) => codes.join(broadcast(t), Seq("vec_id"), "left_anti")
           case None => codes
-        }
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => Similarity.ivfPqIndex(spark, dir, k, m, ksub)
     }
     val probed = queries

@@ -474,6 +474,14 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(suggestNumPb(3L * (2L << 30)) == defaultProbeParts)
     assert(suggestNumPb(100L * (2L << 30)) == 128)
     assert(suggestNumPb(500L * (2L << 30)) == 512)
+    // the audit applies the rule from live store stats: a gate-scale
+    // store fits the default layout (no migration advised), and the
+    // advice flips exactly when suggested exceeds current
+    val audit = graft.sources.Bucketed.auditPbLayout(spark, idx64, 64)
+    assert(audit.storeBytes > 0L && audit.suggestedNumPb == 64 &&
+      !audit.migrationAdvised)
+    assert(graft.sources.Bucketed
+      .auditPbLayout(spark, idx64, 16).migrationAdvised)
   }
 
   test("compactPbStore: refuses pb-less stores, folds a removed-ids frame") {
