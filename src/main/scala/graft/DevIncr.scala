@@ -121,7 +121,7 @@ object DevIncr {
       val (_, tPruned) = time {
         graft.ext.Linkage.erAppendEdges(trickleKeys,
           graft.ext.Linkage.readDeletionKeyIndexPruned(spark, idxPath,
-            trickleKeys, numPb)).count()
+            trickleKeys, numPb), pruneTouched = true).count()
       }
       val (_, tFull) = time {
         graft.ext.Linkage.erAppendEdges(trickleKeys,
@@ -213,7 +213,7 @@ object DevIncr {
         graft.ext.Dedup.lshAppendCandidates(trickleKeys,
           graft.ext.Dedup.readLshIndexPruned(spark, idxPath, trickleKeys,
             numPb),
-          256).count()
+          256, pruneTouched = true).count()
       }
       val (_, tFull) = time {
         graft.ext.Dedup.lshAppendCandidates(trickleKeys,

@@ -334,7 +334,7 @@ object Dedup {
     * at 100 TB where a nightly full [[lshCandidatePairs]] rebuild is
     * not. */
   def lshAppendCandidates(newKeys: DataFrame, indexKeys: DataFrame,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, pruneTouched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // GUARD FUSION (r15 — one pass over the touched index instead of
     // a guard aggregation plus a separate candidate join; the
@@ -351,14 +351,30 @@ object Dedup {
     // persist + unpersist-in-finally, result materialized eagerly —
     // the one-batch-scoped ranked frame must be freed before
     // returning (the erAppendEdges accretion note)
-    val bounded = indexKeys.select(col("band"), col("bucket"), col("doc_id"))
+    // pruneTouched (r15 opt, TRICKLE paths only): restrict the index
+    // to the batch's bucket set BEFORE ranking — untouched buckets
+    // cannot contribute candidates or witness rows, so they never
+    // enter the rank shuffle (O(touched) instead of O(index); ranks
+    // within touched buckets are unchanged — whole buckets drop,
+    // never rows within one). Default OFF: on bulk replay batches
+    // the extra distinct + semi-join stages cost more than the saved
+    // shuffle (see the erAppendEdges measurement note); probe paths
+    // (batch ≪ index) opt in.
+    val probed =
+      if (pruneTouched)
+        indexKeys.select(col("band"), col("bucket"), col("doc_id"))
+          .join(newKeys.select(col("band"), col("bucket")).distinct(),
+            Seq("band", "bucket"), "left_semi")
+      else indexKeys.select(col("band"), col("bucket"), col("doc_id"))
+    val bounded = probed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucket + 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // touched-bucket fail-fast from the rank-(cap+1) WITNESS rows —
-      // a near-empty semi-join against the batch keys, never an index
-      // aggregation (see erAppendEdges)
+      // a near-empty semi-join against the batch keys (under
+      // pruneTouched already touched-only; the semi-join is then a
+      // cheap no-op filter), never an index aggregation
       val violated = bounded.filter(col("rn") === maxBucket + 1)
         .join(newKeys.select(col("band"), col("bucket")),
           Seq("band", "bucket"), "left_semi")

@@ -135,7 +135,7 @@ object Linkage {
     // 2-column pairs instead of every candidate row with both names
     val edges = a.join(b, Seq("nk", "seg", "k"))
       .filter(col("ca") < col("cb"))
-      .filter(levenshtein(col("na"), col("nb")) <= maxDist)
+      .filter(levenshtein(col("na"), col("nb"), maxDist) >= 0)
       .select(col("ca").as("doc_a"), col("cb").as("doc_b")).distinct()
     // "auto": a pathological entity chain (A≈B≈C≈… each within edit
     // distance) exceeds any fixed diameter budget; escalation to
@@ -196,7 +196,8 @@ object Linkage {
     * batch-deterministic append overwrites rather than duplicates
     * (r13 ADVICE). */
   def erAppendEdges(newKeys: DataFrame, indexKeys: DataFrame,
-      maxDist: Int = 1, maxBucket: Int = 256): DataFrame = {
+      maxDist: Int = 1, maxBucket: Int = 256,
+      pruneTouched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window
       .partitionBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
@@ -207,9 +208,35 @@ object Linkage {
     // executor (measured: batches 6-9 went 16 -> 99 s under the
     // accumulated blocks). The result frame is matched-pairs-sized;
     // materializing IT eagerly lets the big frame release in finally.
-    val bounded = indexKeys
-      .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
-        col("c_custkey"), col("c_name"))
+    //
+    // pruneTouched (r15 opt, TRICKLE paths only): semi-join the index
+    // on the batch's bucket set BEFORE ranking — only buckets the
+    // batch touches can contribute candidates or witness rows, so
+    // rows of untouched buckets never enter the rank shuffle
+    // (O(touched) instead of O(index); the bucket-exact refinement of
+    // the pb-cell pruned READ, and the discipline
+    // [[graft.ext.Dedup.simhashAppendValuePairs]] already applies).
+    // Ranks within a touched bucket are unchanged — the filter drops
+    // whole buckets, never rows within one — so candidates, witness
+    // semantics and the fail-fast are byte-identical either way
+    // (parity spec'd). DEFAULT OFF because the prefilter pays a
+    // distinct + semi-join stage per batch: measured at sf0.1 on the
+    // bulk replays (batch ≈ index/nBatches, most buckets touched)
+    // that overhead exceeds the saved shuffle (q323 4.4 → 7.7 s);
+    // on a point/trickle probe (batch ≪ index) the saved index
+    // shuffle dominates, so the probe paths opt in.
+    val probed =
+      if (pruneTouched)
+        indexKeys
+          .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+            col("c_custkey"), col("c_name"))
+          .join(newKeys.select(col("c_nationkey"), col("c_mktsegment"),
+            col("k")).distinct(),
+            Seq("c_nationkey", "c_mktsegment", "k"), "left_semi")
+      else indexKeys
+        .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+          col("c_custkey"), col("c_name"))
+    val bounded = probed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucket + 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -217,8 +244,9 @@ object Linkage {
       // touched-bucket fail-fast from the WITNESS rows alone: a
       // bucket over the cap kept exactly one rank-(cap+1) row, so
       // the check is a near-empty semi-join against the batch's keys
-      // (a bucket is TOUCHED iff it joins a new key) — never an
-      // index aggregation, and no batchBuckets-vs-index shuffle
+      // (a bucket is TOUCHED iff it joins a new key; under
+      // pruneTouched the frame is already touched-only and the semi
+      // join is a cheap no-op filter) — never an index aggregation
       val violated = bounded.filter(col("rn") === maxBucket + 1)
         .join(newKeys.select(col("c_nationkey"), col("c_mktsegment"),
           col("k")), Seq("c_nationkey", "c_mktsegment", "k"), "left_semi")
@@ -233,7 +261,7 @@ object Linkage {
           col("k"), col("c_custkey").as("cb"), col("c_name").as("nb")),
           Seq("c_nationkey", "c_mktsegment", "k"))
         .filter(col("ca") =!= col("cb"))
-        .filter(levenshtein(col("na"), col("nb")) <= maxDist)
+        .filter(levenshtein(col("na"), col("nb"), maxDist) >= 0)
         .select(least(col("ca"), col("cb")).as("doc_a"),
           greatest(col("ca"), col("cb")).as("doc_b"))
         .distinct()

@@ -438,6 +438,42 @@ class IncrementalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("pruneTouched prefilter: probe-path edges equal the default path, fail-fast preserved") {
+    // r15 opt: the trickle-probe opt-in restricts the rank pass to
+    // buckets the batch touches. Untouched buckets cannot contribute
+    // candidates or witness rows, so output must be IDENTICAL to the
+    // default (full-rank) pass — on a partial batch, where untouched
+    // buckets actually exist.
+    val recs = Tables.customer(spark, sf)
+    val newKeys = Linkage.deletionKeyTable(
+      recs.filter(pmod(col("c_custkey"), lit(5L)) === 0))
+      .localCheckpoint(eager = true)
+    val index = Linkage.deletionKeyTable(recs).localCheckpoint(eager = true)
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs(Linkage.erAppendEdges(newKeys, index, pruneTouched = true))
+      == pairs(Linkage.erAppendEdges(newKeys, index)))
+    val docs = Tables.documents(spark, sf)
+    def bandKeys(d: org.apache.spark.sql.DataFrame) = Dedup.lshBandKeys(
+      Dedup.shingleRowsFor(d, 3).select(col("doc_id"),
+        Dedup.minhashFromShingles(col("sh"), 32).as("sig")),
+      bands = 8, rowsPerBand = 4).localCheckpoint(eager = true)
+    val newBand = bandKeys(docs.filter(pmod(col("doc_id"), lit(5L)) === 0))
+    val bandIdx = bandKeys(docs)
+    assert(pairs(Dedup.lshAppendCandidates(newBand, bandIdx,
+        maxBucket = 256, pruneTouched = true))
+      == pairs(Dedup.lshAppendCandidates(newBand, bandIdx, maxBucket = 256)))
+    // fail-fast must survive the prefilter: the batch touches the
+    // oversized bucket, so the witness row is retained either way
+    intercept[IllegalArgumentException] {
+      Linkage.erAppendEdges(index, index, maxBucket = 1, pruneTouched = true)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshAppendCandidates(bandIdx, bandIdx, maxBucket = 1,
+        pruneTouched = true)
+    }
+  }
+
   test("numPb re-layout migration: probes unchanged, new layout pruned, sizing rule") {
     val recs = Tables.customer(spark, sf)
     val idx16 = tmpDir("dk_mig16") + "/idx"
