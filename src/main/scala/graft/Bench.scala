@@ -81,6 +81,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r15 opt: the engine's limit(n).collect() calls are GUARD
+      // probes (witness rows, boundedGrid caps) that are expected to
+      // scan every partition — near-empty frames or size checks —
+      // so executeTake's default start-at-1-partition ramp (1, 4,
+      // 16, …) costs 3-4 sequential driver jobs per probe where one
+      // suffices. Start at the session width (scale-parameterized,
+      // not a local[32] constant); real top-k queries go through
+      // TakeOrderedAndProject and are unaffected.
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -33,6 +33,10 @@ object GraftSession {
       .master(master)
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // guard probes (witness limits, boundedGrid caps) scan every
+      // partition anyway; starting executeTake at the session width
+      // avoids the 1→4→16 ramp's sequential driver jobs per probe
+      .config("spark.sql.limit.initialNumPartitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${256L << 20}")

@@ -1146,10 +1146,9 @@ object Dedup {
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)
-    val e = truncate(
-      edges.select(col(src).as("a"), col(dst).as("b"))
-        .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-        .distinct(), eager = true)
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
     // Altitude switch (the hits/pageRank/textRank rule, applied to
     // the one operator every dedup composition pays for): under the
     // DEFAULT "auto" policy, a distinct edge set small enough to
@@ -1163,19 +1162,29 @@ object Dedup {
     // q45/q103/q184's tail. EXPLICIT algorithm="labelprop"/"doubling"
     // always run distributed (they gate those algorithms — q317),
     // as does any grid over the cap or with an exotic key type.
-    val driverType = e.schema("a").dataType match {
+    val driverType = e0.schema("a").dataType match {
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    // cheap checks first: explicit-algorithm / exotic-key calls must
-    // not pay the count action for a branch they can never take; an
-    // EMPTY grid stays distributed so driverGridMax = 0 is a true
-    // force-distributed escape hatch even with zero edges
-    if (algorithm == "auto" && driverType && {
-        val eCount = e.count(); eCount > 0 && eCount <= driverGridMax })
-      return ccDriver(e, driverGridMax)
+    // ONE action decides the altitude AND fetches the grid (r15 opt:
+    // the old shape paid an eager lineage truncation plus a count
+    // plus the collect — three driver jobs — before the first
+    // union-find step; a limit(cap+1) collect is the same size guard
+    // with the data in hand, and every replay batch's ccIncrement
+    // pays this path). An EMPTY grid stays distributed so
+    // driverGridMax = 0 remains a true force-distributed escape
+    // hatch; an over-cap grid falls through to the distributed loop,
+    // whose eager truncation then happens exactly as before.
+    if (algorithm == "auto" && driverType && driverGridMax > 0) {
+      // collect-ok: bounded by limit(driverGridMax + 1) — this IS the
+      // altitude guard (the boundedGrid discipline, fused)
+      val grid = e0.limit(driverGridMax + 1).collect()
+      if (grid.nonEmpty && grid.length <= driverGridMax)
+        return ccDriver(grid, e0.schema("a").dataType, e0.sparkSession)
+    }
+    val e = truncate(e0, eager = true)
     // Witness = DECIMAL-exact sum of xxhash64(label): type-agnostic
     // (labels may be strings — the q297 source graph), overflow-proof
     // under ANSI, and faithful because labels only DECREASE — any
@@ -1283,9 +1292,9 @@ object Dedup {
     * spec anyway. String keys compare as unsigned UTF-8 bytes
     * (Spark's binary string ordering), so a q297-shaped string graph
     * gets the same minimum Spark's `min` would pick. */
-  private def ccDriver(e: DataFrame, driverGridMax: Int): DataFrame = {
-    val spark = e.sparkSession
-    val dt = e.schema("a").dataType
+  private def ccDriver(gridRows: Array[org.apache.spark.sql.Row],
+      dt: org.apache.spark.sql.types.DataType,
+      spark: SparkSession): DataFrame = {
     val ord: Ordering[Any] = dt match {
       case org.apache.spark.sql.types.StringType =>
         graft.ext.Guards.utf8Ordering.on[Any](_.asInstanceOf[String])
@@ -1295,10 +1304,7 @@ object Dedup {
           y.asInstanceOf[Number].longValue)
       }
     }
-    val grid = graft.ext.Guards
-      .boundedGrid(e, math.max(driverGridMax, 1),
-        "connectedComponents edge grid")
-      .map(r => (r.get(0), r.get(1)))
+    val grid = gridRows.map(r => (r.get(0), r.get(1)))
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     grid.foreach { case (a, b) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)

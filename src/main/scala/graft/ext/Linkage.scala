@@ -359,9 +359,11 @@ object Linkage {
       val newKeys = deletionKeyTable(recsBatch)
         .localCheckpoint(eager = true)
       keyPieces :+= newKeys
+      // erAppendEdges already returns an eagerly localCheckpointed
+      // frame — re-checkpointing it copied every block again (one
+      // wasted job per batch, r15 opt)
       val edges = erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
           maxDist, maxBucket)
-        .localCheckpoint(eager = true)
       edgePieces :+= edges
       labels = Dedup.ccIncrement(labels, edges)
         .localCheckpoint(eager = true)
@@ -431,9 +433,11 @@ object Linkage {
       val newKeys = deletionKeyTable(recsBatch)
         .localCheckpoint(eager = true)
       keyPieces :+= newKeys
+      // erAppendEdges already returns an eagerly localCheckpointed
+      // frame — re-checkpointing it copied every block again (one
+      // wasted job per batch, r15 opt)
       val edges = erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
           maxDist, maxBucket)
-        .localCheckpoint(eager = true)
       edgePieces :+= edges
       labels = Dedup.ccIncrement(labels, edges)
         .localCheckpoint(eager = true)
