@@ -90,6 +90,12 @@ object Bench {
       // not a local[32] constant); real top-k queries go through
       // TakeOrderedAndProject and are unaffected.
       .config("spark.sql.limit.initialNumPartitions", cpus)
+      // r15 opt: the default 100-entry codegen class cache thrashes
+      // under a 300+-query catalog (every pass re-runs Janino on
+      // every whole-stage unit); 10k entries ≈ tens of MB of driver
+      // memory and lets repeated plans reuse their compiled classes
+      // at any scale (static conf — must be set before the session).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -37,6 +37,9 @@ object GraftSession {
       // partition anyway; starting executeTake at the session width
       // avoids the 1→4→16 ramp's sequential driver jobs per probe
       .config("spark.sql.limit.initialNumPartitions", cores.toString)
+      // many-query workloads thrash the default 100-entry codegen
+      // class cache; 10k entries costs tens of MB on the driver
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${256L << 20}")

@@ -556,7 +556,9 @@ object Dedup {
       val edges = verifyPairs(shPieces.reduce(_ unionByName _),
         lshAppendCandidates(newKeys, keyPieces.reduce(_ unionByName _),
           maxBucket), threshold)
-      labels = ccIncrement(labels, edges).localCheckpoint(eager = true)
+      // lazy: materializes inside the next batch's first action
+      // (the quotient grid collect touches every label partition)
+      labels = ccIncrement(labels, edges).localCheckpoint(eager = false)
     }
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
   }
@@ -632,7 +634,9 @@ object Dedup {
             maxBucket), threshold)
         .localCheckpoint(eager = true)
       edgePieces :+= edges
-      labels = ccIncrement(labels, edges).localCheckpoint(eager = true)
+      // lazy: materializes inside the next batch's first action
+      // (the quotient grid collect touches every label partition)
+      labels = ccIncrement(labels, edges).localCheckpoint(eager = false)
     }
     def modBatch(b: Int): DataFrame =
       docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b)
@@ -1813,7 +1817,7 @@ object Dedup {
     for (b <- 0 until nBatches) {
       labels = ccIncrement(labels,
           edges.filter(pmod(col("doc_a"), lit(nBatches.toLong)) === b))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false) // lazy — the replay-loop note
     }
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
   }

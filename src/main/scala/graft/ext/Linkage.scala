@@ -149,10 +149,14 @@ object Linkage {
     * incremental, and streaming ER paths so their outputs compare
     * row-for-row. */
   def entityOutput(comps: DataFrame): DataFrame = {
-    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
-    comps.join(sizes, "label")
-      .select(col("id").as("c_custkey"), col("label").as("entity_id"),
-        col("n_members"))
+    // ONE exchange (r15 opt): a count window over the label partition
+    // replaces the groupBy + join-back (aggregate shuffle plus a
+    // second join pass over the component table). Partition sizes are
+    // component sizes — matched-entity cliques, never corpus-sized —
+    // so the window is skew-safe at any scale.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    comps.select(col("id").as("c_custkey"), col("label").as("entity_id"),
+      count(lit(1)).over(w).as("n_members"))
   }
 
   /** Matched edges a NEW record batch introduces against a standing
@@ -303,7 +307,10 @@ object Linkage {
       labels = Dedup.ccIncrement(labels,
           erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
             maxDist, maxBucket))
-        .localCheckpoint(eager = true)
+        // lazy: materializes inside the next batch's first action
+        // (the quotient grid collect touches every label partition),
+        // saving a dedicated per-batch materialization job (r15 opt)
+        .localCheckpoint(eager = false)
     }
     entityOutput(labels.select(col("id"), col("label")))
   }
@@ -366,7 +373,7 @@ object Linkage {
           maxDist, maxBucket)
       edgePieces :+= edges
       labels = Dedup.ccIncrement(labels, edges)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false) // lazy — see the q323 loop note
     }
     def modBatch(b: Int): DataFrame =
       recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b)
@@ -440,7 +447,7 @@ object Linkage {
           maxDist, maxBucket)
       edgePieces :+= edges
       labels = Dedup.ccIncrement(labels, edges)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false) // lazy — see the q323 loop note
     }
     def modBatch(b: Int): DataFrame =
       recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b)
