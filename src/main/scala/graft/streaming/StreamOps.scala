@@ -231,10 +231,13 @@ object StreamOps {
       graft.ext.Linkage.appendToDeletionKeyIndexBatch(b, indexPath, id,
         numPb)
       val newKeys = graft.ext.Linkage.deletionKeyTable(b)
+      // pruneTouched: a streaming micro-batch is trickle-shaped by
+      // design (batch ≪ standing index), the regime where the
+      // bucket-exact rank prefilter wins (r15 opt)
       val edges = graft.ext.Linkage.erAppendEdges(newKeys,
         graft.ext.Linkage.readDeletionKeyIndexPruned(spark, indexPath,
           newKeys, numPb),
-        maxDist, maxBucket)
+        maxDist, maxBucket, pruneTouched = true)
       val merged = graft.ext.Dedup
         .ccIncrement(ref.get(), edges, driverGridMax = driverGridMax)
         .localCheckpoint(eager = true)
@@ -332,7 +335,7 @@ object StreamOps {
             indexPath, newKeys, numPb),
           tombstoneVersions(spark, tombPath), "c_custkey")
         val edges = graft.ext.Linkage.erAppendEdges(newKeys, live,
-            maxDist, maxBucket)
+            maxDist, maxBucket, pruneTouched = true) // trickle regime
           .localCheckpoint(eager = true)
         edges.write.mode("overwrite")
           .parquet(s"$edgePath/ingest_batch=$id")
@@ -427,7 +430,7 @@ object StreamOps {
         val cands = graft.ext.Dedup.lshAppendCandidates(newKeys,
             maskVersioned(graft.ext.Dedup.readLshIndexPruned(spark,
               indexPath, newKeys, numPb), tv, "doc_id"),
-            maxBucket)
+            maxBucket, pruneTouched = true) // trickle regime
           .localCheckpoint(eager = true)
         val edges = graft.ext.Dedup.verifyPairs(
             maskVersioned(graft.ext.Dedup.readShingleStorePruned(spark,
