@@ -544,13 +544,13 @@ object Dedup {
     for (b <- 0 until nBatches) {
       val newSh = shingleRowsFor(
         docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b), k)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val newKeys = lshBandKeys(
         newSh.select(col("doc_id"),
           graft.functions.exprs.minhash_sig_portable(col("sh"),
             bands * rowsPerBand).as("sig")),
         bands, rowsPerBand, compressBuckets = false)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       shPieces :+= newSh
       keyPieces :+= newKeys
       val edges = verifyPairs(shPieces.reduce(_ unionByName _),
@@ -620,19 +620,19 @@ object Dedup {
       .select(col("doc_id").as("id"), col("doc_id").as("label")).limit(0)
     def addBatch(docsBatch: DataFrame): Unit = {
       val newSh = shingleRowsFor(docsBatch, k)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val newKeys = lshBandKeys(
         newSh.select(col("doc_id"),
           graft.functions.exprs.minhash_sig_portable(col("sh"),
             bands * rowsPerBand).as("sig")),
         bands, rowsPerBand, compressBuckets = false)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       shPieces :+= newSh
       keyPieces :+= newKeys
       val edges = verifyPairs(shPieces.reduce(_ unionByName _),
           lshAppendCandidates(newKeys, keyPieces.reduce(_ unionByName _),
             maxBucket), threshold)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       edgePieces :+= edges
       // lazy: materializes inside the next batch's first action
       // (the quotient grid collect touches every label partition)
@@ -644,19 +644,19 @@ object Dedup {
     val removedDocs = docs
       .filter(pmod(col("doc_id"), lit(deleteMod.toLong)) === deleteRes &&
         pmod(col("doc_id"), lit(nBatches.toLong)) =!= (nBatches - 1))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val removed = removedDocs.select(col("doc_id").as("id"))
     def dropIds(df: DataFrame, idCol: String): DataFrame =
       df.join(removed.select(col("id").as(idCol)), Seq(idCol), "left_anti")
     shPieces = Seq(dropIds(shPieces.reduce(_ unionByName _), "doc_id")
-      .localCheckpoint(eager = true))
+      .localCheckpoint(eager = false))
     keyPieces = Seq(dropIds(keyPieces.reduce(_ unionByName _), "doc_id")
-      .localCheckpoint(eager = true))
+      .localCheckpoint(eager = false))
     val edgeStore = edgePieces.reduce(_ unionByName _)
     labels = ccDecrement(labels, edgeStore, removed)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     edgePieces = Seq(dropIds(dropIds(edgeStore, "doc_a"), "doc_b")
-      .localCheckpoint(eager = true))
+      .localCheckpoint(eager = false))
     addBatch(modBatch(nBatches - 1))
     if (reAdd) addBatch(removedDocs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
@@ -1812,7 +1812,7 @@ object Dedup {
       nBatches: Int = 3): DataFrame = {
     import spark.implicits._
     val edges = jaccardPairs(spark, dir, maxId, threshold)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var labels = Seq.empty[(Long, Long)].toDF("id", "label")
     for (b <- 0 until nBatches) {
       labels = ccIncrement(labels,
@@ -2399,12 +2399,12 @@ object Dedup {
     for (b <- 0 until nBatches) {
       val newSigs = simhashRowsPortable(
         docs.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b), bits)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       // band keys of the batch's DISTINCT values (a value re-appearing
       // across batches duplicates keys in the store — the value-pair
       // distinct in [[simhashAppendValuePairs]] absorbs it)
       val newVKeys = simhashValueKeys(newSigs, bits, bands)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       sigPieces :+= newSigs
       vkeyPieces :+= newVKeys
       // touched value-buckets only (quotient guard), hamming filter
@@ -2414,7 +2414,7 @@ object Dedup {
           simhashAppendValuePairs(newVKeys,
             vkeyPieces.reduce(_ unionByName _), maxDist, maxBucket),
           newSigs, sigPieces.reduce(_ unionByName _))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       out = if (out == null) pairs else out.unionByName(pairs)
     }
     out
@@ -2450,16 +2450,16 @@ object Dedup {
     var out: DataFrame = null
     def addBatch(batchDocs: DataFrame): Unit = {
       val newSigs = simhashRowsPortable(batchDocs, bits)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val newVKeys = simhashValueKeys(newSigs, bits, bands)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       sigPieces :+= newSigs
       vkeyPieces :+= newVKeys
       val pairs = simhashExpandPairs(
           simhashAppendValuePairs(newVKeys,
             vkeyPieces.reduce(_ unionByName _), maxDist, maxBucket),
           newSigs, sigPieces.reduce(_ unionByName _))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       out = if (out == null) pairs else out.unionByName(pairs)
     }
     def modBatch(b: Int): DataFrame =
@@ -2469,13 +2469,13 @@ object Dedup {
       .filter(pmod(col("doc_id"), lit(deleteMod.toLong)) === deleteRes &&
         pmod(col("doc_id"), lit(nBatches.toLong)) =!= (nBatches - 1))
       .select(col("doc_id").as("id"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     def dropIds(df: DataFrame, idCol: String): DataFrame =
       df.join(removed.select(col("id").as(idCol)), Seq(idCol), "left_anti")
     sigPieces = Seq(dropIds(sigPieces.reduce(_ unionByName _), "doc_id")
-      .localCheckpoint(eager = true))
+      .localCheckpoint(eager = false))
     out = dropIds(dropIds(out, "doc_a"), "doc_b")
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     addBatch(modBatch(nBatches - 1))
     out
   }

@@ -302,7 +302,7 @@ object Linkage {
     for (b <- 0 until nBatches) {
       val newKeys = deletionKeyTable(
         recs.filter(pmod(col("c_custkey"), lit(nBatches.toLong)) === b))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       keyPieces :+= newKeys
       labels = Dedup.ccIncrement(labels,
           erAppendEdges(newKeys, keyPieces.reduce(_ unionByName _),
@@ -364,7 +364,7 @@ object Linkage {
       .limit(0)
     def addBatch(recsBatch: DataFrame): Unit = {
       val newKeys = deletionKeyTable(recsBatch)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       keyPieces :+= newKeys
       // erAppendEdges already returns an eagerly localCheckpointed
       // frame — re-checkpointing it copied every block again (one
@@ -386,18 +386,18 @@ object Linkage {
       .filter(pmod(col("c_custkey"), lit(deleteMod.toLong)) === deleteRes &&
         pmod(col("c_custkey"), lit(nBatches.toLong)) =!= (nBatches - 1))
       .select(col("c_custkey").as("id"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     keyPieces = Seq(keyPieces.reduce(_ unionByName _)
       .join(removed.select(col("id").as("c_custkey")), Seq("c_custkey"),
         "left_anti")
-      .localCheckpoint(eager = true))
+      .localCheckpoint(eager = false))
     val edgeStore = edgePieces.reduce(_ unionByName _)
     labels = Dedup.ccDecrement(labels, edgeStore, removed)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     edgePieces = Seq(edgeStore
       .join(removed.select(col("id").as("doc_a")), Seq("doc_a"), "left_anti")
       .join(removed.select(col("id").as("doc_b")), Seq("doc_b"), "left_anti")
-      .localCheckpoint(eager = true))
+      .localCheckpoint(eager = false))
     addBatch(modBatch(nBatches - 1))
     entityOutput(labels.select(col("id"), col("label")))
       .filter(col("n_members") > 1)
@@ -438,7 +438,7 @@ object Linkage {
       .limit(0)
     def addBatch(recsBatch: DataFrame): Unit = {
       val newKeys = deletionKeyTable(recsBatch)
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       keyPieces :+= newKeys
       // erAppendEdges already returns an eagerly localCheckpointed
       // frame — re-checkpointing it copied every block again (one
@@ -455,19 +455,19 @@ object Linkage {
     val removedRecs = recs
       .filter(pmod(col("c_custkey"), lit(deleteMod.toLong)) === deleteRes &&
         pmod(col("c_custkey"), lit(nBatches.toLong)) =!= (nBatches - 1))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val removed = removedRecs.select(col("c_custkey").as("id"))
     keyPieces = Seq(keyPieces.reduce(_ unionByName _)
       .join(removed.select(col("id").as("c_custkey")), Seq("c_custkey"),
         "left_anti")
-      .localCheckpoint(eager = true))
+      .localCheckpoint(eager = false))
     val edgeStore = edgePieces.reduce(_ unionByName _)
     labels = Dedup.ccDecrement(labels, edgeStore, removed)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     edgePieces = Seq(edgeStore
       .join(removed.select(col("id").as("doc_a")), Seq("doc_a"), "left_anti")
       .join(removed.select(col("id").as("doc_b")), Seq("doc_b"), "left_anti")
-      .localCheckpoint(eager = true))
+      .localCheckpoint(eager = false))
     addBatch(modBatch(nBatches - 1))
     // the RE-ADD batch: the deleted records arrive again, after the
     // post-delete adds — the index and edges treat them as new
