@@ -215,7 +215,8 @@ object StreamOps {
       maxDist: Int = 1, maxBucket: Int = 256,
       driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax,
       storePath: Option[String] = None, keepSnapshots: Int = 2,
-      numPb: Int = graft.sources.Bucketed.defaultProbeParts)
+      numPb: Int = graft.sources.Bucketed.defaultProbeParts,
+      pruneTouched: Boolean = false)
       : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
     val spark = records.sparkSession
@@ -231,13 +232,17 @@ object StreamOps {
       graft.ext.Linkage.appendToDeletionKeyIndexBatch(b, indexPath, id,
         numPb)
       val newKeys = graft.ext.Linkage.deletionKeyTable(b)
-      // pruneTouched: a streaming micro-batch is trickle-shaped by
-      // design (batch ≪ standing index), the regime where the
-      // bucket-exact rank prefilter wins (r15 opt)
+      // pruneTouched: caller-set — TRUE for trickle deployments
+      // (batch ≪ standing index, where the bucket-exact rank
+      // prefilter wins: sf10 point probe 6.7×); FALSE (default) for
+      // bulk/backfill mixes, where the prefilter's extra stages
+      // measured 15-35 % slower per batch at the sf10 pricing mix
+      // (1/8-corpus batches) — the same regime split as the batch
+      // appenders' opt-in (r15 opt)
       val edges = graft.ext.Linkage.erAppendEdges(newKeys,
         graft.ext.Linkage.readDeletionKeyIndexPruned(spark, indexPath,
           newKeys, numPb),
-        maxDist, maxBucket, pruneTouched = true)
+        maxDist, maxBucket, pruneTouched = pruneTouched)
       val merged = graft.ext.Dedup
         .ccIncrement(ref.get(), edges, driverGridMax = driverGridMax)
         .localCheckpoint(eager = true)
@@ -298,7 +303,7 @@ object StreamOps {
       driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax,
       storePath: Option[String] = None, keepSnapshots: Int = 2,
       numPb: Int = graft.sources.Bucketed.defaultProbeParts,
-      compactEvery: Int = 16)
+      compactEvery: Int = 16, pruneTouched: Boolean = false)
       : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
     val spark = records.sparkSession
@@ -335,7 +340,7 @@ object StreamOps {
             indexPath, newKeys, numPb),
           tombstoneVersions(spark, tombPath), "c_custkey")
         val edges = graft.ext.Linkage.erAppendEdges(newKeys, live,
-            maxDist, maxBucket, pruneTouched = true) // trickle regime
+            maxDist, maxBucket, pruneTouched = pruneTouched)
           .localCheckpoint(eager = true)
         edges.write.mode("overwrite")
           .parquet(s"$edgePath/ingest_batch=$id")
@@ -389,7 +394,7 @@ object StreamOps {
       driverGridMax: Int = graft.ext.Guards.defaultDriverGridMax,
       storePath: Option[String] = None, keepSnapshots: Int = 2,
       numPb: Int = graft.sources.Bucketed.defaultProbeParts,
-      compactEvery: Int = 16)
+      compactEvery: Int = 16, pruneTouched: Boolean = false)
       : (DataStreamWriter[org.apache.spark.sql.Row], () => DataFrame) = {
     require(keepSnapshots >= 1, "keepSnapshots must be >= 1")
     val spark = docs.sparkSession
@@ -430,7 +435,7 @@ object StreamOps {
         val cands = graft.ext.Dedup.lshAppendCandidates(newKeys,
             maskVersioned(graft.ext.Dedup.readLshIndexPruned(spark,
               indexPath, newKeys, numPb), tv, "doc_id"),
-            maxBucket, pruneTouched = true) // trickle regime
+            maxBucket, pruneTouched = pruneTouched)
           .localCheckpoint(eager = true)
         val edges = graft.ext.Dedup.verifyPairs(
             maskVersioned(graft.ext.Dedup.readShingleStorePruned(spark,
