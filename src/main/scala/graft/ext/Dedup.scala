@@ -348,9 +348,6 @@ object Dedup {
     // join.
     val w = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(col("doc_id"))
-    // persist + unpersist-in-finally, result materialized eagerly —
-    // the one-batch-scoped ranked frame must be freed before
-    // returning (the erAppendEdges accretion note)
     // pruneTouched (r15 opt, TRICKLE paths only): restrict the index
     // to the batch's bucket set BEFORE ranking — untouched buckets
     // cannot contribute candidates or witness rows, so they never
@@ -366,32 +363,41 @@ object Dedup {
           .join(newKeys.select(col("band"), col("bucket")).distinct(),
             Seq("band", "bucket"), "left_semi")
       else indexKeys.select(col("band"), col("bucket"), col("doc_id"))
+    // rank + truncate at cap+1 keeps the pass bounded against a
+    // degenerate bucket; the surviving rank column is the guard
+    // witness
     val bounded = probed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucket + 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // touched-bucket fail-fast from the rank-(cap+1) WITNESS rows —
-      // a near-empty semi-join against the batch keys (under
-      // pruneTouched already touched-only; the semi-join is then a
-      // cheap no-op filter), never an index aggregation
-      val violated = bounded.filter(col("rn") === maxBucket + 1)
-        .join(newKeys.select(col("band"), col("bucket")),
-          Seq("band", "bucket"), "left_semi")
-        .limit(1).collect() // collect-ok: bounded by limit(1) — witness probe
-      require(violated.isEmpty,
-        s"lshAppendCandidates: a touched (band, bucket) holds > " +
-          s"maxBucket=$maxBucket docs — the append path has no " +
-          "star/salt fallback; dedup exact content first or raise the cap")
-      newKeys.select(col("band"), col("bucket"), col("doc_id").as("na"))
-        .join(bounded.select(col("band"), col("bucket"),
-          col("doc_id").as("nb")), Seq("band", "bucket"))
-        .filter(col("na") =!= col("nb"))
-        .select(least(col("na"), col("nb")).as("doc_a"),
-          greatest(col("na"), col("nb")).as("doc_b"))
-        .distinct()
-        .localCheckpoint(eager = true)
-    } finally bounded.unpersist(false)
+    // ONE action per append (r16 opt — the erAppendEdges scaladoc has
+    // the full argument): the guard WITNESS rides the candidate join.
+    // rank-(cap+1) rows of touched buckets bypass the pair filter and
+    // land in the checkpointed output as marker rows (w = true), so
+    // the fail-fast is a near-free filter probe over local
+    // checkpointed blocks instead of its own witness job — and with
+    // one consumer of the ranked frame the r15 persist (and its
+    // memory pressure) disappears. On a healthy corpus no marker row
+    // exists and the output is the old candidate set exactly; on
+    // violation the require throws before any caller sees the
+    // candidates, with the join bounded by the rank truncation.
+    val cands = newKeys.select(col("band"), col("bucket"),
+        col("doc_id").as("na"))
+      .join(bounded.select(col("band"), col("bucket"),
+        col("doc_id").as("nb"), col("rn")), Seq("band", "bucket"))
+      .filter(col("rn") === maxBucket + 1 || col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("doc_a"),
+        greatest(col("na"), col("nb")).as("doc_b"),
+        (col("rn") === maxBucket + 1).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    // collect-ok: bounded by limit(1) — witness probe over LOCAL
+    // checkpointed blocks (narrow filter, one take-job)
+    val violated = cands.filter(col("w")).limit(1).collect()
+    require(violated.isEmpty,
+      s"lshAppendCandidates: a touched (band, bucket) holds > " +
+        s"maxBucket=$maxBucket docs — the append path has no " +
+        "star/salt fallback; dedup exact content first or raise the cap")
+    cands.filter(!col("w")).select(col("doc_a"), col("doc_b"))
   }
 
   private val verifiedCache =
@@ -659,9 +665,15 @@ object Dedup {
       .localCheckpoint(eager = false))
     addBatch(modBatch(nBatches - 1))
     if (reAdd) addBatch(removedDocs)
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
-    labels.join(sizes, "label").filter(col("n") > 1)
-      .select(col("id").as("doc_id"), col("label").as("rep_id"))
+    // ONE exchange (r16 opt, the entityOutput r15 recipe): a count
+    // window over the label partition replaces the groupBy + join-back
+    // (aggregate shuffle plus a second pass over the label table).
+    // Partition sizes are component sizes — near-dup cliques, never
+    // corpus-sized — so the window is skew-safe at any scale.
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    labels.select(col("id").as("doc_id"), col("label").as("rep_id"),
+        count(lit(1)).over(wn).as("n"))
+      .filter(col("n") > 1).drop("n")
   }
 
   // -----------------------------------------------------------------

@@ -206,13 +206,6 @@ object Linkage {
     val w = Window
       .partitionBy(col("c_nationkey"), col("c_mktsegment"), col("k"))
       .orderBy(col("c_custkey"))
-    // persist (NOT localCheckpoint): the ranked frame is index-sized
-    // and one-batch-scoped — it must be FREED before returning, or
-    // per-batch frames accrete across a replay and collapse the
-    // executor (measured: batches 6-9 went 16 -> 99 s under the
-    // accumulated blocks). The result frame is matched-pairs-sized;
-    // materializing IT eagerly lets the big frame release in finally.
-    //
     // pruneTouched (r15 opt, TRICKLE paths only): semi-join the index
     // on the batch's bucket set BEFORE ranking — only buckets the
     // batch touches can contribute candidates or witness rows, so
@@ -240,37 +233,56 @@ object Linkage {
       else indexKeys
         .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
           col("c_custkey"), col("c_name"))
+    // rank + truncate at cap+1: the pass stays bounded even against a
+    // degenerate everyone-same-name bucket (at most cap+1 rows per
+    // bucket survive into the join), and the surviving rank column
+    // doubles as the guard witness below.
     val bounded = probed
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxBucket + 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // touched-bucket fail-fast from the WITNESS rows alone: a
-      // bucket over the cap kept exactly one rank-(cap+1) row, so
-      // the check is a near-empty semi-join against the batch's keys
-      // (a bucket is TOUCHED iff it joins a new key; under
-      // pruneTouched the frame is already touched-only and the semi
-      // join is a cheap no-op filter) — never an index aggregation
-      val violated = bounded.filter(col("rn") === maxBucket + 1)
-        .join(newKeys.select(col("c_nationkey"), col("c_mktsegment"),
-          col("k")), Seq("c_nationkey", "c_mktsegment", "k"), "left_semi")
-        .limit(1).collect() // collect-ok: bounded by limit(1) — witness probe
-      require(violated.isEmpty,
-        s"erAppendEdges: a touched deletion-key bucket holds > " +
-          s"maxBucket=$maxBucket records — dedup exact names first " +
-          "instead of joining the hot bucket")
-      newKeys.select(col("c_nationkey"), col("c_mktsegment"), col("k"),
-          col("c_custkey").as("ca"), col("c_name").as("na"))
-        .join(bounded.select(col("c_nationkey"), col("c_mktsegment"),
-          col("k"), col("c_custkey").as("cb"), col("c_name").as("nb")),
-          Seq("c_nationkey", "c_mktsegment", "k"))
-        .filter(col("ca") =!= col("cb"))
-        .filter(levenshtein(col("na"), col("nb"), maxDist) >= 0)
-        .select(least(col("ca"), col("cb")).as("doc_a"),
-          greatest(col("ca"), col("cb")).as("doc_b"))
-        .distinct()
-        .localCheckpoint(eager = true)
-    } finally bounded.unpersist(false)
+    // ONE action per append (r16 opt): the guard WITNESS rides the
+    // candidate join instead of running as its own job. A touched
+    // bucket over the cap kept exactly one rank-(cap+1) row, and that
+    // row joins ≥ 1 new key of its bucket, so letting rank-(cap+1)
+    // rows BYPASS the pair filters and land in the checkpointed
+    // output as marker rows (w = true) makes the guard a near-free
+    // filter probe over already-local checkpointed blocks. The r15
+    // shape paid a separate witness limit(1).collect() per batch that
+    // also forced a persist of the index-sized ranked frame so two
+    // consumers could share it; with ONE consumer the persist (and
+    // its memory pressure — the old accretion-collapse note)
+    // disappears. On a healthy corpus no rank-(cap+1) row exists, so
+    // the checkpointed frame is bit-identical to the old edge set
+    // (plus a constant false column dropped below); on violation the
+    // require throws before any caller sees the edges — and the join
+    // the violating action ran was BOUNDED by the rank truncation,
+    // never quadratic. (A Dataset.observe guard measured WRONG here:
+    // under AQE the inner CollectMetrics accumulator lands on a plan
+    // copy whose updates are dropped — observed max(rn) returned 0
+    // with rows demonstrably flowing — so the witness is data, not a
+    // metric.)
+    val edges = newKeys.select(col("c_nationkey"), col("c_mktsegment"),
+        col("k"), col("c_custkey").as("ca"), col("c_name").as("na"))
+      .join(bounded.select(col("c_nationkey"), col("c_mktsegment"),
+        col("k"), col("c_custkey").as("cb"), col("c_name").as("nb"),
+        col("rn")),
+        Seq("c_nationkey", "c_mktsegment", "k"))
+      .filter(col("rn") === maxBucket + 1 ||
+        (col("ca") =!= col("cb") &&
+          levenshtein(col("na"), col("nb"), maxDist) >= 0))
+      .select(least(col("ca"), col("cb")).as("doc_a"),
+        greatest(col("ca"), col("cb")).as("doc_b"),
+        (col("rn") === maxBucket + 1).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    // collect-ok: bounded by limit(1) — witness probe over LOCAL
+    // checkpointed blocks (narrow filter, one take-job)
+    val violated = edges.filter(col("w")).limit(1).collect()
+    require(violated.isEmpty,
+      s"erAppendEdges: a touched deletion-key bucket holds > " +
+        s"maxBucket=$maxBucket records — dedup exact names first " +
+        "instead of joining the hot bucket")
+    edges.filter(!col("w")).select(col("doc_a"), col("doc_b"))
   }
 
   /** [[entityResolution]] (q184) maintained INCREMENTALLY — q323:
