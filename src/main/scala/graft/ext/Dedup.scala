@@ -256,6 +256,15 @@ object Dedup {
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int, compressBuckets: Boolean = true): DataFrame = {
     val banded = lshBandKeys(sig, bands, rowsPerBand, compressBuckets)
+    // NOTE (r16, measured-and-rejected): rewriting the stats as
+    // window aggregates over the (band, bucket) partition — to
+    // establish the partitioning once and let the self-join branches
+    // reuse it — DUPLICATED the exchange+sort+window subtree into
+    // every branch (5 copies) and flipped the self-joins to broadcast
+    // builds over the windowed copies: the family measured 1.1–1.9×
+    // SLOWER at sf0.1 (q103 0.64→1.14 s, q290 0.47→0.88 s). The
+    // groupBy + broadcast-join-back below keeps one aggregate pass
+    // and one banded subtree per branch; kept.
     val stats = guardObserved(
       banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor")),
@@ -389,9 +398,12 @@ object Dedup {
         greatest(col("na"), col("nb")).as("doc_b"),
         (col("rn") === maxBucket + 1).as("w"))
       .distinct()
-      .localCheckpoint(eager = true)
-    // collect-ok: bounded by limit(1) — witness probe over LOCAL
-    // checkpointed blocks (narrow filter, one take-job)
+      // LAZY: the witness probe below is the materializing action —
+      // block unroll persists full partitions under the take-probe,
+      // so a dedicated checkpoint job would be pure overhead (r16 opt)
+      .localCheckpoint(eager = false)
+    // collect-ok: bounded by limit(1) — witness probe; doubles as the
+    // checkpoint materialization (scans every partition by design)
     val violated = cands.filter(col("w")).limit(1).collect()
     require(violated.isEmpty,
       s"lshAppendCandidates: a touched (band, bucket) holds > " +
@@ -1162,14 +1174,11 @@ object Dedup {
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)
-    val e0 = edges.select(col(src).as("a"), col(dst).as("b"))
-      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
     // Altitude switch (the hits/pageRank/textRank rule, applied to
     // the one operator every dedup composition pays for): under the
-    // DEFAULT "auto" policy, a distinct edge set small enough to
-    // collect (boundedGrid-guarded) runs as a driver-side union-find
-    // with min-root labeling — the fixpoint is algorithm-independent
+    // DEFAULT "auto" policy, an edge set small enough to collect
+    // (boundedGrid-guarded) runs as a driver-side union-find with
+    // min-root labeling — the fixpoint is algorithm-independent
     // (label = min component member under the column's ordering;
     // strings compare as UTF-8 bytes, matching Spark's binary
     // collation), so the hash gates are untouched (parity spec).
@@ -1178,7 +1187,8 @@ object Dedup {
     // q45/q103/q184's tail. EXPLICIT algorithm="labelprop"/"doubling"
     // always run distributed (they gate those algorithms — q317),
     // as does any grid over the cap or with an exotic key type.
-    val driverType = e0.schema("a").dataType match {
+    val rawEdges = edges.select(col(src).as("a"), col(dst).as("b"))
+    val driverType = rawEdges.schema("a").dataType match {
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType => true
@@ -1189,17 +1199,33 @@ object Dedup {
     // plus the collect — three driver jobs — before the first
     // union-find step; a limit(cap+1) collect is the same size guard
     // with the data in hand, and every replay batch's ccIncrement
-    // pays this path). An EMPTY grid stays distributed so
+    // pays this path). The probe collects the RAW edge rows (r16 opt):
+    // union-find needs neither symmetrization nor dedup (union(a,b) is
+    // direction-free and idempotent), so the driver path skips the
+    // symmetrize-union AND the distinct exchange the distributed loop
+    // needs — the altitude action is then pure narrow work over the
+    // edge frame. The altitude MEASURE changes with it (raw input rows
+    // ≤ cap, instead of |symmetrized distinct| ≤ cap): what is
+    // BOUNDED — the collected row count — is capped identically, and
+    // the fixpoint is measure-independent, so only which graphs take
+    // which path shifts (a duplicate-heavy frame now falls through to
+    // the distributed loop, whose distinct absorbs the duplicates; an
+    // already-distinct frame reaches the driver at up to 2× the old
+    // effective edge count). An EMPTY grid stays distributed so
     // driverGridMax = 0 remains a true force-distributed escape
     // hatch; an over-cap grid falls through to the distributed loop,
     // whose eager truncation then happens exactly as before.
     if (algorithm == "auto" && driverType && driverGridMax > 0) {
       // collect-ok: bounded by limit(driverGridMax + 1) — this IS the
       // altitude guard (the boundedGrid discipline, fused)
-      val grid = e0.limit(driverGridMax + 1).collect()
+      val grid = rawEdges.limit(driverGridMax + 1).collect()
       if (grid.nonEmpty && grid.length <= driverGridMax)
-        return ccDriver(grid, e0.schema("a").dataType, e0.sparkSession)
+        return ccDriver(grid, rawEdges.schema("a").dataType,
+          rawEdges.sparkSession)
     }
+    val e0 = rawEdges
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+      .distinct()
     val e = truncate(e0, eager = true)
     // Witness = DECIMAL-exact sum of xxhash64(label): type-agnostic
     // (labels may be strings — the q297 source graph), overflow-proof
@@ -1300,10 +1326,13 @@ object Dedup {
   }
 
   /** Driver-altitude [[connectedComponents]]: union-find with
-    * path-halving over the collected symmetrized-distinct edge grid,
-    * roots kept at the component MINIMUM so the output is the same
-    * fixpoint every distributed algorithm converges to — (id, label
-    * = min member). Pure exact set logic, no floats: bit-identity
+    * path-halving over the collected RAW edge grid (duplicates,
+    * self-loops and direction are all absorbed — union is idempotent
+    * and direction-free — so the caller skips the symmetrize+distinct
+    * the distributed loop needs), roots kept at the component MINIMUM
+    * so the output is the same fixpoint every distributed algorithm
+    * converges to — (id, label = min member). Pure exact set logic,
+    * no floats: bit-identity
     * with the distributed loop is structural, pinned by a parity
     * spec anyway. String keys compare as unsigned UTF-8 bytes
     * (Spark's binary string ordering), so a q297-shaped string graph

@@ -274,9 +274,13 @@ object Linkage {
         greatest(col("ca"), col("cb")).as("doc_b"),
         (col("rn") === maxBucket + 1).as("w"))
       .distinct()
-      .localCheckpoint(eager = true)
-    // collect-ok: bounded by limit(1) — witness probe over LOCAL
-    // checkpointed blocks (narrow filter, one take-job)
+      // LAZY: the witness probe below is the materializing action —
+      // RDD block unroll consumes each partition's full iterator, so
+      // the take-probe persists every partition as a side effect and
+      // a dedicated checkpoint job would be pure overhead (r16 opt)
+      .localCheckpoint(eager = false)
+    // collect-ok: bounded by limit(1) — witness probe; doubles as the
+    // checkpoint materialization (scans every partition by design)
     val violated = edges.filter(col("w")).limit(1).collect()
     require(violated.isEmpty,
       s"erAppendEdges: a touched deletion-key bucket holds > " +
