@@ -2360,23 +2360,49 @@ object Dedup {
     * (per-bucket value-pair work is n²). */
   def simhashAppendValuePairs(newVKeys: DataFrame, vkeyStore: DataFrame,
       maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    val touched = vkeyStore.join(
-      newVKeys.select(col("band"), col("bucket")).distinct(),
-      Seq("band", "bucket"))
-      .select(col("band"), col("bucket"), col("v")).distinct()
-    val biggest = touched.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
-    require(biggest <= maxBucket,
-      s"simhash append: a touched (band, bucket) holds $biggest " +
-        s"DISTINCT simhash values (> maxBucket=$maxBucket) " +
-        "— raise the cap or widen the bands")
-    newVKeys.select(col("band"), col("bucket"), col("v").as("va"))
-      .join(vkeyStore.select(col("band"), col("bucket"),
-        col("v").as("vb")), Seq("band", "bucket"))
-      .select(col("va"), col("vb")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    // ONE action per append (r16 opt — the erAppendEdges/
+    // lshAppendCandidates witness-marker discipline): the old shape
+    // paid a dedicated guard job per batch (touched-bucket distinct +
+    // countDistinct aggregate + head) and then scanned the store a
+    // SECOND time for the value-pair join, which dedup'd (va, vb)
+    // only AFTER the join fan-out. dense_rank over the bucket
+    // partition ranks DISTINCT values directly on the raw store rows
+    // (a value re-appearing across batches keeps its rank), so one
+    // pass both bounds the join (rank ≤ cap+1 — a degenerate bucket
+    // stays O(cap) per bucket) and carries the guard witness: the
+    // rank-(cap+1) rows bypass the hamming filter into the
+    // checkpointed output as marker rows, and the fail-fast is a
+    // near-free probe over local blocks. Same guard semantics (cap on
+    // DISTINCT values per TOUCHED bucket — a witness row joins iff
+    // its bucket joins a new key), same output (dedupe before the
+    // hamming filter is dedupe after it, hamming is a function of the
+    // pair).
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("v"))
+    val bounded = vkeyStore.select(col("band"), col("bucket"), col("v"))
+      .withColumn("rn", dense_rank().over(w))
+      .filter(col("rn") <= maxBucket + 1)
+    val pairs = newVKeys.select(col("band"), col("bucket"),
+        col("v").as("va"))
+      .join(bounded.select(col("band"), col("bucket"),
+        col("v").as("vb"), col("rn")), Seq("band", "bucket"))
       .withColumn("hamming", expr("CAST(bit_count(va ^ vb) AS INT)"))
-      .filter(col("hamming") <= maxDist)
+      .filter(col("rn") === maxBucket + 1 || col("hamming") <= maxDist)
+      .select(col("va"), col("vb"), col("hamming"),
+        (col("rn") === maxBucket + 1).as("w"))
+      .distinct()
+      // LAZY: the witness probe below materializes every partition
+      // (block unroll is all-or-nothing per partition)
+      .localCheckpoint(eager = false)
+    // collect-ok: bounded by limit(1) — witness probe; doubles as the
+    // checkpoint materialization (scans every partition by design)
+    val violated = pairs.filter(col("w")).limit(1).collect()
+    require(violated.isEmpty,
+      s"simhash append: a touched (band, bucket) holds more than " +
+        s"maxBucket=$maxBucket DISTINCT simhash values " +
+        "— raise the cap or widen the bands")
+    pairs.filter(!col("w")).select(col("va"), col("vb"), col("hamming"))
   }
 
   /** Member expansion of [[simhashAppendValuePairs]] output: new

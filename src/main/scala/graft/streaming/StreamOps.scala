@@ -511,11 +511,13 @@ object StreamOps {
         id, numPb)
       graft.ext.Dedup.appendToSimhashVKeyStoreBatch(newVKeys,
         vkeyStorePath, id, numPb)
+      // simhashAppendValuePairs already returns a materialized
+      // (witness-probed) checkpoint — re-checkpointing it copied every
+      // block again, one wasted job per micro-batch (r16 opt)
       val vPairs = graft.ext.Dedup.simhashAppendValuePairs(newVKeys,
-          graft.ext.Dedup.readSimhashVKeyStorePruned(spark,
-            vkeyStorePath, newVKeys, numPb),
-          maxDist, maxBucket)
-        .localCheckpoint(eager = true)
+        graft.ext.Dedup.readSimhashVKeyStorePruned(spark,
+          vkeyStorePath, newVKeys, numPb),
+        maxDist, maxBucket)
       val edges = graft.ext.Dedup.simhashExpandPairs(vPairs, newSigs,
         graft.ext.Dedup.readSimhashStorePruned(spark, sigStorePath,
           vPairs.select(col("vb").as("sh")), numPb))
