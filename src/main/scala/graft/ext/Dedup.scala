@@ -1764,11 +1764,19 @@ object Dedup {
           "with connectedComponents output or an empty frame.")
     }
     val e = newEdges.select(col(src).as("na"), col(dst).as("nb"))
-    val la = prev.select(col("id").as("na"), col("label").as("la"))
-    val lb = prev.select(col("id").as("nb"), col("label").as("lb"))
-    val quotient = e.join(la, Seq("na"), "left").join(lb, Seq("nb"), "left")
-      .select(coalesce(col("la"), col("na")).as("qa"),
-        coalesce(col("lb"), col("nb")).as("qb"))
+    // Both label lookups join the SAME unprojected frame (r16 opt):
+    // with per-side alias projections (id→na / id→nb) the two
+    // broadcast children canonicalize differently and Spark built the
+    // prev-labels broadcast TWICE per batch; joining `p` itself twice
+    // lets ReuseExchange collapse them to one build.
+    val p = prev.select(col("id"), col("label"))
+    val pa = p.as("cc_pa")
+    val pb = p.as("cc_pb")
+    val quotient = e
+      .join(pa, col("na") === col("cc_pa.id"), "left")
+      .join(pb, col("nb") === col("cc_pb.id"), "left")
+      .select(coalesce(col("cc_pa.label"), col("na")).as("qa"),
+        coalesce(col("cc_pb.label"), col("nb")).as("qb"))
     val merged = connectedComponents(quotient, "qa", "qb",
       driverGridMax = driverGridMax)
     // only TOUCHED components appear here, so the relabel table is
